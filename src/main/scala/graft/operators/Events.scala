@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators — the batch forms of the reference's streaming
+  * surface (SURVEY.md §2.2/2.4/2.9), expressed so the identical
+  * DataFrame=>DataFrame functions are reusable inside foreachBatch.
+  *
+  * Timestamps are emitted as unix microseconds (BIGINT) wherever they cross
+  * the oracle boundary: it sidesteps ns-vs-µs parquet precision and
+  * session-timezone differences entirely.
+  */
+object Events {
+
+  /** Group-by time bucket (SURVEY A5 / S4 key derivation): events per
+    * (y,m,d,h) with an exact-decimal value sum.
+    */
+  def timeBucketCounts(events: DataFrame): DataFrame =
+    Landing.withTimeBuckets(events, col("ts"))
+      .groupBy("y", "m", "d", "h")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("y", "m", "d", "h")
+
+  /** First/last per bucket (SURVEY A1/A2): the reference takes the batch
+    * head's timestamp and the batch tail's sequence number; here done
+    * correctly per hour bucket with min/max over the total (ts, event_id)
+    * order via min_by/max_by equivalents that stay deterministic.
+    */
+  def bucketFirstLast(events: DataFrame): DataFrame =
+    Landing.withTimeBuckets(events, col("ts"))
+      .groupBy("y", "m", "d", "h")
+      .agg(
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        min(unix_micros(col("ts"))).as("first_ts_us"),
+        max(unix_micros(col("ts"))).as("last_ts_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("y", "m", "d", "h")
+
+  /** JSON payload parse (SURVEY S2): the events table's `props` column is a
+    * JSON document, parsed schema-on-read with from_json exactly like the
+    * reference's json.loads (consumer.py:123) but typed and codegen'd.
+    */
+  val propsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  def parseProps(events: DataFrame): DataFrame =
+    events.withColumn("props_parsed",
+      from_json(col("props"), propsSchema))
+
+  /** Aggregate over a parsed-JSON field: distribution of props.k deciles. */
+  def propsKDeciles(events: DataFrame): DataFrame =
+    parseProps(events)
+      .withColumn("k_decile", expr("props_parsed.k DIV 10"))
+      .groupBy("k_decile")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("props_parsed.k")).as("sum_k"))
+      .orderBy("k_decile")
+
+  /** Data-quality rule audit (SURVEY P8): declarative per-row rules →
+    * exploded (event_id, issue) rows, mirroring the reference's
+    * data_quality array-of-struct (event.py:33-37) built with
+    * when/array/filter instead of producer-side Python.
+    */
+  def dataQuality(events: DataFrame): DataFrame = {
+    val issues = array(
+      when(col("value") > 400,
+        struct(lit("value_outlier").as("field_name"),
+               lit("value above 400").as("issue_details"))),
+      when(col("event_type") === "error",
+        struct(lit("event_type").as("field_name"),
+               lit("error event landed in clickstream").as("issue_details"))),
+      when(col("props").isNull || length(col("props")) === 0,
+        struct(lit("props").as("field_name"),
+               lit("props is blank").as("issue_details"))))
+    events
+      .withColumn("dq", filter(issues, c => c.isNotNull))
+      .filter(size(col("dq")) > 0)
+      .select(col("event_id"), explode(col("dq")).as("issue"))
+      .select(col("event_id"),
+              col("issue.field_name").as("field_name"),
+              col("issue.issue_details").as("issue_details"))
+      .orderBy("event_id", "field_name")
+  }
+
+  /** As-of join (SURVEY J4): for each purchase event, the most recent view
+    * event of the same user at or before it.
+    *
+    * Implementation: union both sides with a marker and carry the latest
+    * view id/ts forward with last(ignoreNulls) over a per-user window
+    * ordered by (ts, marker, event_id) — views sort before purchases at
+    * equal ts, matching ASOF's `<=`. One shuffle on user_id, no range
+    * explosion, and per-user state is O(1) — this survives 100× data where
+    * a naive range self-join would not.
+    */
+  def asofPurchaseView(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts_us",
+        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              unix_micros(col("ts")).as("purchase_ts_us"),
+              col("last_view_id"), col("last_view_ts_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** Sessionization (SURVEY §2.5): gap-based sessions per user. Batch form
+    * uses the same lag/cumsum construction as the SQL oracle; the streaming
+    * form (streaming.StreamOps) uses session_window with a watermark.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_no")
+      .agg(min(col("us")).as("session_start_us"),
+           max(col("us")).as("session_end_us"),
+           count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** Tumbling event-time window (SURVEY T8) in its batch form; the window
+    * start is emitted as epoch seconds (Spark windows are epoch-aligned,
+    * floor(epoch/width)*width, which the oracle reproduces exactly).
+    */
+  def tumblingCounts(events: DataFrame, hours: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$hours hours").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+}

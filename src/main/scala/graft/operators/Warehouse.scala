@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse operator suite over the TPC-H-ish star schema (TESTDATA.md):
+  * multi-way joins, aggregation suite, rollup/cube, window functions, set
+  * ops, sorts/top-k. All declarative DataFrame plans so Catalyst gets
+  * predicate pushdown, column pruning, join reordering and AQE for free.
+  *
+  * Cross-engine determinism convention (the DuckDB oracle hash-compares):
+  * money aggregates go through exact DECIMAL(18,2) arithmetic and are cast
+  * to double only at the end; averages are computed as sum/count on the
+  * decimal; dates are emitted as 'yyyy-MM-dd' strings; every query ends in
+  * an ORDER BY on a unique key.
+  */
+object Warehouse {
+
+  /** Exact-decimal sum of a double money column; deterministic across
+    * engines and across partition orderings (decimal addition commutes).
+    */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,2)"))
+
+  /** Deterministic average: exact decimal sum cast to double, divided by
+    * the group count (double/long division is IEEE-defined).
+    */
+  def davg(c: Column): Column = dsum(c).cast("double") / count(lit(1))
+
+  /** Exact-decimal revenue term price*(1-discount): each factor is cast to
+    * decimal BEFORE multiplying so the arithmetic never touches doubles
+    * (double→decimal rounding of a product differs between engines).
+    */
+  def revenueTerm(price: Column, discount: Column): Column =
+    price.cast("decimal(18,2)") * (lit(1) - discount.cast("decimal(18,2)"))
+
+  /** TPC-H Q1-style pricing summary on lineitem.
+    * Map-side partial aggregation + 2-phase hash agg; scales linearly, the
+    * shuffle carries only |returnflag × linestatus| groups.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style shipping priority: 3-way join, revenue per order, top-k.
+    * customer is small → Catalyst broadcasts it; lineitem⋈orders is the one
+    * real shuffle (both sides hashed on orderkey).
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+               date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join down the
+    * region→nation→customer→orders→lineitem→supplier chain. All dims are
+    * broadcast-sized; the plan's only big shuffle is lineitem⋈orders.
+    */
+  def localSupplierRevenue(region: DataFrame, nation: DataFrame,
+                           customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, supplier: DataFrame,
+                           regionName: String): DataFrame =
+    region.filter(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+                      col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("n_name"))
+
+  /** Left-outer join histogram: how many orders have k lineitems (k=0
+    * included). Two-level aggregation keeps the output tiny.
+    */
+  def orderLineHistogram(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_lines"))
+      .groupBy("n_lines")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("n_lines")
+
+  /** Left-semi: customers that placed at least one order, counted per
+    * nation. Semi-join shuffles only the keys; no row duplication.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  /** Left-anti: customers with no orders, counted per market segment. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Full scalar-aggregate suite incl. exact count(distinct). */
+  def aggSuite(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        dsum(col("l_quantity")).cast("double").as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("first_ship"),
+        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_ship"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP over the region→nation customer hierarchy; grouping_id
+    * disambiguates subtotal rows from genuine NULL keys.
+    *
+    * The GROUP BY ROLLUP goes through the SQL parser: the Dataset rollup
+    * API trips DetectAmbiguousSelfJoin's false positive when the grouping
+    * keys flow out of a join (the Expand node re-exposes join-tagged
+    * exprIds). Identical logical plan either way.
+    */
+  def rollupAcctBal(region: DataFrame, nation: DataFrame,
+                    customer: DataFrame): DataFrame = {
+    val joined = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+    val view = "graft_rollup_in"
+    joined.createOrReplaceTempView(view)
+    joined.sparkSession.sql(
+      s"""SELECT r_name, n_name,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+         |  count(*) AS n_customers, grouping_id() AS lvl
+         |FROM $view GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY lvl, r_name, n_name""".stripMargin)
+  }
+
+  /** CUBE over order status × priority. */
+  def cubeOrders(orders: DataFrame): DataFrame =
+    orders.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).cast("double").as("sum_price"),
+           grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("lvl"))
+      .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Windowed top-k per group: 3 priciest orders per priority class.
+    * row_number is tie-broken by the unique orderkey so it is total.
+    */
+  def topOrdersPerPriority(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** Analytic lag/lead: per-user inter-event gap statistics on the events
+    * table. Window ordered by (ts, event_id) — a total order, so lag is
+    * deterministic even under timestamp ties.
+    */
+  def userEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .groupBy("user_id")
+      .agg(count(col("gap_us")).as("n_gaps"),
+           sum(col("gap_us")).as("sum_gap_us"),
+           max(col("gap_us")).as("max_gap_us"))
+      .orderBy("user_id")
+  }
+
+  /** Frame-based running total per user (rowsBetween unboundedPreceding).
+    * value goes through DECIMAL so the running sums are exact.
+    */
+  def runningValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Global sort + limit (top 100 orders by price, unique tiebreak). */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Set-operation suite: union / intersect / except over customer-key
+    * sets, reduced to tagged counts so output is one row per operation.
+    */
+  def setOpsSummary(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val buyers   = orders.select(col("o_custkey").as("k")).distinct()
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tag("union", building.union(buyers).distinct())
+      .unionByName(tag("intersect", building.intersect(buyers)))
+      .unionByName(tag("except", building.except(buyers)))
+      .orderBy("op")
+  }
+
+  /** Exact distinct-count per group (the oracle-checkable half of A6). */
+  def distinctBuyers(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** approx_count_distinct (HLL++) — sketch output differs from DuckDB's
+    * approx algorithm, so this query gets a rows-only check; the scalatest
+    * asserts it lands within rsd of the exact count.
+    */
+  def approxDistinctBuyers(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"))
+      .orderBy("o_orderstatus")
+}
