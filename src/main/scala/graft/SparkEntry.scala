@@ -61,6 +61,13 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => Warehouse.setOpsSummary(customer(s, d), orders(s, d))),
     "q_distinct_agg" -> ((s, d) => Warehouse.distinctBuyers(orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Warehouse.approxDistinctBuyers(orders(s, d))),
+
+    // --- text analysis on documents (F9, north-star) ---
+    "q_text_terms" -> ((s, d) => TextAnalysis.termStats(documents(s, d), 5)),
+    "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
+    "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
+    "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
+    "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,7 +76,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_land_partitioned" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
-        |       count(*) AS n_events
+        |       count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
     "q_time_bucket" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
@@ -230,6 +237,71 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_buyers,
         |       count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_text_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents)
+        |SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY 1,2 HAVING count(*) >= 5
+        |ORDER BY lang, term""".stripMargin,
+    "q_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+        |    length(text) AS n_chars_txt,
+        |    length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_alnum
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, n_chars_txt, n_alnum,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS n_stop,
+        |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS sum_len
+        |  FROM base)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+        |  round(CAST(n_alnum AS DOUBLE)/n_chars_txt, 6) AS alnum_ratio,
+        |  round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+        |  round(0.4*(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)
+        |      + 0.3*(CAST(n_alnum AS DOUBLE)/n_chars_txt)
+        |      + 0.3*(CAST(least(n_tokens, 100) AS DOUBLE)/100.0), 6) AS quality_score
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','zu','ist','nicht'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','is','not'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('el','la','de','y','que','es','no'))) AS s_es
+        |  FROM base)
+        |SELECT lang AS actual_lang,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |       WHEN s_en >= s_es AND s_en > 0 THEN 'en'
+        |       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS predicted_lang,
+        |  count(*) AS n_docs
+        |FROM scored GROUP BY 1,2 ORDER BY actual_lang, predicted_lang""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 4
+        |         THEN [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+        |         ELSE [] END AS sh
+        |  FROM base)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+        |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) ELSE NULL END AS fingerprint
+        |FROM sh ORDER BY doc_id""".stripMargin,
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
   )

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** The reference engine's core "query": land clickstream events into a
   * time-partitioned file layout, deduplicated.
@@ -37,18 +38,36 @@ object Landing {
   def dedup(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** Batch landing pipeline: dedup → bucket → partitioned JSON files.
-    * Returns the landed row count per partition, read back from the sink
-    * (proves the roundtrip like the reference's put_object + later replay).
+  /** Batch landing pipeline: dedup → bucket → repartition on the bucket key
+    * → partitioned JSON files. Returns the landed row count per partition,
+    * read back from the sink (proves the roundtrip like the reference's
+    * put_object + later replay).
+    *
+    * Scale notes: the repartition on (y,m,d) means each output partition is
+    * written by a narrow set of tasks — without it every task holds a writer
+    * per open hour-bucket and the job emits tens of thousands of tiny files
+    * at 100 TB. The read-back passes the writer's schema explicitly: a
+    * schema-inference pass over just-written JSON would be a full extra scan.
+    * Each landed file carries a uuid() land_id (reference consumer.py:244
+    * names S3 objects with uuid4) — nondeterministic, so it is dropped
+    * before the oracle-facing aggregate.
     */
   def landPartitionedJson(df: DataFrame, ts: Column, key: Seq[String],
                           outDir: String): DataFrame = {
     val bucketed = withTimeBuckets(dedup(df, key), ts)
-    bucketed.write.mode("overwrite")
+      .withColumn("land_id", expr("uuid()"))
+    bucketed
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite")
       .partitionBy("y", "m", "d", "h")
       .json(outDir)
     val spark = df.sparkSession
-    spark.read.json(outDir)
+    // partitionBy moves y/m/d/h out of the data files into directory names;
+    // read back data-file columns with the known schema and let Spark
+    // restore the partition columns from the paths.
+    val dataSchema = StructType(bucketed.schema.filterNot(f =>
+      Seq("y", "m", "d", "h").contains(f.name)))
+    spark.read.schema(dataSchema).json(outDir)
       .groupBy("y", "m", "d", "h")
       .agg(count(lit(1)).as("n_events"))
   }

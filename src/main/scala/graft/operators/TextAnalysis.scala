@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (SURVEY F9; driver
+  * north-star "text analysis"): tokenization, term statistics, quality
+  * scoring, language identification, token counting, and document
+  * fingerprinting — the per-document scoring passes of a large-scale
+  * training-data pipeline.
+  *
+  * Every operator is a narrow projection + hash aggregation: one scan of
+  * `documents` (only the columns used reach the parquet reader), per-row
+  * codegen'd expression work (split/filter/transform higher-order functions,
+  * no UDFs), and a shuffle only where a groupBy needs one. At 100 TB each of
+  * these is embarrassingly parallel over document partitions.
+  *
+  * Cross-engine determinism (DuckDB oracle hash-compares): tokenization is
+  * the shared regex `[^a-z0-9]+` over `lower(text)` (RE2 and java.util.regex
+  * agree on this class), ratios are exact integer counts divided as doubles
+  * and rounded to 6 decimals, fingerprints are md5 hex strings (identical
+  * in both engines) — no transcendental functions anywhere.
+  */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Word n-gram shingles (space-joined) of a token array. Documents with
+    * fewer than n tokens produce an empty shingle set.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Term statistics per language: term frequency and document frequency
+    * for every term reaching a minimum corpus frequency. The explode is
+    * map-side; the single shuffle carries (lang, term) partial counts.
+    */
+  def termStats(documents: DataFrame, minTf: Long): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+              explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"),
+           countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= minTf)
+      .orderBy("lang", "term")
+
+  /** English-ish stopwords for the quality score. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Per-document quality scoring: token count, mean token length,
+    * alphanumeric ratio, stopword ratio, and a rational composite score —
+    * the length/punct/stopword heuristics of a pretraining quality filter.
+    * Pure per-row expression work; no shuffle at all.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    documents
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars_txt", length(col("text")))
+      // characters that survive an alnum+space filter, as exact int counts
+      .withColumn("n_alnum",
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(
+          when(col("n_tokens") > 0,
+            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+              .cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)), 6).as("avg_token_len"),
+        round(col("n_alnum").cast("double") / col("n_chars_txt"), 6)
+          .as("alnum_ratio"),
+        round(
+          when(col("n_tokens") > 0,
+            col("n_stop").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)), 6).as("stop_ratio"),
+        // composite score: rational arithmetic only (cross-engine exact)
+        round(
+          lit(0.4) * (when(col("n_tokens") > 0,
+              col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+            + lit(0.3) * (col("n_alnum").cast("double") / col("n_chars_txt"))
+            + lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / 100.0),
+          6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker stopword sets for the language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "not"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es", "no"))
+
+  /** Language identification via marker-token scoring (n-gram-heuristic
+    * family): count marker hits per candidate language, predict the
+    * highest-scoring one (ties break to the lexicographically first
+    * language; zero hits → 'und'), then emit the actual×predicted
+    * confusion matrix. One scan + one tiny shuffle.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(lang: String): Column = {
+      val markers = array(langMarkers(lang).map(lit): _*)
+      size(filter(col("toks"), t => array_contains(markers, t)))
+    }
+    documents
+      .withColumn("toks", toks)
+      .withColumn("s_de", score("de"))
+      .withColumn("s_en", score("en"))
+      .withColumn("s_es", score("es"))
+      .withColumn("predicted_lang",
+        when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+          .when(col("s_es") > 0, "es")
+          .otherwise("und"))
+      .groupBy(col("lang").as("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
+  /** Tokenizer-regex for the BPE-ish count: letter runs, digit runs, and
+    * single non-alnum-non-space marks each count as one token (the shape a
+    * byte-pair pretokenizer produces before merges).
+    */
+  val bpePattern: String = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting per source: whitespace tokens vs BPE-ish regex tokens,
+    * as corpus totals per source — the "how many tokens is this corpus"
+    * accounting query. regexp_count keeps it one codegen'd pass.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("lower_text", lower(col("text")))
+      .withColumn("n_ws", size(split(trim(col("lower_text")), "\\s+")))
+      .withColumn("n_bpe", size(regexp_extract_all(col("lower_text"), lit(bpePattern), lit(0))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_ws")).as("ws_tokens"),
+           sum(col("n_bpe")).as("bpe_tokens"))
+      .orderBy("source")
+
+  /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
+    * minimum digest (a 1-permutation MinHash — the winnowing/rolling-hash
+    * fingerprint family). Identical-content documents get identical
+    * fingerprints regardless of partitioning; grouping by fingerprint is
+    * the exact-near-dup clustering key at scale.
+    */
+  def fingerprints(documents: DataFrame, n: Int = 4): DataFrame =
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("toks"), n))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        when(size(col("sh")) > 0, array_min(transform(col("sh"), s => md5(s))))
+          .otherwise(lit(null)).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -37,7 +37,7 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            sp = con.sql(f"SELECT * FROM '{files[0]}'").df()
+            sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
             du = con.sql(sql).df()
         except Exception as e:
             print(f"ERROR    {name}: {e}")
@@ -63,7 +63,7 @@ def main(sf_dir, out_dir):
         name = os.path.basename(d)
         if name not in oracle and os.path.isdir(d):
             files = glob.glob(f"{d}/*.parquet")
-            n = len(con.sql(f"SELECT * FROM '{files[0]}'").df()) if files else 0
+            n = len(con.sql(f"SELECT * FROM '{d}/*.parquet'").df()) if files else 0
             print(f"{'ROWS-OK' if n > 0 else 'EMPTY!'}  {name} ({n} rows, no oracle)")
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
