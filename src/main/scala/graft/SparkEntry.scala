@@ -68,6 +68,12 @@ object SparkEntry {
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
+
+    // --- similarity search on embeddings (J5/F10, north-star) ---
+    "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
+    "q_ann_lsh" -> ((s, d) => Similarity.lshAnnTopK(embeddings(s, d), 4, 8, 10)),
+    "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
+    "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +308,44 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
         |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) ELSE NULL END AS fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_similarity_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(q.q_emb, b.emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_similarity_join" ->
+      """WITH b AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.label, a.vec_id AS a_id, c.vec_id AS b_id,
+        |       round(list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm), 6) AS sim
+        |FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+        |WHERE list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS INT) AS dim,
+        |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
+    // q_ann_lsh has no oracle: the LSH cell assignment is seeded-
+    // deterministic but not SQL-expressible; scalatest bounds its recall
+    // against q_similarity_topk's exact baseline.
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
   )

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath._
+
+/** Similarity search over the `embeddings` table (SURVEY J5/F10; driver
+  * north-star "similarity search: ANN over an embedding column").
+  *
+  * Two paths, as a production pipeline would ship them:
+  *
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast a small query
+  *    set, one streaming pass over all candidates, bounded top-k
+  *    aggregation. Linear scan, but the *right* linear scan: at 100 TB the
+  *    scan parallelizes over candidate partitions and the shuffle carries
+  *    only k rows per partition per query (TopKAgg partial aggregation),
+  *    not the |Q|·|C| pair stream a window-function top-k would shuffle.
+  *
+  *  - [[lshAnnTopK]] — the scale path: L independent random-hyperplane
+  *    LSH tables; vectors meet only inside a (table, bucket) cell, so the
+  *    join is a hash shuffle on the cell key and the pair explosion is
+  *    bounded by cell size. Hyperplanes are seeded-deterministic, so the
+  *    output is stable run-to-run (recall vs the exact baseline is bounded
+  *    in the scalatest suite, not by the SQL oracle).
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries).
+    * Queries are broadcast with precomputed norms; candidates stream.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+              col("nrm").as("q_nrm"))
+    val topk = topK(k)
+    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(col("nbr.score"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: L tables × bits planes × dim
+    * components from one seeded PRNG. Plain Scala on the driver — tiny,
+    * broadcast as literals into the plan.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Adds an exploded (table, bucket) cell per LSH table: bucket = the
+    * sign pattern of `bits` hyperplane projections packed into a long.
+    */
+  private def withLshCells(base: DataFrame, hps: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val buckets = hps.map { table =>
+      table.zipWithIndex.map { case (hp, j) =>
+        when(dot(col("emb"), typedlit(hp)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    base.withColumn("cells", array(buckets: _*))
+      .select(col("*"), posexplode(col("cells")).as(Seq("tbl", "bucket")))
+      .drop("cells")
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH. Candidate pairs arise only
+    * within a (table, bucket) cell; duplicates across tables are
+    * deduplicated before scoring so each pair is scored once.
+    */
+  def lshAnnTopK(embeddings: DataFrame, tables: Int, bits: Int, k: Int,
+                 seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val hps = hyperplanes(tables, bits, dim, seed)
+    val base = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val cells = withLshCells(base, hps)
+    val left = cells.select(col("tbl"), col("bucket"),
+      col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val right = cells.select(col("tbl"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val topk = topK(k)
+    left.join(right, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair found by several tables is scored once
+      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("q_nrm"),
+              col("c_emb"), col("c_nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(col("nbr.score"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Similarity JOIN (J5): all pairs with cosine ≥ threshold, blocked by a
+    * join key so the pair space never goes all-pairs. Here the block key
+    * is `label` (an IVF-style coarse cell); in a real corpus the block key
+    * is an LSH bucket or IVF centroid assignment — the plan shape (hash
+    * shuffle on the block key, pair generation only within a cell,
+    * id< dedup) is the one that survives scale. A low-cardinality block
+    * key skews at 1000 executors; [[lshAnnTopK]] is the high-cardinality
+    * variant of the same shape.
+    */
+  def cosineJoinBlocked(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val base = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val a = base.select(col("label"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = base.select(col("label"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= threshold)
+      .select(col("label"), col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-label centroid, emitted as (label, dim, mean) rows. The component
+    * sum goes through exact DECIMAL so the result is independent of
+    * partition/merge order (float addition is not associative; decimal
+    * addition is) — the aggregation itself is a plain 2-phase hash agg.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+      .orderBy("label", "dim")
+}
