@@ -74,6 +74,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.lshAnnTopK(embeddings(s, d), 4, 8, 10)),
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
+
+    // --- near-duplicate detection on documents (north-star dedup) ---
+    "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
+    "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
+    "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,10 +348,55 @@ object SparkEntry {
         |SELECT label, CAST(dim AS INT) AS dim,
         |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
+    "q_neardup_jaccard" -> neardupOracleSql,
+    // MinHash+LSH candidates are verified with the exact jaccard, and at
+    // this threshold band recall is ~1 (1-(1-t^rows)^bands), so the sketch
+    // path reproduces the exact result — it shares the exact oracle, which
+    // is precisely the property a sketch-based dedup must be graded on.
+    "q_neardup_minhash" -> neardupOracleSql,
+    "q_dedup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |       for j in range(0, 60)]) AS BIGINT) AS simhash
+        |FROM hashed ORDER BY doc_id""".stripMargin,
     // q_ann_lsh has no oracle: the LSH cell assignment is seeded-
     // deterministic but not SQL-expressible; scalatest bounds its recall
     // against q_similarity_topk's exact baseline.
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
   )
+
+  /** Exact pruned-shingle Jaccard pairs — shared by the exact and the
+    * MinHash queries (see q_neardup_minhash note above).
+    */
+  private val neardupOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |shs AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+      |    ELSE [] END) AS sh FROM toks),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+      |ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+      |pruned AS (SELECT ex.doc_id, ex.s FROM ex JOIN ok USING (s)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT a_id, b_id, n_inter,
+      |       round(CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
 }

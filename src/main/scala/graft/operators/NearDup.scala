@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` (driver north-star
+  * "deduplication": exact, n-gram Jaccard, MinHash+LSH, SimHash;
+  * embedding-cosine near-dup lives in [[Similarity.cosineJoinBlocked]]).
+  *
+  * Everything is bucketed-by-design — no operator ever generates the
+  * all-pairs O(n²) space:
+  *  - the exact path joins docs only through a shared-shingle inverted
+  *    index (a pair with Jaccard > 0 must share a shingle);
+  *  - MinHash meets docs only inside an LSH band bucket;
+  *  - SimHash meets docs only on an equal 15-bit fingerprint band.
+  *
+  * Shingle/token hashes are 60-bit integers from md5 hex (identical in
+  * Spark and DuckDB), so even the sketch-based operators are exactly
+  * reproducible by the SQL oracle.
+  */
+object NearDup {
+
+  /** Distinct word n-gram shingle set per document. */
+  def shingleSets(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"),
+      array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), n))
+        .as("sh"))
+
+  /** Inverted index (shingle → doc), optionally pruned of shingles hotter
+    * than dfCutoff. The pruning is part of the operator's semantics (both
+    * candidate generation AND jaccard denominators use the pruned sets) so
+    * the oracle mirrors it exactly; at web scale it is also what bounds
+    * the hottest reducer: a stopword-shingle shared by 10^7 docs would
+    * otherwise make one shuffle key quadratic.
+    */
+  def invertedIndex(shingleSets: DataFrame, dfCutoff: Long): DataFrame = {
+    val ex = shingleSets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val ok = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCutoff).select("s")
+    ex.join(ok, "s")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted index: one
+    * shuffle on the shingle, pair counts only for docs that share one.
+    */
+  def jaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+                   dfCutoff: Long): DataFrame = {
+    val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = idx.as("a").join(idx.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+              round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 60-bit integer hash from the first 15 md5 hex chars — the one hash
+    * function both engines evaluate identically.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Modulus for the MinHash universal hash: the Mersenne prime 2^31-1.
+    * With a,b < p and the base hash reduced mod p first, every intermediate
+    * stays under 2^62 — no 64-bit overflow, so the arithmetic is legal
+    * under ANSI mode and identical in any engine.
+    */
+  val MinhashP: Long = (1L << 31) - 1
+
+  /** Universal-hash parameters (a ∈ [1,p), b ∈ [0,p)) for k permutations. */
+  def minhashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+                 rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** MinHash + banded LSH near-dup pairs. k-permutation signatures over
+    * the pruned shingle sets (h_i = a_i·h+b_i with wrapping 64-bit
+    * arithmetic — deterministic); candidates arise only inside an equal
+    * (band, band-hash) bucket; candidates are then verified with the
+    * EXACT jaccard from the pruned shingle sets, so false positives are
+    * impossible and the only deviation from [[jaccardPairs]] is banding
+    * recall (≥ 1-(1-t^rows)^bands; ~1 at the thresholds used).
+    * Permutation i is h_i(s) = (a_i·(H(s) mod p) + b_i) mod p over the
+    * Mersenne prime p = 2^31-1 — overflow-free under ANSI mode.
+    */
+  def minhashPairs(documents: DataFrame, n: Int, threshold: Double,
+                   dfCutoff: Long, bands: Int = 16, rows: Int = 4,
+                   seed: Long = 42L): DataFrame = {
+    val k = bands * rows
+    val params = minhashParams(k, seed)
+    val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
+    // pruned shingle set per doc, as both array (for verify) and hashes
+    val docs = idx.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => md5Hash60(s)))
+    val sig = docs.withColumn("sig",
+      transform(typedlit(params), p =>
+        array_min(transform(col("hs"),
+          h => pmod(p.getField("_1") * pmod(h, lit(MinhashP)) + p.getField("_2"),
+                    lit(MinhashP))))))
+    val banded = sig.select(
+        col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          md5(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              v => v.cast("string"))))))
+          .as(Seq("band", "band_key")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("a_id", "b_id")
+    cands
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"),
+              round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 60-bit SimHash fingerprint per document: bit j is set when the
+    * tf-weighted ±1 vote of token-hash bit j is positive. Pure per-row
+    * HOF expression work (no shuffle); the md5-based token hash keeps it
+    * oracle-reproducible.
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("hs", transform(col("toks"), t => md5Hash60(t)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("""aggregate(
+                 filter(sequence(0, 59), j ->
+                   aggregate(hs, 0L, (acc, h) ->
+                     acc + (shiftright(h, j) % 2L) * 2L - 1L) > 0),
+                 0L, (acc, j) -> acc + shiftleft(1L, j))""").as("simhash"))
+      .orderBy("doc_id")
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 4): the
+    * 60-bit fingerprint splits into 4 15-bit bands; by pigeonhole any
+    * pair within hamming 3 agrees on at least one full band, so the
+    * band-equality join is EXACT, never all-pairs. bit_count(xor) verifies.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
+    val fp = simhash(documents)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15) % lit(1L << 15)): _*))
+        .as(Seq("band", "band_key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+}
