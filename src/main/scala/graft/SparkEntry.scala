@@ -79,6 +79,11 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
+
+    // --- nested schema / flatten / scalar fns (P3, F6, F7, F8) ---
+    "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
+    "q_login_status" -> ((s, d) => Events.loginStatusStats(events(s, d))),
+    "q_query_string_map" -> ((s, d) => Events.queryStringStats(events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -348,6 +353,30 @@ object SparkEntry {
         |SELECT label, CAST(dim AS INT) AS dim,
         |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
+    "q_flatten_nested" ->
+      """SELECT event_id,
+        |  'sess-' || user_id AS visit_tealium_session_id,
+        |  CASE WHEN user_id % 3 = 0 THEN 'guest'
+        |       ELSE 'logged in:u' || user_id END AS visit_login_status,
+        |  CASE WHEN user_id % 3 = 0 THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS visit_device_user_user_id,
+        |  CASE WHEN user_id % 3 = 0 THEN NULL
+        |       ELSE 'w' || user_id END AS visit_device_user_websphere_id,
+        |  '/page/' || event_type AS pageview_page_url
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_login_status" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN user_id % 3 = 0 THEN 'guest' ELSE 'logged in' END AS status,
+        |         CASE WHEN user_id % 3 = 0 THEN NULL ELSE 'w' || user_id END AS ws_id
+        |  FROM events)
+        |SELECT status, count(*) AS n_events, count(DISTINCT ws_id) AS n_users
+        |FROM s GROUP BY 1 ORDER BY status""".stripMargin,
+    "q_query_string_map" ->
+      """SELECT event_type AS et, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_tagged,
+        |  count(DISTINCT user_id) AS n_uids
+        |FROM events GROUP BY 1 ORDER BY et""".stripMargin,
     "q_neardup_jaccard" -> neardupOracleSql,
     // MinHash+LSH candidates are verified with the exact jaccard, and at
     // this threshold band recall is ~1 (1-(1-t^rows)^bands), so the sketch

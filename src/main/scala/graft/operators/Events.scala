@@ -138,6 +138,81 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Synthesizes the reference's nested event shape (SURVEY §1.2,
+    * record.json:3) from the flat events table: visit.device.user struct
+    * chain, login_status ('guest' | 'logged in:<id>', event.py:11),
+    * query_string_array k/v pairs (event.py:27-31) and
+    * message_event_types tags (record.json:19) — deterministic functions
+    * of the flat columns so the DuckDB oracle can reconstruct the same
+    * values from the original table.
+    */
+  def nestedFromFlat(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("ts"), col("event_type"),
+      struct(
+        concat(lit("sess-"), col("user_id")).as("tealium_session_id"),
+        when(col("user_id") % 3 === 0, lit("guest"))
+          .otherwise(concat(lit("logged in:u"), col("user_id")))
+          .as("login_status"),
+        struct(
+          lit("agent/1.0").as("useragent"),
+          when(col("user_id") % 2 === 0, "web").otherwise("mobileweb")
+            .as("rendering_reference"),
+          concat(lit("v-"), col("user_id")).as("visitor_id"),
+          struct(
+            when(col("user_id") % 3 === 0, lit(null).cast("string"))
+              .otherwise(col("user_id").cast("string")).as("user_id"),
+            when(col("user_id") % 3 === 0, lit(null).cast("string"))
+              .otherwise(concat(lit("w"), col("user_id"))).as("websphere_id"))
+            .as("user")).as("device")).as("visit"),
+      struct(
+        concat(lit("/page/"), col("event_type")).as("page_url"),
+        array(array(lit("et"), col("event_type")),
+              array(lit("uid"), col("user_id").cast("string")))
+          .as("query_string_array")).as("pageview"),
+      array(lit("raw_event"), lit("page_view"), col("event_type"))
+        .as("message_event_types"))
+
+  /** Flatten operator on the nested shape (SURVEY P3): nested structs →
+    * underscore-joined top-level columns via the generic recursive walk.
+    */
+  def flattenedEvents(events: DataFrame): DataFrame =
+    graft.EventSchema.flatten(
+      nestedFromFlat(events).select("event_id", "visit", "pageview"))
+      .select("event_id", "visit_tealium_session_id", "visit_login_status",
+              "visit_device_user_user_id", "visit_device_user_websphere_id",
+              "pageview_page_url")
+      .orderBy("event_id")
+
+  /** login_status parse + aggregate (SURVEY F6). */
+  def loginStatusStats(events: DataFrame): DataFrame = {
+    val nested = nestedFromFlat(events)
+    nested
+      .withColumn("status", graft.EventSchema.loginStatus(col("visit.login_status")))
+      .withColumn("ws_id", graft.EventSchema.websphereId(col("visit.login_status")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("ws_id")).as("n_users"))
+      .orderBy("status")
+  }
+
+  /** query-string map + array_contains (SURVEY F7/F8): k/v pair array →
+    * map, lookup, tag-membership filter.
+    */
+  def queryStringStats(events: DataFrame): DataFrame = {
+    val nested = nestedFromFlat(events)
+    nested
+      .withColumn("qm", graft.EventSchema.queryStringMap(
+        col("pageview.query_string_array")))
+      .withColumn("et", element_at(col("qm"), "et"))
+      .groupBy("et")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(array_contains(col("message_event_types"), "purchase"), 1L)
+             .otherwise(0L)).as("n_purchase_tagged"),
+           countDistinct(element_at(col("qm"), "uid")).as("n_uids"))
+      .orderBy("et")
+  }
+
   /** Tumbling event-time window (SURVEY T8) in its batch form; the window
     * start is emitted as epoch seconds (Spark windows are epoch-aligned,
     * floor(epoch/width)*width, which the oracle reproduces exactly).
