@@ -80,6 +80,12 @@ object SparkEntry {
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
 
+    // --- streaming (S1/S3/S5/S6, T1-T5, T8): full pipelines executed via
+    // Trigger.AvailableNow, results oracle-checked like any batch query ---
+    "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
+    "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
+    "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
+
     // --- nested schema / flatten / scalar fns (P3, F6, F7, F8) ---
     "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
     "q_login_status" -> ((s, d) => Events.loginStatusStats(events(s, d))),
@@ -353,6 +359,34 @@ object SparkEntry {
         |SELECT label, CAST(dim AS INT) AS dim,
         |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
+    "q_stream_land" ->
+      """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+        |       count(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
+    // session_window treats an event at exactly start+gap as a NEW session
+    // (half-open interval), hence >= in the gap predicate below — the batch
+    // q_sessionize uses > with lag(), a deliberate boundary-semantics pair.
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_session FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged)
+        |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "q_flatten_nested" ->
       """SELECT event_id,
         |  'sess-' || user_id AS visit_tealium_session_id,

@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.operators.Landing
+
+/** The streaming engine — the reference's actual identity (SURVEY §2.9):
+  * a micro-batch consumer that lands deduplicated events into a
+  * time-partitioned layout with checkpoint/resume.
+  *
+  * Reference mapping:
+  *  - poll loop consumer.py:282-314            → micro-batch trigger
+  *    (Trigger.AvailableNow in tests/queries; ProcessingTime in production)
+  *  - TRIM_HORIZON replay consumer.py:96       → file source reads from the
+  *    start of the directory listing
+  *  - DynamoDB lease/checkpoint consumer.py:133-218 → checkpointLocation
+  *    (offset WAL + commit log; resume is automatic on restart)
+  *  - batch-overlap dup check consumer.py:301-303   → watermarked
+  *    record-level dropDuplicatesWithinWatermark — strictly stronger
+  *  - one-process-per-shard consumer.py:260,277-278 → source partitions →
+  *    tasks, all shards in one query
+  *  - envelope projection consumer.py:120-130  → sequence_number/shard_id
+  *    metadata columns
+  *
+  * The Kinesis connector itself cannot run offline; the file source is the
+  * stand-in behind the same DataFrame surface (the reference's own test
+  * seam: pure core, effectful edge — consumer_test.py). Every transform is
+  * the SAME batch function used by the batch queries, applied inside
+  * readStream/foreachBatch.
+  */
+object StreamOps {
+
+  /** Flat events schema as stored (ts = parquet TIMESTAMP(NANOS) read as
+    * long via the legacy conf; converted to native micros immediately).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file stream source lists a DIRECTORY; the warehouse ships
+    * events as a single parquet file. Stage it: a per-sf temp dir holding
+    * a symlink to the file (the "stream head" the source replays from).
+    */
+  def stageStreamDir(sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src", key)
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    dir.toString
+  }
+
+  /** Streaming scan of the events table (S1 stand-in, T2 replay-from-head)
+    * plus the record envelope (S3): sequence_number (the per-shard
+    * monotone id) and shard_id (hash-partition of the key, like Kinesis
+    * partition-key → shard routing).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String, nShards: Int = 8): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(stageStreamDir(sfDir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("sequence_number", col("event_id"))
+      .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
+  }
+
+  /** The reference's whole pipeline, streaming: watermarked record-level
+    * dedup (T4 done right — the reference misses dups that straddle batch
+    * boundaries; state here covers the full watermark window and expires
+    * after it), then foreachBatch landing into the partitioned JSON layout
+    * (S4) with an empty-batch guard (P4). Offsets commit to
+    * checkpointLocation per micro-batch (S5); restart resumes from the
+    * last committed batch (S6/T3).
+    *
+    * Returns after the AvailableNow run drains the source.
+    */
+  def landStream(spark: SparkSession, sfDir: String, outDir: String,
+                 checkpointDir: String): Unit = {
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // A4: the batchId is the monotone stateful counter the reference
+        // keeps in leaseCounter (consumer.py:189).
+        if (!batch.isEmpty) {
+          Landing.withTimeBuckets(batch, col("ts"))
+            .withColumn("land_id", expr("uuid()"))
+            .repartition(col("y"), col("m"), col("d"))
+            .write.mode("append")
+            .partitionBy("y", "m", "d", "h")
+            .json(outDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Oracle-facing form of [[landStream]]: run the full streaming pipeline
+    * into fresh temp dirs, then aggregate the landed files per
+    * (y,m,d,h) — same contract as the batch q_land_partitioned.
+    */
+  def streamLandCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val outDir = s"$tmp/graft_stream_land/$runId"
+    val ckDir = s"$tmp/graft_stream_ck/$runId"
+    landStream(spark, sfDir, outDir, ckDir)
+    val dataSchema = StructType(
+      rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
+        StructField("ts", TimestampType),
+        StructField("sequence_number", LongType),
+        StructField("shard_id", LongType),
+        StructField("land_id", StringType)))
+    spark.read.schema(dataSchema).json(outDir)
+      .groupBy("y", "m", "d", "h")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("y", "m", "d", "h")
+  }
+
+  /** Streaming tumbling event-time window aggregation (T8) with a
+    * watermark (T5): AvailableNow + complete mode into a memory sink,
+    * returned as a DataFrame matching the batch tumblingCounts contract.
+    */
+  def streamTumblingCounts(spark: SparkSession, sfDir: String,
+                           hours: Int): DataFrame = {
+    val table = s"graft_stream_win_${UUID.randomUUID().toString.take(8)}"
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$hours hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+  }
+
+  /** Streaming gap-based sessionization via session_window (T8): start is
+    * the first event time, end is last + gap — emitted as (start, last
+    * event) micros to match the batch sessionize contract.
+    */
+  def streamSessionize(spark: SparkSession, sfDir: String,
+                       gapMinutes: Int): DataFrame = {
+    val table = s"graft_stream_sess_${UUID.randomUUID().toString.take(8)}"
+    val gapUs = gapMinutes * 60L * 1000000L
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(col("user_id"),
+              unix_micros(col("w.start")).as("session_start_us"),
+              (unix_micros(col("w.end")) - gapUs).as("session_end_us"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+  }
+}
