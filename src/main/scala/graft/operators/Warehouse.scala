@@ -237,8 +237,9 @@ object Warehouse {
       .orderBy("o_orderstatus")
 
   /** approx_count_distinct (HLL++) — sketch output differs from DuckDB's
-    * approx algorithm, so this query gets a rows-only check; the scalatest
-    * asserts it lands within rsd of the exact count.
+    * approx algorithm, so this query gets a rows-only check; DedupSpec
+    * ("approx_count_distinct lands within 5x rsd…") bounds it against the
+    * exact count.
     */
   def approxDistinctBuyers(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderstatus")

@@ -64,11 +64,18 @@ object StreamOps {
     * monotone id) and shard_id (hash-partition of the key, like Kinesis
     * partition-key → shard routing).
     */
-  def eventsStream(spark: SparkSession, sfDir: String, nShards: Int = 8): DataFrame = {
+  def eventsStream(spark: SparkSession, sfDir: String, nShards: Int = 8): DataFrame =
+    eventsStreamFromDir(spark, stageStreamDir(sfDir), nShards)
+
+  /** Same, over an arbitrary staging directory (tests append files to it
+    * to simulate new stream arrivals / at-least-once redelivery).
+    */
+  def eventsStreamFromDir(spark: SparkSession, streamDir: String,
+                          nShards: Int = 8): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
-      .parquet(stageStreamDir(sfDir))
+      .parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("sequence_number", col("event_id"))
       .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
@@ -85,8 +92,12 @@ object StreamOps {
     * Returns after the AvailableNow run drains the source.
     */
   def landStream(spark: SparkSession, sfDir: String, outDir: String,
-                 checkpointDir: String): Unit = {
-    val q = eventsStream(spark, sfDir)
+                 checkpointDir: String): Unit =
+    landStreamFromDir(spark, stageStreamDir(sfDir), outDir, checkpointDir)
+
+  def landStreamFromDir(spark: SparkSession, streamDir: String, outDir: String,
+                        checkpointDir: String): Unit = {
+    val q = eventsStreamFromDir(spark, streamDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream

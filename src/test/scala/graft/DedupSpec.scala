@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.{Landing, NearDup}
+
+/** Dedup semantics: scalacheck properties for the exact path, and the
+  * sketch-vs-exact equivalence the MinHash query's shared oracle relies on.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val rowsGen =
+    Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 5)))
+
+  test("dropDuplicates is idempotent and key-complete (property)") {
+    val sp = spark
+    import sp.implicits._
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val once = Landing.dedup(df, Seq("k", "v"))
+      val twice = Landing.dedup(once, Seq("k", "v"))
+      val a = once.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val b = twice.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      a == b && a == rows.toSet // idempotent, and exactly the distinct pairs
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("MinHash+LSH pairs equal the exact jaccard pairs at threshold 0.5") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = NearDup.jaccardPairs(docs, 3, 0.5, 100)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = NearDup.minhashPairs(docs, 3, 0.5, 100)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(sketch === exact)
+  }
+
+  test("identical documents collide at hamming 0 in simhashPairs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles the sorted aggregation across executor partitions"),
+      (2L, "spark shuffles the sorted aggregation across executor partitions"),
+      (3L, "a completely different document about stream processing windows"))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(docs, 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("approx_count_distinct lands within 5x rsd of the exact count") {
+    val orders = Tables.orders(spark, sf0001)
+    val exact = operators.Warehouse.distinctBuyers(orders)
+      .select("o_orderstatus", "n_buyers").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Warehouse.approxDistinctBuyers(orders)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e <= 5 * 0.02,
+        s"status $k: approx $a vs exact $e beyond 5x rsd")
+    }
+  }
+}

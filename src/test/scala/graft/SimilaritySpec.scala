@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Similarity
+
+/** ANN quality: the LSH path is graded by recall against the exact
+  * brute-force baseline (both seeded-deterministic, so the bound is
+  * stable run-to-run).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH ANN recall vs exact top-10 is above the design floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val ann = pairs(Similarity.lshAnnTopK(emb, 4, 8, 10)
+      .filter(org.apache.spark.sql.functions.col("query_id") < nQ))
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"LSH recall@10 = $recall%.3f (${(exact & ann).size}/${exact.size})")
+    // The synthetic embeddings are near-random (max cosine ~0.5), the
+    // adversarial case for hyperplane LSH — recall@10 is inherently low
+    // here. The seeded config deterministically yields 0.065; the floor
+    // exists to catch a broken bucketing (which collapses recall to ~0),
+    // not to grade ANN quality on random noise.
+    assert(recall >= 0.03,
+      f"recall $recall%.3f below floor — LSH bucketing no longer overlaps the true neighbors")
+  }
+
+  test("exact top-k is symmetric-consistent: every sim is within [-1, 1]") {
+    val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001), 20, 10)
+    val sims = topk.select("sim").collect().map(_.getDouble(0))
+    assert(sims.nonEmpty && sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamOps
+
+/** The reference's raison d'être (consumer.py:133-155, 282-314): resume
+  * from the checkpoint after a stop, and de-duplicate redelivered records —
+  * asserted end-to-end against the landed files.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tempDir(name: String): String = {
+    val d = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_test_${name}_${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  private val landedSchema = StructType(
+    StreamOps.rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
+      StructField("ts", TimestampType),
+      StructField("sequence_number", LongType),
+      StructField("shard_id", LongType),
+      StructField("land_id", StringType)))
+
+  private def landed(outDir: String) =
+    spark.read.schema(landedSchema).json(outDir)
+
+  test("checkpointed landing: resume after stop + dedup of redelivered records") {
+    val src = tempDir("src")
+    val out = tempDir("out")
+    val ck = tempDir("ck")
+
+    // events sorted by time, split 60/40 with a 10% redelivered overlap
+    val ev = Tables.events(spark, sf0001).orderBy("ts")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+    val all = ev.collect()
+    val cut = (all.length * 6) / 10
+    val overlap = cut / 6
+    val first = all.take(cut)
+    val second = all.slice(cut - overlap, all.length) // redelivers `overlap` rows
+
+    def writeBatch(rows: Array[org.apache.spark.sql.Row], name: String): Unit = {
+      val rdd = spark.sparkContext.parallelize(rows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1) * 1000L, // back to ns
+          r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))))
+      spark.createDataFrame(rdd, StreamOps.rawSchema)
+        .coalesce(1).write.parquet(s"$src/$name")
+      // the file source lists files, not subdirs — promote the part file
+      val part = Files.list(Paths.get(s"$src/$name")).toArray
+        .map(_.toString).find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$src/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/$name"))
+    }
+
+    writeBatch(first, "batch1")
+    StreamOps.landStreamFromDir(spark, src, out, ck) // run 1: drains batch1
+    val afterFirst = landed(out).count()
+    assert(afterFirst === first.length.toLong)
+
+    writeBatch(second, "batch2")
+    StreamOps.landStreamFromDir(spark, src, out, ck) // run 2: resumes, only batch2
+    val result = landed(out)
+    val total = result.count()
+    val distinctIds = result.select("event_id").distinct().count()
+
+    // exactly-once: every event landed once, redelivered rows deduped
+    assert(distinctIds === all.length.toLong, "some events never landed")
+    assert(total === all.length.toLong,
+      s"duplicates landed: $total rows vs ${all.length} distinct events")
+  }
+
+  test("partition layout: landed files live under y=/m=/d=/h= directories") {
+    val src = tempDir("src2")
+    val out = tempDir("out2")
+    val ck = tempDir("ck2")
+    // reuse the staged sf0.001 link for a tiny full run
+    StreamOps.landStream(spark, sf0001, out, ck)
+    val landedDf = landed(out)
+    assert(landedDf.count() > 0)
+    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filterNot(_.contains("_spark_metadata"))
+    assert(dirs.exists(_.matches(".*/y=\\d{4}$")),
+      s"expected y= partition dirs, got: ${dirs.take(3).mkString(",")}")
+  }
+}
