@@ -86,6 +86,10 @@ object SparkEntry {
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
 
+    // --- multimodal plumbing (north-star; stub decode, real plumbing) ---
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(documents(s, d)))),
+
     // --- nested schema / flatten / scalar fns (P3, F6, F7, F8) ---
     "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
     "q_login_status" -> ((s, d) => Events.loginStatusStats(events(s, d))),
@@ -387,6 +391,18 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, session_no
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // text is pure ASCII, so byte values == ascii codes — the oracle
+    // reproduces the stub decoder's byte math from the characters
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS DOUBLE)
+        |    / strlen(text) AS f_mean,
+        |  CAST(list_max([ascii(c) for c in string_split(text, '')])
+        |     - list_min([ascii(c) for c in string_split(text, '')]) AS INT) AS f_range,
+        |  CAST(strlen(text) % 256 AS INT) AS f_mod
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_flatten_nested" ->
       """SELECT event_id,
         |  'sess-' || user_id AS visit_tealium_session_id,

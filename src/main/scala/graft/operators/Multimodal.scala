@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (driver north-star "multimodal columns"):
+  * image/audio/video payloads ride as opaque BINARY columns next to a
+  * typed metadata struct; decode / feature-extraction / frame-sampling run
+  * as partition-wise batch passes over a typed Dataset.
+  *
+  * The Spark side is real — binary schema, typed Encoders, mapPartitions
+  * batch shape (one decoder instance per partition, the pattern that
+  * amortizes model/codec init at scale), deterministic output. The decode
+  * itself is a STUB: the container ships no image/audio codecs, so
+  * [[decodeStub]] derives features from the raw bytes with fixed integer
+  * arithmetic. Swapping in a real codec changes only that one function —
+  * the schema, partitioning and batch shape stay as tested.
+  *
+  * At 100 TB: binary payloads dominate row size, so the media scan prunes
+  * to (id, media_bytes) only when features are requested (columnar
+  * projection does this for free), and feature extraction is
+  * embarrassingly parallel with zero shuffle.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String,
+                         media_bytes: Array[Byte],
+                         meta_width: Int, meta_height: Int,
+                         meta_sample_rate: Int)
+
+  /** Deterministic per-document features from the "decoded" payload. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                           f_mean: Double, f_range: Int, f_mod: Int)
+
+  /** Synthesizes the media table from `documents`: the UTF-8 text bytes
+    * stand in for the encoded payload; metadata derives deterministically
+    * from doc_id so the oracle can reproduce it.
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("media_bytes"),
+      struct(
+        (col("doc_id") % 1920 + 1).cast("int").as("width"),
+        (col("doc_id") % 1080 + 1).cast("int").as("height"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** STUB decoder ??? — stands in for libjpeg/libsndfile/ffmpeg, which are
+    * not in this container. Features are fixed integer arithmetic over the
+    * raw bytes (exact sum → IEEE division), so results are deterministic
+    * and partition-order independent.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.media_bytes
+    val n = bytes.length
+    val vals = bytes.map(b => b & 0xff)
+    val mean = if (n > 0) vals.map(_.toLong).sum.toDouble / n else 0.0
+    val range = if (n > 0) vals.max - vals.min else 0
+    // mean is an exact-integer sum divided once (IEEE-deterministic),
+    // so it needs no rounding to be oracle-reproducible
+    MediaFeatures(r.doc_id, r.media_type, n.toLong, mean, range, n % 256)
+  }
+
+  /** Feature extraction as a partition-wise batch pass: one decoder
+    * "instance" per partition (the init cost a real codec amortizes),
+    * then a per-record map. No shuffle.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val ds: Dataset[MediaRecord] = media.select(
+        col("doc_id"), col("media_type"), col("media_bytes"),
+        col("meta.width").as("meta_width"),
+        col("meta.height").as("meta_height"),
+        col("meta.sample_rate").as("meta_sample_rate"))
+      .as(Encoders.product[MediaRecord])
+    ds.mapPartitions { it =>
+      // real codecs initialize here, once per partition
+      it.map(decodeStub)
+    }(Encoders.product[MediaFeatures])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling for video payloads: n evenly-spaced fixed-width byte
+    * slices (a real implementation seeks keyframes; the slice plumbing —
+    * offsets, bounds, array<binary> output — is what downstream consumers
+    * depend on). Pure expression work via slice-per-index.
+    */
+  def frameSample(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {
+    val n = length(col("media_bytes"))
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(nFrames - 1)), i => {
+          val offset = (i * greatest(n - frameBytes, lit(0))
+            .cast("int") / lit(math.max(nFrames - 1, 1))).cast("int") + 1
+          col("media_bytes").substr(offset, lit(frameBytes))
+        }).as("frames"))
+  }
+}
