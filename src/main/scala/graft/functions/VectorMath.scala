@@ -23,9 +23,12 @@ object VectorMath {
   /** Cast a float[] embedding to double[] once, up front. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product via zip_with + left-to-right aggregate fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product: a custom codegen'd expression doing one strict
+    * left-to-right pass — bitwise identical to the equivalent
+    * zip_with+aggregate fold (and DuckDB's list_dot_product), but it stays
+    * inside WholeStageCodegen instead of interpreted HOF evaluation.
+    */
+  def dot(a: Column, b: Column): Column = SketchExpressions.vecDot(a, b)
 
   /** L2 norm. sqrt is IEEE-754 correctly rounded — cross-engine exact. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

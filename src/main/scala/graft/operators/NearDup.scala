@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct word n-gram shingle set per document. */
+  /** Distinct word n-gram shingle set per document. The repartition
+    * matters: the warehouse ships documents as one parquet file, so
+    * without it every downstream per-document pass (tokenize, shingle,
+    * hash) runs in ONE task — the same pathology as a hot single input
+    * split at 100 TB. Hashing on doc_id spreads the work across all cores
+    * before the expensive expression work happens.
+    */
   def shingleSets(documents: DataFrame, n: Int): DataFrame =
-    documents.select(col("doc_id"),
+    documents.repartition(col("doc_id")).select(col("doc_id"),
       array_distinct(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), n))
         .as("sh"))
 
@@ -35,9 +41,13 @@ object NearDup {
     */
   def invertedIndex(shingleSets: DataFrame, dfCutoff: Long): DataFrame = {
     val ex = shingleSets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val ok = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCutoff).select("s")
-    ex.join(ok, "s")
+    // df-cutoff via a window count over the shingle key: one shuffle and
+    // ONE evaluation of the exploded subtree, where an agg+self-join form
+    // would re-derive the tokenize→shingle→explode chain per consumer
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    ex.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCutoff)
+      .drop("df")
   }
 
   /** Exact n-gram Jaccard near-dup pairs via the inverted index: one
@@ -45,7 +55,11 @@ object NearDup {
     */
   def jaccardPairs(documents: DataFrame, n: Int, threshold: Double,
                    dfCutoff: Long): DataFrame = {
+    // the index feeds three consumers (sizes + both self-join sides);
+    // persisting it stops Catalyst re-deriving the tokenize→shingle→df
+    // subtree once per consumer (4× the scan at any scale)
     val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -96,18 +110,18 @@ object NearDup {
                    dfCutoff: Long, bands: Int = 16, rows: Int = 4,
                    seed: Long = 42L): DataFrame = {
     val k = bands * rows
-    val params = minhashParams(k, seed)
     val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
-    // pruned shingle set per doc, as both array (for verify) and hashes
+    // pruned shingle set per doc + signature, computed ONCE and persisted:
+    // the banding self-join and the verify join both reuse it
     val docs = idx.groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
       .withColumn("hs", transform(col("sh"), s => md5Hash60(s)))
-    val sig = docs.withColumn("sig",
-      transform(typedlit(params), p =>
-        array_min(transform(col("hs"),
-          h => pmod(p.getField("_1") * pmod(h, lit(MinhashP)) + p.getField("_2"),
-                    lit(MinhashP))))))
-    val banded = sig.select(
-        col("doc_id"), col("sh"),
+      .withColumn("sig",
+        graft.functions.SketchExpressions.minhashSig(col("hs"), k, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band rows stay skinny (no shingle arrays) — the arrays join back in
+    // only for the verified candidate pairs
+    val banded = docs.select(
+        col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
           md5(concat_ws(",",
             transform(slice(col("sig"), b * rows + 1, lit(rows)),
@@ -116,10 +130,11 @@ object NearDup {
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     cands
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
@@ -136,16 +151,13 @@ object NearDup {
     */
   def simhash(documents: DataFrame): DataFrame =
     documents
+      .repartition(col("doc_id")) // single input file → spread the hash work
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("hs", transform(col("toks"), t => md5Hash60(t)))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        expr("""aggregate(
-                 filter(sequence(0, 59), j ->
-                   aggregate(hs, 0L, (acc, h) ->
-                     acc + (shiftright(h, j) % 2L) * 2L - 1L) > 0),
-                 0L, (acc, j) -> acc + shiftleft(1L, j))""").as("simhash"))
+        graft.functions.SketchExpressions.simhash60(col("hs")).as("simhash"))
       .orderBy("doc_id")
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 4): the

@@ -29,10 +29,16 @@ object Similarity {
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries).
     * Queries are broadcast with precomputed norms; candidates stream.
     */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val base = embeddings
+  /** Common base: cast to double[] once, precompute norms, and spread the
+    * single-file scan across cores (same rationale as NearDup.shingleSets).
+    */
+  private def withNorms(embeddings: DataFrame): DataFrame =
+    embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
+
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = withNorms(embeddings.select("vec_id", "embedding"))
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
               col("nrm").as("q_nrm"))
@@ -79,21 +85,25 @@ object Similarity {
                  seed: Long = 42L): DataFrame = {
     val dim = 64
     val hps = hyperplanes(tables, bits, dim, seed)
-    val base = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", l2Norm(col("emb")))
-    val cells = withLshCells(base, hps)
-    val left = cells.select(col("tbl"), col("bucket"),
-      col("vec_id").as("query_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
-    val right = cells.select(col("tbl"), col("bucket"),
-      col("vec_id").as("neighbor_id"), col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    // vectors + norms computed once, reused by the cell assignment AND the
+    // scoring join (CacheManager dedupes the identical subplan)
+    val base = withNorms(embeddings.select("vec_id", "embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cells stay skinny (no embeddings): the pair space is generated and
+    // deduplicated on ids only, then the vectors join back in for scoring —
+    // shuffling 2 longs per candidate instead of 2 embeddings
+    val cells = withLshCells(base.select(col("vec_id"), col("emb")), hps)
+      .select("tbl", "bucket", "vec_id")
     val topk = topK(k)
-    left.join(right, Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    cells.as("a").join(cells.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       // a pair found by several tables is scored once
-      .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("q_nrm"),
-              col("c_emb"), col("c_nrm"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(base.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm")), "query_id")
+      .join(base.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm")), "neighbor_id")
       .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .groupBy("query_id")
       .agg(topk(col("sim"), col("neighbor_id")).as("nbrs"))
@@ -115,6 +125,7 @@ object Similarity {
     */
   def cosineJoinBlocked(embeddings: DataFrame, threshold: Double): DataFrame = {
     val base = embeddings
+      .repartition(col("vec_id")) // single input file → spread the dot products
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
     val a = base.select(col("label"), col("vec_id").as("a_id"),

@@ -28,13 +28,13 @@ object TextAnalysis {
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Word n-gram shingles (space-joined) of a token array. Documents with
-    * fewer than n tokens produce an empty shingle set.
+    * fewer than n tokens produce an empty shingle set. Implemented as a
+    * codegen'd one-pass expression (graft.functions.SketchExpressions) —
+    * the equivalent transform/slice/concat_ws HOF chain costs a slice
+    * allocation per position in interpreted evaluation.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.SketchExpressions.wordNGrams(toks, n)
 
   /** Term statistics per language: term frequency and document frequency
     * for every term reaching a minimum corpus frequency. The explode is
