@@ -74,6 +74,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => Similarity.lshAnnTopK(embeddings(s, d), 4, 8, 10)),
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
+    "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
+    "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
+    "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
 
     // --- near-duplicate detection on documents (north-star dedup) ---
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
@@ -427,6 +430,40 @@ object SparkEntry {
         |    AS n_purchase_tagged,
         |  count(DISTINCT user_id) AS n_uids
         |FROM events GROUP BY 1 ORDER BY et""".stripMargin,
+    "q_ivf_assign" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |best AS (
+        |  SELECT vec_id, label, clabel,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |  FROM scored)
+        |SELECT label, clabel AS assigned, count(*) AS n_vectors
+        |FROM best WHERE rk = 1 GROUP BY 1,2 ORDER BY label, assigned""".stripMargin,
+    "q_ts_parse" ->
+      """WITH t AS (SELECT make_timestamp((epoch_us(ts) // 1000) * 1000) AS p FROM events)
+        |SELECT year(p) AS y, month(p) AS m, day(p) AS d, hour(p) AS h,
+        |       count(*) AS n_events,
+        |       min(epoch_us(p)) AS first_us, max(epoch_us(p)) AS last_us
+        |FROM t GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_neardup_jaccard" -> neardupOracleSql,
     // MinHash+LSH candidates are verified with the exact jaccard, and at
     // this threshold band recall is ~1 (1-(1-t^rows)^bands), so the sketch

@@ -138,6 +138,44 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Timestamp string round-trip (SURVEY F1, reference consumer.py:222-225
+    * parses 'yyyy-MM-dd HH:mm:ss.SSS'): format each event time to the
+    * reference's string form, parse it back with to_timestamp, and
+    * aggregate on the parsed value — proving the parse path end-to-end.
+    * The .SSS format truncates to milliseconds, which the oracle
+    * reproduces arithmetically.
+    */
+  def tsParseRoundtrip(events: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSS"
+    events
+      .withColumn("event_date_time", date_format(col("ts"), fmt))
+      .withColumn("parsed", to_timestamp(col("event_date_time"), fmt))
+      .groupBy(year(col("parsed")).as("y"), month(col("parsed")).as("m"),
+               dayofmonth(col("parsed")).as("d"), hour(col("parsed")).as("h"))
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros(col("parsed"))).as("first_us"),
+           max(unix_micros(col("parsed"))).as("last_us"))
+      .orderBy("y", "m", "d", "h")
+  }
+
+  /** JSON serialize → parse round-trip (SURVEY F5, consumer.py:241
+    * json.dumps): to_json(struct) then from_json, aggregating on the
+    * parsed fields so the whole round-trip is oracle-checked.
+    */
+  def jsonRoundtrip(events: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    events
+      .withColumn("js", to_json(struct(col("event_id"), col("event_type"), col("value"))))
+      .withColumn("back", from_json(col("js"), schema))
+      .groupBy(col("back.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("back.event_id")).as("n_ids"),
+           sum(col("back.value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Synthesizes the reference's nested event shape (SURVEY §1.2,
     * record.json:3) from the flat events table: visit.device.user struct
     * chain, login_status ('guest' | 'logged in:<id>', event.py:11),

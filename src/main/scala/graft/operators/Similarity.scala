@@ -140,6 +140,40 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
+  /** IVF assignment: the per-label centroids act as the coarse codebook
+    * (collected to the driver — IVF codebooks are broadcast-side by
+    * design), and every vector is assigned to its nearest centroid by
+    * squared L2, i.e. argmin(-2·v·c + |c|²). Ties break to the lowest
+    * label via the strict-< scan, mirrored in the oracle. Output is the
+    * (true label × assigned cell) occupancy — the partitioning an IVF ANN
+    * index would search within.
+    */
+  def ivfAssign(embeddings: DataFrame): DataFrame = {
+    val cents: Map[Int, Array[Double]] = labelCentroids(embeddings)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val labels = cents.keys.toSeq.sorted
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    def score(l: Int): Column = {
+      val c = cents(l)
+      val cnorm2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
+      lit(-2.0) * dot(col("emb"), typedlit(c.toSeq)) + lit(cnorm2)
+    }
+    val scored = labels.tail.foldLeft(
+      base.withColumn("best", score(labels.head))
+          .withColumn("assigned", lit(labels.head))) { (df, l) =>
+      df.withColumn("assigned", when(score(l) < col("best"), lit(l)).otherwise(col("assigned")))
+        .withColumn("best", when(score(l) < col("best"), score(l)).otherwise(col("best")))
+    }
+    scored.groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "assigned")
+  }
+
   /** Per-label centroid, emitted as (label, dim, mean) rows. The component
     * sum goes through exact DECIMAL so the result is independent of
     * partition/merge order (float addition is not associative; decimal
