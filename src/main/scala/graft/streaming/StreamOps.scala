@@ -167,6 +167,66 @@ object StreamOps {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Per-user state carried by the custom-state API. Money is carried as
+    * exact integer cents (derived via the same decimal(18,2) cast the
+    * whole suite uses) so state merges are order-independent.
+    */
+  case class UserEvent(user_id: Long, us: Long, cents: Long)
+  case class UserState(n_events: Long, sum_cents: Long, last_us: Long)
+  case class UserSummary(user_id: Long, n_events: Long, sum_cents: Long, last_us: Long)
+
+  /** Custom keyed state via mapGroupsWithState (the
+    * KeyValueGroupedDataset state API — the general form of the
+    * reference's per-shard leaseCounter state, consumer.py:189, but keyed
+    * by user): per user, a running event count, an exact value sum (kept
+    * in integer cents so merge order cannot perturb it), and the last
+    * event time. State lives in the state store under the checkpoint and
+    * survives restarts like any other stateful operator.
+    */
+  def streamUserState(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val ueEnc: Encoder[UserEvent] = Encoders.product[UserEvent]
+    implicit val usEnc: Encoder[UserState] = Encoders.product[UserState]
+    implicit val outEnc: Encoder[UserSummary] = Encoders.product[UserSummary]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    val table = s"graft_stream_state_${UUID.randomUUID().toString.take(8)}"
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[UserEvent](ueEnc)
+
+    def update(user: Long, rows: Iterator[UserEvent],
+               state: GroupState[UserState]): UserSummary = {
+      var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+      rows.foreach { e =>
+        s = UserState(s.n_events + 1, s.sum_cents + e.cents,
+          math.max(s.last_us, e.us))
+      }
+      state.update(s)
+      UserSummary(user, s.n_events, s.sum_cents, s.last_us)
+    }
+
+    val q = events
+      .groupByKey(_.user_id)(keyEnc)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout())(update)
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Update-mode memory sink appends one row per key per batch; the final
+    // state per user is the row from the LAST batch that touched the key.
+    val t = spark.table(table)
+    t.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_cents"), col("last_us"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.sum_cents"), col("s.last_us"))
+      .orderBy("user_id")
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

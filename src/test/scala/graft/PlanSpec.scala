@@ -1,0 +1,72 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the properties that make these plans hold at
+  * 100 TB are checked as code, not prose: dimension broadcasts, scan-level
+  * filter pushdown, map-side partial aggregation, and bucket-co-located
+  * joins eliminating the shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planText(df: DataFrame): String = {
+    val out = new ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q5 join chain: dims broadcast, region filter pushed to the scan") {
+    val p = planText(SparkEntry.queries("q5_local_supplier")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("PushedFilters"), "no scan-level pushdown in plan")
+    assert(p.contains("EqualTo(r_name,EUROPE)"),
+      "region predicate did not reach the parquet scan")
+  }
+
+  test("q1 aggregation runs partial (map-side) before the shuffle") {
+    val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),
+      "no partial aggregation phase in plan")
+  }
+
+  test("bucketed tables co-locate the join: no shuffle on the join key") {
+    val sp = spark
+    import sp.implicits._
+    val n = 1000
+    val left = (0 until n).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val right = (0 until n).map(i => (i.toLong % 100, i.toLong * 2)).toDF("k", "w")
+    sp.sql("DROP TABLE IF EXISTS graft_bucket_l")
+    sp.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    // the in-memory catalog forgets tables across JVMs but their dirs stay
+    Seq("graft_bucket_l", "graft_bucket_r").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t"))
+    }
+    left.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_l")
+    right.write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_r")
+
+    def exchanges(df: DataFrame): Int =
+      "Exchange".r.findAllIn(planText(df)).length
+
+    // merge hint: with broadcast, tiny test tables would sidestep the
+    // bucketing entirely — at warehouse scale both sides exceed the
+    // broadcast threshold and SMJ is what the bucketing must co-locate
+    val bucketed = sp.table("graft_bucket_l").hint("merge")
+      .join(sp.table("graft_bucket_r"), "k")
+      .groupBy("k").agg(sum($"v" + $"w").as("s"))
+    val plain = left.hint("merge").join(right, "k")
+      .groupBy("k").agg(sum($"v" + $"w").as("s"))
+    val nb = exchanges(bucketed)
+    val np = exchanges(plain)
+    info(s"exchanges: bucketed=$nb plain=$np")
+    assert(nb < np, s"bucketing did not remove a shuffle (bucketed=$nb plain=$np)")
+    // the join itself must be shuffle-free: the only allowed exchange is
+    // none (bucketed grouping reuses the join partitioning)
+    assert(nb === 0, s"expected fully co-located plan, saw $nb exchanges")
+    // same results either way
+    assert(bucketed.orderBy("k").collect().toSeq ===
+      plain.orderBy("k").collect().toSeq)
+  }
+}
