@@ -49,6 +49,7 @@ object SparkEntry {
       Warehouse.localSupplierRevenue(region(s, d), nation(s, d), customer(s, d),
         orders(s, d), lineitem(s, d), supplier(s, d), "EUROPE")),
     "q_join_left_outer" -> ((s, d) => Warehouse.orderLineHistogram(orders(s, d), lineitem(s, d))),
+    "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q_join_semi" -> ((s, d) => Warehouse.customersWithOrders(customer(s, d), orders(s, d))),
     "q_join_anti" -> ((s, d) => Warehouse.customersWithoutOrders(customer(s, d), orders(s, d))),
     "q_agg_suite" -> ((s, d) => Warehouse.aggSuite(lineitem(s, d))),
@@ -192,6 +193,17 @@ object SparkEntry {
         |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |    6) AS promo_pct,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q_join_left_outer" ->
       """SELECT n_lines, count(*) AS n_orders FROM (
         |  SELECT o_orderkey, count(l_orderkey) AS n_lines

@@ -87,6 +87,29 @@ object Warehouse {
         .cast("double").as("revenue"))
       .orderBy(col("n_name"))
 
+  /** TPC-H Q14-style promo revenue: lineitem⋈part with a month rollup and
+    * a conditional-revenue ratio. part is dimension-sized → broadcast; the
+    * fact side streams with no shuffle before the tiny month aggregation.
+    * The ratio divides two exact decimal sums (one double division at the
+    * end), so it is deterministic cross-engine.
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+            revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("promo_rev"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .select(col("ship_month"),
+        round(lit(100.0) * col("promo_rev").cast("double")
+          / col("total_rev").cast("double"), 6).as("promo_pct"),
+        col("total_rev").cast("double").as("total_rev"),
+        col("n_lines"))
+      .orderBy("ship_month")
+
   /** Left-outer join histogram: how many orders have k lineitems (k=0
     * included). lineitem is pre-aggregated to one row per orderkey BEFORE
     * the join, so the join shuffles |orders| rows instead of |lineitem| —
