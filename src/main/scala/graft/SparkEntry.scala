@@ -77,6 +77,7 @@ object SparkEntry {
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
+    "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
 
     // --- near-duplicate detection on documents (north-star dedup) ---
@@ -478,6 +479,11 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(epoch_us(p)) AS first_us, max(epoch_us(p)) AS last_us
         |FROM t GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids,

@@ -138,6 +138,25 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Two-phase salted aggregation for skewed group keys: event_type has
+    * single-digit cardinality, so at 1000 executors a direct groupBy sends
+    * each key's entire volume through one reducer. Salting fans each key
+    * across `salts` partial groups (map-side combine still applies), then
+    * a cheap second phase merges |keys|×salts partials. Decimal partial
+    * sums are associative, so the result is bit-identical to the direct
+    * aggregation — which is exactly what the oracle checks.
+    */
+  def saltedTypeRevenue(events: DataFrame, salts: Int): DataFrame =
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("part_sum"),
+           count(lit(1)).as("part_n"))
+      .groupBy("event_type")
+      .agg(sum(col("part_sum")).cast("double").as("sum_value"),
+           sum(col("part_n")).as("n_events"))
+      .orderBy("event_type")
+
   /** Timestamp string round-trip (SURVEY F1, reference consumer.py:222-225
     * parses 'yyyy-MM-dd HH:mm:ss.SSS'): format each event time to the
     * reference's string form, parse it back with to_timestamp, and
