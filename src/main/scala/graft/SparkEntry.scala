@@ -91,6 +91,7 @@ object SparkEntry {
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
+    "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
 
     // --- multimodal plumbing (north-star; stub decode, real plumbing) ---
     "q_multimodal_features" -> ((s, d) =>
@@ -420,6 +421,9 @@ object SparkEntry {
         |     - list_min([ascii(c) for c in string_split(text, '')]) AS INT) AS f_range,
         |  CAST(strlen(text) % 256 AS INT) AS f_mod
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stream_flatstate" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events GROUP BY 1,2 ORDER BY user_id, event_type""".stripMargin,
     "q_stream_state" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)

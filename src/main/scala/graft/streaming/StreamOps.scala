@@ -227,6 +227,58 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  case class TypedEvent(user_id: Long, event_type: String)
+  case class TypeCounts(counts: Map[String, Long])
+  case class TypeCount(user_id: Long, event_type: String, n_events: Long)
+
+  /** flatMapGroupsWithState — the multi-row-emission form of the custom
+    * state API: per user the state is a per-event-type counter map, and
+    * each batch emits the updated (user, type, count) rows. Counters are
+    * monotone, so the final state per (user, type) is the max across
+    * update-mode emissions.
+    */
+  def streamTypeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[TypedEvent] = Encoders.product[TypedEvent]
+    implicit val stEnc: Encoder[TypeCounts] = Encoders.product[TypeCounts]
+    implicit val outEnc: Encoder[TypeCount] = Encoders.product[TypeCount]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+
+    val table = s"graft_stream_flat_${UUID.randomUUID().toString.take(8)}"
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .as[TypedEvent](inEnc)
+
+    def update(user: Long, rows: Iterator[TypedEvent],
+               state: GroupState[TypeCounts]): Iterator[TypeCount] = {
+      var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+      var touched = Set.empty[String]
+      rows.foreach { e =>
+        counts = counts.updated(e.event_type, counts.getOrElse(e.event_type, 0L) + 1)
+        touched += e.event_type
+      }
+      state.update(TypeCounts(counts))
+      touched.iterator.map(t => TypeCount(user, t, counts(t)))
+    }
+
+    val q = events
+      .groupByKey(_.user_id)(keyEnc)
+      .flatMapGroupsWithState[TypeCounts, TypeCount](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .groupBy("user_id", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.
