@@ -81,15 +81,39 @@ object StreamOps {
       .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
   }
 
-  /** The reference's whole pipeline, streaming: watermarked record-level
-    * dedup (T4 done right — the reference misses dups that straddle batch
-    * boundaries; state here covers the full watermark window and expires
-    * after it), then foreachBatch landing into the partitioned JSON layout
-    * (S4) with an empty-batch guard (P4). Offsets commit to
-    * checkpointLocation per micro-batch (S5); restart resumes from the
-    * last committed batch (S6/T3).
-    *
-    * Returns after the AvailableNow run drains the source.
+  /** The watermarked, record-deduplicated event stream (T4 done right —
+    * the reference misses dups that straddle batch boundaries; state here
+    * covers the full watermark window and expires after it).
+    */
+  def dedupedEvents(spark: SparkSession, streamDir: String): DataFrame =
+    eventsStreamFromDir(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** One micro-batch of the landing sink: partitioned JSON under a
+    * DETERMINISTIC per-batch directory, written with overwrite. Replaying
+    * a batch after a crash between sink write and offset commit (the
+    * reference's duplicate window, consumer.py:298-308) overwrites its own
+    * previous output instead of appending a duplicate — the idempotent-
+    * foreachBatch pattern that upgrades at-least-once to exactly-once.
+    * A4: batchId is the monotone counter the reference keeps in
+    * leaseCounter (consumer.py:189).
+    */
+  def landBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    if (!batch.isEmpty) { // P4 empty-batch guard (consumer.py:236)
+      Landing.withTimeBuckets(batch, col("ts"))
+        .withColumn("land_id", expr("uuid()"))
+        .repartition(col("y"), col("m"), col("d"))
+        .write.mode("overwrite")
+        .partitionBy("y", "m", "d", "h")
+        .json(s"$outDir/batch=$batchId")
+    }
+  }
+
+  /** The reference's whole pipeline, streaming: dedup → idempotent
+    * foreachBatch landing (S4). Offsets commit to checkpointLocation per
+    * micro-batch (S5); restart resumes from the last committed batch
+    * (S6/T3). Returns after the AvailableNow run drains the source.
     */
   def landStream(spark: SparkSession, sfDir: String, outDir: String,
                  checkpointDir: String): Unit =
@@ -97,22 +121,10 @@ object StreamOps {
 
   def landStreamFromDir(spark: SparkSession, streamDir: String, outDir: String,
                         checkpointDir: String): Unit = {
-    val q = eventsStreamFromDir(spark, streamDir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedupedEvents(spark, streamDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // A4: the batchId is the monotone stateful counter the reference
-        // keeps in leaseCounter (consumer.py:189).
-        if (!batch.isEmpty) {
-          Landing.withTimeBuckets(batch, col("ts"))
-            .withColumn("land_id", expr("uuid()"))
-            .repartition(col("y"), col("m"), col("d"))
-            .write.mode("append")
-            .partitionBy("y", "m", "d", "h")
-            .json(outDir)
-        }
-        ()
+        landBatch(batch, outDir, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

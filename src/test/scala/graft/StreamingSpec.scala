@@ -74,17 +74,54 @@ class StreamingSpec extends SparkSpec {
       s"duplicates landed: $total rows vs ${all.length} distinct events")
   }
 
-  test("partition layout: landed files live under y=/m=/d=/h= directories") {
-    val src = tempDir("src2")
+  test("partition layout: landed files live under batch=/y=/m=/d=/h= dirs") {
     val out = tempDir("out2")
     val ck = tempDir("ck2")
     // reuse the staged sf0.001 link for a tiny full run
     StreamOps.landStream(spark, sf0001, out, ck)
     val landedDf = landed(out)
     assert(landedDf.count() > 0)
-    val dirs = Files.list(Paths.get(out)).toArray.map(_.toString)
+    val dirs = Files.walk(Paths.get(out)).toArray.map(_.toString)
       .filterNot(_.contains("_spark_metadata"))
-    assert(dirs.exists(_.matches(".*/y=\\d{4}$")),
-      s"expected y= partition dirs, got: ${dirs.take(3).mkString(",")}")
+    assert(dirs.exists(_.matches(".*/batch=\\d+/y=\\d{4}$")),
+      s"expected batch=/y= partition dirs, got: ${dirs.take(5).mkString(",")}")
+  }
+
+  test("crash between sink write and offset commit does not duplicate data (T6)") {
+    val src = tempDir("src3")
+    val out = tempDir("out3")
+    val ck = tempDir("ck3")
+    // stage the sf0.001 events as the stream
+    val staged = StreamOps.stageStreamDir(sf0001)
+    Files.copy(Paths.get(staged, "events.parquet"), Paths.get(src, "events.parquet"))
+
+    // run 1: the batch lands, THEN the "process" dies before the offset
+    // commit — the reference's duplicate window (consumer.py:298-308)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = StreamOps.dedupedEvents(spark, src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamOps.landBatch(batch, out, batchId)
+        if (!crashed.getAndSet(true))
+          throw new RuntimeException("injected crash after sink write")
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(landed(out).count() > 0, "the batch should have landed before the crash")
+
+    // run 2: restart from the checkpoint — the uncommitted batch replays
+    // and its idempotent overwrite replaces, not duplicates, the output
+    StreamOps.landStreamFromDir(spark, src, out, ck)
+    val result = landed(out)
+    val total = result.count()
+    val distinctIds = result.select("event_id").distinct().count()
+    assert(total === distinctIds,
+      s"replayed batch duplicated rows: $total landed vs $distinctIds distinct")
+    val expected = Tables.events(spark, sf0001).count()
+    assert(distinctIds === expected)
   }
 }
