@@ -50,6 +50,10 @@ object SparkEntry {
         orders(s, d), lineitem(s, d), supplier(s, d), "EUROPE")),
     "q_join_left_outer" -> ((s, d) => Warehouse.orderLineHistogram(orders(s, d), lineitem(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
+    "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
+    "q18_large_orders" -> ((s, d) => Warehouse.largeOrders(orders(s, d), lineitem(s, d), 250)),
+    "q_exists_returns" -> ((s, d) =>
+      Warehouse.customersWithReturns(customer(s, d), orders(s, d), lineitem(s, d))),
     "q_join_semi" -> ((s, d) => Warehouse.customersWithOrders(customer(s, d), orders(s, d))),
     "q_join_anti" -> ((s, d) => Warehouse.customersWithoutOrders(customer(s, d), orders(s, d))),
     "q_agg_suite" -> ((s, d) => Warehouse.aggSuite(lineitem(s, d))),
@@ -206,6 +210,28 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY o.o_orderkey, o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_exists_returns" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+        |                ON o.o_orderkey = l.l_orderkey
+        |              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_join_left_outer" ->
       """SELECT n_lines, count(*) AS n_orders FROM (
         |  SELECT o_orderkey, count(l_orderkey) AS n_lines

@@ -188,6 +188,57 @@ object Warehouse {
            grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("lvl"))
       .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** TPC-H Q17-style correlated scalar subquery: revenue of lineitems
+    * below half their part's average quantity. Catalyst decorrelates the
+    * per-part subquery into an aggregate + join — the rewrite that keeps
+    * this from being a per-row lookup at scale (the SQL surface is the
+    * point here; a hand-built join would skip the decorrelation path).
+    */
+  def smallQtyRevenue(lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_q17_l")
+    lineitem.sparkSession.sql(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |         AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM graft_q17_l l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM graft_q17_l l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
+  /** Correlated EXISTS: customers with at least one returned lineitem,
+    * per nation. Decorrelates to a semi-join chain.
+    */
+  def customersWithReturns(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("graft_qex_c")
+    orders.createOrReplaceTempView("graft_qex_o")
+    lineitem.createOrReplaceTempView("graft_qex_l")
+    customer.sparkSession.sql(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM graft_qex_c c
+        |WHERE EXISTS (SELECT 1 FROM graft_qex_o o JOIN graft_qex_l l
+        |                ON o.o_orderkey = l.l_orderkey
+        |              WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** TPC-H Q18-style large orders: IN over a grouped HAVING subquery. */
+  def largeOrders(orders: DataFrame, lineitem: DataFrame,
+                  minQty: Int): DataFrame = {
+    orders.createOrReplaceTempView("graft_q18_o")
+    lineitem.createOrReplaceTempView("graft_q18_l")
+    orders.sparkSession.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey,
+         |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         |FROM graft_q18_o o JOIN graft_q18_l l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_q18_l
+         |                       GROUP BY l_orderkey
+         |                       HAVING sum(l_quantity) > $minQty)
+         |GROUP BY o.o_orderkey, o.o_custkey
+         |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   /** Windowed top-k per group: 3 priciest orders per priority class.
     * row_number is tie-broken by the unique orderkey so it is total.
     */
