@@ -96,6 +96,8 @@ object SparkEntry {
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
+    "q_land_compact" -> ((s, d) => streaming.StreamOps.streamLandCompacted(s, d)),
+    "q_percentiles" -> ((s, d) => Warehouse.pricePercentiles(orders(s, d))),
 
     // --- multimodal plumbing (north-star; stub decode, real plumbing) ---
     "q_multimodal_features" -> ((s, d) =>
@@ -447,6 +449,17 @@ object SparkEntry {
         |     - list_min([ascii(c) for c in string_split(text, '')]) AS INT) AS f_range,
         |  CAST(strlen(text) % 256 AS INT) AS f_mod
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_land_compact" ->
+      """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        |       count(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1,2,3 ORDER BY y, m, d""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       quantile_cont(o_totalprice, 0.99) AS p99,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "q_stream_flatstate" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY user_id, event_type""".stripMargin,

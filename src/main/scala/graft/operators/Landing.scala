@@ -71,4 +71,27 @@ object Landing {
       .groupBy("y", "m", "d", "h")
       .agg(count(lit(1)).as("n_events"))
   }
+
+  /** Compaction pass over a landed batch=N/y=/m=/d=/h= JSON layout: read
+    * every batch directory, rewrite as parquet partitioned by (y,m,d)
+    * with one writer task per day — the small-file management step every
+    * streaming landing needs (hour-level JSON appends compact into
+    * day-level columnar files; downstream readers get partition pruning
+    * plus parquet stats instead of thousands of tiny JSON objects).
+    * Returns per-day counts read back from the compacted layout.
+    */
+  def compactLanded(spark: org.apache.spark.sql.SparkSession,
+                    landedDir: String, dataSchema: StructType,
+                    compactDir: String): DataFrame = {
+    val landed = spark.read.schema(dataSchema).json(landedDir)
+    landed
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite")
+      .partitionBy("y", "m", "d")
+      .parquet(compactDir)
+    spark.read.parquet(compactDir)
+      .groupBy("y", "m", "d")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("y", "m", "d")
+  }
 }

@@ -310,6 +310,22 @@ object Warehouse {
            count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** Exact interpolated percentiles per group (median/p90/p99). Spark's
+    * percentile() and DuckDB's quantile_cont both linearly interpolate
+    * over the sorted values, and the interpolation arithmetic is plain
+    * IEEE — so even this is hash-exact cross-engine. Exact percentile
+    * sorts per group; at 100 TB the swap is approx_percentile (t-digest)
+    * — kept alongside as the rows-only-checked variant.
+    */
+  def pricePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
   /** approx_count_distinct (HLL++) — sketch output differs from DuckDB's
     * approx algorithm, so this query gets a rows-only check; DedupSpec
     * ("approx_count_distinct lands within 5x rsd…") bounds it against the

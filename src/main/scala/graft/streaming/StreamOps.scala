@@ -142,17 +142,35 @@ object StreamOps {
     val outDir = s"$tmp/graft_stream_land/$runId"
     val ckDir = s"$tmp/graft_stream_ck/$runId"
     landStream(spark, sfDir, outDir, ckDir)
-    val dataSchema = StructType(
-      rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
-        StructField("ts", TimestampType),
-        StructField("sequence_number", LongType),
-        StructField("shard_id", LongType),
-        StructField("land_id", StringType)))
-    spark.read.schema(dataSchema).json(outDir)
+    spark.read.schema(landedDataSchema).json(outDir)
       .groupBy("y", "m", "d", "h")
       .agg(count(lit(1)).as("n_events"))
       .orderBy("y", "m", "d", "h")
   }
+
+  /** Land (streaming, checkpointed) then compact: the full
+    * ingest-then-maintain cycle — hour-partitioned JSON micro-batch
+    * output compacted into day-partitioned parquet.
+    */
+  def streamLandCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val outDir = s"$tmp/graft_stream_land/$runId"
+    val ckDir = s"$tmp/graft_stream_ck/$runId"
+    val compactDir = s"$tmp/graft_stream_compact/$runId"
+    landStream(spark, sfDir, outDir, ckDir)
+    Landing.compactLanded(spark, outDir, landedDataSchema, compactDir)
+  }
+
+  /** Data-file schema of the landed JSON layout (partition cols y/m/d/h
+    * and batch are directory-encoded and discovered on read).
+    */
+  val landedDataSchema: StructType = StructType(
+    rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
+      StructField("ts", TimestampType),
+      StructField("sequence_number", LongType),
+      StructField("shard_id", LongType),
+      StructField("land_id", StringType)))
 
   /** Streaming tumbling event-time window aggregation (T8) with a
     * watermark (T5): AvailableNow + complete mode into a memory sink,
