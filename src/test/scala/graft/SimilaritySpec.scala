@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f below floor — LSH bucketing no longer overlaps the true neighbors")
   }
 
+  test("LSH ANN recall is high on data with real neighbor structure") {
+    // planted clusters: 20 centers × 10 members, members = center + small
+    // noise — the regime LSH is built for (the warehouse embeddings are
+    // near-random, which is why the floor above is low)
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 10).map { m =>
+        val v = center.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+        (c * 10L + m, v.toSeq, c)
+      }
+    }
+    val sp = spark
+    import sp.implicits._
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 5))
+    val ann = pairs(Similarity.lshAnnTopK(emb, 4, 8, 5)
+      .filter(org.apache.spark.sql.functions.col("query_id") < nQ))
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"clustered LSH recall@5 = $recall%.3f")
+    assert(recall >= 0.8,
+      f"recall $recall%.3f on clustered data — LSH should find planted neighbors")
+  }
+
   test("exact top-k is symmetric-consistent: every sim is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001), 20, 10)
     val sims = topk.select("sim").collect().map(_.getDouble(0))
