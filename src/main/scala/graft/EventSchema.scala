@@ -84,7 +84,7 @@ object EventSchema {
     * prunes unreferenced leaves at the scan.
     */
   def flattenColumns(schema: StructType, prefix: String = ""): Seq[Column] =
-    schema.fields.flatMap { f =>
+    schema.fields.toSeq.flatMap { f =>
       val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
       val name = path.replace(".", "_")
       f.dataType match {
