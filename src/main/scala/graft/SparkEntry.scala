@@ -96,7 +96,8 @@ object SparkEntry {
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
-    "q_land_compact" -> ((s, d) => streaming.StreamOps.streamLandCompacted(s, d)),
+    "q_land_compact" -> ((s, d) =>
+      Landing.landCompactCycle(events(s, d), col("ts"), Seq("event_id"))),
     "q_percentiles" -> ((s, d) => Warehouse.pricePercentiles(orders(s, d))),
 
     // --- multimodal plumbing (north-star; stub decode, real plumbing) ---

@@ -72,6 +72,28 @@ object Landing {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Full land→compact cycle over fresh temp dirs: dedup + bucket +
+    * hour-partitioned JSON landing, then day-level parquet compaction.
+    * (The streaming ingest variant of the same layout is measured
+    * separately by q_stream_land.)
+    */
+  def landCompactCycle(df: DataFrame, ts: Column, key: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val outDir = s"$tmp/graft_compact_in/$runId"
+    val compactDir = s"$tmp/graft_compact_out/$runId"
+    val bucketed = withTimeBuckets(dedup(df, key), ts)
+      .withColumn("land_id", expr("uuid()"))
+    bucketed
+      .repartition(col("y"), col("m"), col("d"))
+      .write.partitionBy("y", "m", "d", "h")
+      .json(outDir)
+    val dataSchema = StructType(bucketed.schema.filterNot(f =>
+      Seq("y", "m", "d", "h").contains(f.name)))
+    compactLanded(spark, outDir, dataSchema, compactDir)
+  }
+
   /** Compaction pass over a landed batch=N/y=/m=/d=/h= JSON layout: read
     * every batch directory, rewrite as parquet partitioned by (y,m,d)
     * with one writer task per day — the small-file management step every

@@ -148,20 +148,6 @@ object StreamOps {
       .orderBy("y", "m", "d", "h")
   }
 
-  /** Land (streaming, checkpointed) then compact: the full
-    * ingest-then-maintain cycle — hour-partitioned JSON micro-batch
-    * output compacted into day-partitioned parquet.
-    */
-  def streamLandCompacted(spark: SparkSession, sfDir: String): DataFrame = {
-    val runId = UUID.randomUUID().toString.take(8)
-    val tmp = sys.props("java.io.tmpdir")
-    val outDir = s"$tmp/graft_stream_land/$runId"
-    val ckDir = s"$tmp/graft_stream_ck/$runId"
-    val compactDir = s"$tmp/graft_stream_compact/$runId"
-    landStream(spark, sfDir, outDir, ckDir)
-    Landing.compactLanded(spark, outDir, landedDataSchema, compactDir)
-  }
-
   /** Data-file schema of the landed JSON layout (partition cols y/m/d/h
     * and batch are directory-encoded and discovered on read).
     */
