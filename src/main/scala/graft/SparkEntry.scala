@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
+    "q_range_join" -> ((s, d) => Events.rangeJoinCounts(events(s, d))),
     "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
 
     // --- near-duplicate detection on documents (north-star dedup) ---
@@ -523,6 +524,18 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       min(epoch_us(p)) AS first_us, max(epoch_us(p)) AS last_us
         |FROM t GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    "q_range_join" ->
+      """WITH b AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT min((us // 86400000000) * 86400000000) AS min_day FROM b),
+        |iv AS (
+        |  SELECT k AS interval_id,
+        |         min_day + k * 43200000000 AS start_us,
+        |         min_day + k * 43200000000 + 129600000000 AS end_us
+        |  FROM m, unnest(range(0, 60)) AS t(k))
+        |SELECT interval_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM iv JOIN b ON b.us >= iv.start_us AND b.us < iv.end_us
+        |GROUP BY 1 ORDER BY interval_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -138,6 +138,40 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Range (interval) join: events against overlapping time intervals
+    * (SURVEY custom-operator list: "as-of join, range join"). The naive
+    * plan is a BroadcastNestedLoopJoin with a range predicate — fine only
+    * while one side broadcasts. This is the big×big-safe form: intervals
+    * explode to the day buckets they cover, events carry their day, and
+    * the join is a hash equi-join on the bucket with the range predicate
+    * as a post-filter. Each event lives in exactly one day bucket, so no
+    * pair dedup is needed. Intervals: 60 windows of 36h, stepping 12h
+    * from the corpus's first midnight (deterministic, derived from data).
+    */
+  def rangeJoinCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val dayUs = 86400L * 1000000L
+    val base = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
+      col("value"))
+    val minDay = base.agg(min(expr("us DIV 86400000000") * dayUs)).head.getLong(0)
+    val intervals = (0 until 60).map { k =>
+      val start = minDay + k * (dayUs / 2)
+      (k.toLong, start, start + 36L * 3600L * 1000000L)
+    }
+    import spark.implicits._
+    val intervalDays = intervals.toDF("interval_id", "start_us", "end_us")
+      .withColumn("day", explode(sequence(
+        expr("start_us DIV 86400000000"), expr("(end_us - 1) DIV 86400000000"))))
+    base
+      .withColumn("day", expr("us DIV 86400000000"))
+      .join(intervalDays, "day")
+      .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("interval_id")
+  }
+
   /** Two-phase salted aggregation for skewed group keys: event_type has
     * single-digit cardinality, so at 1000 executors a direct groupBy sends
     * each key's entire volume through one reducer. Salting fans each key
