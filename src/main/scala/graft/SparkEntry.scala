@@ -89,6 +89,8 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
+    "q_cms_heavy" -> ((s, d) =>
+      graft.functions.CountMin.cmsTermCounts(documents(s, d), cmsProbes)),
 
     // --- streaming (S1/S3/S5/S6, T1-T5, T8): full pipelines executed via
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
@@ -546,6 +548,7 @@ object SparkEntry {
         |       count(DISTINCT event_id) AS n_ids,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_cms_heavy" -> cmsOracleSql,
     "q_neardup_jaccard" -> neardupOracleSql,
     // MinHash+LSH candidates are verified with the exact jaccard, and at
     // this threshold band recall is ~1 (1-(1-t^rows)^bands), so the sketch
@@ -572,6 +575,46 @@ object SparkEntry {
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
   )
+
+  /** Probe terms for the Count-Min heavy-term audit (common corpus words
+    * plus one guaranteed-absent term).
+    */
+  val cmsProbes: Seq[String] = Seq(
+    "the", "data", "spark", "table", "row", "query", "window", "batch",
+    "stream", "zzzabsentterm")
+
+  /** Count-Min oracle: rebuilds the sketch matrix and the probe estimates
+    * in SQL from the same seeded hash params as the Aggregator.
+    */
+  private def cmsOracleSql: String = {
+    import graft.functions.CountMin.{params, P, Width}
+    val ps = params(42L)
+    val cmsRows = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $i AS d, ((($a * (hv % $P) + $b) % $P) % $Width) AS bucket, count(*) AS c FROM h GROUP BY 2"
+    }.mkString("\n  UNION ALL\n  ")
+    val probeRows = ps.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT term, $i AS d, ((($a * (hv % $P) + $b) % $P) % $Width) AS bucket FROM ph"
+    }.mkString("\n  UNION ALL\n  ")
+    val probeVals = cmsProbes.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+       |  FROM documents),
+       |h AS (SELECT term, CAST(('0x' || substr(md5(term),1,15))::UBIGINT AS BIGINT) AS hv FROM toks),
+       |cms AS (
+       |  $cmsRows),
+       |probe(term) AS (VALUES $probeVals),
+       |ph AS (SELECT term, CAST(('0x' || substr(md5(term),1,15))::UBIGINT AS BIGINT) AS hv FROM probe),
+       |pb AS (
+       |  $probeRows),
+       |est AS (
+       |  SELECT pb.term, min(coalesce(c.c, 0)) AS cms_estimate
+       |  FROM pb LEFT JOIN cms c ON c.d = pb.d AND c.bucket = pb.bucket
+       |  GROUP BY 1),
+       |ex AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY 1)
+       |SELECT est.term, est.cms_estimate,
+       |       coalesce(ex.exact_count, 0) AS exact_count
+       |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin
+  }
 
   /** Exact pruned-shingle Jaccard pairs — shared by the exact and the
     * MinHash queries (see q_neardup_minhash note above).
