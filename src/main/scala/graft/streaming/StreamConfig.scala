@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-compatible configuration surface: the env variables a user of
+  * the reference deploys with (consumer.py:254-264) mapped onto this
+  * engine, so an existing deployment migrates without renaming its knobs.
+  *
+  * | reference env | reference meaning | here |
+  * |---|---|---|
+  * | BUCKET_NAME   | S3 landing bucket (consumer.py:254)   | landing root dir/URI |
+  * | PREFIX        | S3 key prefix 'js/' (consumer.py:257) | subdir under the root |
+  * | BATCH_SIZE    | GetRecords limit 1000 (consumer.py:255) | per-trigger input cap |
+  * | SHARD_NUMBER  | which shard this worker owns (consumer.py:260) | shard_id filter |
+  *
+  * The DynamoDB lease table name needs no analog — checkpointing is the
+  * engine's checkpointLocation. SHARD_NUMBER exists for parity only: one
+  * Spark query consumes ALL shards in parallel (shards → source
+  * partitions), which is the upgrade the reference's one-process-per-shard
+  * model gets for free here.
+  */
+case class StreamConfig(
+    landingRoot: String,
+    prefix: String = "js",
+    batchSize: Int = 1000,
+    shardNumber: Option[Int] = None) {
+  def outDir: String = s"$landingRoot/$prefix"
+  def checkpointDir: String = s"$landingRoot/_checkpoint"
+}
+
+object StreamConfig {
+
+  /** Read the reference's env surface (same names, same defaults). */
+  def fromEnv(env: Map[String, String],
+              fallbackRoot: String = s"${sys.props("java.io.tmpdir")}/graft_landing"): StreamConfig =
+    StreamConfig(
+      landingRoot = env.getOrElse("BUCKET_NAME", fallbackRoot),
+      prefix = env.getOrElse("PREFIX", "js"),
+      batchSize = env.getOrElse("BATCH_SIZE", "1000").toInt,
+      shardNumber = env.get("SHARD_NUMBER").map(_.toInt))
+
+  /** The configured landing pipeline: the reference's main() loop
+    * (consumer.py:282-314) under this engine. A SHARD_NUMBER pins the
+    * query to one shard's records (parity mode); omitting it consumes
+    * every shard in one query.
+    */
+  def landConfigured(spark: SparkSession, sfDir: String,
+                     cfg: StreamConfig): Unit = {
+    val src = StreamOps.stageStreamDir(sfDir)
+    val base = StreamOps.dedupedEvents(spark, src)
+    val routed = cfg.shardNumber match {
+      case Some(s) => base.filter(col("shard_id") === s)
+      case None => base
+    }
+    val q = routed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamOps.landBatch(batch, cfg.outDir, batchId)
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .option("maxFilesPerTrigger", cfg.batchSize.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
