@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f on clustered data — LSH should find planted neighbors")
   }
 
+  test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
+    import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      xs <- Gen.listOf(Gen.zip(Gen.choose(-100, 100), Gen.choose(0L, 20L)))
+      cut <- Gen.choose(0, math.max(xs.size, 1))
+    } yield (xs.map { case (s, i) => ScoredId(s / 10.0, i) }, cut)
+    val agg = new TopKAgg(5)
+    val ord = Ordering.by((s: ScoredId) => (-s.score, s.id))
+    val prop = Prop.forAll(gen) { case (xs, cut) =>
+      val (a, b) = xs.splitAt(cut)
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.finish(agg.merge(bufA, bufB))
+      merged == xs.sorted(ord).take(5)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("exact top-k is symmetric-consistent: every sim is within [-1, 1]") {
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001), 20, 10)
     val sims = topk.select("sim").collect().map(_.getDouble(0))
