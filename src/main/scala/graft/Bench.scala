@@ -11,12 +11,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink materializes every projected column through the whole plan
-    // (a bare count() would let Catalyst prune expression work).
+    // (a bare count() would let Catalyst prune expression work). Cache is
+    // cleared between queries so each timing is isolated: persisted
+    // subtrees (near-dup index, ANN base) otherwise accumulate heap
+    // across 50+ queries and GC pressure skews later measurements.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
