@@ -81,19 +81,24 @@ object CountMin {
   def cmsTermCounts(documents: DataFrame, probes: Seq[String],
                     seed: Long = 42L): DataFrame = {
     val spark = documents.sparkSession
+    // one corpus pass: persist the tokenized+hashed stream so the sketch
+    // aggregation and the exact probe counts share the same scan
     val toks = documents.repartition(col("doc_id"))
       .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
       .withColumn("hv", graft.operators.NearDup.md5Hash60(col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cms = udaf(new CMSAgg(seed), Encoders.scalaLong)
     val sketch: Seq[Long] = toks.agg(cms(col("hv")).as("sk"))
-      .head.getSeq[Long](0)
-    val exact = toks.filter(col("term").isin(probes: _*))
+      .head().getSeq[Long](0)
+    // probe list is tiny — collect the exact counts and build the result
+    // driver-side, then release the token cache deterministically
+    val exact: Map[String, Long] = toks.filter(col("term").isin(probes: _*))
       .groupBy("term").agg(count(lit(1)).as("exact_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.unpersist(blocking = false)
     import spark.implicits._
-    probes.map(t => (t, estimate(sketch, t, seed)))
-      .toDF("term", "cms_estimate")
-      .join(exact, Seq("term"), "left_outer")
-      .withColumn("exact_count", coalesce(col("exact_count"), lit(0L)))
+    probes.map(t => (t, estimate(sketch, t, seed), exact.getOrElse(t, 0L)))
+      .toDF("term", "cms_estimate", "exact_count")
       .orderBy("term")
   }
 }

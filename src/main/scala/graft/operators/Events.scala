@@ -153,7 +153,7 @@ object Events {
     val dayUs = 86400L * 1000000L
     val base = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
       col("value"))
-    val minDay = base.agg(min(expr("us DIV 86400000000") * dayUs)).head.getLong(0)
+    val minDay = base.agg(min(expr("us DIV 86400000000") * dayUs)).head().getLong(0)
     val intervals = (0 until 60).map { k =>
       val start = minDay + k * (dayUs / 2)
       (k.toLong, start, start + 36L * 3600L * 1000000L)

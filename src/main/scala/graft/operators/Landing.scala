@@ -38,36 +38,41 @@ object Landing {
   def dedup(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** Batch landing pipeline: dedup → bucket → repartition on the bucket key
-    * → partitioned JSON files. Returns the landed row count per partition,
-    * read back from the sink (proves the roundtrip like the reference's
-    * put_object + later replay).
-    *
-    * Scale notes: the repartition on (y,m,d) means each output partition is
-    * written by a narrow set of tasks — without it every task holds a writer
-    * per open hour-bucket and the job emits tens of thousands of tiny files
-    * at 100 TB. The read-back passes the writer's schema explicitly: a
-    * schema-inference pass over just-written JSON would be a full extra scan.
-    * Each landed file carries a uuid() land_id (reference consumer.py:244
-    * names S3 objects with uuid4) — nondeterministic, so it is dropped
-    * before the oracle-facing aggregate.
+  /** The landed row shape: time buckets + a uuid() land_id (reference
+    * consumer.py:244 names S3 objects with uuid4 — nondeterministic, so
+    * oracle-facing aggregates drop it).
+    */
+  def bucketedWithLandId(df: DataFrame, ts: Column): DataFrame =
+    withTimeBuckets(df, ts).withColumn("land_id", expr("uuid()"))
+
+  /** THE landing write, shared by every landing path (batch, compaction
+    * input, streaming micro-batch): repartition on (y,m,d) so each output
+    * partition is written by a narrow set of tasks — without it every task
+    * holds a writer per open hour-bucket and the job emits tens of
+    * thousands of tiny files at 100 TB. Returns the data-file schema
+    * (partition cols live in directory names) so read-back never needs a
+    * schema-inference pass over just-written JSON.
+    */
+  def writeLandedJson(bucketed: DataFrame, outDir: String,
+                      mode: String = "overwrite"): StructType = {
+    bucketed
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode(mode)
+      .partitionBy("y", "m", "d", "h")
+      .json(outDir)
+    StructType(bucketed.schema.filterNot(f =>
+      Seq("y", "m", "d", "h").contains(f.name)))
+  }
+
+  /** Batch landing pipeline: dedup → bucket → partitioned JSON files.
+    * Returns the landed row count per partition, read back from the sink
+    * (proves the roundtrip like the reference's put_object + later replay).
     */
   def landPartitionedJson(df: DataFrame, ts: Column, key: Seq[String],
                           outDir: String): DataFrame = {
-    val bucketed = withTimeBuckets(dedup(df, key), ts)
-      .withColumn("land_id", expr("uuid()"))
-    bucketed
-      .repartition(col("y"), col("m"), col("d"))
-      .write.mode("overwrite")
-      .partitionBy("y", "m", "d", "h")
-      .json(outDir)
-    val spark = df.sparkSession
-    // partitionBy moves y/m/d/h out of the data files into directory names;
-    // read back data-file columns with the known schema and let Spark
-    // restore the partition columns from the paths.
-    val dataSchema = StructType(bucketed.schema.filterNot(f =>
-      Seq("y", "m", "d", "h").contains(f.name)))
-    spark.read.schema(dataSchema).json(outDir)
+    val bucketed = bucketedWithLandId(dedup(df, key), ts)
+    val dataSchema = writeLandedJson(bucketed, outDir)
+    df.sparkSession.read.schema(dataSchema).json(outDir)
       .groupBy("y", "m", "d", "h")
       .agg(count(lit(1)).as("n_events"))
   }
@@ -78,20 +83,13 @@ object Landing {
     * separately by q_stream_land.)
     */
   def landCompactCycle(df: DataFrame, ts: Column, key: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val tmp = sys.props("java.io.tmpdir")
     val outDir = s"$tmp/graft_compact_in/$runId"
     val compactDir = s"$tmp/graft_compact_out/$runId"
-    val bucketed = withTimeBuckets(dedup(df, key), ts)
-      .withColumn("land_id", expr("uuid()"))
-    bucketed
-      .repartition(col("y"), col("m"), col("d"))
-      .write.partitionBy("y", "m", "d", "h")
-      .json(outDir)
-    val dataSchema = StructType(bucketed.schema.filterNot(f =>
-      Seq("y", "m", "d", "h").contains(f.name)))
-    compactLanded(spark, outDir, dataSchema, compactDir)
+    val dataSchema = writeLandedJson(
+      bucketedWithLandId(dedup(df, key), ts), outDir)
+    compactLanded(df.sparkSession, outDir, dataSchema, compactDir)
   }
 
   /** Compaction pass over a landed batch=N/y=/m=/d=/h= JSON layout: read

@@ -57,7 +57,10 @@ object NearDup {
                    dfCutoff: Long): DataFrame = {
     // the index feeds three consumers (sizes + both self-join sides);
     // persisting it stops Catalyst re-deriving the tokenize→shingle→df
-    // subtree once per consumer (4× the scan at any scale)
+    // subtree once per consumer (4× the scan at any scale). The cache
+    // outlives the returned (lazy) DataFrame by design — callers running
+    // many such queries in one long session reclaim it with
+    // spark.catalog.clearCache(), as Bench does between queries.
     val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

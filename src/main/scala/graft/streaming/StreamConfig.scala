@@ -48,7 +48,10 @@ object StreamConfig {
   def landConfigured(spark: SparkSession, sfDir: String,
                      cfg: StreamConfig): Unit = {
     val src = StreamOps.stageStreamDir(sfDir)
-    val base = StreamOps.dedupedEvents(spark, src)
+    // BATCH_SIZE caps per-trigger input at the SOURCE (a sink would
+    // silently ignore the option)
+    val base = StreamOps.dedupedEvents(spark, src,
+      maxFilesPerTrigger = Some(cfg.batchSize))
     val routed = cfg.shardNumber match {
       case Some(s) => base.filter(col("shard_id") === s)
       case None => base
@@ -58,7 +61,6 @@ object StreamConfig {
         StreamOps.landBatch(batch, cfg.outDir, batchId)
       }
       .option("checkpointLocation", cfg.checkpointDir)
-      .option("maxFilesPerTrigger", cfg.batchSize.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

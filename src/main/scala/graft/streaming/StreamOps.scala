@@ -69,12 +69,17 @@ object StreamOps {
 
   /** Same, over an arbitrary staging directory (tests append files to it
     * to simulate new stream arrivals / at-least-once redelivery).
+    * maxFilesPerTrigger is a SOURCE option (the reference's BATCH_SIZE
+    * fetch cap, consumer.py:255) — it bounds how much input each
+    * micro-batch drains.
     */
   def eventsStreamFromDir(spark: SparkSession, streamDir: String,
-                          nShards: Int = 8): DataFrame = {
+                          nShards: Int = 8,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("sequence_number", col("event_id"))
@@ -85,8 +90,9 @@ object StreamOps {
     * the reference misses dups that straddle batch boundaries; state here
     * covers the full watermark window and expires after it).
     */
-  def dedupedEvents(spark: SparkSession, streamDir: String): DataFrame =
-    eventsStreamFromDir(spark, streamDir)
+  def dedupedEvents(spark: SparkSession, streamDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    eventsStreamFromDir(spark, streamDir, maxFilesPerTrigger = maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -101,12 +107,10 @@ object StreamOps {
     */
   def landBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
     if (!batch.isEmpty) { // P4 empty-batch guard (consumer.py:236)
-      Landing.withTimeBuckets(batch, col("ts"))
-        .withColumn("land_id", expr("uuid()"))
-        .repartition(col("y"), col("m"), col("d"))
-        .write.mode("overwrite")
-        .partitionBy("y", "m", "d", "h")
-        .json(s"$outDir/batch=$batchId")
+      Landing.writeLandedJson(
+        Landing.bucketedWithLandId(batch, col("ts")),
+        s"$outDir/batch=$batchId")
+      ()
     }
   }
 

@@ -19,15 +19,8 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
-  private val landedSchema = StructType(
-    StreamOps.rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
-      StructField("ts", TimestampType),
-      StructField("sequence_number", LongType),
-      StructField("shard_id", LongType),
-      StructField("land_id", StringType)))
-
   private def landed(outDir: String) =
-    spark.read.schema(landedSchema).json(outDir)
+    spark.read.schema(StreamOps.landedDataSchema).json(outDir)
 
   test("checkpointed landing: resume after stop + dedup of redelivered records") {
     val src = tempDir("src")
