@@ -99,6 +99,7 @@ object SparkEntry {
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
+    "q_stream_segjoin" -> ((s, d) => streaming.StreamOps.streamSegmentRevenue(s, d)),
     "q_land_compact" -> ((s, d) =>
       Landing.landCompactCycle(events(s, d), col("ts"), Seq("event_id"))),
     "q_percentiles" -> ((s, d) => Warehouse.pricePercentiles(orders(s, d))),
@@ -464,6 +465,10 @@ object SparkEntry {
         |       quantile_cont(o_totalprice, 0.99) AS p99,
         |       count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_stream_segjoin" ->
+      """SELECT user_id % 5 AS segment, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_stream_flatstate" ->
       """SELECT user_id, event_type, count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY user_id, event_type""".stripMargin,

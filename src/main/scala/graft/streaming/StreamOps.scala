@@ -162,6 +162,34 @@ object StreamOps {
       StructField("shard_id", LongType),
       StructField("land_id", StringType)))
 
+  /** Stream-static join: the event stream joined to a static dimension
+    * (user → segment; broadcast-sized, so each micro-batch does a
+    * broadcast hash join with no stream-side shuffle), aggregated per
+    * segment. The static side is re-resolvable per batch — the pattern
+    * for slowly-refreshed dimension tables next to a hot stream.
+    */
+  def streamSegmentRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"graft_stream_seg_${UUID.randomUUID().toString.take(8)}"
+    // static dim derived deterministically from the warehouse so the
+    // oracle can rebuild it: every user in a segment by id
+    val profiles = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    val q = eventsStream(spark, sfDir)
+      .join(broadcast(profiles), "user_id")
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table).orderBy("segment")
+  }
+
   /** Streaming tumbling event-time window aggregation (T8) with a
     * watermark (T5): AvailableNow + complete mode into a memory sink,
     * returned as a DataFrame matching the batch tumblingCounts contract.

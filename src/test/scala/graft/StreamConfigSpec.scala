@@ -21,6 +21,49 @@ class StreamConfigSpec extends SparkSpec {
     assert(cfg.shardNumber === Some(3))
   }
 
+  test("BATCH_SIZE bounds each trigger: 3 files at BATCH_SIZE=1 land as 3 batches") {
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_test_mb_${UUID.randomUUID().toString.take(8)}")
+    val src = root.resolve("src")
+    Files.createDirectories(src)
+    // 3 source files → with maxFilesPerTrigger=1, AvailableNow runs 3
+    // micro-batches, each landing under its own batch= dir
+    // time-ordered so each later file is newer — no batch's rows fall
+    // behind the watermark advanced by an earlier one
+    val ev = Tables.events(spark, sf0001).orderBy("ts").limit(300).collect()
+    ev.grouped(100).zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0),
+            // Tables.events converts ns→µs ts; re-encode as ns for rawSchema
+            r.getTimestamp(1).getTime * 1000000L + r.getTimestamp(1).getNanos % 1000000,
+            r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))),
+        StreamOps.rawSchema)
+      df.coalesce(1).write.parquet(s"$src/part$i")
+      val f = Files.list(Paths.get(s"$src/part$i")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(f), src.resolve(s"f$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/part$i"))
+    }
+    val cfg = StreamConfig(landingRoot = root.resolve("land").toString, batchSize = 1)
+    val q = StreamOps.dedupedEvents(spark, src.toString,
+        maxFilesPerTrigger = Some(cfg.batchSize))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamOps.landBatch(batch, cfg.outDir, batchId)
+      }
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchDirs = Files.list(Paths.get(cfg.outDir)).toArray.map(_.toString)
+      .filter(_.contains("batch="))
+    assert(batchDirs.length === 3,
+      s"expected 3 micro-batches, got: ${batchDirs.mkString(",")}")
+    val landed = spark.read.schema(StreamOps.landedDataSchema).json(cfg.outDir)
+    assert(landed.count() === 300)
+  }
+
   test("SHARD_NUMBER parity mode lands exactly that shard's records") {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_test_cfg_${UUID.randomUUID().toString.take(8)}")
