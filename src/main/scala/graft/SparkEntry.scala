@@ -40,6 +40,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Events.asofPurchaseView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
+    "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
 
     // --- warehouse suite (J1-J3, A6, §2.5-2.7) ---
     "q1_pricing_summary" -> ((s, d) => Warehouse.pricingSummary(lineitem(s, d))),
@@ -69,6 +70,7 @@ object SparkEntry {
 
     // --- text analysis on documents (F9, north-star) ---
     "q_text_terms" -> ((s, d) => TextAnalysis.termStats(documents(s, d), 5)),
+    "q_text_tfidf" -> ((s, d) => TextAnalysis.tfidf(documents(s, d), 5)),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
@@ -314,6 +316,29 @@ object SparkEntry {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_buyers,
         |       count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS w1, event_type, value
+        |  FROM events),
+        |ex AS (
+        |  SELECT w1 AS window_start_s, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT w1 - 21600, event_type, value FROM e)
+        |SELECT window_start_s, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |       round(CAST(count(*) AS DOUBLE) * (SELECT n_docs FROM n)
+        |             / count(DISTINCT doc_id), 6) AS tfidf_rational
+        |FROM toks GROUP BY 1,2 HAVING count(*) >= 5
+        |ORDER BY lang, term""".stripMargin,
     "q_text_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

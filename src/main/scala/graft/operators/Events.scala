@@ -138,6 +138,22 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Sliding event-time window (SURVEY T8: tumbling/sliding/session —
+    * the sliding form): 12h windows every 6h, so each event lands in two
+    * windows. Spark expands the slide map-side (one row per covered
+    * window) before the hash aggregation; the oracle reproduces the
+    * epoch-aligned window starts arithmetically.
+    */
+  def slidingCounts(events: DataFrame, widthHours: Int, slideHours: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$widthHours hours", s"$slideHours hours").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+
   /** Range (interval) join: events against overlapping time intervals
     * (SURVEY custom-operator list: "as-of join, range join"). The naive
     * plan is a BroadcastNestedLoopJoin with a range predicate — fine only

@@ -148,6 +148,27 @@ object TextAnalysis {
            sum(col("n_bpe")).as("bpe_tokens"))
       .orderBy("source")
 
+  /** TF-IDF-style term weighting per (lang, term), log-free: the inverse
+    * document frequency enters as the exact rational N/df instead of
+    * ln(N/df) — same ranking order (x ↦ ln x is monotone), but every
+    * arithmetic step is IEEE-exact and engine-neutral, so the weights
+    * hash-match the oracle (a transcendental ln is not guaranteed
+    * identically rounded across math libraries).
+    */
+  def tfidf(documents: DataFrame, minTf: Long): DataFrame = {
+    val n = documents.count().toDouble
+    documents
+      .select(col("doc_id"), col("lang"),
+              explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"),
+           countDistinct(col("doc_id")).as("df"))
+      .filter(col("tf") >= minTf)
+      .withColumn("tfidf_rational",
+        round(col("tf").cast("double") * lit(n) / col("df"), 6))
+      .orderBy("lang", "term")
+  }
+
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
     * minimum digest (a 1-permutation MinHash — the winnowing/rolling-hash
     * fingerprint family). Identical-content documents get identical
