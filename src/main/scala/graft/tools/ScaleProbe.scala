@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: amplify the documents corpus N× (distinct doc_ids, shuffled
+  * token order per replica so replicas are near- but not exact dups) and
+  * time the near-dup operators — observing how the inverted-index and
+  * LSH-banded plans scale with corpus size, not just the sf0.1 point.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    // replicas shift doc_id and rotate the text so shingles differ
+    val amplified = (0 until factor).map { k =>
+      docs.select((col("doc_id") + lit(k * n)).as("doc_id"),
+        concat(substring(col("text"), k * 7 + 1, 1000000),
+               lit(" "), substring(col("text"), 1, k * 7)).as("text"))
+    }.reduce(_ unionByName _)
+    println(s"amplified corpus: ${amplified.count()} docs")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+      spark.catalog.clearCache()
+    }
+    time("jaccard")(graft.operators.NearDup.jaccardPairs(amplified, 3, 0.5, 100).count())
+    time("minhash")(graft.operators.NearDup.minhashPairs(amplified, 3, 0.5, 100).count())
+    time("simhash")(graft.operators.NearDup.simhash(amplified).count())
+    spark.stop()
+  }
+}
