@@ -84,6 +84,8 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
+    "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
+    "q_orc_roundtrip" -> ((s, d) => sources.Formats.orcRoundtrip(events(s, d))),
     "q_range_join" -> ((s, d) => Events.rangeJoinCounts(events(s, d))),
     "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
 
@@ -568,6 +570,17 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM iv JOIN b ON b.us >= iv.start_us AND b.us < iv.end_us
         |GROUP BY 1 ORDER BY interval_id""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS first_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink format coverage beyond the parquet warehouse and the JSON
+  * landing: CSV (the interchange format warehouse exports actually use)
+  * and ORC (the other mainstream columnar format) — each proven by a
+  * write→read round-trip whose aggregate is oracle-checked against the
+  * original table.
+  *
+  * Same read discipline as the landing path: explicit schema on read-back
+  * (no inference pass), timestamps carried as unix micros in CSV (CSV has
+  * no timestamp type — the column crosses as a number, the reader
+  * restores it).
+  */
+object Formats {
+
+  private def freshDir(kind: String): String = {
+    val d = s"${sys.props("java.io.tmpdir")}/graft_fmt_$kind/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    d
+  }
+
+  /** CSV round-trip: events → headered CSV (ts as micros) → typed read →
+    * per-type aggregate.
+    */
+  def csvRoundtrip(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val dir = freshDir("csv")
+    val out = events.select(
+      col("event_id"), unix_micros(col("ts")).as("us"),
+      col("user_id"), col("event_type"), col("value"))
+    out.write.option("header", "true").csv(dir)
+    val schema = StructType(out.schema.fields)
+    spark.read.option("header", "true").schema(schema).csv(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("event_id")).as("n_ids"),
+           min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** ORC round-trip: native types survive, partitioned by event_type so
+    * the read-back scan prunes like any columnar warehouse table.
+    */
+  def orcRoundtrip(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val dir = freshDir("orc")
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .repartition(col("event_type"))
+      .write.partitionBy("event_type").orc(dir)
+    spark.read.orc(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros(col("ts"))).as("first_us"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+}
