@@ -60,9 +60,15 @@ object Landing {
       .write.mode(mode)
       .partitionBy("y", "m", "d", "h")
       .json(outDir)
+    dataFileSchema(bucketed)
+  }
+
+  /** Data-file schema of a landed frame: everything except the partition
+    * columns, which live in directory names.
+    */
+  def dataFileSchema(bucketed: DataFrame): StructType =
     StructType(bucketed.schema.filterNot(f =>
       Seq("y", "m", "d", "h").contains(f.name)))
-  }
 
   /** Batch landing pipeline: dedup → bucket → partitioned JSON files.
     * Returns the landed row count per partition, read back from the sink

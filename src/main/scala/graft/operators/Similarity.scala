@@ -83,7 +83,10 @@ object Similarity {
     */
   def lshAnnTopK(embeddings: DataFrame, tables: Int, bits: Int, k: Int,
                  seed: Long = 42L): DataFrame = {
-    val dim = 64
+    // hyperplane dimensionality MUST match the data: a truncated dot
+    // product would silently bucket on a subspace (vec_dot stops at the
+    // shorter array), so derive dim from the table
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val hps = hyperplanes(tables, bits, dim, seed)
     // vectors + norms computed once, reused by the cell assignment AND the
     // scoring join (CacheManager dedupes the identical subplan)

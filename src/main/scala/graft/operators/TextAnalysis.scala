@@ -157,16 +157,9 @@ object TextAnalysis {
     */
   def tfidf(documents: DataFrame, minTf: Long): DataFrame = {
     val n = documents.count().toDouble
-    documents
-      .select(col("doc_id"), col("lang"),
-              explode(tokens(col("text"))).as("term"))
-      .groupBy("lang", "term")
-      .agg(count(lit(1)).as("tf"),
-           countDistinct(col("doc_id")).as("df"))
-      .filter(col("tf") >= minTf)
+    termStats(documents, minTf)
       .withColumn("tfidf_rational",
         round(col("tf").cast("double") * lit(n) / col("df"), 6))
-      .orderBy("lang", "term")
   }
 
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the

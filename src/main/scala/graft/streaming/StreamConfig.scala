@@ -24,9 +24,18 @@ case class StreamConfig(
     landingRoot: String,
     prefix: String = "js",
     batchSize: Int = 1000,
-    shardNumber: Option[Int] = None) {
-  def outDir: String = s"$landingRoot/$prefix"
-  def checkpointDir: String = s"$landingRoot/_checkpoint"
+    shardNumber: Option[Int] = None,
+    nShards: Int = 8) {
+  shardNumber.foreach(s => require(s >= 0 && s < nShards,
+    s"SHARD_NUMBER=$s outside [0, $nShards) — the stream has $nShards shards"))
+  /** Parity-mode workers each own a shard-scoped output and checkpoint —
+    * two workers sharing one bucket must not share either (a shared
+    * checkpoint corrupts the offset log; a shared batch=N dir lets one
+    * worker's overwrite delete the other's landed data).
+    */
+  private def shardSuffix: String = shardNumber.map(s => s"/shard=$s").getOrElse("")
+  def outDir: String = s"$landingRoot/$prefix$shardSuffix"
+  def checkpointDir: String = s"$landingRoot/_checkpoint$shardSuffix"
 }
 
 object StreamConfig {
@@ -49,9 +58,10 @@ object StreamConfig {
                      cfg: StreamConfig): Unit = {
     val src = StreamOps.stageStreamDir(sfDir)
     // BATCH_SIZE caps per-trigger input at the SOURCE (a sink would
-    // silently ignore the option)
+    // silently ignore the option); the shard count must match the
+    // envelope's routing or a high SHARD_NUMBER would match nothing
     val base = StreamOps.dedupedEvents(spark, src,
-      maxFilesPerTrigger = Some(cfg.batchSize))
+      maxFilesPerTrigger = Some(cfg.batchSize), nShards = cfg.nShards)
     val routed = cfg.shardNumber match {
       case Some(s) => base.filter(col("shard_id") === s)
       case None => base

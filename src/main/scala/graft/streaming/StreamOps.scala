@@ -49,13 +49,23 @@ object StreamOps {
     * a symlink to the file (the "stream head" the source replays from).
     */
   def stageStreamDir(sfDir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    import java.nio.file.{Files, LinkOption, Paths}
+    // readable prefix + a hash of the FULL path: the sanitized name alone
+    // is non-injective (/a/sf-1 and /a/sf_1 collide) and a collision would
+    // silently stream the wrong dataset
+    val hash = java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+      .toString.take(8)
+    val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + hash
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src", key)
     Files.createDirectories(dir)
     val link = dir.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(sfDir, "events.parquet"))
+    val target = Paths.get(sfDir, "events.parquet")
+    // NOFOLLOW: a dangling symlink must be replaced, not trip the create
+    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+        (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != target))
+      Files.delete(link)
+    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+      Files.createSymbolicLink(link, target)
     dir.toString
   }
 
@@ -73,17 +83,23 @@ object StreamOps {
     * fetch cap, consumer.py:255) — it bounds how much input each
     * micro-batch drains.
     */
+  /** The envelope projection (S3): native-micros ts, sequence_number, and
+    * shard routing — applied identically to the stream reader and to the
+    * empty frame [[landedDataSchema]] derives from, so the landed schema
+    * can never drift from the write path.
+    */
+  def withEnvelope(df: DataFrame, nShards: Int = 8): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("sequence_number", col("event_id"))
+      .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
+
   def eventsStreamFromDir(spark: SparkSession, streamDir: String,
                           nShards: Int = 8,
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .withColumn("sequence_number", col("event_id"))
-      .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
+    withEnvelope(reader.parquet(streamDir), nShards)
   }
 
   /** The watermarked, record-deduplicated event stream (T4 done right —
@@ -91,8 +107,10 @@ object StreamOps {
     * covers the full watermark window and expires after it).
     */
   def dedupedEvents(spark: SparkSession, streamDir: String,
-                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    eventsStreamFromDir(spark, streamDir, maxFilesPerTrigger = maxFilesPerTrigger)
+                    maxFilesPerTrigger: Option[Int] = None,
+                    nShards: Int = 8): DataFrame =
+    eventsStreamFromDir(spark, streamDir, nShards = nShards,
+        maxFilesPerTrigger = maxFilesPerTrigger)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
@@ -106,12 +124,18 @@ object StreamOps {
     * leaseCounter (consumer.py:189).
     */
   def landBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
-    if (!batch.isEmpty) { // P4 empty-batch guard (consumer.py:236)
-      Landing.writeLandedJson(
-        Landing.bucketedWithLandId(batch, col("ts")),
-        s"$outDir/batch=$batchId")
-      ()
-    }
+    // P4 empty-batch guard (consumer.py:236); the batch is persisted so
+    // the guard's probe and the landing write share one computation of
+    // the deduped micro-batch instead of executing its plan twice
+    batch.persist()
+    try {
+      if (!batch.isEmpty) {
+        Landing.writeLandedJson(
+          Landing.bucketedWithLandId(batch, col("ts")),
+          s"$outDir/batch=$batchId")
+        ()
+      }
+    } finally batch.unpersist(blocking = false)
   }
 
   /** The reference's whole pipeline, streaming: dedup → idempotent
@@ -153,14 +177,19 @@ object StreamOps {
   }
 
   /** Data-file schema of the landed JSON layout (partition cols y/m/d/h
-    * and batch are directory-encoded and discovered on read).
+    * and batch are directory-encoded and discovered on read). Derived BY
+    * CONSTRUCTION from the same envelope + landing transforms the write
+    * path applies to an empty frame — a hand-maintained copy would drift
+    * silently (JSON schema-on-read nulls mismatched fields, it never
+    * errors).
     */
-  val landedDataSchema: StructType = StructType(
-    rawSchema.fields.filterNot(_.name == "ts") ++ Seq(
-      StructField("ts", TimestampType),
-      StructField("sequence_number", LongType),
-      StructField("shard_id", LongType),
-      StructField("land_id", StringType)))
+  lazy val landedDataSchema: StructType = {
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), rawSchema)
+    Landing.dataFileSchema(
+      Landing.bucketedWithLandId(withEnvelope(empty), col("ts")))
+  }
 
   /** Stream-static join: the event stream joined to a static dimension
     * (user → segment; broadcast-sized, so each micro-batch does a

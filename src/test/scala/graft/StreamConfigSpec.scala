@@ -16,9 +16,15 @@ class StreamConfigSpec extends SparkSpec {
     val cfg = StreamConfig.fromEnv(Map(
       "BUCKET_NAME" -> "/tmp/bucket", "PREFIX" -> "landed",
       "BATCH_SIZE" -> "500", "SHARD_NUMBER" -> "3"))
-    assert(cfg.outDir === "/tmp/bucket/landed")
+    // parity-mode workers get shard-scoped output AND checkpoint paths —
+    // two workers sharing one bucket must never share either
+    assert(cfg.outDir === "/tmp/bucket/landed/shard=3")
+    assert(cfg.checkpointDir === "/tmp/bucket/_checkpoint/shard=3")
     assert(cfg.batchSize === 500)
     assert(cfg.shardNumber === Some(3))
+    intercept[IllegalArgumentException] {
+      StreamConfig.fromEnv(Map("SHARD_NUMBER" -> "12")) // >= nShards(8)
+    }
   }
 
   test("BATCH_SIZE bounds each trigger: 3 files at BATCH_SIZE=1 land as 3 batches") {
