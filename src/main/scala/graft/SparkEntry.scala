@@ -82,6 +82,7 @@ object SparkEntry {
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
+    "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -552,6 +553,44 @@ object SparkEntry {
         |  FROM scored)
         |SELECT label, clabel AS assigned, count(*) AS n_vectors
         |FROM best WHERE rk = 1 GROUP BY 1,2 ORDER BY label, assigned""".stripMargin,
+    "q_ivf_search" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assignrk AS (
+        |  SELECT vec_id, clabel,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |  FROM scored),
+        |b AS (
+        |  SELECT e.vec_id, a.clabel AS assigned, e.embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings e JOIN (SELECT vec_id, clabel FROM assignrk WHERE rk = 1) a
+        |    USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, assigned, emb AS q_emb, nrm AS q_nrm
+        |      FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM b JOIN q ON b.assigned = q.assigned AND b.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_ts_parse" ->
       """WITH t AS (SELECT make_timestamp((epoch_us(ts) // 1000) * 1000) AS p FROM events)
         |SELECT year(p) AS y, month(p) AS m, day(p) AS d, hour(p) AS h,

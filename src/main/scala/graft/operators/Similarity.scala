@@ -151,7 +151,11 @@ object Similarity {
     * (true label × assigned cell) occupancy — the partitioning an IVF ANN
     * index would search within.
     */
-  def ivfAssign(embeddings: DataFrame): DataFrame = {
+  /** Every vector with its nearest-centroid cell (the shared scan behind
+    * assignment and search): argmin over -2·v·c + |c|², ties to the
+    * lowest label via the strict-< fold.
+    */
+  private def assignedVectors(embeddings: DataFrame): DataFrame = {
     val cents: Map[Int, Array[Double]] = labelCentroids(embeddings)
       .collect()
       .groupBy(_.getInt(0))
@@ -166,15 +170,45 @@ object Similarity {
       val cnorm2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
       lit(-2.0) * dot(col("emb"), typedlit(c.toSeq)) + lit(cnorm2)
     }
-    val scored = labels.tail.foldLeft(
+    labels.tail.foldLeft(
       base.withColumn("best", score(labels.head))
           .withColumn("assigned", lit(labels.head))) { (df, l) =>
       df.withColumn("assigned", when(score(l) < col("best"), lit(l)).otherwise(col("assigned")))
         .withColumn("best", when(score(l) < col("best"), score(l)).otherwise(col("best")))
     }
-    scored.groupBy(col("label"), col("assigned"))
+  }
+
+  def ivfAssign(embeddings: DataFrame): DataFrame =
+    assignedVectors(embeddings)
+      .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
+
+  /** IVF SEARCH (nprobe=1): each query vector scans only its own
+    * centroid cell — candidates meet through an equi-join on the cell id,
+    * so the pair space is bounded by cell occupancy (|corpus|/|cells| per
+    * query on average) instead of the full corpus; top-k via the bounded
+    * TopKAgg. The recall/latency dial at scale is nprobe (join against
+    * the n nearest cells instead of 1).
+    */
+  def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val assigned = assignedVectors(embeddings)
+      .withColumn("nrm", l2Norm(col("emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("assigned"),
+              col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val topk = topK(k)
+    assigned.join(broadcast(queries), Seq("assigned"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(col("nbr.score"), 6).as("sim"))
+      .orderBy("query_id", "rank")
   }
 
   /** Per-label centroid, emitted as (label, dim, mean) rows. The component
