@@ -51,7 +51,9 @@ object SparkEntry {
         orders(s, d), lineitem(s, d), supplier(s, d), "EUROPE")),
     "q_join_left_outer" -> ((s, d) => Warehouse.orderLineHistogram(orders(s, d), lineitem(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
+    "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
+    "q19_brand_promo" -> ((s, d) => Warehouse.brandPromoRevenue(lineitem(s, d), part(s, d))),
     "q18_large_orders" -> ((s, d) => Warehouse.largeOrders(orders(s, d), lineitem(s, d), 250)),
     "q_exists_returns" -> ((s, d) =>
       Warehouse.customersWithReturns(customer(s, d), orders(s, d), lineitem(s, d))),
@@ -222,6 +224,24 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q12_urgent_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q19_brand_promo" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 35))""".stripMargin,
     "q17_small_qty" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |         AS avg_yearly,

@@ -239,6 +239,39 @@ object Warehouse {
          |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q12-style conditional aggregation: lineitems joined to their
+    * orders, split into urgent/non-urgent counts per return flag — the
+    * CASE-inside-SUM shape. One fact-fact shuffle join, tiny output.
+    */
+  def urgentLineCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q19-style disjunctive join predicates: part⋈lineitem where the
+    * match condition is an OR of brand/size/quantity conjunctions.
+    * Catalyst extracts the common equi-key (partkey) for the hash join
+    * and applies the disjunction as a post-join filter with the
+    * brand/size legs pushed into the part scan.
+    */
+  def brandPromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(part,
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+           col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+           col("l_quantity").between(10, 35))))
+      .agg(
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** Windowed top-k per group: 3 priciest orders per priority class.
     * row_number is tie-broken by the unique orderkey so it is total.
     */
