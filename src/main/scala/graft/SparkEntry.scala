@@ -62,6 +62,7 @@ object SparkEntry {
     "q_agg_suite" -> ((s, d) => Warehouse.aggSuite(lineitem(s, d))),
     "q_rollup" -> ((s, d) => Warehouse.rollupAcctBal(region(s, d), nation(s, d), customer(s, d))),
     "q_cube" -> ((s, d) => Warehouse.cubeOrders(orders(s, d))),
+    "q_grouping_sets" -> ((s, d) => Warehouse.orderGroupingSets(orders(s, d))),
     "q_window_topk" -> ((s, d) => Warehouse.topOrdersPerPriority(orders(s, d), 3)),
     "q_window_lag" -> ((s, d) => Warehouse.userEventGaps(events(s, d))),
     "q_window_running" -> ((s, d) => Warehouse.runningValue(events(s, d))),
@@ -300,6 +301,14 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  GROUPING(o_orderstatus, o_orderpriority) AS lvl
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  GROUPING(o_orderstatus, o_orderpriority) AS lvl
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
     "q_window_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (

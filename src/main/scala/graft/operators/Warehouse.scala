@@ -180,6 +180,25 @@ object Warehouse {
          |ORDER BY lvl, r_name, n_name""".stripMargin)
   }
 
+  /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    * per-(status,priority), per-status, and per-priority totals in one
+    * pass — Catalyst expands to one Expand node feeding a single hash
+    * aggregation, not three scans.
+    */
+  def orderGroupingSets(orders: DataFrame): DataFrame = {
+    val view = "graft_gsets_in"
+    orders.select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView(view)
+    orders.sparkSession.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  grouping_id() AS lvl
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |                        (o_orderstatus), (o_orderpriority))
+         |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   /** CUBE over order status × priority. */
   def cubeOrders(orders: DataFrame): DataFrame =
     orders.cube("o_orderstatus", "o_orderpriority")
