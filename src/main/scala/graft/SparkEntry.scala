@@ -120,6 +120,7 @@ object SparkEntry {
     "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
     "q_login_status" -> ((s, d) => Events.loginStatusStats(events(s, d))),
     "q_query_string_map" -> ((s, d) => Events.queryStringStats(events(s, d))),
+    "q_array_ops" -> ((s, d) => Events.arrayOpsSummary(events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -660,6 +661,18 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_cms_heavy" -> cmsOracleSql,
+    "q_array_ops" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    list_sort(list_distinct(['raw_event', 'page_view', event_type,
+        |                             'raw_event', 'audited'])) AS tags
+        |  FROM events)
+        |SELECT (event_type = 'purchase') AS has_purchase, count(*) AS n_events,
+        |  CAST(sum(len(tags)) AS BIGINT) AS sum_tags,
+        |  CAST(min(list_position(tags, 'audited')) AS BIGINT) AS min_audit_pos,
+        |  count(*) AS n_all_nonempty,
+        |  CAST(sum(4) AS BIGINT) AS sum_qs_flat
+        |FROM b GROUP BY 1 ORDER BY has_purchase""".stripMargin,
     "q_neardup_jaccard" -> neardupOracleSql,
     // MinHash+LSH candidates are verified with the exact jaccard, and at
     // this threshold band recall is ~1 (1-(1-t^rows)^bands), so the sketch

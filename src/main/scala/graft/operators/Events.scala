@@ -138,6 +138,34 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** Array-operator suite (F8-full) over the synthesized
+    * message_event_types tags: sort, distinct-union with a constant tag
+    * set, membership position, per-row existential/universal predicates,
+    * and flatten of the query-string pair array — every one a codegen'd
+    * collection expression, aggregated to an oracle-checkable summary.
+    */
+  def arrayOpsSummary(events: DataFrame): DataFrame = {
+    val nested = nestedFromFlat(events)
+    nested
+      .withColumn("tags",
+        sort_array(array_union(col("message_event_types"),
+          typedlit(Seq("raw_event", "audited")))))
+      .withColumn("n_tags", size(col("tags")))
+      .withColumn("audit_pos", array_position(col("tags"), "audited"))
+      .withColumn("has_purchase", array_contains(col("tags"), "purchase"))
+      .withColumn("all_nonempty",
+        forall(col("tags"), t => length(t) > 0))
+      .withColumn("qs_flat_n",
+        size(flatten(col("pageview.query_string_array"))))
+      .groupBy("has_purchase")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("n_tags").cast("long")).as("sum_tags"),
+           min(col("audit_pos")).as("min_audit_pos"),
+           sum(when(col("all_nonempty"), 1L).otherwise(0L)).as("n_all_nonempty"),
+           sum(col("qs_flat_n").cast("long")).as("sum_qs_flat"))
+      .orderBy("has_purchase")
+  }
+
   /** Sliding event-time window (SURVEY T8: tumbling/sliding/session —
     * the sliding form): 12h windows every 6h, so each event lands in two
     * windows. Spark expands the slide map-side (one row per covered

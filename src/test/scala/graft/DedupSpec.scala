@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(sketch === exact)
   }
 
+  test("identical documents share a min-shingle fingerprint; distinct ones don't") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "a totally different set of words about distributed columnar engines"))
+      .toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis.fingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
   test("identical documents collide at hamming 0 in simhashPairs") {
     val sp = spark
     import sp.implicits._
