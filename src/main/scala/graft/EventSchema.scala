@@ -107,9 +107,13 @@ object EventSchema {
       .otherwise(regexp_extract(c, "^logged in:(.+)$", 1))
 
   /** query_string_array (array<array<string>> of k/v pairs, reference
-    * event.py:27-31) → map<string,string> (SURVEY F7).
+    * event.py:27-31) → map<string,string> (SURVEY F7). Values are
+    * %-unescaped with url_decode (application/x-www-form-urlencoded:
+    * %XX escapes and '+' → space), since real query strings arrive
+    * percent-encoded; keys in the reference shape are bare identifiers
+    * and stay as-is.
     */
   def queryStringMap(c: Column): Column =
     map_from_entries(transform(c, p =>
-      struct(p.getItem(0).as("key"), p.getItem(1).as("value"))))
+      struct(p.getItem(0).as("key"), url_decode(p.getItem(1)).as("value"))))
 }

@@ -66,10 +66,12 @@ object SparkEntry {
     "q_window_topk" -> ((s, d) => Warehouse.topOrdersPerPriority(orders(s, d), 3)),
     "q_window_lag" -> ((s, d) => Warehouse.userEventGaps(events(s, d))),
     "q_window_running" -> ((s, d) => Warehouse.runningValue(events(s, d))),
+    "q_window_range" -> ((s, d) => Warehouse.trailingHourValue(events(s, d))),
     "q_topk_global" -> ((s, d) => Warehouse.topOrders(orders(s, d), 100)),
     "q_set_ops" -> ((s, d) => Warehouse.setOpsSummary(customer(s, d), orders(s, d))),
     "q_distinct_agg" -> ((s, d) => Warehouse.distinctBuyers(orders(s, d))),
     "q_approx_distinct" -> ((s, d) => Warehouse.approxDistinctBuyers(orders(s, d))),
+    "q_approx_percentiles" -> ((s, d) => Warehouse.approxPricePercentiles(orders(s, d))),
 
     // --- text analysis on documents (F9, north-star) ---
     "q_text_terms" -> ((s, d) => TextAnalysis.termStats(documents(s, d), 5)),
@@ -86,6 +88,7 @@ object SparkEntry {
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
+    "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -97,6 +100,7 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
+    "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
     "q_cms_heavy" -> ((s, d) =>
       graft.functions.CountMin.cmsTermCounts(documents(s, d), cmsProbes)),
 
@@ -144,6 +148,11 @@ object SparkEntry {
         |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
     "q_dedup_exact" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    // Integer-division semantics verified identical cross-engine: Spark
+    // DIV (Java long division) and DuckDB 1.0 integer `//` BOTH truncate
+    // toward zero (-7 DIV 2 = -7 // 2 = -3), so the decile/day-bucket
+    // math here and in q_range_join/q_ts_parse agrees even on negative
+    // inputs.
     "q_props_json" ->
       """SELECT CAST(props->>'k' AS BIGINT) // 10 AS k_decile,
         |       count(*) AS n_events,
@@ -249,7 +258,9 @@ object SparkEntry {
         |         AS avg_yearly,
         |       count(*) AS n_lines
         |FROM lineitem l1
-        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |WHERE l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |                                       AS DOUBLE) / count(*))
+        |                    FROM lineitem l2
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q18_large_orders" ->
       """SELECT o.o_orderkey, o.o_custkey,
@@ -333,6 +344,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
@@ -395,10 +415,10 @@ object SparkEntry {
         |  FROM base)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  round(CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS avg_token_len,
-        |  round(CAST(n_alnum AS DOUBLE)/n_chars_txt, 6) AS alnum_ratio,
+        |  round(CASE WHEN n_chars_txt > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END, 6) AS alnum_ratio,
         |  round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stop_ratio,
         |  round(0.4*(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)
-        |      + 0.3*(CAST(n_alnum AS DOUBLE)/n_chars_txt)
+        |      + 0.3*(CASE WHEN n_chars_txt > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END)
         |      + 0.3*(CAST(least(n_tokens, 100) AS DOUBLE)/100.0), 6) AS quality_score
         |FROM scored ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
@@ -554,11 +574,14 @@ object SparkEntry {
         |  FROM events)
         |SELECT status, count(*) AS n_events, count(DISTINCT ws_id) AS n_users
         |FROM s GROUP BY 1 ORDER BY status""".stripMargin,
+    // decoded_ref reproduces url_decode('p%2Fq+' || event_type):
+    // %2F → '/', '+' → ' ' under x-www-form-urlencoded semantics
     "q_query_string_map" ->
       """SELECT event_type AS et, count(*) AS n_events,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_purchase_tagged,
-        |  count(DISTINCT user_id) AS n_uids
+        |  count(DISTINCT user_id) AS n_uids,
+        |  min('p/q ' || event_type) AS decoded_ref
         |FROM events GROUP BY 1 ORDER BY et""".stripMargin,
     "q_ivf_assign" ->
       """WITH ex AS (
@@ -671,7 +694,7 @@ object SparkEntry {
         |  CAST(sum(len(tags)) AS BIGINT) AS sum_tags,
         |  CAST(min(list_position(tags, 'audited')) AS BIGINT) AS min_audit_pos,
         |  count(*) AS n_all_nonempty,
-        |  CAST(sum(4) AS BIGINT) AS sum_qs_flat
+        |  CAST(sum(6) AS BIGINT) AS sum_qs_flat
         |FROM b GROUP BY 1 ORDER BY has_purchase""".stripMargin,
     "q_neardup_jaccard" -> neardupOracleSql,
     // MinHash+LSH candidates are verified with the exact jaccard, and at
@@ -693,11 +716,88 @@ object SparkEntry {
         |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
         |       for j in range(0, 60)]) AS BIGINT) AS simhash
         |FROM hashed ORDER BY doc_id""".stripMargin,
+    // SimHash hamming-≤3 pairs: rebuild the 60-bit fingerprint in SQL
+    // (same construction as q_dedup_simhash), split into 4×15-bit bands,
+    // band-equality self-join, verify with bit_count(xor) — the full
+    // pigeonhole operator is ANSI-expressible.
+    "q_neardup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         a.simhash AS sh_a, b.simhash AS sh_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    // IVF search probing the 2 nearest cells: same construction as
+    // q_ivf_search, with the probe list widened to rk <= 2 (candidates
+    // stay unique per query — each vector lives in exactly one cell).
+    "q_ivf_search_n2" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assignrk AS (
+        |  SELECT vec_id, clabel,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |  FROM scored),
+        |b AS (
+        |  SELECT e.vec_id, a.clabel AS assigned, e.embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings e JOIN (SELECT vec_id, clabel FROM assignrk WHERE rk = 1) a
+        |    USING (vec_id)),
+        |probes AS (
+        |  SELECT vec_id AS query_id, clabel AS assigned FROM assignrk
+        |  WHERE rk <= 2 AND vec_id < 20),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT p.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM b JOIN probes p ON b.assigned = p.assigned AND b.vec_id <> p.query_id
+        |         JOIN q ON q.query_id = p.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     // q_ann_lsh has no oracle: the LSH cell assignment is seeded-
     // deterministic but not SQL-expressible; scalatest bounds its recall
     // against q_similarity_topk's exact baseline.
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
+    // q_approx_percentiles intentionally has no oracle: the approximate
+    // rank sketch is engine-specific; PlanSpec bounds each estimate
+    // against the exact percentile instead.
   )
 
   /** Probe terms for the Count-Min heavy-term audit (common corpus words

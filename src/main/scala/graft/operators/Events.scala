@@ -264,6 +264,10 @@ object Events {
       StructField("event_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
     events
+      // single-file scan → one input split would run the whole per-row
+      // serde chain in one task (same pathology as NearDup.shingleSets);
+      // spread rows across cores before the expensive expression work
+      .repartition(col("event_id"))
       .withColumn("js", to_json(struct(col("event_id"), col("event_type"), col("value"))))
       .withColumn("back", from_json(col("js"), schema))
       .groupBy(col("back.event_type").as("event_type"))
@@ -303,7 +307,10 @@ object Events {
       struct(
         concat(lit("/page/"), col("event_type")).as("page_url"),
         array(array(lit("et"), col("event_type")),
-              array(lit("uid"), col("user_id").cast("string")))
+              array(lit("uid"), col("user_id").cast("string")),
+              // a %-escaped + '+'-spaced value, so the url_decode path
+              // (F7) is exercised on data that actually needs decoding
+              array(lit("ref"), concat(lit("p%2Fq+"), col("event_type"))))
           .as("query_string_array")).as("pageview"),
       array(lit("raw_event"), lit("page_view"), col("event_type"))
         .as("message_event_types"))
@@ -319,9 +326,12 @@ object Events {
               "pageview_page_url")
       .orderBy("event_id")
 
-  /** login_status parse + aggregate (SURVEY F6). */
+  /** login_status parse + aggregate (SURVEY F6). The repartition spreads
+    * the struct synthesis + double regexp across cores — the single-file
+    * events scan would otherwise run it all in one task.
+    */
   def loginStatusStats(events: DataFrame): DataFrame = {
-    val nested = nestedFromFlat(events)
+    val nested = nestedFromFlat(events.repartition(col("event_id")))
     nested
       .withColumn("status", graft.EventSchema.loginStatus(col("visit.login_status")))
       .withColumn("ws_id", graft.EventSchema.websphereId(col("visit.login_status")))
@@ -332,7 +342,9 @@ object Events {
   }
 
   /** query-string map + array_contains (SURVEY F7/F8): k/v pair array →
-    * map, lookup, tag-membership filter.
+    * map (values %-unescaped via url_decode), lookup, tag-membership
+    * filter. decoded_ref proves the decode: the synthesized 'ref' value
+    * carries a %2F escape and a '+' space that must come back as '/ '.
     */
   def queryStringStats(events: DataFrame): DataFrame = {
     val nested = nestedFromFlat(events)
@@ -344,7 +356,8 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
            sum(when(array_contains(col("message_event_types"), "purchase"), 1L)
              .otherwise(0L)).as("n_purchase_tagged"),
-           countDistinct(element_at(col("qm"), "uid")).as("n_uids"))
+           countDistinct(element_at(col("qm"), "uid")).as("n_uids"),
+           min(element_at(col("qm"), "ref")).as("decoded_ref"))
       .orderBy("et")
   }
 

@@ -182,7 +182,8 @@ object NearDup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
               col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")

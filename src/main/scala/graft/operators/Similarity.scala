@@ -143,40 +143,46 @@ object Similarity {
       .orderBy("a_id", "b_id")
   }
 
-  /** IVF assignment: the per-label centroids act as the coarse codebook
-    * (collected to the driver — IVF codebooks are broadcast-side by
-    * design), and every vector is assigned to its nearest centroid by
-    * squared L2, i.e. argmin(-2·v·c + |c|²). Ties break to the lowest
-    * label via the strict-< scan, mirrored in the oracle. Output is the
-    * (true label × assigned cell) occupancy — the partitioning an IVF ANN
-    * index would search within.
+  /** The coarse codebook as a small DataFrame: per-label centroid vector
+    * (components ordered by dim via the struct sort) with its precomputed
+    * squared norm. Stays distributed end-to-end — it is *broadcast* into
+    * the assignment join, never collected, so a 4096-cell codebook costs
+    * one broadcast instead of a 4096-deep expression tree (the foldLeft-
+    * of-when() alternative also evaluates every centroid's score twice).
     */
+  private def centroidsDF(embeddings: DataFrame): DataFrame =
+    labelCentroids(embeddings)
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("clabel"),
+              transform(col("cs"), s => s.getField("mean_val")).as("cvec"))
+      .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
+
+  /** Squared-L2 nearness of a vector column to a codebook cell:
+    * -2·v·c + |c|² (the |v|² term is argmin-invariant). The dot product is
+    * the same sequential fold on both engines, so scores are IEEE-exact.
+    */
+  private def cellScore(emb: Column): Column =
+    lit(-2.0) * dot(emb, col("cvec")) + col("cnorm2")
+
   /** Every vector with its nearest-centroid cell (the shared scan behind
-    * assignment and search): argmin over -2·v·c + |c|², ties to the
-    * lowest label via the strict-< fold.
+    * assignment and search): broadcast-join each vector against the
+    * codebook, then argmin via min over a (score, clabel) struct —
+    * lexicographic struct ordering breaks ties to the lowest label,
+    * mirroring the oracle's row_number ORDER BY (s, clabel). The groupBy
+    * reuses the repartition's hash distribution (no second exchange), and
+    * the map-side partial aggregation collapses each vector's |codebook|
+    * scored rows before any shuffle.
     */
-  private def assignedVectors(embeddings: DataFrame): DataFrame = {
-    val cents: Map[Int, Array[Double]] = labelCentroids(embeddings)
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (l, rows) =>
-        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-      }
-    val labels = cents.keys.toSeq.sorted
-    val base = embeddings.repartition(col("vec_id"))
+  private def assignedVectors(embeddings: DataFrame): DataFrame =
+    embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
-    def score(l: Int): Column = {
-      val c = cents(l)
-      val cnorm2 = { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }
-      lit(-2.0) * dot(col("emb"), typedlit(c.toSeq)) + lit(cnorm2)
-    }
-    labels.tail.foldLeft(
-      base.withColumn("best", score(labels.head))
-          .withColumn("assigned", lit(labels.head))) { (df, l) =>
-      df.withColumn("assigned", when(score(l) < col("best"), lit(l)).otherwise(col("assigned")))
-        .withColumn("best", when(score(l) < col("best"), score(l)).otherwise(col("best")))
-    }
-  }
+      .crossJoin(broadcast(centroidsDF(embeddings)))
+      .withColumn("score", cellScore(col("emb")))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"), first(col("emb")).as("emb"),
+           min(struct(col("score"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("label"), col("emb"), col("m.clabel").as("assigned"))
 
   def ivfAssign(embeddings: DataFrame): DataFrame =
     assignedVectors(embeddings)
@@ -184,22 +190,42 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
 
-  /** IVF SEARCH (nprobe=1): each query vector scans only its own
-    * centroid cell — candidates meet through an equi-join on the cell id,
-    * so the pair space is bounded by cell occupancy (|corpus|/|cells| per
-    * query on average) instead of the full corpus; top-k via the bounded
-    * TopKAgg. The recall/latency dial at scale is nprobe (join against
-    * the n nearest cells instead of 1).
+  /** IVF SEARCH: each query vector scans only its `nprobe` nearest
+    * centroid cells — candidates meet through an equi-join on the cell
+    * id, so the pair space is bounded by nprobe × cell occupancy
+    * (|corpus|/|cells| per probed cell on average) instead of the full
+    * corpus; top-k via the bounded TopKAgg. nprobe is the recall/latency
+    * dial: probing more cells monotonically widens the candidate set
+    * toward the exact scan (recall vs [[bruteForceTopK]] is bounded in
+    * SimilaritySpec). Cells are disjoint (each vector lives in exactly
+    * one), so no candidate is scored twice.
+    *
+    * Cache contract: the assigned-vectors subplan is persisted because
+    * the probe derivation and the candidate join both consume it; the
+    * cache outlives the returned lazy DataFrame by design — long-lived
+    * sessions running many queries reclaim it with
+    * spark.catalog.clearCache(), as Bench does between queries.
     */
-  def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+                nprobe: Int = 1): DataFrame = {
     val assigned = assignedVectors(embeddings)
       .withColumn("nrm", l2Norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("assigned"),
-              col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    // per-query probe list: the nprobe nearest cells under the same
+    // (score, clabel) order the assignment argmin uses — at nprobe=1 this
+    // degenerates to exactly the query's own assigned cell
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+              col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroidsDF(embeddings)))
+      .withColumn("score", cellScore(col("q_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("clabel").as("assigned"),
+              col("q_emb"), col("q_nrm"))
     val topk = topK(k)
-    assigned.join(broadcast(queries), Seq("assigned"))
+    assigned.join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
       .groupBy("query_id")

@@ -78,8 +78,12 @@ object TextAnalysis {
             aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
               .cast("double") / col("n_tokens"))
             .otherwise(lit(0.0)), 6).as("avg_token_len"),
-        round(col("n_alnum").cast("double") / col("n_chars_txt"), 6)
-          .as("alnum_ratio"),
+        // same zero-guard as the token ratios: an empty document scores
+        // 0.0 instead of NULL
+        round(
+          when(col("n_chars_txt") > 0,
+            col("n_alnum").cast("double") / col("n_chars_txt"))
+            .otherwise(lit(0.0)), 6).as("alnum_ratio"),
         round(
           when(col("n_tokens") > 0,
             col("n_stop").cast("double") / col("n_tokens"))
@@ -88,7 +92,8 @@ object TextAnalysis {
         round(
           lit(0.4) * (when(col("n_tokens") > 0,
               col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
-            + lit(0.3) * (col("n_alnum").cast("double") / col("n_chars_txt"))
+            + lit(0.3) * (when(col("n_chars_txt") > 0,
+              col("n_alnum").cast("double") / col("n_chars_txt")).otherwise(lit(0.0)))
             + lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double") / 100.0),
           6).as("quality_score"))
       .orderBy("doc_id")
@@ -156,10 +161,16 @@ object TextAnalysis {
     * identically rounded across math libraries).
     */
   def tfidf(documents: DataFrame, minTf: Long): DataFrame = {
-    val n = documents.count().toDouble
+    // corpus size enters as a broadcast scalar (1-row agg cross join), not
+    // an eager count(): the whole weighting is one job, and the N subplan
+    // is a column-pruned count-only scan
+    val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
     termStats(documents, minTf)
+      .crossJoin(broadcast(n))
       .withColumn("tfidf_rational",
-        round(col("tf").cast("double") * lit(n) / col("df"), 6))
+        round(col("tf").cast("double") * col("n_docs") / col("df"), 6))
+      .drop("n_docs")
+      .orderBy("lang", "term")
   }
 
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the

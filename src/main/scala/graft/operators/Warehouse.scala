@@ -142,9 +142,14 @@ object Warehouse {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
 
-  /** Full scalar-aggregate suite incl. exact count(distinct). */
+  /** Full scalar-aggregate suite incl. exact count(distinct). The
+    * repartition spreads the partial-aggregation work (8 aggregates +
+    * the count-distinct expand) across cores — the warehouse ships
+    * lineitem as one parquet file, i.e. one input split, which would
+    * otherwise serialize the whole partial phase on a single task.
+    */
   def aggSuite(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy("l_returnflag")
+    lineitem.repartition(col("l_orderkey")).groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
@@ -220,7 +225,8 @@ object Warehouse {
         |         AS avg_yearly,
         |       count(*) AS n_lines
         |FROM graft_q17_l l1
-        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |WHERE l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |                                       AS DOUBLE) / count(*))
         |                    FROM graft_q17_l l2
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
   }
@@ -333,6 +339,26 @@ object Warehouse {
       .orderBy("event_id")
   }
 
+  /** Range-frame windowed aggregate (the rangeBetween half of §2.5, next
+    * to [[runningValue]]'s rowsBetween): per event, the count and exact-
+    * decimal value sum of the same user's events in the trailing hour.
+    * RANGE frames bound by the ORDER BY *value* — every time-peer row is
+    * in the frame regardless of position, so no tiebreak key is needed
+    * for determinism (unlike positional ROWS frames).
+    */
+  def trailingHourValue(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-hourUs, Window.currentRow)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_value_hour"))
+      .orderBy("event_id")
+  }
+
   /** Global sort + limit (top 100 orders by price, unique tiebreak). */
   def topOrders(orders: DataFrame, k: Int): DataFrame =
     orders
@@ -366,8 +392,7 @@ object Warehouse {
     * percentile() and DuckDB's quantile_cont both linearly interpolate
     * over the sorted values, and the interpolation arithmetic is plain
     * IEEE — so even this is hash-exact cross-engine. Exact percentile
-    * sorts per group; at 100 TB the swap is approx_percentile (t-digest)
-    * — kept alongside as the rows-only-checked variant.
+    * sorts per group; at 100 TB the swap is [[approxPricePercentiles]].
     */
   def pricePercentiles(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderstatus")
@@ -386,5 +411,20 @@ object Warehouse {
   def approxDistinctBuyers(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"))
+      .orderBy("o_orderstatus")
+
+  /** approx_percentile — the 100-TB swap for [[pricePercentiles]]: a
+    * mergeable bounded-memory sketch per group instead of a per-group
+    * sort. Sketch ranks are engine-specific, so this query gets a
+    * rows-only check; PlanSpec ("approx_percentile brackets the exact…")
+    * bounds each estimate against the exact percentile's rank tolerance.
+    */
+  def approxPricePercentiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("ap50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("ap90"),
+        expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("ap99"),
+        count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 }

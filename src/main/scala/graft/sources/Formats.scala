@@ -32,7 +32,9 @@ object Formats {
     val out = events.select(
       col("event_id"), unix_micros(col("ts")).as("us"),
       col("user_id"), col("event_type"), col("value"))
-    out.write.option("header", "true").csv(dir)
+    // the single-file events scan is one input split — repartition so the
+    // CSV serialization runs on all cores instead of one writer task
+    out.repartition(col("event_id")).write.option("header", "true").csv(dir)
     val schema = StructType(out.schema.fields)
     spark.read.option("header", "true").schema(schema).csv(dir)
       .groupBy("event_type")

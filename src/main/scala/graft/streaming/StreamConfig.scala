@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
 
 /** Reference-compatible configuration surface: the env variables a user of
   * the reference deploys with (consumer.py:254-264) mapped onto this
@@ -48,6 +49,35 @@ object StreamConfig {
       prefix = env.getOrElse("PREFIX", "js"),
       batchSize = env.getOrElse("BATCH_SIZE", "1000").toInt,
       shardNumber = env.get("SHARD_NUMBER").map(_.toInt))
+
+  /** Kinesis connector wiring (S1 proper) behind the same seam the
+    * offline file source stands in for: StreamConfig → the reader options
+    * a Structured Streaming Kinesis connector consumes. EGRESS-GATED:
+    * this sandbox has no network, so the mapping is compiled and
+    * unit-tested as option plumbing only (StreamConfigSpec) and never
+    * `.load()`ed here — the same isolation seam the reference's own test
+    * draws (test/consumer_test.py mocks the boto3 client). The mapping:
+    * the reference's replay-from-stream-head (consumer.py:92-130,
+    * TRIM_HORIZON iterator) → `startingposition`; BATCH_SIZE's
+    * GetRecords limit (consumer.py:255) → the per-shard fetch cap.
+    */
+  def kinesisSourceOptions(cfg: StreamConfig, streamName: String,
+                           region: String): Map[String, String] = Map(
+    "streamName" -> streamName,
+    "region" -> region,
+    "startingposition" -> "TRIM_HORIZON",
+    "maxFetchRecordsPerShard" -> cfg.batchSize.toString)
+
+  /** A ready-to-`.load()` reader for the Kinesis source. Building the
+    * reader performs no I/O (options are validated at load time), so the
+    * wiring itself is verifiable offline; swapping it for
+    * [[StreamOps.stageStreamDir]]'s file source is the only difference
+    * between the offline pipelines and a live deployment.
+    */
+  def kinesisReader(spark: SparkSession, cfg: StreamConfig,
+                    streamName: String, region: String): DataStreamReader =
+    spark.readStream.format("kinesis")
+      .options(kinesisSourceOptions(cfg, streamName, region))
 
   /** The configured landing pipeline: the reference's main() loop
     * (consumer.py:282-314) under this engine. A SHARD_NUMBER pins the

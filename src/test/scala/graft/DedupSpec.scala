@@ -61,8 +61,8 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val pairs = NearDup.simhashPairs(docs, 3)
       .select("a_id", "b_id", "hamming").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
   test("approx_count_distinct lands within 5x rsd of the exact count") {

@@ -31,6 +31,29 @@ class PlanSpec extends SparkSpec {
       "no partial aggregation phase in plan")
   }
 
+  test("approx_percentile brackets the exact percentile within rank tolerance") {
+    val orders = Tables.orders(spark, sf0001)
+    val approx = operators.Warehouse.approxPricePercentiles(orders).collect()
+    val byStatus = orders.select("o_orderstatus", "o_totalprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.nonEmpty)
+    for {
+      r <- approx
+      (q, v) <- Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2),
+                    0.99 -> r.getDouble(3))
+    } {
+      val xs = byStatus(r.getString(0))
+      // the estimate's empirical rank interval must contain the target
+      // quantile within the sketch's rank-error budget (1/accuracy, plus
+      // slack for the tiny-group discretization)
+      val lo = xs.count(_ < v).toDouble / xs.length
+      val hi = xs.count(_ <= v).toDouble / xs.length
+      val tol = 0.02
+      assert(lo - tol <= q && q <= hi + tol,
+        f"status=${r.getString(0)} q=$q%.2f est=$v rank interval [$lo%.3f, $hi%.3f]")
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on the join key") {
     val sp = spark
     import sp.implicits._

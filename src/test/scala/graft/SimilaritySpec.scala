@@ -55,6 +55,23 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f on clustered data — LSH should find planted neighbors")
   }
 
+  test("IVF nprobe widens recall: recall(nprobe=2) > recall(nprobe=1)") {
+    // the warehouse embeddings are near-random, so a query's true
+    // neighbors scatter across cells — exactly the regime where probing
+    // more cells must recover more of the exact top-k
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val r1 = (exact & pairs(Similarity.ivfSearch(emb, nQ, 10, nprobe = 1)))
+      .size.toDouble / exact.size
+    val r2 = (exact & pairs(Similarity.ivfSearch(emb, nQ, 10, nprobe = 2)))
+      .size.toDouble / exact.size
+    info(f"IVF recall@10: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
+    assert(r2 > r1,
+      f"nprobe=2 recall $r2%.3f did not improve on nprobe=1 $r1%.3f")
+    assert(r1 > 0.0, "nprobe=1 found none of the exact neighbors")
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -27,6 +27,22 @@ class StreamConfigSpec extends SparkSpec {
     }
   }
 
+  test("Kinesis source wiring maps StreamConfig onto connector options (egress-gated)") {
+    val cfg = StreamConfig.fromEnv(Map("BATCH_SIZE" -> "500"))
+    val opts = StreamConfig.kinesisSourceOptions(cfg, "clickstream", "eu-west-1")
+    assert(opts("streamName") === "clickstream")
+    assert(opts("region") === "eu-west-1")
+    // the reference replays from the stream head (consumer.py:92-130,
+    // TRIM_HORIZON shard iterator)
+    assert(opts("startingposition") === "TRIM_HORIZON")
+    // BATCH_SIZE = the GetRecords limit (consumer.py:255) → per-shard cap
+    assert(opts("maxFetchRecordsPerShard") === "500")
+    // building the reader is pure option plumbing — no I/O until .load(),
+    // which stays egress-gated out of this offline suite
+    val reader = StreamConfig.kinesisReader(spark, cfg, "clickstream", "eu-west-1")
+    assert(reader !== null)
+  }
+
   test("BATCH_SIZE bounds each trigger: 3 files at BATCH_SIZE=1 land as 3 batches") {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_test_mb_${UUID.randomUUID().toString.take(8)}")
