@@ -63,6 +63,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Warehouse.rollupAcctBal(region(s, d), nation(s, d), customer(s, d))),
     "q_cube" -> ((s, d) => Warehouse.cubeOrders(orders(s, d))),
     "q_grouping_sets" -> ((s, d) => Warehouse.orderGroupingSets(orders(s, d))),
+    "q_pivot" -> ((s, d) => Warehouse.statusPriorityPivot(orders(s, d))),
+    "q_unpivot" -> ((s, d) => Warehouse.unpivotMetrics(lineitem(s, d))),
     "q_window_topk" -> ((s, d) => Warehouse.topOrdersPerPriority(orders(s, d), 3)),
     "q_window_lag" -> ((s, d) => Warehouse.userEventGaps(events(s, d))),
     "q_window_running" -> ((s, d) => Warehouse.runningValue(events(s, d))),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
+    "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -89,6 +92,7 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
+    "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -322,6 +326,69 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q_kmeans_step" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, clabel AS assigned FROM (
+        |    SELECT vec_id, clabel,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |    FROM scored) WHERE rk = 1),
+        |newex AS (
+        |  SELECT a.assigned,
+        |    unnest([{'dim': i-1, 'val': e.embedding[i]} for i in range(1, len(e.embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings e JOIN assigned a USING (vec_id))
+        |SELECT assigned, CAST(dim AS INT) AS dim,
+        |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |FROM newex GROUP BY 1,2 ORDER BY assigned, dim""".stripMargin,
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT CASE
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 90 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |    length(text) AS n_chars_doc, lang
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(n_chars_doc) AS BIGINT) AS n_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "q_window_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

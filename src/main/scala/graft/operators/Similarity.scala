@@ -174,10 +174,10 @@ object Similarity {
     * the map-side partial aggregation collapses each vector's |codebook|
     * scored rows before any shuffle.
     */
-  private def assignedVectors(embeddings: DataFrame): DataFrame =
+  private def assignedVectors(embeddings: DataFrame, cents: DataFrame): DataFrame =
     embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
-      .crossJoin(broadcast(centroidsDF(embeddings)))
+      .crossJoin(broadcast(cents))
       .withColumn("score", cellScore(col("emb")))
       .groupBy("vec_id")
       .agg(first(col("label")).as("label"), first(col("emb")).as("emb"),
@@ -185,7 +185,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("emb"), col("m.clabel").as("assigned"))
 
   def ivfAssign(embeddings: DataFrame): DataFrame =
-    assignedVectors(embeddings)
+    assignedVectors(embeddings, centroidsDF(embeddings))
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
@@ -208,7 +208,12 @@ object Similarity {
     */
   def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
                 nprobe: Int = 1): DataFrame = {
-    val assigned = assignedVectors(embeddings)
+    // codebook built once and shared by the assignment and the probe
+    // derivation — persisted (it is codebook-sized, i.e. tiny) so the
+    // second consumer reuses the scan instead of re-deriving it
+    val cents = centroidsDF(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignedVectors(embeddings, cents)
       .withColumn("nrm", l2Norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-query probe list: the nprobe nearest cells under the same
@@ -218,7 +223,7 @@ object Similarity {
     val probes = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
               col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(centroidsDF(embeddings)))
+      .crossJoin(broadcast(cents))
       .withColumn("score", cellScore(col("q_emb")))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= nprobe)
@@ -236,6 +241,23 @@ object Similarity {
               round(col("nbr.score"), 6).as("sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** One Lloyd's iteration of k-means over the embedding corpus: assign
+    * every vector to its nearest current centroid (the label centroids as
+    * the starting codebook), then recompute per-cell component means —
+    * the training loop a clustering/IVF index build runs to convergence.
+    * Same decimal-exact mean discipline as [[labelCentroids]], so the
+    * updated codebook is reproducible cross-engine. Per iteration: one
+    * broadcast (codebook), one shuffle (per-cell mean) — the shape that
+    * scales to 100 TB of vectors with codebook-sized driver state.
+    */
+  def kmeansStep(embeddings: DataFrame): DataFrame =
+    assignedVectors(embeddings, centroidsDF(embeddings))
+      .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy("assigned", "dim")
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+      .orderBy("assigned", "dim")
 
   /** Per-label centroid, emitted as (label, dim, mean) rows. The component
     * sum goes through exact DECIMAL so the result is independent of

@@ -173,6 +173,26 @@ object TextAnalysis {
       .orderBy("lang", "term")
   }
 
+  /** Deterministic train/valid/test split (80/10/10) by content-stable
+    * hash of the document key: the split a training-data pipeline needs
+    * to be reproducible across engines, runs, and repartitionings —
+    * properties rand()-based sampleBy cannot give. The md5-derived
+    * 60-bit hash (NearDup.md5Hash60) mod 100 buckets each doc; summary
+    * stats per split prove the routing end-to-end against the oracle.
+    */
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("text")).cast("long")).as("n_chars"),
+           countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
     * minimum digest (a 1-permutation MinHash — the winnowing/rolling-hash
     * fingerprint family). Identical-content documents get identical

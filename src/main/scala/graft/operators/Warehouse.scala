@@ -381,6 +381,41 @@ object Warehouse {
       .orderBy("op")
   }
 
+  /** Pivot: order counts per status with one column per priority class.
+    * Catalyst compiles the explicit value list into a single-pass
+    * conditional aggregation (one Expand-free hash agg) — with the values
+    * enumerated there is no extra distinct-scan job. Absent combinations
+    * surface as 0, not null, to match the SQL conditional-sum form.
+    */
+  val priorityPivotCols: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high", "3-MEDIUM" -> "p_medium",
+    "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+
+  def statusPriorityPivot(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorityPivotCols.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +: priorityPivotCols.map { case (v, a) =>
+        coalesce(col(s"`$v`"), lit(0L)).as(a) }: _*)
+      .orderBy("o_orderstatus")
+
+  /** Unpivot (melt): the wide per-returnflag metric row back to skinny
+    * (metric, value) rows — the inverse operator to pivot, a pure
+    * map-side Expand (each input row emits one row per value column, no
+    * shuffle beyond the feeding aggregation).
+    */
+  def unpivotMetrics(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        dsum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).cast("double").as("sum_price"),
+        dsum(col("l_discount")).cast("double").as("sum_disc"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Exact distinct-count per group (the oracle-checkable half of A6). */
   def distinctBuyers(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderstatus")
