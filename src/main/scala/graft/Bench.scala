@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/classload warmup on a synthetic range — otherwise whichever
+    // query happens to run first is charged ~5 s of one-time JVM warmup
+    // (codegen compiler, parquet/noop writer classloading) that belongs
+    // to no query. The warmup touches no benchmark table and no query
+    // plan, so per-query numbers stay honest.
+    spark.range(1 << 20).selectExpr("sum(id) as s", "count(distinct id % 1000) as d")
+      .write.format("noop").mode("overwrite").save()
     // noop sink materializes every projected column through the whole plan
     // (a bare count() would let Catalyst prune expression work). Cache is
     // cleared between queries so each timing is isolated: persisted

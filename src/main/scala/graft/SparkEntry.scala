@@ -99,6 +99,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, d) => sources.Formats.orcRoundtrip(events(s, d))),
     "q_range_join" -> ((s, d) => Events.rangeJoinCounts(events(s, d))),
     "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
+    "q_redact" -> ((s, d) => Events.redactionStats(events(s, d))),
 
     // --- near-duplicate detection on documents (north-star dedup) ---
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
@@ -750,6 +751,25 @@ object SparkEntry {
         |       count(DISTINCT event_id) AS n_ids,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_redact" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    'reach user' || user_id || ' at u' || user_id ||
+        |      '@example.com or ref ' || event_id AS contact
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    len(regexp_extract_all(contact, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(contact, '[0-9]{4,}')) AS n_num,
+        |    regexp_replace(regexp_replace(contact,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+        |      '[0-9]{4,}', '<num>', 'g') AS redacted
+        |  FROM c)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_num) AS BIGINT) AS n_nums,
+        |  CAST(sum(length(redacted)) AS BIGINT) AS n_chars_redacted
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_cms_heavy" -> cmsOracleSql,
     "q_array_ops" ->
       """WITH b AS (

@@ -277,6 +277,38 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Email-ish pattern for the redaction scrub — the regex subset RE2,
+    * java.util.regex, and DuckDB's RE2 all interpret identically (char
+    * classes + bounded repetition, no lookaround).
+    */
+  val EmailPattern: String = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** PII-style redaction pass (the scrub a pretraining pipeline runs
+    * before training): synthesize a deterministic contact string per
+    * event (the testdata carries no real PII, so the oracle can rebuild
+    * it), then count and regexp-replace email addresses and long digit
+    * runs. Pure per-row codegen'd regex work + one tiny shuffle; at
+    * 100 TB this is embarrassingly parallel over row partitions — the
+    * repartition only cures the single-file local scan.
+    */
+  def redactionStats(events: DataFrame): DataFrame =
+    events
+      .repartition(col("event_id"))
+      .withColumn("contact",
+        concat(lit("reach user"), col("user_id"), lit(" at u"), col("user_id"),
+               lit("@example.com or ref "), col("event_id")))
+      .withColumn("n_email", regexp_count(col("contact"), lit(EmailPattern)))
+      .withColumn("n_num", regexp_count(col("contact"), lit("[0-9]{4,}")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("contact"), EmailPattern, "<email>"),
+                       "[0-9]{4,}", "<num>"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("n_email").cast("long")).as("n_emails"),
+           sum(col("n_num").cast("long")).as("n_nums"),
+           sum(length(col("redacted")).cast("long")).as("n_chars_redacted"))
+      .orderBy("event_type")
+
   /** Synthesizes the reference's nested event shape (SURVEY §1.2,
     * record.json:3) from the flat events table: visit.device.user struct
     * chain, login_status ('guest' | 'logged in:<id>', event.py:11),

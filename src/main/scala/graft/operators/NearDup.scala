@@ -153,7 +153,7 @@ object NearDup {
     * HOF expression work (no shuffle); the md5-based token hash keeps it
     * oracle-reproducible.
     */
-  def simhash(documents: DataFrame): DataFrame =
+  private def simhashUnordered(documents: DataFrame): DataFrame =
     documents
       .repartition(col("doc_id")) // single input file → spread the hash work
       .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -162,7 +162,9 @@ object NearDup {
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         graft.functions.SketchExpressions.simhash60(col("hs")).as("simhash"))
-      .orderBy("doc_id")
+
+  def simhash(documents: DataFrame): DataFrame =
+    simhashUnordered(documents).orderBy("doc_id")
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (< 4): the
     * 60-bit fingerprint splits into 4 15-bit bands; by pigeonhole any
@@ -171,7 +173,12 @@ object NearDup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
-    val fp = simhash(documents)
+    // fingerprints are skinny (doc_id, simhash) but cost a full
+    // tokenize+hash pass — persisted so the two self-join sides share one
+    // computation (same cache contract as jaccardPairs: callers reclaim
+    // with spark.catalog.clearCache(), as Bench does between queries)
+    val fp = simhashUnordered(documents).select("doc_id", "simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15) % lit(1L << 15)): _*))
