@@ -22,7 +22,14 @@ object Bench {
     // cleared between queries so each timing is isolated: persisted
     // subtrees (near-dup index, ANN base) otherwise accumulate heap
     // across 50+ queries and GC pressure skews later measurements.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    //
+    // SPARK_GRAFT_BENCH_REPS (default 1) runs each query N times and
+    // reports the per-query MEDIAN, so a single GC pause or compilation
+    // stall no longer reads as an operator regression. Reps run
+    // back-to-back per query (cache cleared between) rather than as N
+    // full passes, so run-order effects are identical across reps.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -39,7 +46,22 @@ object Bench {
         .filter(_.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
       // a failed query records a negative sentinel, never a fake fast time
-      name -> (if (ok) dt else -dt)
+      if (ok) dt else -dt
+    }
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query names for targeted
+    // local runs (regression triage); unset = full suite, as the driver runs it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map(_ => runOnce(name, fn))
+      // any failed rep poisons the query: report the (negative) sentinel
+      val v = if (times.exists(_ < 0)) times.min
+              else times.sorted.apply(times.size / 2)
+      name -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Deterministic release for operator-internal `persist()`s.
+  *
+  * Several operators (IVF search, LSH ANN, SimHash pair generation, the
+  * near-dup inverted index, CMS) persist a shared subplan that more than
+  * one consumer of the *returned* DataFrame will re-read. The returned
+  * plan is lazy, so the operator itself has no safe point to unpersist —
+  * doing so before the caller materializes would drop the cache it just
+  * paid for. Every such persist is therefore registered here, giving any
+  * caller (tests, notebooks, long-lived sessions) a deterministic
+  * [[release]] that unpersists exactly the operator-internal caches and
+  * nothing else the session may have cached for its own reasons.
+  * `spark.catalog.clearCache()` (what Bench does between queries) remains
+  * a superset; release() is the targeted form the ADVICE asked for.
+  */
+object CacheRegistry {
+  private val tracked = mutable.ListBuffer.empty[DataFrame]
+
+  /** Register a persisted DataFrame; returns it unchanged for chaining. */
+  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+
+  def trackedCount: Int = synchronized(tracked.size)
+
+  /** Unpersist every registered cache and forget it. Safe to call at any
+    * eager boundary; already-unpersisted entries (e.g. after a session
+    * clearCache) are a no-op.
+    */
+  def release(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}

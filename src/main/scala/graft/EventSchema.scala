@@ -108,12 +108,17 @@ object EventSchema {
 
   /** query_string_array (array<array<string>> of k/v pairs, reference
     * event.py:27-31) → map<string,string> (SURVEY F7). Values are
-    * %-unescaped with url_decode (application/x-www-form-urlencoded:
-    * %XX escapes and '+' → space), since real query strings arrive
-    * percent-encoded; keys in the reference shape are bare identifiers
-    * and stay as-is.
+    * %-unescaped (application/x-www-form-urlencoded: %XX escapes and
+    * '+' → space), since real query strings arrive percent-encoded.
+    * DELIBERATE DEVIATION from the reference, which keeps values
+    * percent-encoded (no unquote/parse_qs anywhere in consumer.py) —
+    * documented in SURVEY F7. try_url_decode, not url_decode: a single
+    * malformed %-sequence in real data must yield a null value for that
+    * key, not fail the whole query (a failure mode the reference's
+    * no-decode pipeline cannot hit, so we must not introduce it).
+    * Keys in the reference shape are bare identifiers and stay as-is.
     */
   def queryStringMap(c: Column): Column =
     map_from_entries(transform(c, p =>
-      struct(p.getItem(0).as("key"), url_decode(p.getItem(1)).as("value"))))
+      struct(p.getItem(0).as("key"), try_url_decode(p.getItem(1)).as("value"))))
 }

@@ -87,6 +87,7 @@ object CountMin {
       .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
       .withColumn("hv", graft.operators.NearDup.md5Hash60(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val cms = udaf(new CMSAgg(seed), Encoders.scalaLong)
     val sketch: Seq[Long] = toks.agg(cms(col("hv")).as("sk"))
       .head().getSeq[Long](0)

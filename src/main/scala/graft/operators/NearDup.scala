@@ -60,9 +60,11 @@ object NearDup {
     // subtree once per consumer (4× the scan at any scale). The cache
     // outlives the returned (lazy) DataFrame by design — callers running
     // many such queries in one long session reclaim it with
-    // spark.catalog.clearCache(), as Bench does between queries.
+    // graft.CacheRegistry.release() (targeted) or
+    // spark.catalog.clearCache() (superset), as Bench does between queries.
     val idx = invertedIndex(shingleSets(documents, n), dfCutoff)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = idx.as("a").join(idx.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -122,6 +124,7 @@ object NearDup {
       .withColumn("sig",
         graft.functions.SketchExpressions.minhashSig(col("hs"), k, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     // band rows stay skinny (no shingle arrays) — the arrays join back in
     // only for the verified candidate pairs
     val banded = docs.select(
@@ -175,10 +178,12 @@ object NearDup {
     require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
     // fingerprints are skinny (doc_id, simhash) but cost a full
     // tokenize+hash pass — persisted so the two self-join sides share one
-    // computation (same cache contract as jaccardPairs: callers reclaim
-    // with spark.catalog.clearCache(), as Bench does between queries)
+    // computation (same cache contract as jaccardPairs: callers reclaim with
+    // graft.CacheRegistry.release() or spark.catalog.clearCache(), as Bench
+    // does between queries)
     val fp = simhashUnordered(documents).select("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15) % lit(1L << 15)): _*))

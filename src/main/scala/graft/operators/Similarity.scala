@@ -92,6 +92,7 @@ object Similarity {
     // scoring join (CacheManager dedupes the identical subplan)
     val base = withNorms(embeddings.select("vec_id", "embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     // cells stay skinny (no embeddings): the pair space is generated and
     // deduplicated on ids only, then the vectors join back in for scoring —
     // shuffling 2 longs per candidate instead of 2 embeddings
@@ -203,8 +204,10 @@ object Similarity {
     * Cache contract: the assigned-vectors subplan is persisted because
     * the probe derivation and the candidate join both consume it; the
     * cache outlives the returned lazy DataFrame by design — long-lived
-    * sessions running many queries reclaim it with
-    * spark.catalog.clearCache(), as Bench does between queries.
+    * sessions running many queries reclaim it deterministically with
+    * [[graft.CacheRegistry.release]] (every operator-internal persist is
+    * registered there), or wholesale with spark.catalog.clearCache(), as
+    * Bench does between queries.
     */
   def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
                 nprobe: Int = 1): DataFrame = {
@@ -213,9 +216,11 @@ object Similarity {
     // second consumer reuses the scan instead of re-deriving it
     val cents = centroidsDF(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val assigned = assignedVectors(embeddings, cents)
       .withColumn("nrm", l2Norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     // per-query probe list: the nprobe nearest cells under the same
     // (score, clabel) order the assignment argmin uses — at nprobe=1 this
     // degenerates to exactly the query's own assigned cell

@@ -182,6 +182,11 @@ object TextAnalysis {
     */
   def hashSplit(documents: DataFrame): DataFrame =
     documents
+      // single-file local layout scans as one split — spread the md5 +
+      // length work across cores (same treatment as the sibling
+      // documents-table operators; at cluster scale this is a no-op cost
+      // next to the shuffle the groupBy needs anyway)
+      .repartition(col("doc_id"))
       .withColumn("h",
         pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
       .withColumn("split",

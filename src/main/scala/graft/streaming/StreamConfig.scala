@@ -52,21 +52,31 @@ object StreamConfig {
 
   /** Kinesis connector wiring (S1 proper) behind the same seam the
     * offline file source stands in for: StreamConfig → the reader options
-    * a Structured Streaming Kinesis connector consumes. EGRESS-GATED:
-    * this sandbox has no network, so the mapping is compiled and
-    * unit-tested as option plumbing only (StreamConfigSpec) and never
-    * `.load()`ed here — the same isolation seam the reference's own test
-    * draws (test/consumer_test.py mocks the boto3 client). The mapping:
-    * the reference's replay-from-stream-head (consumer.py:92-130,
-    * TRIM_HORIZON iterator) → `startingposition`; BATCH_SIZE's
-    * GetRecords limit (consumer.py:255) → the per-shard fetch cap.
+    * a Structured Streaming Kinesis connector consumes.
+    *
+    * TARGETED CONNECTOR: the AWS Labs Structured Streaming connector,
+    * artifact `software.amazon.kinesis:spark-streaming-sql-kinesis-connector_2.13`
+    * version 1.x (github.com/awslabs/spark-sql-kinesis-connector, the
+    * maintained successor of Qubole's spark-sql-kinesis), whose options
+    * are `kinesis.`-prefixed. EGRESS-GATED: this sandbox has no network,
+    * so the mapping is compiled and unit-tested as option plumbing only
+    * (StreamConfigSpec) and never `.load()`ed here — the same isolation
+    * seam the reference's own test draws (test/consumer_test.py mocks the
+    * boto3 client). Key spellings therefore could not be validated
+    * against a live load; at deploy time check them against that
+    * connector README — this one function is the only seam to adjust.
+    * The mapping: the reference's replay-from-stream-head
+    * (consumer.py:92-130, TRIM_HORIZON iterator) →
+    * `kinesis.startingPosition`; BATCH_SIZE's GetRecords limit
+    * (consumer.py:255) → the per-shard fetch cap.
     */
   def kinesisSourceOptions(cfg: StreamConfig, streamName: String,
                            region: String): Map[String, String] = Map(
-    "streamName" -> streamName,
-    "region" -> region,
-    "startingposition" -> "TRIM_HORIZON",
-    "maxFetchRecordsPerShard" -> cfg.batchSize.toString)
+    "kinesis.streamName" -> streamName,
+    "kinesis.region" -> region,
+    "kinesis.consumerType" -> "GetRecords",
+    "kinesis.startingPosition" -> "TRIM_HORIZON",
+    "kinesis.maxFetchRecordsPerShard" -> cfg.batchSize.toString)
 
   /** A ready-to-`.load()` reader for the Kinesis source. Building the
     * reader performs no I/O (options are validated at load time), so the

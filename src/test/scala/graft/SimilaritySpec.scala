@@ -64,8 +64,14 @@ class SimilaritySpec extends SparkSpec {
     val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
     val r1 = (exact & pairs(Similarity.ivfSearch(emb, nQ, 10, nprobe = 1)))
       .size.toDouble / exact.size
+    // each ivfSearch call persists its codebook + assignment subplans;
+    // CacheRegistry.release() is the deterministic per-call reclaim for
+    // long-lived sessions (the targeted alternative to clearCache)
+    CacheRegistry.release()
+    assert(CacheRegistry.trackedCount === 0)
     val r2 = (exact & pairs(Similarity.ivfSearch(emb, nQ, 10, nprobe = 2)))
       .size.toDouble / exact.size
+    CacheRegistry.release()
     info(f"IVF recall@10: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
     assert(r2 > r1,
       f"nprobe=2 recall $r2%.3f did not improve on nprobe=1 $r1%.3f")

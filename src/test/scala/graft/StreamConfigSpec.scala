@@ -30,13 +30,16 @@ class StreamConfigSpec extends SparkSpec {
   test("Kinesis source wiring maps StreamConfig onto connector options (egress-gated)") {
     val cfg = StreamConfig.fromEnv(Map("BATCH_SIZE" -> "500"))
     val opts = StreamConfig.kinesisSourceOptions(cfg, "clickstream", "eu-west-1")
-    assert(opts("streamName") === "clickstream")
-    assert(opts("region") === "eu-west-1")
+    // option spellings target the AWS Labs connector
+    // software.amazon.kinesis:spark-streaming-sql-kinesis-connector_2.13 (1.x),
+    // whose options are `kinesis.`-prefixed — see kinesisSourceOptions docs
+    assert(opts("kinesis.streamName") === "clickstream")
+    assert(opts("kinesis.region") === "eu-west-1")
     // the reference replays from the stream head (consumer.py:92-130,
     // TRIM_HORIZON shard iterator)
-    assert(opts("startingposition") === "TRIM_HORIZON")
+    assert(opts("kinesis.startingPosition") === "TRIM_HORIZON")
     // BATCH_SIZE = the GetRecords limit (consumer.py:255) → per-shard cap
-    assert(opts("maxFetchRecordsPerShard") === "500")
+    assert(opts("kinesis.maxFetchRecordsPerShard") === "500")
     // building the reader is pure option plumbing — no I/O until .load(),
     // which stays egress-gated out of this offline suite
     val reader = StreamConfig.kinesisReader(spark, cfg, "clickstream", "eu-west-1")
