@@ -83,6 +83,7 @@ object SparkEntry {
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
+    "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -93,6 +94,9 @@ object SparkEntry {
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
+    "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
+    "q_ivf_search_trained" -> ((s, d) =>
+      Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -113,6 +117,7 @@ object SparkEntry {
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
+    "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
@@ -378,6 +383,79 @@ object SparkEntry {
         |SELECT assigned, CAST(dim AS INT) AS dim,
         |       CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM newex GROUP BY 1,2 ORDER BY assigned, dim""".stripMargin,
+    // the composed pipeline: quality >= 0.5 → exact-dup drop (min doc_id
+    // per fingerprint survives) → simhash hamming<=3 near-dup drop (higher
+    // id of each pair) → md5-mod-100 split → per-split token totals. Each
+    // CTE block is the same SQL as the stage's standalone oracle
+    // (q_text_quality / q_doc_fingerprint / q_neardup_simhash /
+    // q_hash_split / q_text_tokens), chained.
+    "q_pipeline_e2e" ->
+      """WITH tq AS (
+        |  SELECT doc_id,
+        |    round(0.4*(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)
+        |        + 0.3*(CASE WHEN n_chars_txt > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END)
+        |        + 0.3*(CAST(least(n_tokens, 100) AS DOUBLE)/100.0), 6) AS quality_score
+        |  FROM (
+        |    SELECT doc_id, len(toks) AS n_tokens, n_chars_txt, n_alnum,
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS n_stop
+        |    FROM (
+        |      SELECT doc_id,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+        |        length(text) AS n_chars_txt,
+        |        length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_alnum
+        |      FROM documents))),
+        |keepq AS (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN tq USING (doc_id)
+        |  WHERE tq.quality_score >= 0.5),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) ELSE NULL END AS fingerprint
+        |  FROM (
+        |    SELECT doc_id, CASE WHEN len(toks) >= 4
+        |      THEN [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+        |      ELSE [] END AS sh
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |          FROM keepq))),
+        |exdrop AS (
+        |  SELECT DISTINCT f1.doc_id FROM fp f1 JOIN fp f2
+        |    ON f1.fingerprint = f2.fingerprint AND f2.doc_id < f1.doc_id),
+        |keepd AS (
+        |  SELECT doc_id, text FROM keepq
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+        |sfp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id,
+        |      [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')] AS hs
+        |    FROM keepd)),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM sfp, unnest(range(0, 4)) AS t(b)),
+        |nddrop AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |keepnd AS (
+        |  SELECT doc_id, text FROM keepd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        |sp AS (
+        |  SELECT CASE
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 90 THEN 'valid'
+        |    ELSE 'test' END AS split, lower(text) AS lt
+        |  FROM keepnd)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lt), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_kmeans_train" -> kmeansTrainOracleSql(3),
+    "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CASE
@@ -569,6 +647,19 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
+    // the streaming sliding twin shares the batch q_window_sliding frame:
+    // each event belongs to width/slide = 2 overlapping 12h windows
+    "q_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS w1, event_type, value
+        |  FROM events),
+        |ex AS (
+        |  SELECT w1 AS window_start_s, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT w1 - 21600, event_type, value FROM e)
+        |SELECT window_start_s, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
     // session_window treats an event at exactly start+gap as a NEW session
     // (half-open interval), hence >= in the gap predicate below — the batch
     // q_sessionize uses > with lag(), a deliberate boundary-semantics pair.
@@ -893,6 +984,93 @@ object SparkEntry {
   val cmsProbes: Seq[String] = Seq(
     "the", "data", "spark", "table", "row", "query", "window", "batch",
     "stream", "zzzabsentterm")
+
+  /** CTE chain for `iters` Lloyd iterations of k-means: cent0 = the
+    * label centroids, then for each i: score against cent(i-1), argmin-
+    * assign (ties to lowest cell, matching the Spark min-struct), recompute
+    * decimal-exact means, rebuild cent(i). Mirrors Similarity.kmeansTrain
+    * iteration for iteration, so the trained codebook hash-matches.
+    */
+  private def kmeansCentChain(iters: Int): String = {
+    val head =
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |scored$i AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent${i - 1} c),
+         |assigned$i AS (
+         |  SELECT vec_id, clabel AS assigned FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |    FROM scored$i) WHERE rk = 1),
+         |mex$i AS (
+         |  SELECT a.assigned,
+         |    unnest([{'dim': i-1, 'val': e.embedding[i]} for i in range(1, len(e.embedding)+1)],
+         |           recursive := true)
+         |  FROM embeddings e JOIN assigned$i a USING (vec_id)),
+         |means$i AS (
+         |  SELECT assigned, dim,
+         |         CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |  FROM mex$i GROUP BY 1,2),
+         |cent$i AS (
+         |  SELECT assigned AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM means$i GROUP BY 1)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  /** k-means trained for `iters` iterations: the final per-cell means. */
+  private def kmeansTrainOracleSql(iters: Int): String =
+    kmeansCentChain(iters) +
+      s"""
+         |SELECT assigned, CAST(dim AS INT) AS dim, mean_val
+         |FROM means$iters ORDER BY assigned, dim""".stripMargin
+
+  /** IVF search (nprobe=1) on the codebook after `iters` k-means
+    * iterations — same search SQL as q_ivf_search, indexing cent$iters.
+    */
+  private def ivfTrainedOracleSql(iters: Int): String =
+    kmeansCentChain(iters) +
+      s""",
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |b AS (
+         |  SELECT e.vec_id, a.clabel AS assigned, e.embedding::DOUBLE[] AS emb,
+         |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings e JOIN (SELECT vec_id, clabel FROM assignrk WHERE rk = 1) a
+         |    USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, assigned, emb AS q_emb, nrm AS q_nrm
+         |      FROM b WHERE vec_id < 20),
+         |pairs AS (
+         |  SELECT q.query_id, b.vec_id AS neighbor_id,
+         |         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS sim
+         |  FROM b JOIN q ON b.assigned = q.assigned AND b.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM pairs)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Count-Min oracle: rebuilds the sketch matrix and the probe estimates
     * in SQL from the same seeded hash params as the Aggregator.

@@ -191,6 +191,92 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
 
+  /** Per-cell component means of the vectors assigned under `cents` — the
+    * "update" half of one Lloyd iteration, shared by [[kmeansStep]] and
+    * the [[kmeansTrain]] loop. Decimal-exact sums keep the means
+    * independent of partition/merge order.
+    */
+  private def stepMeans(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignedVectors(embeddings, cents)
+      .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy("assigned", "dim")
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+
+  /** Rebuild the broadcastable codebook from (assigned, dim, mean_val)
+    * mean rows — the same shape [[centroidsDF]] derives from label means,
+    * so iterations compose. Cells that lost every vector simply vanish
+    * (standard Lloyd's; both engines drop them identically).
+    */
+  private def codebookFromMeans(means: DataFrame): DataFrame =
+    means
+      .groupBy(col("assigned").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("clabel"),
+              transform(col("cs"), s => s.getField("mean_val")).as("cvec"))
+      .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
+
+  /** k-means TRAINED for `iters` Lloyd iterations (assign → update,
+    * iterated), returning the final (assigned, dim, mean_val) rows —
+    * iters=1 is exactly [[kmeansStep]]. Deterministic end-to-end (argmin
+    * tiebreaks to the lowest cell id, means are decimal-exact, dot
+    * products are the same sequential fold both engines run), so the
+    * whole trained codebook hash-matches a DuckDB oracle that iterates
+    * the same CTE chain. Per iteration: one codebook broadcast + one
+    * mean shuffle; every intermediate codebook is codebook-sized, so
+    * driver/broadcast state never grows with the corpus — the loop a
+    * 100 TB IVF index build runs. The per-iteration codebook is
+    * persisted (tiny) to stop plan-depth blowup: without it, iteration
+    * i's plan re-derives every earlier iteration once per consumer.
+    */
+  def kmeansTrain(embeddings: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeansTrain needs at least one iteration")
+    var cents = centroidsDF(embeddings)
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      means = stepMeans(embeddings, cents)
+      cents = codebookFromMeans(means)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    }
+    means.orderBy("assigned", "dim")
+  }
+
+  /** The trained codebook itself (what [[ivfSearch]] indexes on when
+    * trainIters > 0).
+    */
+  private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame = {
+    var cents = centroidsDF(embeddings)
+    for (_ <- 1 to iters) {
+      cents = codebookFromMeans(stepMeans(embeddings, cents))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    }
+    cents
+  }
+
+  /** Total distortion (sum of squared L2 distance to the assigned
+    * centroid) after each of `iters` codebook states, starting from the
+    * label-centroid codebook — the convergence instrument: Lloyd's
+    * guarantees the sequence is non-increasing (asserted in
+    * SimilaritySpec). |v|² is added back to the argmin-invariant score so
+    * the value is a true distance, not just a comparator.
+    */
+  def kmeansDistortions(embeddings: DataFrame, iters: Int): Seq[Double] = {
+    var cents = centroidsDF(embeddings)
+    (1 to iters).map { _ =>
+      val assigned = assignedVectors(embeddings, cents)
+        .join(broadcast(cents), col("assigned") === col("clabel"))
+      val d = assigned
+        .select((cellScore(col("emb")) + dot(col("emb"), col("emb"))).as("d2"))
+        .agg(sum(col("d2"))).head().getDouble(0)
+      cents = codebookFromMeans(stepMeans(embeddings, cents))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+      d
+    }
+  }
+
   /** IVF SEARCH: each query vector scans only its `nprobe` nearest
     * centroid cells — candidates meet through an equi-join on the cell
     * id, so the pair space is bounded by nprobe × cell occupancy
@@ -210,11 +296,15 @@ object Similarity {
     * Bench does between queries.
     */
   def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
-                nprobe: Int = 1): DataFrame = {
+                nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
     // codebook built once and shared by the assignment and the probe
     // derivation — persisted (it is codebook-sized, i.e. tiny) so the
-    // second consumer reuses the scan instead of re-deriving it
-    val cents = centroidsDF(embeddings)
+    // second consumer reuses the scan instead of re-deriving it.
+    // trainIters > 0 indexes on a k-means-TRAINED codebook (the
+    // train → index → search composition of a real IVF build) instead of
+    // the raw label centroids.
+    val cents = (if (trainIters > 0) trainedCodebook(embeddings, trainIters)
+                 else centroidsDF(embeddings))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     val assigned = assignedVectors(embeddings, cents)
@@ -257,11 +347,7 @@ object Similarity {
     * scales to 100 TB of vectors with codebook-sized driver state.
     */
   def kmeansStep(embeddings: DataFrame): DataFrame =
-    assignedVectors(embeddings, centroidsDF(embeddings))
-      .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
-      .groupBy("assigned", "dim")
-      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
-        .as("mean_val"))
+    stepMeans(embeddings, centroidsDF(embeddings))
       .orderBy("assigned", "dim")
 
   /** Per-label centroid, emitted as (label, dim, mean) rows. The component

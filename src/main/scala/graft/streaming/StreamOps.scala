@@ -244,6 +244,35 @@ object StreamOps {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Streaming SLIDING event-time window aggregation (T8's third window
+    * shape, completing the batch/streaming matrix next to tumbling and
+    * session): each event lands in width/slide overlapping windows — the
+    * state store holds that many panes per (window, type) key, expired
+    * together by the watermark. Same output contract as the batch
+    * [[graft.operators.Events.slidingCounts]].
+    */
+  def streamSlidingCounts(spark: SparkSession, sfDir: String,
+                          widthHours: Int, slideHours: Int): DataFrame = {
+    val table = s"graft_stream_slide_${UUID.randomUUID().toString.take(8)}"
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$widthHours hours", s"$slideHours hours").as("w"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+  }
+
   /** Per-user state carried by the custom-state API. Money is carried as
     * exact integer cents (derived via the same decimal(18,2) cast the
     * whole suite uses) so state merges are order-independent.

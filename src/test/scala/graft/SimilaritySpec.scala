@@ -78,6 +78,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 > 0.0, "nprobe=1 found none of the exact neighbors")
   }
 
+  test("k-means total distortion is monotone non-increasing across iterations") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val ds = Similarity.kmeansDistortions(emb, 4)
+    info("distortions: " + ds.map(d => f"$d%.2f").mkString(" -> "))
+    ds.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, f"distortion rose: $a%.4f -> $b%.4f (Lloyd's must not increase it)")
+    case _ => ()
+    }
+    CacheRegistry.release()
+  }
+
+  test("IVF on a trained codebook still finds exact neighbors (recall > 0, k rows per query)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val trained = Similarity.ivfSearch(emb, nQ, 10, nprobe = 1, trainIters = 2)
+    val got = trained.collect()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val recall = (exact & pairs(trained)).size.toDouble / exact.size
+    info(f"trained-codebook IVF recall@10 = $recall%.3f")
+    assert(recall > 0.0, "trained-codebook IVF found none of the exact neighbors")
+    CacheRegistry.release()
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
