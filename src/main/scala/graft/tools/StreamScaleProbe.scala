@@ -1,0 +1,81 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev tool: state-store growth evidence for stateful streaming
+  * sessionization (the T8/q_stream_session scale story).
+  *
+  * Stages `factor` day-shifted replicas of the events table as separate
+  * files (one micro-batch each via maxFilesPerTrigger=1 — event time
+  * advances one day per batch, so the watermark advances with it), runs
+  * the session_window aggregation in APPEND mode, and prints the state
+  * store's row count and memory per batch from StreamingQueryProgress,
+  * once with a 1-hour watermark (state bounded: sessions older than the
+  * watermark are finalized and evicted) and once with an effectively
+  * infinite watermark (state grows with every batch — the unbounded
+  * failure mode the watermark exists to prevent).
+  *
+  * NOTE the oracle-facing q_stream_session runs in COMPLETE mode (the
+  * memory sink must re-emit the full result), where state is never
+  * evicted by design — fine for a finite verification corpus, wrong for
+  * an unbounded production stream. This probe is the production shape:
+  * append mode + watermark, emitting each session once when it closes.
+  */
+object StreamScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val tmp = sys.props("java.io.tmpdir")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val src = s"$tmp/graft_sprobe_src_$runId"
+    Files.createDirectories(Paths.get(src))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = raw nanos
+    val dayNs = 86400L * 1000000000L
+    (0 until factor).foreach { k =>
+      raw.withColumn("ts", col("ts") + lit(k * dayNs))
+        .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+        .coalesce(1).write.parquet(s"$src/rep_$k")
+      // the file source lists files, not subdirs — promote the part file
+      val part = Files.list(Paths.get(s"$src/rep_$k")).toArray
+        .map(_.toString).find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(f"$src/rep_$k%03d.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/rep_$k"))
+    }
+
+    def run(label: String, wm: String): Unit = {
+      val ck = s"$tmp/graft_sprobe_ck_${runId}_$label"
+      val q = graft.streaming.StreamOps
+        .eventsStreamFromDir(spark, src, maxFilesPerTrigger = Some(1))
+        .withWatermark("ts", wm)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.foreach { p =>
+        p.stateOperators.headOption.foreach { so =>
+          println(f"STATE $label%-10s batch=${p.batchId}%2d in=${p.numInputRows}%8d " +
+            f"stateRows=${so.numRowsTotal}%8d evicted=${so.numRowsRemoved}%8d " +
+            f"stateMem=${so.memoryUsedBytes / 1024}%7d KiB")
+        }
+      }
+    }
+
+    run("wm_1h", "1 hour")
+    run("wm_inf", "87600 hours") // ~10 years: nothing ever falls behind it
+    spark.stop()
+  }
+}
