@@ -84,6 +84,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
+    "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
     "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
+    "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
     "q_cms_heavy" -> ((s, d) =>
       graft.functions.CountMin.cmsTermCounts(documents(s, d), cmsProbes)),
 
@@ -456,6 +458,23 @@ object SparkEntry {
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
+    // offset-based first-fit packing: bin = tokens-before DIV budget over
+    // a per-lang running count in doc_id order (see sequencePacking docs)
+    "q_seq_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |       max(n_tok) AS max_doc_tokens
+        |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CASE
@@ -924,6 +943,43 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // connected components over the simhash near-dup graph: pairs CTE as
+    // in q_neardup_simhash, then a recursive transitive closure; cluster
+    // id = min reachable doc_id — the same fixpoint the Spark label
+    // propagation converges to.
+    "q_neardup_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM prs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
     // IVF search probing the 2 nearest cells: same construction as
     // q_ivf_search, with the probe list widened to rk <= 2 (candidates
     // stay unique per query — each vector lives in exactly one cell).

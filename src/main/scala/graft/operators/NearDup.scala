@@ -174,6 +174,61 @@ object NearDup {
     * pair within hamming 3 agrees on at least one full band, so the
     * band-equality join is EXACT, never all-pairs. bit_count(xor) verifies.
     */
+  /** Duplicate CLUSTERS: connected components over the SimHash near-dup
+    * pair graph, labeling every paired doc with the smallest doc_id
+    * reachable from it — the clustering a production dedup pipeline runs
+    * so "keep one representative per duplicate group" survives transitive
+    * chains (a~b, b~c, a≁c must still collapse to ONE group; pairwise
+    * drop-the-larger would handle it by luck of id ordering, components
+    * handle it by construction).
+    *
+    * Iterative min-label propagation (the Pregel/GraphX connected-
+    * components shape reduced to DataFrame joins): every node starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels; converged when no label changes. Each round is
+    * one hash join + one aggregation (shuffles keyed on the
+    * high-cardinality doc_id), the round count is the component DIAMETER
+    * (tiny for dup clusters — near-dup groups are cliques-ish), and the
+    * only driver-side value per round is the scalar changed-count that
+    * decides convergence — the standard iterative-algorithm driver loop.
+    * Output is the true fixpoint, so it is deterministic and oracled
+    * against a DuckDB recursive CTE computing the same reachability.
+    */
+  def duplicateComponents(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val edges = simhashPairs(documents, maxHamming).select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = sym.select(col("a_id").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("b_id"), col("lbl").as("nlbl")), "b_id")
+        .groupBy(col("a_id").as("id")).agg(min(col("nlbl")).as("nbl"))
+      // old label rides along so the convergence check is a filter on the
+      // SAME materialized frame, not a second join against the old labels.
+      // localCheckpoint (not persist): it TRUNCATES the logical lineage,
+      // so round i's plan doesn't re-analyze rounds 1..i-1 — with plain
+      // persist the per-round Catalyst planning cost grows with the
+      // round number even though execution reads the cache.
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+                col("lbl").as("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") < col("old")).count()
+      // the superseded generation's cache can go immediately instead of
+      // accumulating across rounds
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
     // fingerprints are skinny (doc_id, simhash) but cost a full

@@ -198,6 +198,36 @@ object TextAnalysis {
            countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** Training-sequence PACKING: assign documents (in stable doc_id order
+    * per language) to fixed-token-budget bins — the "pack documents into
+    * 2048-token training sequences" step of an LLM data pipeline. The bin
+    * of a doc is floor(tokens_before_it / budget) over a running token
+    * count, i.e. offset-based first-fit: deterministic, one window pass,
+    * and expressible identically in both engines (an exact
+    * reset-on-overflow greedy is inherently sequential; offset packing is
+    * the distributable form real pipelines use, bins overflow by at most
+    * one document). Output: per (lang, bin) document count and token
+    * total, plus the max single-doc token count as an overflow witness.
+    * Scale shape: one shuffle for the window (keyed by lang — at 100 TB
+    * the partition key would be (lang, shard) with per-shard packing,
+    * same plan), one for the final agg.
+    */
+  def sequencePacking(documents: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .repartition(col("doc_id"))
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $budget")) // exact integer division
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("bin_tokens"),
+           max(col("n_tok")).as("max_doc_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
     * minimum digest (a 1-permutation MinHash — the winnowing/rolling-hash
     * fingerprint family). Identical-content documents get identical

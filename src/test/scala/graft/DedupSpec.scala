@@ -65,6 +65,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
 
+  test("duplicateComponents collapses a transitive chain into one cluster") {
+    val sp = spark
+    import sp.implicits._
+    // a ~ b (identical), b ~ c (identical) ⇒ {a,b,c} must be ONE cluster
+    // labeled by the minimum id, even though a ~ c is only transitive;
+    // d/e form a second identical pair; f is a singleton (no pair → no row)
+    val same1 = "spark shuffles the sorted aggregation across executor partitions"
+    val same2 = "watermarks bound the streaming state store growth per batch"
+    val docs = Seq(
+      (10L, same1), (11L, same1), (12L, same1),
+      (20L, same2), (21L, same2),
+      (30L, "a completely different document about columnar file formats"))
+      .toDF("doc_id", "text")
+    val comps = NearDup.duplicateComponents(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(comps === Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
+    CacheRegistry.release()
+  }
+
   test("approx_count_distinct lands within 5x rsd of the exact count") {
     val orders = Tables.orders(spark, sf0001)
     val exact = operators.Warehouse.distinctBuyers(orders)
