@@ -41,7 +41,7 @@ object Pipeline {
     // Docs too short to shingle (null fingerprint) are all kept: at scale
     // that partition is the one potential hot key, and it never joins
     // (null != null), it only passes through the keep-filter.
-    val fp = TextAnalysis.fingerprints(docsQ).select("doc_id", "fingerprint")
+    val fp = TextAnalysis.fingerprintsUnordered(docsQ).select("doc_id", "fingerprint")
     val survivorsExact = fp
       .withColumn("min_id", min(col("doc_id")).over(Window.partitionBy("fingerprint")))
       .filter(col("fingerprint").isNull || col("doc_id") === col("min_id"))

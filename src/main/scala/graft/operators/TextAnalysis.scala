@@ -234,7 +234,11 @@ object TextAnalysis {
     * fingerprints regardless of partitioning; grouping by fingerprint is
     * the exact-near-dup clustering key at scale.
     */
-  def fingerprints(documents: DataFrame, n: Int = 4): DataFrame =
+  /** Unordered form for composition (Pipeline.e2e): the standalone
+    * query's trailing orderBy is oracle-determinism, and left inside a
+    * larger plan it becomes a useless global range-sort mid-pipeline.
+    */
+  def fingerprintsUnordered(documents: DataFrame, n: Int = 4): DataFrame =
     documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", shingles(col("toks"), n))
@@ -243,5 +247,7 @@ object TextAnalysis {
         size(col("sh")).cast("long").as("n_shingles"),
         when(size(col("sh")) > 0, array_min(transform(col("sh"), s => md5(s))))
           .otherwise(lit(null)).as("fingerprint"))
-      .orderBy("doc_id")
+
+  def fingerprints(documents: DataFrame, n: Int = 4): DataFrame =
+    fingerprintsUnordered(documents, n).orderBy("doc_id")
 }
