@@ -73,9 +73,12 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
+        // summed token length as length(concat_ws("", toks)) — same exact
+        // integer as the aggregate() lambda fold, but fully codegen'd
+        // (HOF lambdas evaluate interpreted, ~100× slower per row)
         round(
           when(col("n_tokens") > 0,
-            aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+            length(concat_ws("", col("toks")))
               .cast("double") / col("n_tokens"))
             .otherwise(lit(0.0)), 6).as("avg_token_len"),
         // same zero-guard as the token ratios: an empty document scores
