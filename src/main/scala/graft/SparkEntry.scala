@@ -112,6 +112,22 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
     "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
     "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
+    // the SQL surface of the custom codegen'd expressions (§2.10): the
+    // simhash fingerprint query written in spark.sql against the
+    // registered simhash60 function — same result (and oracle) as the
+    // Column-API q_dedup_simhash, proving the registered SQL path end-to-end
+    "q_simhash_sql" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d).createOrReplaceTempView("graft_documents_sqlv")
+      s.sql("""
+        SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens,
+               simhash60(transform(toks,
+                 t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))) AS simhash
+        FROM (SELECT doc_id,
+                filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM graft_documents_sqlv)
+        ORDER BY doc_id""")
+    }),
     "q_cms_heavy" -> ((s, d) =>
       graft.functions.CountMin.cmsTermCounts(documents(s, d), cmsProbes)),
 
@@ -120,6 +136,7 @@ object SparkEntry {
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
+    "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
@@ -679,6 +696,18 @@ object SparkEntry {
         |SELECT window_start_s, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ex GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
+    // stream-stream interval join: purchases × same-user views within the
+    // trailing hour — the static frame is a plain self-join with the same
+    // time-range predicate (micros arithmetic, both engines exact)
+    "q_stream_ssjoin" ->
+      """SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |ORDER BY p_id, v_id""".stripMargin,
     // session_window treats an event at exactly start+gap as a NEW session
     // (half-open interval), hence >= in the gap predicate below — the batch
     // q_sessionize uses > with lag(), a deliberate boundary-semantics pair.
@@ -900,6 +929,22 @@ object SparkEntry {
     // is precisely the property a sketch-based dedup must be graded on.
     "q_neardup_minhash" -> neardupOracleSql,
     "q_dedup_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |       for j in range(0, 60)]) AS BIGINT) AS simhash
+        |FROM hashed ORDER BY doc_id""".stripMargin,
+    // the spark.sql-surface twin computes the SAME fingerprints — it
+    // shares q_dedup_simhash's oracle verbatim
+    "q_simhash_sql" ->
       """WITH base AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks

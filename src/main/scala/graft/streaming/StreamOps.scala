@@ -273,6 +273,43 @@ object StreamOps {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** STREAM-STREAM interval join (the last big Structured Streaming
+    * operator class next to windowed aggs and custom state): purchases
+    * joined to the same user's views from the preceding hour, both sides
+    * unbounded streams. The time-range predicate plus both watermarks is
+    * what makes this runnable: Spark derives how long a view must be
+    * buffered before no future purchase can match it (view watermark +
+    * join range) and evicts join state past that bound — without the
+    * range condition the state store would have to keep both streams
+    * forever. Append mode: each matched pair is emitted exactly once.
+    */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"graft_stream_ssj_${UUID.randomUUID().toString.take(8)}"
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val q = purchases.join(views,
+        expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(col("p_id"), col("v_id"),
+              (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .orderBy("p_id", "v_id")
+  }
+
   /** Per-user state carried by the custom-state API. Money is carried as
     * exact integer cents (derived via the same decimal(18,2) cast the
     * whole suite uses) so state merges are order-independent.
