@@ -50,6 +50,9 @@ object SparkEntry {
       Warehouse.localSupplierRevenue(region(s, d), nation(s, d), customer(s, d),
         orders(s, d), lineitem(s, d), supplier(s, d), "EUROPE")),
     "q_join_left_outer" -> ((s, d) => Warehouse.orderLineHistogram(orders(s, d), lineitem(s, d))),
+    "q10_returned_revenue" -> ((s, d) =>
+      Warehouse.returnedRevenue(customer(s, d), orders(s, d), lineitem(s, d))),
+    "q_funnel" -> ((s, d) => Events.funnelCounts(events(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
@@ -236,6 +239,27 @@ object SparkEntry {
         |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1,2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // ordered conversion funnel: stage k+1 counts only events strictly
+    // after the user's stage-k completion time
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -406,4 +406,32 @@ object Events {
       .select(unix_seconds(col("w.start")).as("window_start_s"),
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start_s", "event_type")
+
+  /** Clickstream FUNNEL view → click → purchase: how many users complete
+    * each ordered stage — the conversion query of the reference's domain
+    * (its events ARE pageview clickstream records). Stage k+1 counts only
+    * events strictly AFTER the user's stage-k completion time, so the
+    * order is enforced, not just co-occurrence. Each stage is one
+    * filtered scan + hash agg + equi-join on user_id (high-cardinality
+    * key) — three narrow shuffles, no window over the full stream, no
+    * per-user sorting; the shape survives any number of users.
+    */
+  def funnelCounts(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_view")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+      .orderBy("stage")
+  }
 }

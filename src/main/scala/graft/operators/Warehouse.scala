@@ -67,6 +67,25 @@ object Warehouse {
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
+  /** TPC-H Q10-style returned-item revenue: which customers sent back the
+    * most revenue. The returnflag filter reaches the lineitem parquet scan
+    * (predicate pushdown shrinks the big side before the join); filtered
+    * lineitem ⋈ orders is the one real shuffle, customer then joins on the
+    * already-aggregable custkey side; decimal-exact revenue, top-20 with a
+    * unique tiebreak.
+    */
+  def returnedRevenue(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** TPC-H Q5-style local-supplier revenue: 6-way join down the
     * region→nation→customer→orders→lineitem→supplier chain. All dims are
     * broadcast-sized; the plan's only big shuffle is lineitem⋈orders.
