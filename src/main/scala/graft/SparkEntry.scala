@@ -53,6 +53,7 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, d) =>
       Warehouse.returnedRevenue(customer(s, d), orders(s, d), lineitem(s, d))),
     "q_funnel" -> ((s, d) => Events.funnelCounts(events(s, d))),
+    "q_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
@@ -247,6 +248,15 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1,2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // cohort = first-activity day; n_users returning at each day offset
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1,2 ORDER BY cohort_day, day_offset""".stripMargin,
     // ordered conversion funnel: stage k+1 counts only events strictly
     // after the user's stage-k completion time
     "q_funnel" ->

@@ -407,6 +407,26 @@ object Events {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start_s", "event_type")
 
+  /** Cohort RETENTION: users grouped by their first-activity day (the
+    * cohort), counted on each subsequent day they return — the retention
+    * matrix next to [[funnelCounts]] in the clickstream-analytics pair.
+    * Distinct (user, day) first so a user's many events collapse before
+    * any join; then one user-keyed join against per-user cohort day and
+    * one (cohort, offset) hash agg. Day arithmetic is integer micros DIV,
+    * identical in both engines.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("day"))
+      .distinct()
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Clickstream FUNNEL view → click → purchase: how many users complete
     * each ordered stage — the conversion query of the reference's domain
     * (its events ARE pageview clickstream records). Stage k+1 counts only
