@@ -76,6 +76,42 @@ object StreamScaleProbe {
 
     run("wm_1h", "1 hour")
     run("wm_inf", "87600 hours") // ~10 years: nothing ever falls behind it
+
+    // Same instrument for the STREAM-STREAM interval join
+    // (StreamOps.streamIntervalJoin's shape): both sides watermarked, the
+    // range condition bounds how long a view waits for a matching
+    // purchase — join state must show eviction as event time advances.
+    def runJoin(label: String): Unit = {
+      val ck = s"$tmp/graft_sprobe_ck_${runId}_$label"
+      val purchases = graft.streaming.StreamOps
+        .eventsStreamFromDir(spark, src, maxFilesPerTrigger = Some(1))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val views = graft.streaming.StreamOps
+        .eventsStreamFromDir(spark, src, maxFilesPerTrigger = Some(1))
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+                col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val q = purchases.join(views,
+          expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.foreach { p =>
+        p.stateOperators.headOption.foreach { so =>
+          println(f"STATE $label%-10s batch=${p.batchId}%2d in=${p.numInputRows}%8d " +
+            f"stateRows=${so.numRowsTotal}%8d evicted=${so.numRowsRemoved}%8d " +
+            f"stateMem=${so.memoryUsedBytes / 1024}%7d KiB")
+        }
+      }
+    }
+    runJoin("ssjoin")
     spark.stop()
   }
 }
