@@ -116,6 +116,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
     "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
     "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
+    "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
+    "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -1022,6 +1024,52 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // simhash band candidates re-scored with exact character-level
+    // Levenshtein (identical edit-distance semantics in both engines)
+    "q_neardup_edit" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+        |SELECT p.a_id, p.b_id,
+        |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        |FROM prs p JOIN documents da ON da.doc_id = p.a_id
+        |  JOIN documents db ON db.doc_id = p.b_id
+        |WHERE levenshtein(da.text, db.text) <= 50
+        |ORDER BY a_id, b_id""".stripMargin,
+    // per-lang hash-routed sampling rates: en 500/1000, de 200/1000,
+    // default 100/1000 — same md5-mod routing as q_hash_split
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT lang, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 1000 AS h
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, text,
+        |    CASE WHEN h < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 100 END)
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM b)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled,
+        |       CAST(sum(CASE WHEN keep = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
     // connected components over the simhash near-dup graph: pairs CTE as
     // in q_neardup_simhash, then a recursive transitive closure; cluster
     // id = min reachable doc_id — the same fixpoint the Spark label

@@ -229,6 +229,27 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance near-dup verification: the SimHash band candidates
+    * re-scored with exact Levenshtein distance over the raw text — the
+    * character-level member of the near-dup family (Jaccard/MinHash are
+    * token-set, SimHash is token-frequency; edit distance catches
+    * small in-token typo edits the set views blur). Levenshtein is
+    * O(|a|·|b|) per pair, which is exactly why it runs ONLY on the banded
+    * candidate pairs (never all-pairs) and why the skinny id-only pair
+    * stream joins the text back just for survivors of banding.
+    */
+  def editDistancePairs(documents: DataFrame, maxEdit: Int): DataFrame = {
+    val cand = simhashPairs(documents, 3).select("a_id", "b_id")
+    val txt = documents.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("edit_dist", levenshtein(col("a_text"), col("b_text")).cast("long"))
+      .filter(col("edit_dist") <= maxEdit)
+      .select("a_id", "b_id", "edit_dist")
+      .orderBy("a_id", "b_id")
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
     // fingerprints are skinny (doc_id, simhash) but cost a full

@@ -201,6 +201,37 @@ object TextAnalysis {
            countDistinct(col("lang")).as("n_langs"))
       .orderBy("split")
 
+  /** Per-language sampling rates (per-mille) for [[stratifiedSample]]:
+    * the "keep half the English, a fifth of the German, a tenth of the
+    * rest" rebalancing a multilingual corpus build applies.
+    */
+  val sampleRatesPerMille: Map[String, Int] = Map("en" -> 500, "de" -> 200)
+  val defaultRatePerMille: Int = 100
+
+  /** Deterministic STRATIFIED sampling: each language keeps its own
+    * fraction, routed by the same content-stable md5 hash as
+    * [[hashSplit]] (mod 1000) — reproducible across engines, runs, and
+    * partitionings, where `sampleBy`'s rand() is not. Summary output per
+    * stratum proves the routing: sampled counts land within the exact
+    * hash-bucket census, never a probabilistic neighborhood.
+    */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val rate = sampleRatesPerMille.foldLeft(lit(defaultRatePerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    documents
+      .repartition(col("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(1000)))
+      .withColumn("keep", (col("h") < rate).cast("int"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("keep")).cast("long").as("n_sampled"),
+           sum(when(col("keep") === 1, length(col("text")).cast("long"))
+             .otherwise(lit(0L))).as("sampled_chars"))
+      .orderBy("lang")
+  }
+
   /** Training-sequence PACKING: assign documents (in stable doc_id order
     * per language) to fixed-token-budget bins — the "pack documents into
     * 2048-token training sequences" step of an LLM data pipeline. The bin

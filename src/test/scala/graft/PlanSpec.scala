@@ -25,6 +25,17 @@ class PlanSpec extends SparkSpec {
       "region predicate did not reach the parquet scan")
   }
 
+  test("pipeline e2e plan has exactly one global sort (the final ORDER BY)") {
+    // regression lock for the fingerprintsUnordered fix: a stage operator's
+    // oracle-determinism orderBy must not survive into the composed plan as
+    // a mid-pipeline range exchange
+    val p = planText(SparkEntry.queries("q_pipeline_e2e")(spark, sf0001))
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p).size
+    assert(rangeExchanges <= 1,
+      s"$rangeExchanges range exchanges in the composed pipeline plan — " +
+        "a stage's internal orderBy leaked into the composition")
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),
