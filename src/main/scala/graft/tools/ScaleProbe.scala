@@ -35,6 +35,9 @@ object ScaleProbe {
     time("jaccard")(graft.operators.NearDup.jaccardPairs(amplified, 3, 0.5, 100).count())
     time("minhash")(graft.operators.NearDup.minhashPairs(amplified, 3, 0.5, 100).count())
     time("simhash")(graft.operators.NearDup.simhash(amplified).count())
+    // iterative connected components on the amplified pair graph: probes
+    // that round count and per-round cost stay bounded as the corpus grows
+    time("components")(graft.operators.NearDup.duplicateComponents(amplified, 3).count())
     spark.stop()
   }
 }

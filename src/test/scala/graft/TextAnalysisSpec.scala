@@ -7,6 +7,42 @@ import graft.operators.TextAnalysis
   */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("funnel enforces event ORDER, not just co-occurrence") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: view -> click -> purchase (completes all three stages)
+    // user 2: purchase BEFORE its view -> click (purchase must NOT count)
+    // user 3: view only
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "purchase", ts(0)), (2L, "view", ts(1)), (2L, "click", ts(2)),
+      (3L, "view", ts(0)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Events.funnelCounts(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("retention cohorts count users by first-activity day and return offset") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    val day0 = 1700006400000L - (1700006400000L % 86400000L) // midnight-aligned
+    def ts(day: Int) = new Timestamp(day0 + day * 86400000L)
+    // users 1,2 start day 0; user 1 returns day 1 and day 3; user 3 starts day 1
+    val events = Seq(
+      (1L, ts(0)), (2L, ts(0)), (1L, ts(1)), (3L, ts(1)), (1L, ts(3)))
+      .toDF("user_id", "ts")
+    val got = graft.operators.Events.retentionCohorts(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = day0 / 86400000L
+    assert(got === Seq(
+      (base, 0L, 2L), (base, 1L, 1L), (base, 3L, 1L),
+      (base + 1, 0L, 1L)))
+  }
+
   test("sequencePacking conserves docs/tokens and bounds bins by budget + one doc") {
     val budget = 512L
     val docs = Tables.documents(spark, sf0001)
