@@ -118,6 +118,8 @@ object SparkEntry {
     "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
+    "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
+    "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -1024,6 +1026,43 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+    // eval-split docs sharing 5-gram shingles (df<=100) with train docs,
+    // under the same md5-mod-100 split routing as q_hash_split
+    "q_decontam" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM docs),
+        |shs AS (
+        |  SELECT doc_id, split, list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]
+        |    ELSE [] END) AS sh FROM toks),
+        |ex AS (SELECT doc_id, split, unnest(sh) AS s FROM shs),
+        |ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+        |pruned AS (SELECT ex.doc_id, ex.split, ex.s FROM ex JOIN ok USING (s)),
+        |tr AS (SELECT s, doc_id AS train_doc FROM pruned WHERE split = 'train'),
+        |ev AS (SELECT s, split, doc_id AS eval_doc FROM pruned WHERE split <> 'train')
+        |SELECT ev.split, ev.eval_doc, count(DISTINCT ev.s) AS n_shared_ngrams,
+        |       count(DISTINCT tr.train_doc) AS n_train_docs
+        |FROM ev JOIN tr USING (s)
+        |GROUP BY 1,2 ORDER BY split, eval_doc""".stripMargin,
+    // top-100 corpus terms with contiguous ids in (freq desc, term) order
+    "q_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+        |top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 100)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS BIGINT) AS token_id,
+        |       term, freq
+        |FROM top ORDER BY token_id""".stripMargin,
     // simhash band candidates re-scored with exact character-level
     // Levenshtein (identical edit-distance semantics in both engines)
     "q_neardup_edit" ->

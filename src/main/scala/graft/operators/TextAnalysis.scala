@@ -232,6 +232,62 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** DECONTAMINATION: find eval-split documents sharing word n-grams with
+    * any train-split document — the test-set-contamination audit every
+    * training-data pipeline runs before shipping a split. Splits come from
+    * the same content-stable hash routing as [[hashSplit]], so the audit
+    * is reproducible; overlap is exact n-gram matching through a shared-
+    * shingle join (a contaminated pair must share a shingle — same
+    * never-all-pairs shape as the near-dup inverted index). dfCutoff
+    * prunes shingles hotter than the threshold before the join: at corpus
+    * scale a stop-phrase shingle shared by 10^6 docs would make one
+    * shuffle key quadratic, and such phrases are boilerplate, not
+    * contamination evidence.
+    */
+  def decontamination(documents: DataFrame, n: Int = 5,
+                      dfCutoff: Long = 100): DataFrame = {
+    val docs = documents
+      .repartition(col("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+    val sh = docs.select(col("doc_id"), col("split"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val pruned = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCutoff).drop("df")
+    val train = pruned.filter(col("split") === "train")
+      .select(col("s"), col("doc_id").as("train_doc"))
+    val eval = pruned.filter(col("split") =!= "train")
+      .select(col("s"), col("split"), col("doc_id").as("eval_doc"))
+    eval.join(train, "s")
+      .groupBy("split", "eval_doc")
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"),
+           countDistinct(col("train_doc")).as("n_train_docs"))
+      .orderBy("split", "eval_doc")
+  }
+
+  /** Tokenizer VOCABULARY build: the top-k corpus terms by frequency with
+    * contiguous token ids in (freq desc, term) order — the vocab-training
+    * step before BPE merges. The global ordering problem is bounded by
+    * construction: the distributed part is a plain hash agg + top-k
+    * (orderBy+limit = TakeOrdered, no full sort materialization); the
+    * row_number id assignment runs over only the k surviving rows.
+    */
+  def vocabulary(documents: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term"))
+    documents.repartition(col("doc_id"))
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topK)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token_id", "term", "freq")
+      .orderBy("token_id")
+  }
+
   /** Training-sequence PACKING: assign documents (in stable doc_id order
     * per language) to fixed-token-budget bins — the "pack documents into
     * 2048-token training sequences" step of an LLM data pipeline. The bin
