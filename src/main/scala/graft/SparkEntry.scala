@@ -120,6 +120,7 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
+    "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -1052,6 +1053,24 @@ object SparkEntry {
         |       count(DISTINCT tr.train_doc) AS n_train_docs
         |FROM ev JOIN tr USING (s)
         |GROUP BY 1,2 ORDER BY split, eval_doc""".stripMargin,
+    // bigram conditional counts: denominator over ALL w1-starts before the
+    // min-count filter, probability as an exact rational (no log)
+    "q_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang,
+        |    unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))],
+        |           recursive := true)
+        |  FROM base WHERE len(toks) >= 2),
+        |c AS (SELECT lang, w1, w2, count(*) AS n FROM bg GROUP BY 1,2,3),
+        |t AS (SELECT lang, w1, CAST(sum(n) AS BIGINT) AS n_w1 FROM c GROUP BY 1,2)
+        |SELECT c.lang, c.w1, c.w2, c.n, t.n_w1,
+        |       round(CAST(c.n AS DOUBLE)/t.n_w1, 6) AS p_cond
+        |FROM c JOIN t USING (lang, w1) WHERE c.n >= 5
+        |ORDER BY lang, w1, w2""".stripMargin,
     // top-100 corpus terms with contiguous ids in (freq desc, term) order
     "q_vocab" ->
       """WITH t AS (

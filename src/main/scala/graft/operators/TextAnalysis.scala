@@ -232,6 +232,30 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Bigram LANGUAGE-MODEL counts: per (lang, w1, w2) the bigram count,
+    * the w1-start total, and the conditional probability P(w2|w1) as an
+    * exact rational rounded to 6 places (no log — transcendentals are not
+    * identically rounded across engines; ranking and filtering work the
+    * same on the rational). The denominator is computed over ALL bigrams
+    * starting with w1 BEFORE the min-count filter, so probabilities stay
+    * true probabilities. One explode + two hash aggs, shuffled on the
+    * high-cardinality (lang, w1[, w2]) keys.
+    */
+  def bigramLm(documents: DataFrame, minCount: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "w1")
+    documents.repartition(col("doc_id"))
+      .select(col("lang"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("n_w1", sum(col("n")).over(w))
+      .filter(col("n") >= minCount)
+      .select(col("lang"), col("w1"), col("w2"), col("n"),
+              col("n_w1").cast("long").as("n_w1"),
+              round(col("n").cast("double") / col("n_w1"), 6).as("p_cond"))
+      .orderBy("lang", "w1", "w2")
+  }
+
   /** DECONTAMINATION: find eval-split documents sharing word n-grams with
     * any train-split document — the test-set-contamination audit every
     * training-data pipeline runs before shipping a split. Splits come from
