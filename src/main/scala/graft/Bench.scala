@@ -53,14 +53,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        // a typo'd name must not silently vanish into a normal-looking run
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map(_ => runOnce(name, fn))
       // any failed rep poisons the query: report the (negative) sentinel
       val v = if (times.exists(_ < 0)) times.min
-              else times.sorted.apply(times.size / 2)
+              else {
+                val s = times.sorted
+                // true median: even rep counts average the middle pair, so
+                // one outlier rep cannot be reported verbatim at reps=2
+                if (s.size % 2 == 1) s(s.size / 2)
+                else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+              }
       name -> v
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -20,8 +20,19 @@ import scala.collection.mutable
 object CacheRegistry {
   private val tracked = mutable.ListBuffer.empty[DataFrame]
 
-  /** Register a persisted DataFrame; returns it unchanged for chaining. */
-  def track(df: DataFrame): DataFrame = synchronized { tracked += df; df }
+  /** Register a persisted DataFrame; returns it unchanged for chaining.
+    * Entries whose cache was already reclaimed elsewhere (storageLevel
+    * back to NONE — e.g. Bench's clearCache between queries) are purged
+    * on every registration, so callers that never invoke [[release]]
+    * don't accumulate stale logical plans on the driver heap across a
+    * long session.
+    */
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked.filterInPlace(d =>
+      d.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    tracked += df
+    df
+  }
 
   def trackedCount: Int = synchronized(tracked.size)
 

@@ -220,9 +220,12 @@ object NearDup {
                 col("lbl").as("old"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") < col("old")).count()
-      // the superseded generation's cache can go immediately instead of
-      // accumulating across rounds
-      labels.unpersist(blocking = false)
+      // the superseded generation's storage goes immediately instead of
+      // accumulating across rounds. Checkpoint blocks are NOT
+      // cache-manager-owned, so a plain unpersist would be a silent no-op
+      // from round 2 on — CheckpointBridge releases the backing RDD
+      // (round 1's persist-based frame takes the unpersist branch inside)
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistBacking(labels)
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

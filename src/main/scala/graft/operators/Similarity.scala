@@ -229,8 +229,15 @@ object Similarity {
     * persisted (tiny) to stop plan-depth blowup: without it, iteration
     * i's plan re-derives every earlier iteration once per consumer.
     */
-  def kmeansTrain(embeddings: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, "kmeansTrain needs at least one iteration")
+  /** The ONE Lloyd loop behind kmeansTrain and trainedCodebook: run
+    * `iters` assign/update iterations and return both halves of the last
+    * one — the final per-cell means and the codebook rebuilt from them.
+    * A single implementation so the persist/track discipline and the
+    * tie-break can never diverge between the two public views of the
+    * same training run.
+    */
+  private def lloydChain(embeddings: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "k-means training needs at least one iteration")
     var cents = centroidsDF(embeddings)
     var means: DataFrame = null
     for (_ <- 1 to iters) {
@@ -239,21 +246,17 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.CacheRegistry.track)
     }
-    means.orderBy("assigned", "dim")
+    (means, cents)
   }
 
+  def kmeansTrain(embeddings: DataFrame, iters: Int): DataFrame =
+    lloydChain(embeddings, iters)._1.orderBy("assigned", "dim")
+
   /** The trained codebook itself (what [[ivfSearch]] indexes on when
-    * trainIters > 0).
+    * trainIters > 0). Already persisted + registered by the chain.
     */
-  private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame = {
-    var cents = centroidsDF(embeddings)
-    for (_ <- 1 to iters) {
-      cents = codebookFromMeans(stepMeans(embeddings, cents))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.CacheRegistry.track)
-    }
-    cents
-  }
+  private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame =
+    lloydChain(embeddings, iters)._2
 
   /** Total distortion (sum of squared L2 distance to the assigned
     * centroid) after each of `iters` codebook states, starting from the
@@ -302,11 +305,14 @@ object Similarity {
     // second consumer reuses the scan instead of re-deriving it.
     // trainIters > 0 indexes on a k-means-TRAINED codebook (the
     // train → index → search composition of a real IVF build) instead of
-    // the raw label centroids.
-    val cents = (if (trainIters > 0) trainedCodebook(embeddings, trainIters)
-                 else centroidsDF(embeddings))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheRegistry.track)
+    // the raw label centroids; that branch arrives ALREADY persisted and
+    // registered by the training chain — re-persisting it here would
+    // double-register and log cache-already-cached warnings.
+    val cents =
+      if (trainIters > 0) trainedCodebook(embeddings, trainIters)
+      else centroidsDF(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
     val assigned = assignedVectors(embeddings, cents)
       .withColumn("nrm", l2Norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

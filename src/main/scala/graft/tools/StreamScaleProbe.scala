@@ -46,8 +46,13 @@ object StreamScaleProbe {
         .withColumn("event_id", col("event_id") + lit(k * 100000000L))
         .coalesce(1).write.parquet(s"$src/rep_$k")
       // the file source lists files, not subdirs — promote the part file
-      val part = Files.list(Paths.get(s"$src/rep_$k")).toArray
-        .map(_.toString).find(_.endsWith(".parquet")).get
+      // (close the directory stream; a leaked handle per replica adds up
+      // over 20x probes)
+      val listing = Files.list(Paths.get(s"$src/rep_$k"))
+      val part =
+        try listing.toArray.map(_.toString).find(_.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file written under $src/rep_$k"))
+        finally listing.close()
       Files.move(Paths.get(part), Paths.get(f"$src/rep_$k%03d.parquet"))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/rep_$k"))
     }

@@ -2,8 +2,10 @@ package graft
 
 import graft.operators.TextAnalysis
 
-/** Invariants of the sequence-packing operator (the per-(lang,bin)
-  * aggregate is oracled; these prove the packing semantics itself).
+/** Semantic invariants of the text-analysis and clickstream-analytics
+  * operators whose oracled queries only expose aggregates: funnel
+  * stage-ordering, retention cohort/offset accounting, and the
+  * sequence-packing conservation/capacity properties.
   */
 class TextAnalysisSpec extends SparkSpec {
 
