@@ -100,6 +100,7 @@ object SparkEntry {
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
     "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
+    "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
     "q_ivf_search_trained" -> ((s, d) =>
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
@@ -512,6 +513,57 @@ object SparkEntry {
         |  CAST(sum(len(string_split_regex(trim(lt), '\s+'))) AS BIGINT) AS ws_tokens,
         |  CAST(sum(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+    // PQ code census: two independent argmin assignments on the vector
+    // halves against each half's label-centroid sub-codebook
+    "q_pq_encode" ->
+      """WITH sp AS (
+        |  SELECT vec_id, label,
+        |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+        |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+        |  FROM embeddings),
+        |ex1 AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+        |           recursive := true)
+        |  FROM sp),
+        |cb1 AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex1 GROUP BY 1,2)
+        |  GROUP BY 1),
+        |s1 AS (
+        |  SELECT sp.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c) AS s
+        |  FROM sp CROSS JOIN cb1 c),
+        |a1 AS (
+        |  SELECT vec_id, clabel AS code1 FROM (
+        |    SELECT vec_id, clabel,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |    FROM s1) WHERE rk = 1),
+        |ex2 AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+        |           recursive := true)
+        |  FROM sp),
+        |cb2 AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex2 GROUP BY 1,2)
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT sp.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c) AS s
+        |  FROM sp CROSS JOIN cb2 c),
+        |a2 AS (
+        |  SELECT vec_id, clabel AS code2 FROM (
+        |    SELECT vec_id, clabel,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |    FROM s2) WHERE rk = 1)
+        |SELECT a1.code1, a2.code2, count(*) AS n_vectors
+        |FROM a1 JOIN a2 USING (vec_id)
+        |GROUP BY 1,2 ORDER BY code1, code2""".stripMargin,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     // offset-based first-fit packing: bin = tokens-before DIV budget over

@@ -258,6 +258,49 @@ object Similarity {
   private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame =
     lloydChain(embeddings, iters)._2
 
+  /** PRODUCT-QUANTIZATION encoding (M=2 subspaces): each vector splits
+    * into two halves, each half is assigned to its nearest sub-centroid
+    * (label centroids of that half as the sub-codebook), and the vector's
+    * PQ code is the (code1, code2) pair — the other classic ANN
+    * compression next to IVF, giving |codebook|² representable cells from
+    * 2×|codebook| stored centroids. Output is the code-cell census
+    * (deterministic longs; reconstruction quality is a scalatest concern,
+    * not an oracle one — summed float error is merge-order-sensitive).
+    * Scale shape: two independent broadcast-argmin passes over the same
+    * persisted base + one vec_id join — no step holds more than
+    * codebook-sized driver state.
+    */
+  def pqEncode(embeddings: DataFrame): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val h = d / 2
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        asDouble(slice(col("embedding"), 1, h)).as("e1"),
+        asDouble(slice(col("embedding"), h + 1, d - h)).as("e2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    def subCodebook(half: String): DataFrame = base
+      .select(col("label"), posexplode(col(half)).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("clabel"),
+              transform(col("cs"), s => s.getField("mean_val")).as("cvec"))
+      .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
+    def assignHalf(half: String, out: String): DataFrame = base
+      .select(col("vec_id"), col(half).as("emb"))
+      .crossJoin(broadcast(subCodebook(half)))
+      .withColumn("score", cellScore(col("emb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("score"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as(out))
+    assignHalf("e1", "code1").join(assignHalf("e2", "code2"), "vec_id")
+      .groupBy("code1", "code2").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("code1", "code2")
+  }
+
   /** Total distortion (sum of squared L2 distance to the assigned
     * centroid) after each of `iters` codebook states, starting from the
     * label-centroid codebook — the convergence instrument: Lloyd's

@@ -102,6 +102,19 @@ class SimilaritySpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("PQ encoding conserves vectors and refines beyond the coarse codebook") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cells = Similarity.pqEncode(emb).collect()
+    // every vector lands in exactly one (code1, code2) cell
+    assert(cells.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    // the product of two sub-codebooks must resolve finer than either
+    // alone: more occupied cells than coarse labels
+    val nLabels = emb.select("label").distinct().count()
+    assert(cells.length > nLabels,
+      s"${cells.length} PQ cells vs $nLabels labels — product quantization added no granularity")
+    CacheRegistry.release()
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
