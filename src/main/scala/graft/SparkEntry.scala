@@ -101,6 +101,7 @@ object SparkEntry {
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
     "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
     "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
+    "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_trained" -> ((s, d) =>
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
@@ -564,6 +565,76 @@ object SparkEntry {
         |SELECT a1.code1, a2.code2, count(*) AS n_vectors
         |FROM a1 JOIN a2 USING (vec_id)
         |GROUP BY 1,2 ORDER BY code1, code2""".stripMargin,
+    // PQ-ADC search: per-query exact half-distance lookup tables indexed
+    // by each candidate's code pair; est = d1(code1) + d2(code2), ranked
+    // ascending with vec_id tiebreak — the same grouping of additions as
+    // the Spark side, so estimates are IEEE-exact
+    "q_pq_search" ->
+      """WITH sp AS (
+        |  SELECT vec_id, label,
+        |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+        |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+        |  FROM embeddings),
+        |ex1 AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+        |           recursive := true)
+        |  FROM sp),
+        |cb1 AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex1 GROUP BY 1,2)
+        |  GROUP BY 1),
+        |ex2 AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+        |           recursive := true)
+        |  FROM sp),
+        |cb2 AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex2 GROUP BY 1,2)
+        |  GROUP BY 1),
+        |a1 AS (
+        |  SELECT vec_id, clabel AS code1 FROM (
+        |    SELECT sp.vec_id, c.clabel,
+        |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+        |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+        |             c.clabel) AS rk
+        |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+        |a2 AS (
+        |  SELECT vec_id, clabel AS code2 FROM (
+        |    SELECT sp.vec_id, c.clabel,
+        |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+        |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+        |             c.clabel) AS rk
+        |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+        |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+        |d1 AS (
+        |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+        |         list_dot_product(sp.e1, sp.e1)
+        |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+        |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < 20),
+        |d2 AS (
+        |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+        |         list_dot_product(sp.e2, sp.e2)
+        |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+        |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < 20),
+        |est AS (
+        |  SELECT d1.query_id, codes.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+        |  FROM codes
+        |    JOIN d1 ON codes.code1 = d1.c1
+        |    JOIN d2 ON codes.code2 = d2.c2 AND d1.query_id = d2.query_id
+        |  WHERE codes.vec_id <> d1.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, est,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+        |  FROM est)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(est, 6) AS est_d2
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     // offset-based first-fit packing: bin = tokens-before DIV budget over

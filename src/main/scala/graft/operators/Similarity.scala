@@ -301,6 +301,88 @@ object Similarity {
       .orderBy("code1", "code2")
   }
 
+  /** PQ ASYMMETRIC-DISTANCE search (ADC): queries stay uncompressed,
+    * candidates are their PQ codes, and the estimated distance to a
+    * candidate is the sum of exact query-half-to-sub-centroid distances
+    * looked up by the candidate's code pair — the classic PQ search that
+    * scores a billion candidates from two |codebook|-row lookup tables
+    * per query. The scan is linear over candidates BY DESIGN (that is
+    * ADC; IVF bounds the candidate set when composed), but each scored
+    * row carries only two longs and two doubles, never the vectors. All
+    * arithmetic is the same sequential-fold dot products both engines
+    * run, so estimated distances are IEEE-exact and the ranking is
+    * oracle-checkable.
+    */
+  def pqSearch(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val h = d / 2
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"),
+        asDouble(slice(col("embedding"), 1, h)).as("e1"),
+        asDouble(slice(col("embedding"), h + 1, d - h)).as("e2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    def subCodebook(half: String): DataFrame = embeddings
+      .repartition(col("vec_id"))
+      .select(col("label"),
+        asDouble(if (half == "e1") slice(col("embedding"), 1, h)
+                 else slice(col("embedding"), h + 1, d - h)).as("eh"))
+      .select(col("label"), posexplode(col("eh")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+      .groupBy(col("label").as("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("clabel"),
+              transform(col("cs"), s => s.getField("mean_val")).as("cvec"))
+      .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
+    val cb1 = subCodebook("e1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb2 = subCodebook("e2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // candidate codes: argmin cell per half (identical to pqEncode)
+    def assignHalf(half: String, cb: DataFrame, out: String): DataFrame = base
+      .select(col("vec_id"), col(half).as("emb"))
+      .crossJoin(broadcast(cb))
+      .withColumn("score", cellScore(col("emb")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("score"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as(out))
+    val codes = assignHalf("e1", cb1, "code1")
+      .join(assignHalf("e2", cb2, "code2"), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // per-query lookup tables: TRUE squared distance of each query half
+    // to every sub-centroid (|q|² restores the argmin-invariant term so
+    // the two halves ADD into a real distance estimate)
+    def lookup(half: String, cb: DataFrame, qCol: String, cCol: String,
+               out: String): DataFrame = base
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as(qCol), col(half).as("q"))
+      .crossJoin(broadcast(cb))
+      .select(col(qCol), col("clabel").as(cCol),
+        (dot(col("q"), col("q")) + cellScore(col("q"))).as(out))
+    val d1 = lookup("e1", cb1, "query_id", "c1", "d1")
+    val d2 = lookup("e2", cb2, "query_id2", "c2", "d2")
+    val topk = topK(k)
+    codes
+      .join(broadcast(d1), col("code1") === col("c1"))
+      .join(broadcast(d2),
+        col("code2") === col("c2") && col("query_id") === col("query_id2"))
+      .select(col("vec_id"), col("query_id"), (col("d1") + col("d2")).as("est"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // TopKAgg keeps the HIGHEST scores — negate the distance estimate
+      .groupBy("query_id")
+      .agg(topk(-col("est"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(-col("nbr.score"), 6).as("est_d2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Total distortion (sum of squared L2 distance to the assigned
     * centroid) after each of `iters` codebook states, starting from the
     * label-centroid codebook — the convergence instrument: Lloyd's

@@ -115,6 +115,22 @@ class SimilaritySpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("PQ-ADC search returns k estimates per query and overlaps the exact top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val adc = Similarity.pqSearch(emb, nQ, 10)
+    val got = adc.collect()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val recall = (exact & pairs(adc)).size.toDouble / exact.size
+    info(f"PQ-ADC recall@10 vs exact cosine = $recall%.3f")
+    // ADC estimates squared L2 from two quantized halves; on near-random
+    // embeddings agreement with the exact cosine ranking is inherently
+    // loose — the floor catches a broken code/lookup join (recall ~0)
+    assert(recall > 0.0, "PQ-ADC found none of the exact neighbors")
+    CacheRegistry.release()
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
