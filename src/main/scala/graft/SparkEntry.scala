@@ -104,6 +104,8 @@ object SparkEntry {
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_trained" -> ((s, d) =>
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
+    "q_ivfpq_search" -> ((s, d) =>
+      Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -637,6 +639,7 @@ object SparkEntry {
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
+    "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
     // a per-lang running count in doc_id order (see sequencePacking docs)
     "q_seq_packing" ->
@@ -1434,6 +1437,98 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
          |  FROM pairs)
          |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ composed search: the coarse side is the cent$iters codebook
+    * from the same k-means CTE chain as q_ivf_search_trained (cells at
+    * rk=1, probes at rk<=nprobe from ONE ranked assignment); the fine
+    * side is the PQ code/lookup CTEs of q_pq_search verbatim; candidates
+    * are the probed cells' members only, ADC-scored and ranked.
+    */
+  private def ivfPqOracleSql(iters: Int, nprobe: Int): String =
+    kmeansCentChain(iters) +
+      s""",
+         |sp AS (
+         |  SELECT vec_id, label,
+         |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+         |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+         |  FROM embeddings),
+         |ex1 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+         |           recursive := true)
+         |  FROM sp),
+         |cb1 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex1 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |ex2 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+         |           recursive := true)
+         |  FROM sp),
+         |cb2 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex2 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |a1 AS (
+         |  SELECT vec_id, clabel AS code1 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+         |a2 AS (
+         |  SELECT vec_id, clabel AS code2 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+         |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS pcell
+         |  FROM assignrk WHERE vec_id < 20 AND rk <= $nprobe),
+         |d1 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+         |         list_dot_product(sp.e1, sp.e1)
+         |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < 20),
+         |d2 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+         |         list_dot_product(sp.e2, sp.e2)
+         |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < 20),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id
+         |  FROM cells c JOIN probes p ON c.cell = p.pcell
+         |  WHERE c.vec_id <> p.query_id),
+         |est AS (
+         |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+         |  FROM cand
+         |    JOIN codes ON codes.vec_id = cand.vec_id
+         |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
+         |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, est,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+         |  FROM est)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+         |       round(est, 6) AS est_d2
          |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Count-Min oracle: rebuilds the sketch matrix and the probe estimates

@@ -131,6 +131,27 @@ class SimilaritySpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("IVF-PQ composed search: k rows per query, overlaps exact, candidate set bounded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val ivfpq = Similarity.ivfPqSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)
+    val got = ivfpq.collect()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val rComposed = (exact & pairs(ivfpq)).size.toDouble / exact.size
+    CacheRegistry.release()
+    // probing more cells monotonically widens the candidate set the ADC
+    // stage ranks — coverage of the exact neighbors must not shrink
+    val rWide = (exact & pairs(
+      Similarity.ivfPqSearch(emb, nQ, 10, nprobe = 4, trainIters = 2)))
+      .size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"IVF-PQ recall@10: nprobe=2 $rComposed%.3f, nprobe=4 $rWide%.3f")
+    assert(rComposed > 0.0, "IVF-PQ found none of the exact neighbors")
+    assert(rWide >= rComposed - 0.10,
+      f"nprobe=4 recall $rWide%.3f collapsed vs nprobe=2 $rComposed%.3f — probe widening broke the candidate join")
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
