@@ -53,6 +53,7 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, d) =>
       Warehouse.returnedRevenue(customer(s, d), orders(s, d), lineitem(s, d))),
     "q_funnel" -> ((s, d) => Events.funnelCounts(events(s, d))),
+    "q_funnel_windowed" -> ((s, d) => Events.funnelWindowedCounts(events(s, d), 24)),
     "q_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
@@ -123,6 +124,8 @@ object SparkEntry {
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
+    "q_decontam_frac" -> ((s, d) =>
+      TextAnalysis.decontaminationFraction(documents(s, d), 5, 100, 0.2)),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
@@ -275,6 +278,18 @@ object SparkEntry {
         |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
         |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
         |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+    // 24-hour conversion window: stage k+1 within maxLag of stage k
+    "q_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 AND us <= t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000 GROUP BY 1)
         |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT '2_click', count(*) FROM s2
         |UNION ALL SELECT '3_purchase', count(*) FROM s3
@@ -1179,6 +1194,38 @@ object SparkEntry {
         |       count(DISTINCT tr.train_doc) AS n_train_docs
         |FROM ev JOIN tr USING (s)
         |GROUP BY 1,2 ORDER BY split, eval_doc""".stripMargin,
+    // contaminated-fraction form: n_shared over the eval doc's FULL
+    // distinct-shingle count (pre-cutoff), thresholded at tau=0.2
+    "q_decontam_frac" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM docs),
+        |shs AS (
+        |  SELECT doc_id, split, list_distinct(CASE WHEN len(toks) >= 5
+        |    THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)]
+        |    ELSE [] END) AS sh FROM toks),
+        |ex AS (SELECT doc_id, split, unnest(sh) AS s FROM shs),
+        |sizes AS (SELECT doc_id AS eval_doc, count(*) AS n_shingles
+        |          FROM ex WHERE split <> 'train' GROUP BY 1),
+        |ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+        |pruned AS (SELECT ex.doc_id, ex.split, ex.s FROM ex JOIN ok USING (s)),
+        |tr AS (SELECT s, doc_id AS train_doc FROM pruned WHERE split = 'train'),
+        |ev AS (SELECT s, split, doc_id AS eval_doc FROM pruned WHERE split <> 'train'),
+        |shared AS (
+        |  SELECT ev.split, ev.eval_doc, count(DISTINCT ev.s) AS n_shared_ngrams
+        |  FROM ev JOIN tr USING (s) GROUP BY 1,2)
+        |SELECT sh.split, sh.eval_doc, sz.n_shingles, sh.n_shared_ngrams,
+        |       round(CAST(sh.n_shared_ngrams AS DOUBLE)/sz.n_shingles, 6) AS contaminated_frac
+        |FROM shared sh JOIN sizes sz USING (eval_doc)
+        |WHERE CAST(sh.n_shared_ngrams AS DOUBLE)/sz.n_shingles >= 0.2
+        |ORDER BY split, eval_doc""".stripMargin,
     // bigram conditional counts: denominator over ALL w1-starts before the
     // min-count filter, probability as an exact rational (no log)
     "q_bigram_lm" ->

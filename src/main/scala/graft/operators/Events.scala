@@ -454,4 +454,31 @@ object Events {
       .unionByName(stage(s3, "3_purchase"))
       .orderBy("stage")
   }
+
+  /** TIME-BOUNDED funnel: like [[funnelCounts]], but stage k+1 must land
+    * within `maxLagHours` of the user's stage-k completion — the
+    * conversion-window form real funnel analytics gate on (a purchase a
+    * month after the click is not the same conversion). Same three
+    * narrow user-keyed join/agg shuffles; the window is one extra range
+    * predicate per join, free at any scale.
+    */
+  def funnelWindowedCounts(events: DataFrame, maxLagHours: Int): DataFrame = {
+    val lagUs = maxLagHours * 3600L * 1000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + lagUs)
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + lagUs)
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_view")
+      .unionByName(stage(s2, "2_click"))
+      .unionByName(stage(s3, "3_purchase"))
+      .orderBy("stage")
+  }
 }

@@ -293,6 +293,53 @@ object TextAnalysis {
       .orderBy("split", "eval_doc")
   }
 
+  /** Decontamination by OVERLAP FRACTION — the form eval-suite audits
+    * actually gate on: an eval doc is contaminated when the fraction of
+    * its distinct n-grams also found in the train split reaches τ, not
+    * when a single n-gram matches. Same shared-shingle join + df-cutoff
+    * pruning as [[decontamination]]; the denominator is the eval doc's
+    * FULL distinct-shingle count (pre-cutoff) so boilerplate pruning can
+    * only lower the reported fraction, never inflate it. Extra cost over
+    * the count form: one per-doc size aggregate + a broadcast-sized join
+    * back onto the (already small) contaminated set.
+    */
+  def decontaminationFraction(documents: DataFrame, n: Int = 5,
+                              dfCutoff: Long = 100,
+                              tau: Double = 0.2): DataFrame = {
+    val docs = documents
+      .repartition(col("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+    val sh = docs.select(col("doc_id"), col("split"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // per-eval-doc total distinct shingles (pre-pruning denominator)
+    val sizes = sh.filter(col("split") =!= "train")
+      .groupBy(col("doc_id").as("eval_doc"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val pruned = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCutoff).drop("df")
+    val train = pruned.filter(col("split") === "train")
+      .select(col("s"), col("doc_id").as("train_doc"))
+    val eval = pruned.filter(col("split") =!= "train")
+      .select(col("s"), col("split"), col("doc_id").as("eval_doc"))
+    eval.join(train, "s")
+      .groupBy("split", "eval_doc")
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"))
+      .join(sizes, "eval_doc")
+      .withColumn("contaminated_frac",
+        round(col("n_shared_ngrams").cast("double") / col("n_shingles"), 6))
+      .filter(col("contaminated_frac") >= tau)
+      .select("split", "eval_doc", "n_shingles", "n_shared_ngrams",
+              "contaminated_frac")
+      .orderBy("split", "eval_doc")
+  }
+
   /** Tokenizer VOCABULARY build: the top-k corpus terms by frequency with
     * contiguous token ids in (freq desc, term) order — the vocab-training
     * step before BPE merges. The global ordering problem is bounded by
