@@ -127,6 +127,7 @@ object SparkEntry {
     "q_decontam_frac" -> ((s, d) =>
       TextAnalysis.decontaminationFraction(documents(s, d), 5, 100, 0.2)),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
+    "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
@@ -655,6 +656,7 @@ object SparkEntry {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
+    "q_bpe_merges" -> bpeOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
     // a per-lang running count in doc_id order (see sequencePacking docs)
     "q_seq_packing" ->
@@ -1485,6 +1487,66 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
          |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** BPE merge-loop oracle: the same greedy spec as
+    * TextAnalysis.bpeMerges, iterated as a generated CTE chain (like
+    * kmeansCentChain). The merge step is expressed with windows instead
+    * of a fold — within a run of consecutive matching positions (possible
+    * only when t1 = t2), greedy left-to-right keeps exactly the
+    * even-offset positions, so run-parity == the Spark fold. words$i and
+    * top$i are MATERIALIZED: each is referenced twice per step and DuckDB
+    * would otherwise inline the chain exponentially.
+    */
+  private def bpeOracleSql(iters: Int): String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
+        |    FROM documents) GROUP BY 1),
+        |words0 AS MATERIALIZED (
+        |  SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS toks FROM w0)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |pairs$i AS (
+         |  SELECT t1, t2, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq,
+         |      unnest([{'t1': toks[j], 't2': toks[j+1]} for j in range(1, len(toks))],
+         |             recursive := true)
+         |    FROM words${i - 1} WHERE len(toks) >= 2)
+         |  GROUP BY 1,2),
+         |top$i AS MATERIALIZED (SELECT t1, t2, c FROM pairs$i ORDER BY c DESC, t1, t2 LIMIT 1),
+         |mrg$i AS (
+         |  SELECT word, freq, pos, tok, nxt,
+         |         CASE WHEN mt = 1 AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+         |              THEN 1 ELSE 0 END AS do_merge
+         |  FROM (
+         |    SELECT word, freq, pos, tok, nxt, mt,
+         |           CASE WHEN mt = 1 THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos)
+         |                ELSE NULL END AS grp
+         |    FROM (
+         |      SELECT word, freq, pos, tok,
+         |             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         |             CASE WHEN tok = (SELECT t1 FROM top$i)
+         |                   AND lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT t2 FROM top$i)
+         |                  THEN 1 ELSE 0 END AS mt
+         |      FROM (SELECT word, freq,
+         |              unnest([{'pos': j, 'tok': toks[j]} for j in range(1, len(toks)+1)],
+         |                     recursive := true)
+         |            FROM words${i - 1})))),
+         |words$i AS MATERIALIZED (
+         |  SELECT word, freq, list(otok ORDER BY pos) AS toks FROM (
+         |    SELECT word, freq, pos,
+         |           CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS otok,
+         |           lag(do_merge) OVER (PARTITION BY word ORDER BY pos) AS dropped
+         |    FROM mrg$i)
+         |  WHERE coalesce(dropped, 0) = 0
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val tail = "\nSELECT * FROM (\n" + (1 to iters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, t1, t2, c AS pair_count FROM top$i"
+    }.mkString("\nUNION ALL ") + ") ORDER BY step"
+    head + steps + tail
+  }
 
   /** IVF-PQ composed search: the coarse side is the cent$iters codebook
     * from the same k-means CTE chain as q_ivf_search_trained (cells at

@@ -389,6 +389,66 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** BPE MERGE loop: the first `k` byte-pair merges over the corpus
+    * vocabulary — the training step that turns [[vocabulary]]'s pre-merge
+    * term counts into an actual subword tokenizer. Words start as
+    * character sequences; each step counts adjacent symbol pairs weighted
+    * by word frequency, picks the most frequent pair (ties break
+    * lexicographically on the pair), and merges its non-overlapping
+    * occurrences left-to-right in every word (classic greedy BPE; no
+    * end-of-word marker, documented deviation from GPT-2-style BPE).
+    * Output: the merge table (step, t1, t2, pair_count) — the artifact a
+    * tokenizer ships.
+    *
+    * Scale shape: the loop state is the VOCABULARY (unique words ×
+    * frequency), not the corpus — one initial corpus-wide hash agg, then
+    * k iterations of (pair-count shuffle on the (t1,t2) key + a top-1
+    * driver scalar, the same iterative-convergence scalar as k-means).
+    * The per-word merge is an `aggregate` fold over the word's symbols:
+    * interpreted, but over |vocab| rows × O(word length) steps — work
+    * proportional to the vocabulary, which even at 100 TB of text is
+    * millions of rows, not the corpus. localCheckpoint per iteration
+    * truncates lineage exactly like [[NearDup.duplicateComponents]].
+    */
+  def bpeMerges(documents: DataFrame, k: Int): DataFrame = {
+    val spark = documents.sparkSession
+    var words = documents.repartition(col("doc_id"))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to k) {
+      val n = size(col("toks"))
+      val top = words.filter(n >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE merge $step: vocabulary fully merged — k=$k exceeds the corpus' pair budget")
+      val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((step.toLong, a, b, c))
+      // greedy left-to-right merge as a fold: a merged symbol (a||b) can
+      // never equal the left symbol `a`, so overlap resolution (e.g.
+      // "aaa" under pair (a,a) → [aa, a]) falls out of the fold order
+      val merged = aggregate(col("toks"),
+        array().cast("array<string>"),
+        (acc, t) => when(size(acc) > 0 &&
+            element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t))))
+      words = words.withColumn("toks", merged).localCheckpoint()
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "t1", "t2", "pair_count").orderBy("step")
+  }
+
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
     * minimum digest (a 1-permutation MinHash — the winnowing/rolling-hash
     * fingerprint family). Identical-content documents get identical

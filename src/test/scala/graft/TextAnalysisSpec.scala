@@ -45,6 +45,43 @@ class TextAnalysisSpec extends SparkSpec {
       (base + 1, 0L, 1L)))
   }
 
+  test("bpeMerges runs greedy BPE: frequency order, lexicographic ties, overlap parity") {
+    val sp = spark
+    import sp.implicits._
+    // hand-computable corpus: 'an' dominates; 'aaa' exercises the
+    // same-symbol overlap (greedy merges positions 1-2, leaves the tail)
+    val docs = Seq(
+      (1L, "aaa banana band banana"),
+      (2L, "banana bandana aaa band"),
+      (3L, "the band banana the aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // reference run (independently verified against a plain-python BPE):
+    // step 3 merges (a,a) inside 'aaa' exactly once — the parity case
+    assert(got === Seq(
+      (1L, "a", "n", 13L), (2L, "b", "an", 8L), (3L, "a", "a", 6L),
+      (4L, "an", "a", 5L), (5L, "ban", "ana", 4L), (6L, "ban", "d", 4L)))
+  }
+
+  test("funnelWindowedCounts drops conversions outside the max-lag window") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1 converts within the window; user 2's click comes 3 hours
+    // after the view — outside a 1-hour window, inside the unwindowed form
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(30)), (1L, "purchase", ts(59)),
+      (2L, "view", ts(0)), (2L, "click", ts(180)))
+      .toDF("user_id", "event_type", "ts")
+    val windowed = graft.operators.Events.funnelWindowedCounts(events, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(windowed === Seq(("1_view", 2L), ("2_click", 1L), ("3_purchase", 1L)))
+    val unwindowed = graft.operators.Events.funnelCounts(events).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(unwindowed === Seq(("1_view", 2L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
   test("sequencePacking conserves docs/tokens and bounds bins by budget + one doc") {
     val budget = 512L
     val docs = Tables.documents(spark, sf0001)
