@@ -151,6 +151,7 @@ object SparkEntry {
     // --- streaming (S1/S3/S5/S6, T1-T5, T8): full pipelines executed via
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
+    "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
@@ -821,6 +822,32 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
         |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) ELSE NULL END AS fingerprint
         |FROM sh ORDER BY doc_id""".stripMargin,
+    // streaming dedup vs the accumulated store: batches arrive in doc_id
+    // range order and within-batch ties keep the lowest doc_id, so the
+    // survivor set is exactly min-doc_id-per-fingerprint (null
+    // fingerprints — too few tokens to shingle — always pass through)
+    "q_stream_histdedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 4
+        |         THEN [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+        |         ELSE [] END AS sh
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, s -> md5(s))) ELSE NULL END AS fingerprint
+        |  FROM sh),
+        |sel AS (
+        |  SELECT doc_id, fingerprint,
+        |         min(doc_id) OVER (PARTITION BY fingerprint) AS mn
+        |  FROM fp)
+        |SELECT doc_id, fingerprint FROM sel
+        |WHERE fingerprint IS NULL OR doc_id = mn
+        |ORDER BY doc_id""".stripMargin,
     "q_similarity_topk" ->
       """WITH b AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -422,6 +422,123 @@ object StreamOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Document stream schema for [[streamHistDedup]] (the staged files
+    * carry only the columns fingerprinting needs).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** One micro-batch of STREAMING DEDUP AGAINST A HISTORICAL STORE: the
+    * batch's document fingerprints anti-join the accumulated fingerprint
+    * store (stream-static, re-resolved per batch so earlier batches'
+    * writes are visible), within-batch ties keep the lowest doc_id, and
+    * the survivors' fingerprints are appended to the store — the
+    * incremental-crawl dedup the reference's cross-batch gap
+    * (consumer.py:301-303) points at: its dup check only ever saw ONE
+    * previous batch; this store remembers all of them, across restarts.
+    *
+    * Idempotent on replay: both writes overwrite a deterministic
+    * batch=N directory, and the store read excludes the batch's OWN
+    * generation (batch < batchId), so a crash-replayed batch rebuilds
+    * its output instead of anti-joining against its own fingerprints
+    * and emitting nothing.
+    *
+    * 100 TB shape: the anti-join is a hash shuffle on the fingerprint
+    * key (store side is fingerprint-only — one skinny string column,
+    * never documents); null fingerprints (< n tokens) bypass the join
+    * entirely, so the degenerate hot key never shuffles.
+    */
+  def histDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                     outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fps = graft.operators.TextAnalysis.fingerprintsUnordered(batch)
+      .select("doc_id", "fingerprint").persist()
+    try {
+      val storePath = java.nio.file.Paths.get(storeDir)
+      val store =
+        if (java.nio.file.Files.isDirectory(storePath) &&
+            java.nio.file.Files.list(storePath).anyMatch(_.getFileName
+              .toString.startsWith("batch=")))
+          spark.read.parquet(storeDir).filter(col("batch") < batchId)
+            .select("fingerprint")
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("fingerprint", StringType))))
+      val winners = fps.filter(col("fingerprint").isNotNull)
+        .join(store, Seq("fingerprint"), "left_anti")
+        .groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
+        .persist()
+      try {
+        winners.select("doc_id", "fingerprint")
+          .unionByName(fps.filter(col("fingerprint").isNull)
+            .select("doc_id", "fingerprint"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        winners.select("fingerprint")
+          .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      } finally winners.unpersist(blocking = false)
+    } finally fps.unpersist(blocking = false)
+  }
+
+  /** The historical-dedup stream over an arbitrary staged directory
+    * (tests append files across runs; the store and checkpoint persist,
+    * so a duplicate arriving in a LATER RUN is still dropped).
+    */
+  def histDedupStreamFromDir(spark: SparkSession, srcDir: String,
+                             outDir: String, storeDir: String,
+                             ckDir: String): Unit = {
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        histDedupBatch(batch, batchId, storeDir, outDir)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Oracle-facing form: stage the documents table as `nBatches`
+    * contiguous doc_id ranges (mtime-ordered, so the file source replays
+    * them in range order and the global survivor set is the
+    * min-doc_id-per-fingerprint the batch oracle computes), run the
+    * historical-dedup stream, read back the landed survivors.
+    */
+  def streamHistDedup(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val srcDir = s"$tmp/graft_histdedup/$runId/src"
+    val outDir = s"$tmp/graft_histdedup/$runId/out"
+    val storeDir = s"$tmp/graft_histdedup/$runId/store"
+    val ckDir = s"$tmp/graft_histdedup/$runId/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (hi - lo + nBatches) / nBatches // ceil so ranges cover hi
+    (0 until nBatches).foreach { i =>
+      val stagedir = s"$srcDir/stage$i"
+      docs.filter(col("doc_id") >= lo + i * span &&
+                  col("doc_id") < lo + (i + 1) * span)
+        .coalesce(1).write.parquet(stagedir)
+      val part = Files.list(Paths.get(stagedir)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val target = Paths.get(s"$srcDir/range$i.parquet")
+      Files.move(Paths.get(part), target)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+      // strictly increasing mtimes pin the source's replay order
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    histDedupStreamFromDir(spark, srcDir, outDir, storeDir, ckDir)
+    spark.read.parquet(outDir).select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

@@ -80,6 +80,42 @@ class StreamingSpec extends SparkSpec {
       s"expected batch=/y= partition dirs, got: ${dirs.take(5).mkString(",")}")
   }
 
+  test("historical-store dedup drops a later batch's duplicate of an earlier batch's doc") {
+    val src = tempDir("hd_src")
+    val out = tempDir("hd_out")
+    val store = tempDir("hd_store")
+    val ck = tempDir("hd_ck")
+    val sp = spark
+    import sp.implicits._
+
+    def writeDocs(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/$name")
+      val part = Files.list(Paths.get(s"$src/$name")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$src/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/$name"))
+      Files.setLastModifiedTime(Paths.get(s"$src/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "how vexingly quick daft zebras jump around here"
+    // run 1: batch with docs 1 (A) and 2 (B)
+    writeDocs(Seq((1L, textA), (2L, textB)), "b1", 1000000000000L)
+    StreamOps.histDedupStreamFromDir(spark, src, out, store, ck)
+    // run 2 (restart from checkpoint): doc 3 duplicates doc 1's content
+    // ACROSS the batch/run boundary; doc 4 is fresh; doc 5 is too short
+    // to shingle (null fingerprint) and must always pass through
+    writeDocs(Seq((3L, textA), (4L, textC), (5L, "tiny")), "b2", 1000000060000L)
+    StreamOps.histDedupStreamFromDir(spark, src, out, store, ck)
+
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 2L, 4L, 5L),
+      s"expected cross-run duplicate doc 3 dropped, got $survivors")
+  }
+
   test("crash between sink write and offset commit does not duplicate data (T6)") {
     val src = tempDir("src3")
     val out = tempDir("out3")
