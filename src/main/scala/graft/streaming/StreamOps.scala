@@ -33,6 +33,35 @@ import graft.operators.Landing
   */
 object StreamOps {
 
+  /** STATE-STORE PROVIDER seam. The default HDFSBackedStateStoreProvider
+    * keeps every stateful operator's state on the executor HEAP (disk is
+    * only the checkpoint copy); at 100× the session/join/dedup state the
+    * scale probes measure, heap-resident state is the first thing to fall
+    * over. RocksDBStateStoreProvider (bundled with Spark + rocksdbjni)
+    * keeps working state off-heap with native spill — the production
+    * configuration for large state. Selected per session via
+    * env SPARK_GRAFT_STATESTORE (rocksdb | hdfs; unset = Spark default)
+    * or programmatically; applied by every stream builder in this object,
+    * so all q_stream_* queries run identically under either provider
+    * (asserted in StreamingSpec, measured in StreamScaleProbe).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val HdfsProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  def configureStateStore(spark: SparkSession,
+                          provider: Option[String] =
+                            sys.env.get("SPARK_GRAFT_STATESTORE")): Unit =
+    provider.map(_.toLowerCase).foreach {
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      case "hdfs" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", HdfsProvider)
+      case other => throw new IllegalArgumentException(
+        s"unknown state-store provider '$other' — expected rocksdb or hdfs")
+    }
+
   /** Flat events schema as stored (ts = parquet TIMESTAMP(NANOS) read as
     * long via the legacy conf; converted to native micros immediately).
     */
@@ -97,6 +126,7 @@ object StreamOps {
                           nShards: Int = 8,
                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    configureStateStore(spark)
     val reader = spark.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     withEnvelope(reader.parquet(streamDir), nShards)
@@ -487,6 +517,7 @@ object StreamOps {
   def histDedupStreamFromDir(spark: SparkSession, srcDir: String,
                              outDir: String, storeDir: String,
                              ckDir: String): Unit = {
+    configureStateStore(spark)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
       .parquet(srcDir)

@@ -116,6 +116,25 @@ class StreamingSpec extends SparkSpec {
       s"expected cross-run duplicate doc 3 dropped, got $survivors")
   }
 
+  test("RocksDB state store yields identical results for agg, custom-state, and join state") {
+    def collectAll() = (
+      StreamOps.streamSessionize(spark, sf0001, 30).collect().toSeq,
+      StreamOps.streamUserState(spark, sf0001).collect().toSeq,
+      StreamOps.streamIntervalJoin(spark, sf0001).collect().toSeq)
+    // default (heap-backed) provider first, then the same three stateful
+    // operator classes — windowed agg, mapGroupsWithState, stream-stream
+    // join — routed through RocksDB via the config seam
+    val (sessH, stateH, joinH) = collectAll()
+    StreamOps.configureStateStore(spark, Some("rocksdb"))
+    try {
+      val (sessR, stateR, joinR) = collectAll()
+      assert(sessR === sessH, "sessionize differs under RocksDB")
+      assert(stateR === stateH, "mapGroupsWithState differs under RocksDB")
+      assert(joinR === joinH, "interval join differs under RocksDB")
+      assert(sessR.nonEmpty && stateR.nonEmpty && joinR.nonEmpty)
+    } finally StreamOps.configureStateStore(spark, Some("hdfs"))
+  }
+
   test("crash between sink write and offset commit does not duplicate data (T6)") {
     val src = tempDir("src3")
     val out = tempDir("out3")
