@@ -128,6 +128,7 @@ object SparkEntry {
       TextAnalysis.decontaminationFraction(documents(s, d), 5, 100, 0.2)),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(documents(s, d), 8)),
+    "q_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
@@ -658,6 +659,7 @@ object SparkEntry {
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_bpe_merges" -> bpeOracleSql(8),
+    "q_bpe_vocab" -> bpeVocabOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
     // a per-lang running count in doc_id order (see sequencePacking docs)
     "q_seq_packing" ->
@@ -1524,7 +1526,21 @@ object SparkEntry {
     * top$i are MATERIALIZED: each is referenced twice per step and DuckDB
     * would otherwise inline the chain exponentially.
     */
-  private def bpeOracleSql(iters: Int): String = {
+  private def bpeOracleSql(iters: Int): String =
+    bpeChainSql(iters) + "\nSELECT * FROM (\n" + (1 to iters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, t1, t2, c AS pair_count FROM top$i"
+    }.mkString("\nUNION ALL ") + ") ORDER BY step"
+
+  /** Post-merge subword census over the chain's final words state. */
+  private def bpeVocabOracleSql(iters: Int): String =
+    bpeChainSql(iters) +
+      s"""
+         |SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS freq,
+         |       count(DISTINCT word) AS n_words
+         |FROM (SELECT word, freq, unnest(toks) AS tok FROM words$iters)
+         |GROUP BY 1 ORDER BY token""".stripMargin
+
+  private def bpeChainSql(iters: Int): String = {
     val head =
       """WITH w0 AS (
         |  SELECT word, count(*) AS freq FROM (
@@ -1569,10 +1585,7 @@ object SparkEntry {
          |  WHERE coalesce(dropped, 0) = 0
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString
-    val tail = "\nSELECT * FROM (\n" + (1 to iters).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS step, t1, t2, c AS pair_count FROM top$i"
-    }.mkString("\nUNION ALL ") + ") ORDER BY step"
-    head + steps + tail
+    head + steps
   }
 
   /** IVF-PQ composed search: the coarse side is the cent$iters codebook

@@ -410,7 +410,29 @@ object TextAnalysis {
     * millions of rows, not the corpus. localCheckpoint per iteration
     * truncates lineage exactly like [[NearDup.duplicateComponents]].
     */
-  def bpeMerges(documents: DataFrame, k: Int): DataFrame = {
+  def bpeMerges(documents: DataFrame, k: Int): DataFrame =
+    bpeChain(documents, k)._1
+
+  /** Post-merge SUBWORD VOCABULARY census: after the first `k` merges,
+    * every distinct subword with its corpus frequency and the number of
+    * distinct words it appears in — the tokenizer's actual vocabulary
+    * artifact (train → apply, completing [[bpeMerges]]). Derived from the
+    * merge loop's final words state — no second training pass.
+    */
+  def bpeVocab(documents: DataFrame, k: Int): DataFrame =
+    bpeChain(documents, k)._2
+      .select(col("word"), col("freq"), explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("freq")).as("freq"),
+           countDistinct(col("word")).as("n_words"))
+      .orderBy("token")
+
+  /** The ONE BPE loop behind [[bpeMerges]] and [[bpeVocab]]: k greedy
+    * merge steps, returning both the merge table and the final per-word
+    * symbol state (same single-implementation discipline as the k-means
+    * `lloydChain`).
+    */
+  private def bpeChain(documents: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val spark = documents.sparkSession
     var words = documents.repartition(col("doc_id"))
       .select(explode(tokens(col("text"))).as("word"))
@@ -446,7 +468,7 @@ object TextAnalysis {
       words = words.withColumn("toks", merged).localCheckpoint()
     }
     import spark.implicits._
-    merges.toSeq.toDF("step", "t1", "t2", "pair_count").orderBy("step")
+    (merges.toSeq.toDF("step", "t1", "t2", "pair_count").orderBy("step"), words)
   }
 
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the
