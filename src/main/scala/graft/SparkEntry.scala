@@ -153,6 +153,7 @@ object SparkEntry {
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
+    "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
@@ -1121,6 +1122,10 @@ object SparkEntry {
         |  CAST(sum(length(redacted)) AS BIGINT) AS n_chars_redacted
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_cms_heavy" -> cmsOracleSql,
+    // the streaming form aggregates the SAME seeded mergeable sketch
+    // across micro-batches — associative merge ⇒ identical matrix ⇒ the
+    // batch oracle applies verbatim
+    "q_stream_cms" -> cmsOracleSql,
     "q_array_ops" ->
       """WITH b AS (
         |  SELECT event_type,

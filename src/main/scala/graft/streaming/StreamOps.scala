@@ -531,21 +531,18 @@ object StreamOps {
     q.awaitTermination()
   }
 
-  /** Oracle-facing form: stage the documents table as `nBatches`
-    * contiguous doc_id ranges (mtime-ordered, so the file source replays
-    * them in range order and the global survivor set is the
-    * min-doc_id-per-fingerprint the batch oracle computes), run the
-    * historical-dedup stream, read back the landed survivors.
+  /** Stage the documents table as `nBatches` contiguous doc_id ranges,
+    * one parquet file each with strictly increasing mtimes, so the file
+    * source replays them in range order one micro-batch apiece
+    * (maxFilesPerTrigger=1). Returns the fresh run root; the staged
+    * source lives under `<root>/src`.
     */
-  def streamHistDedup(spark: SparkSession, sfDir: String,
-                      nBatches: Int = 3): DataFrame = {
+  def stageDocRanges(spark: SparkSession, sfDir: String,
+                     nBatches: Int): String = {
     import java.nio.file.{Files, Paths}
     val runId = UUID.randomUUID().toString.take(8)
-    val tmp = sys.props("java.io.tmpdir")
-    val srcDir = s"$tmp/graft_histdedup/$runId/src"
-    val outDir = s"$tmp/graft_histdedup/$runId/out"
-    val storeDir = s"$tmp/graft_histdedup/$runId/store"
-    val ckDir = s"$tmp/graft_histdedup/$runId/ck"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_docstream/$runId"
+    val srcDir = s"$root/src"
     Files.createDirectories(Paths.get(srcDir))
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -565,9 +562,67 @@ object StreamOps {
       Files.setLastModifiedTime(target,
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     }
-    histDedupStreamFromDir(spark, srcDir, outDir, storeDir, ckDir)
-    spark.read.parquet(outDir).select("doc_id", "fingerprint")
+    root
+  }
+
+  /** Oracle-facing form: stage the documents table as contiguous
+    * doc_id-range batches (range order ⇒ the global survivor set is the
+    * min-doc_id-per-fingerprint the batch oracle computes), run the
+    * historical-dedup stream, read back the landed survivors.
+    */
+  def streamHistDedup(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3): DataFrame = {
+    val root = stageDocRanges(spark, sfDir, nBatches)
+    histDedupStreamFromDir(spark, s"$root/src", s"$root/out",
+      s"$root/store", s"$root/ck")
+    spark.read.parquet(s"$root/out").select("doc_id", "fingerprint")
       .orderBy("doc_id")
+  }
+
+  /** STREAMING Count-Min heavy-term audit: the same seeded CMS Aggregator
+    * as the batch q_cms_heavy, aggregated ACROSS micro-batches by the
+    * streaming engine (complete mode; the sketch matrix is the operator
+    * state). The sketch's merge is elementwise addition — fully
+    * associative and commutative — so slicing the corpus into
+    * micro-batches CANNOT change the final matrix: the streaming result
+    * is bit-identical to the batch sketch and shares its full SQL oracle.
+    * That property (mergeable sketch ⇒ batch/streaming agreement) is
+    * exactly why production pipelines put sketches, not exact
+    * distinct-counts, in their streaming layer.
+    */
+  def streamCmsHeavy(spark: SparkSession, sfDir: String,
+                     probes: Seq[String], seed: Long = 42L): DataFrame = {
+    import graft.functions.CountMin
+    val root = stageDocRanges(spark, sfDir, 3)
+    val table = s"graft_stream_cms_${UUID.randomUUID().toString.take(8)}"
+    configureStateStore(spark)
+    val cms = org.apache.spark.sql.functions.udaf(
+      new CountMin.CMSAgg(seed), org.apache.spark.sql.Encoders.scalaLong)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .select(graft.operators.NearDup.md5Hash60(col("term")).as("hv"))
+      .agg(cms(col("hv")).as("sk"))
+      .writeStream
+      .format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sketch = spark.table(table).head().getSeq[Long](0)
+    // exact probe counts from the same corpus (batch side, as in the
+    // batch audit — the probe list is tiny)
+    val exact: Map[String, Long] = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    probes.map(t => (t, CountMin.estimate(sketch, t, seed), exact.getOrElse(t, 0L)))
+      .toDF("term", "cms_estimate", "exact_count")
+      .orderBy("term")
   }
 
   /** Streaming gap-based sessionization via session_window (T8): start is
