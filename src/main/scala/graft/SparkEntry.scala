@@ -107,6 +107,8 @@ object SparkEntry {
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ivfpq_search" -> ((s, d) =>
       Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_ivfpq_residual" -> ((s, d) =>
+      Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -659,6 +661,7 @@ object SparkEntry {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
+    "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
@@ -1677,6 +1680,112 @@ object SparkEntry {
          |    JOIN codes ON codes.vec_id = cand.vec_id
          |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
          |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, est,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+         |  FROM est)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+         |       round(est, 6) AS est_d2
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Residual IVF-PQ (IVFADC proper): PQ codes over v - c(v) residuals;
+    * per-(query, probed cell) lookup tables because the query's residual
+    * differs per probed cell. Same cent$iters chain; sub-codebooks are
+    * label means of the residual halves.
+    */
+  private def ivfPqResidualOracleSql(iters: Int, nprobe: Int): String =
+    kmeansCentChain(iters) +
+      s""",
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
+         |rs AS (
+         |  SELECT e.vec_id, e.label, cl.cell,
+         |         [round((e.embedding::DOUBLE[])[i] - c.c[i], 6) for i in range(1, len(c.c)+1)] AS r
+         |  FROM embeddings e JOIN cells cl USING (vec_id)
+         |       JOIN cent$iters c ON cl.cell = c.clabel),
+         |sp AS (
+         |  SELECT vec_id, label, cell,
+         |    r[1:len(r)//2] AS e1, r[len(r)//2+1:len(r)] AS e2
+         |  FROM rs),
+         |ex1 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+         |           recursive := true)
+         |  FROM sp),
+         |cb1 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex1 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |ex2 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+         |           recursive := true)
+         |  FROM sp),
+         |cb2 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex2 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |a1 AS (
+         |  SELECT vec_id, clabel AS code1 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+         |a2 AS (
+         |  SELECT vec_id, clabel AS code2 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+         |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS pcell
+         |  FROM assignrk WHERE vec_id < 20 AND rk <= $nprobe),
+         |qr AS (
+         |  SELECT p.query_id, p.pcell,
+         |         [round((e.embedding::DOUBLE[])[i] - c.c[i], 6) for i in range(1, len(c.c)+1)] AS qr
+         |  FROM probes p JOIN embeddings e ON e.vec_id = p.query_id
+         |       JOIN cent$iters c ON p.pcell = c.clabel),
+         |qsp AS (
+         |  SELECT query_id, pcell,
+         |    qr[1:len(qr)//2] AS q1, qr[len(qr)//2+1:len(qr)] AS q2
+         |  FROM qr),
+         |d1 AS (
+         |  SELECT q.query_id, q.pcell, c.clabel AS c1,
+         |         list_dot_product(q.q1, q.q1)
+         |           + (-2.0 * list_dot_product(q.q1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM qsp q CROSS JOIN cb1 c),
+         |d2 AS (
+         |  SELECT q.query_id, q.pcell, c.clabel AS c2,
+         |         list_dot_product(q.q2, q.q2)
+         |           + (-2.0 * list_dot_product(q.q2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM qsp q CROSS JOIN cb2 c),
+         |cand AS (
+         |  SELECT p.query_id, cl.vec_id, cl.cell
+         |  FROM cells cl JOIN probes p ON cl.cell = p.pcell
+         |  WHERE cl.vec_id <> p.query_id),
+         |est AS (
+         |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+         |  FROM cand
+         |    JOIN codes ON codes.vec_id = cand.vec_id
+         |    JOIN d1 ON d1.query_id = cand.query_id AND d1.pcell = cand.cell
+         |           AND codes.code1 = d1.c1
+         |    JOIN d2 ON d2.query_id = cand.query_id AND d2.pcell = cand.cell
+         |           AND codes.code2 = d2.c2),
          |ranked AS (
          |  SELECT query_id, neighbor_id, est,
          |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk

@@ -455,6 +455,107 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** RESIDUAL IVF-PQ search (IVFADC proper): PQ encodes each vector's
+    * RESIDUAL against its coarse centroid instead of the raw vector —
+    * the form production ANN indexes actually ship, because residuals
+    * concentrate near zero and the same sub-codebook budget buys far
+    * lower quantization error. The price at query time: the ADC lookup
+    * tables become per-(query, probed cell) — the query's residual is
+    * different in every cell it probes — which is why real systems cap
+    * nprobe. Still broadcast-sized: nQueries × nprobe × |sub-codebook|
+    * rows of (two keys, one double).
+    *
+    * Everything else composes the existing machinery: [[lloydChain]]
+    * coarse codebook, [[assignedVectors]] cells, [[subCodebook]]/
+    * [[assignHalf]] on the residual halves (the shared helpers take any
+    * (label, e1, e2) base). Scale shape identical to [[ivfPqSearch]]:
+    * skinny candidate join bounded by nprobe × cell occupancy, codes not
+    * vectors on the wire, codebook-sized broadcasts.
+    */
+  def ivfPqResidualSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+                          nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val h = d / 2
+    val cents =
+      if (trainIters > 0) trainedCodebook(embeddings, trainIters)
+      else centroidsDF(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    val assigned = assignedVectors(embeddings, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // residual base: v - c(v), split into halves — the (label, e1, e2)
+    // shape the shared PQ helpers consume. Residuals are QUANTIZED to 6
+    // decimals as part of the spec: raw residual components carry full
+    // double precision (centroids are divided means), where the decimal
+    // cast inside the sub-codebook mean is forced to round — and Spark's
+    // BigDecimal rounding and DuckDB's double-space decimal cast disagree
+    // at the last ulp. Quantized residuals make every downstream decimal
+    // cast exact on both engines (the same 6-decimal discipline as all
+    // cross-engine ratios in this suite); for a PQ index the quantization
+    // is semantically free — PQ is about to compress far harder anyway.
+    val resid = assigned.join(broadcast(cents), col("assigned") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("assigned"),
+        zip_with(col("emb"), col("cvec"), (x, c) => round(x - c, 6)).as("r"))
+      .select(col("vec_id"), col("label"), col("assigned"),
+        slice(col("r"), lit(1), lit(h)).as("e1"),
+        slice(col("r"), lit(h + 1), lit(d - h)).as("e2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb1 = subCodebook(resid, "e1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb2 = subCodebook(resid, "e2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val codes = assignHalf(resid, "e1", cb1, "code1")
+      .join(assignHalf(resid, "e2", cb2, "code2"), "vec_id")
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", cellScore(col("q_emb")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("clabel").as("pcell"), col("q_emb"))
+    // the query's residual w.r.t. EACH probed cell's centroid (same
+    // 6-decimal quantization as the corpus residuals)
+    val qres = probes.join(broadcast(cents), col("pcell") === col("clabel"))
+      .select(col("query_id"), col("pcell"),
+        zip_with(col("q_emb"), col("cvec"), (x, c) => round(x - c, 6)).as("qr"))
+      .select(col("query_id"), col("pcell"),
+        slice(col("qr"), lit(1), lit(h)).as("q1h"),
+        slice(col("qr"), lit(h + 1), lit(d - h)).as("q2h"))
+    def lookupR(half: String, cb: DataFrame, qCol: String, pCol: String,
+                cCol: String, out: String): DataFrame = qres
+      .select(col("query_id").as(qCol), col("pcell").as(pCol),
+              col(half).as("q"))
+      .crossJoin(broadcast(cb))
+      .select(col(qCol), col(pCol), col("clabel").as(cCol),
+        (dot(col("q"), col("q")) + cellScore(col("q"))).as(out))
+    val d1 = lookupR("q1h", cb1, "q1", "p1", "c1", "d1")
+    val d2 = lookupR("q2h", cb2, "q2", "p2", "c2", "d2")
+    val topk = topK(k)
+    assigned.select(col("vec_id"), col("assigned"))
+      .join(broadcast(probes.select("query_id", "pcell")),
+        col("assigned") === col("pcell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("query_id"), col("assigned"))
+      .join(codes, "vec_id")
+      .join(broadcast(d1), col("code1") === col("c1") &&
+        col("query_id") === col("q1") && col("assigned") === col("p1"))
+      .join(broadcast(d2), col("code2") === col("c2") &&
+        col("query_id") === col("q2") && col("assigned") === col("p2"))
+      .select(col("vec_id"), col("query_id"), (col("d1") + col("d2")).as("est"))
+      .groupBy("query_id")
+      .agg(topk(-col("est"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(-col("nbr.score"), 6).as("est_d2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Total distortion (sum of squared L2 distance to the assigned
     * centroid) after each of `iters` codebook states, starting from the
     * label-centroid codebook — the convergence instrument: Lloyd's

@@ -152,6 +152,26 @@ class SimilaritySpec extends SparkSpec {
       f"nprobe=4 recall $rWide%.3f collapsed vs nprobe=2 $rComposed%.3f — probe widening broke the candidate join")
   }
 
+  test("residual IVF-PQ returns k rows per query and tracks the raw-PQ composition") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val raw = Similarity.ivfPqSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)
+    val rRaw = (exact & pairs(raw)).size.toDouble / exact.size
+    CacheRegistry.release()
+    val res = Similarity.ivfPqResidualSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)
+    val got = res.collect()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val rRes = (exact & pairs(res)).size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"IVF-PQ recall@10: raw $rRaw%.3f, residual $rRes%.3f")
+    assert(rRes > 0.0, "residual IVF-PQ found none of the exact neighbors")
+    // residual encoding buys LOWER quantization error at the same code
+    // budget — recall must not collapse relative to the raw composition
+    assert(rRes >= rRaw - 0.10,
+      f"residual recall $rRes%.3f collapsed vs raw $rRaw%.3f — residual join or lookup broken")
+  }
+
   test("TopKAgg reduce/merge equals sort-take under random splits (property)") {
     import graft.functions.VectorMath.{ScoredId, TopKAgg, TopKBuf}
     import org.scalacheck.{Gen, Prop, Test => SCTest}
