@@ -156,6 +156,7 @@ object SparkEntry {
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
+    "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
@@ -853,6 +854,39 @@ object SparkEntry {
         |  FROM fp)
         |SELECT doc_id, fingerprint FROM sel
         |WHERE fingerprint IS NULL OR doc_id = mn
+        |ORDER BY doc_id""".stripMargin,
+    // streaming near-dup vs the accumulated simhash index: a doc is
+    // dropped iff some EARLIER-batch doc is within hamming 3 (banding is
+    // exact for <=3); batch = contiguous doc_id range, derivable in SQL
+    "q_stream_neardedup" ->
+      """WITH sfp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id,
+        |      [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')] AS hs
+        |    FROM documents)),
+        |bounds AS (
+        |  SELECT min(doc_id) AS lo,
+        |         CAST((max(doc_id) - min(doc_id) + 3) // 3 AS BIGINT) AS span
+        |  FROM documents),
+        |bat AS (
+        |  SELECT doc_id, simhash,
+        |         CAST((doc_id - (SELECT lo FROM bounds)) // (SELECT span FROM bounds) AS BIGINT) AS b
+        |  FROM sfp),
+        |banded AS (
+        |  SELECT doc_id, simhash, b, band, (simhash >> (band*15)) % 32768 AS band_key
+        |  FROM bat, unnest(range(0, 4)) AS t(band)),
+        |drops AS (
+        |  SELECT DISTINCT y.doc_id
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.b < y.b
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+        |SELECT doc_id, simhash FROM sfp
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
         |ORDER BY doc_id""".stripMargin,
     "q_similarity_topk" ->
       """WITH b AS (

@@ -156,7 +156,11 @@ object NearDup {
     * HOF expression work (no shuffle); the md5-based token hash keeps it
     * oracle-reproducible.
     */
-  private def simhashUnordered(documents: DataFrame): DataFrame =
+  /** Public unordered form: StreamOps' incremental near-dedup fingerprints
+    * each micro-batch with the same spec (the trailing orderBy of
+    * [[simhash]] is oracle-determinism, useless mid-stream).
+    */
+  def simhashUnordered(documents: DataFrame): DataFrame =
     documents
       .repartition(col("doc_id")) // single input file → spread the hash work
       .withColumn("toks", TextAnalysis.tokens(col("text")))

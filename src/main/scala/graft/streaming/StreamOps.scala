@@ -479,22 +479,34 @@ object StreamOps {
     * never documents); null fingerprints (< n tokens) bypass the join
     * entirely, so the degenerate hot key never shuffles.
     */
+  /** Accumulated-store read for the incremental dedup sinks: all
+    * generations STRICTLY BEFORE `batchId` (a crash-replayed batch must
+    * not anti-join against its own previous write), or an empty frame on
+    * the first batch.
+    */
+  private def storeBefore(spark: SparkSession, storeDir: String,
+                          batchId: Long, schema: StructType): DataFrame = {
+    val p = java.nio.file.Paths.get(storeDir)
+    val hasData = java.nio.file.Files.isDirectory(p) && {
+      val listing = java.nio.file.Files.list(p)
+      try listing.anyMatch(_.getFileName.toString.startsWith("batch="))
+      finally listing.close()
+    }
+    if (hasData)
+      spark.read.parquet(storeDir).filter(col("batch") < batchId)
+        .select(schema.fieldNames.map(col): _*)
+    else spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
   def histDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
                      outDir: String): Unit = {
     val spark = batch.sparkSession
     val fps = graft.operators.TextAnalysis.fingerprintsUnordered(batch)
       .select("doc_id", "fingerprint").persist()
     try {
-      val storePath = java.nio.file.Paths.get(storeDir)
-      val store =
-        if (java.nio.file.Files.isDirectory(storePath) &&
-            java.nio.file.Files.list(storePath).anyMatch(_.getFileName
-              .toString.startsWith("batch=")))
-          spark.read.parquet(storeDir).filter(col("batch") < batchId)
-            .select("fingerprint")
-        else spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("fingerprint", StringType))))
+      val store = storeBefore(spark, storeDir, batchId,
+        StructType(Seq(StructField("fingerprint", StringType))))
       val winners = fps.filter(col("fingerprint").isNotNull)
         .join(store, Seq("fingerprint"), "left_anti")
         .groupBy("fingerprint").agg(min(col("doc_id")).as("doc_id"))
@@ -576,6 +588,68 @@ object StreamOps {
     histDedupStreamFromDir(spark, s"$root/src", s"$root/out",
       s"$root/store", s"$root/ck")
     spark.read.parquet(s"$root/out").select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  /** One micro-batch of STREAMING NEAR-DUP dedup vs a historical simhash
+    * store — the incremental-crawl form: a new document is dropped when
+    * it is within hamming distance 3 of ANY document from an earlier
+    * batch (4×15-bit pigeonhole banding makes the check exact, never
+    * all-pairs). The store indexes every seen document's banded
+    * fingerprint — crawl-index semantics: earlier batches are "the
+    * corpus", survivors or not — while INTRA-batch near-dups are left to
+    * the batch near-dup pass (q_neardup_simhash composes before this at
+    * ingest time), keeping the two concerns — batch dedup, incremental
+    * dedup — separately testable, as real pipelines split them.
+    *
+    * 100 TB shape: the join is a hash shuffle on the (band, band_key)
+    * cell; the store ships 4 skinny (2 longs + 2 ints) rows per seen doc,
+    * never text; same idempotent batch=N overwrite discipline as
+    * [[histDedupBatch]].
+    */
+  def nearDedupBatch(batch: DataFrame, batchId: Long, storeDir: String,
+                     outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val sh = graft.operators.NearDup.simhashUnordered(batch)
+      .select("doc_id", "simhash").persist()
+    try {
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15) % lit(1L << 15)): _*))
+          .as(Seq("band", "band_key")))
+      val store = storeBefore(spark, storeDir, batchId, StructType(Seq(
+        StructField("doc_id", LongType), StructField("simhash", LongType),
+        StructField("band", IntegerType), StructField("band_key", LongType))))
+      val hits = banded.as("n").join(store.as("o"),
+          col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
+        .filter(bit_count(col("n.simhash").bitwiseXOR(col("o.simhash"))) <= 3)
+        .select(col("n.doc_id")).distinct()
+      sh.join(hits, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      banded.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Oracle-facing form: contiguous doc_id-range batches (same staging as
+    * [[streamHistDedup]]), so "earlier batch" is derivable from doc_id in
+    * the SQL oracle.
+    */
+  def streamNearDedup(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3): DataFrame = {
+    val root = stageDocRanges(spark, sfDir, nBatches)
+    configureStateStore(spark)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDedupBatch(batch, batchId, s"$root/store", s"$root/out")
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$root/out").select("doc_id", "simhash")
       .orderBy("doc_id")
   }
 

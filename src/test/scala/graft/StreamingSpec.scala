@@ -116,6 +116,48 @@ class StreamingSpec extends SparkSpec {
       s"expected cross-run duplicate doc 3 dropped, got $survivors")
   }
 
+  test("incremental near-dedup drops cross-batch near-dups but not intra-batch ones") {
+    val src = tempDir("nd_src")
+    val out = tempDir("nd_out")
+    val store = tempDir("nd_store")
+    val ck = tempDir("nd_ck")
+    val sp = spark
+    import sp.implicits._
+
+    def writeDocs(rows: Seq[(Long, String)], name: String, mtime: Long): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/$name")
+      val part = Files.list(Paths.get(s"$src/$name")).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.move(Paths.get(part), Paths.get(s"$src/$name.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$src/$name"))
+      Files.setLastModifiedTime(Paths.get(s"$src/$name.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "how vexingly quick daft zebras jump around here"
+    writeDocs(Seq((1L, textA), (2L, textB)), "b1", 1000000000000L)
+    writeDocs(Seq((3L, textA), (5L, textC), (6L, textC)), "b2", 1000000060000L)
+    val q = spark.readStream.schema(StreamOps.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamOps.nearDedupBatch(batch, batchId, store, out)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 3 duplicates batch-1's doc 1 → dropped; docs 5 and 6 duplicate
+    // each other INSIDE batch 2 → both kept (intra-batch is the batch
+    // near-dup pass's concern, not the incremental store's)
+    assert(survivors === Set(1L, 2L, 5L, 6L),
+      s"expected cross-batch drop only, got $survivors")
+  }
+
   test("RocksDB state store yields identical results for agg, custom-state, and join state") {
     def collectAll() = (
       StreamOps.streamSessionize(spark, sf0001, 30).collect().toSeq,
