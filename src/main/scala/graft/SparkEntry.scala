@@ -157,6 +157,7 @@ object SparkEntry {
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
+    "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
@@ -1039,29 +1040,10 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_uids,
         |  min('p/q ' || event_type) AS decoded_ref
         |FROM events GROUP BY 1 ORDER BY et""".stripMargin,
-    "q_ivf_assign" ->
-      """WITH ex AS (
-        |  SELECT label,
-        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
-        |           recursive := true)
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
-        |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
-        |        FROM ex GROUP BY 1,2)
-        |  GROUP BY 1),
-        |scored AS (
-        |  SELECT e.vec_id, e.label, c.clabel,
-        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
-        |           + list_dot_product(c.c, c.c) AS s
-        |  FROM embeddings e CROSS JOIN cent c),
-        |best AS (
-        |  SELECT vec_id, label, clabel,
-        |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
-        |  FROM scored)
-        |SELECT label, clabel AS assigned, count(*) AS n_vectors
-        |FROM best WHERE rk = 1 GROUP BY 1,2 ORDER BY label, assigned""".stripMargin,
+    "q_ivf_assign" -> ivfAssignOracleSql,
+    // streaming ingest assigns against the SAME codebook with the same
+    // argmin/tie-break — the census is bit-identical to the batch one
+    "q_stream_ivf_assign" -> ivfAssignOracleSql,
     "q_ivf_search" ->
       """WITH ex AS (
         |  SELECT label,
@@ -1558,6 +1540,30 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
          |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val ivfAssignOracleSql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+      |           recursive := true)
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+      |  FROM (SELECT label, dim,
+      |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |        FROM ex GROUP BY 1,2)
+      |  GROUP BY 1),
+      |scored AS (
+      |  SELECT e.vec_id, e.label, c.clabel,
+      |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+      |           + list_dot_product(c.c, c.c) AS s
+      |  FROM embeddings e CROSS JOIN cent c),
+      |best AS (
+      |  SELECT vec_id, label, clabel,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+      |  FROM scored)
+      |SELECT label, clabel AS assigned, count(*) AS n_vectors
+      |FROM best WHERE rk = 1 GROUP BY 1,2 ORDER BY label, assigned""".stripMargin
 
   /** BPE merge-loop oracle: the same greedy spec as
     * TextAnalysis.bpeMerges, iterated as a generated CTE chain (like

@@ -191,6 +191,33 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
 
+  /** The coarse codebook rows (clabel, cvec, cnorm2) for callers outside
+    * this object — StreamOps' streaming ingest collects it (codebook-sized
+    * driver state) and inlines it as a literal scoring expression.
+    */
+  def coarseCodebook(embeddings: DataFrame): DataFrame = centroidsDF(embeddings)
+
+  /** Nearest-cell assignment as a PURE PER-ROW EXPRESSION over a literal
+    * codebook — no join at all: scores = transform over the inlined
+    * (cvec, cnorm2, clabel) structs, argmin = array_min's lexicographic
+    * struct ordering (score first, clabel second — the same (score,
+    * clabel) tie-break as [[assignedVectors]]' min-struct and the
+    * oracle's row_number). This is the streaming-ingest scoring path: a
+    * micro-batch assigns vectors against a broadcast-literal codebook
+    * with zero shuffle and zero state beyond the downstream census agg.
+    */
+  def assignByLiteralCodebook(emb: Column,
+                              codebook: Seq[(Int, Seq[Double], Double)]): Column = {
+    val cbLit = array(codebook.map { case (clabel, cvec, cnorm2) =>
+      struct(typedlit(cvec).as("cvec"), lit(cnorm2).as("cnorm2"),
+             lit(clabel).as("clabel"))
+    }: _*)
+    val scores = transform(cbLit, c => struct(
+      (lit(-2.0) * dot(emb, c.getField("cvec")) + c.getField("cnorm2")).as("s"),
+      c.getField("clabel").as("clabel")))
+    array_min(scores).getField("clabel")
+  }
+
   /** Per-cell component means of the vectors assigned under `cents` — the
     * "update" half of one Lloyd iteration, shared by [[kmeansStep]] and
     * the [[kmeansTrain]] loop. Decimal-exact sums keep the means

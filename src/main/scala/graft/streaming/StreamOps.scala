@@ -550,23 +550,29 @@ object StreamOps {
     * source lives under `<root>/src`.
     */
   def stageDocRanges(spark: SparkSession, sfDir: String,
-                     nBatches: Int): String = {
+                     nBatches: Int): String =
+    stageRanges(graft.Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", nBatches)
+
+  /** Generic form: stage ANY keyed table as contiguous id ranges. */
+  def stageRanges(df: DataFrame, idCol: String, nBatches: Int): String = {
     import java.nio.file.{Files, Paths}
     val runId = UUID.randomUUID().toString.take(8)
     val root = s"${sys.props("java.io.tmpdir")}/graft_docstream/$runId"
     val srcDir = s"$root/src"
     Files.createDirectories(Paths.get(srcDir))
-    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
-    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val bounds = df.agg(min(col(idCol)), max(col(idCol))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = (hi - lo + nBatches) / nBatches // ceil so ranges cover hi
     (0 until nBatches).foreach { i =>
       val stagedir = s"$srcDir/stage$i"
-      docs.filter(col("doc_id") >= lo + i * span &&
-                  col("doc_id") < lo + (i + 1) * span)
+      df.filter(col(idCol) >= lo + i * span &&
+                col(idCol) < lo + (i + 1) * span)
         .coalesce(1).write.parquet(stagedir)
-      val part = Files.list(Paths.get(stagedir)).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      val listing = Files.list(Paths.get(stagedir))
+      val part =
+        try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+        finally listing.close()
       val target = Paths.get(s"$srcDir/range$i.parquet")
       Files.move(Paths.get(part), target)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
@@ -651,6 +657,44 @@ object StreamOps {
     q.awaitTermination()
     spark.read.parquet(s"$root/out").select("doc_id", "simhash")
       .orderBy("doc_id")
+  }
+
+  /** STREAMING IVF INGEST: vectors arrive in micro-batches and are
+    * assigned to the already-built coarse codebook — the index-update
+    * path of a production ANN system (the index trains offline; new
+    * embeddings stream in). The codebook is collected once
+    * (codebook-sized driver state, the documented acceptable scalar) and
+    * inlined as a LITERAL scoring expression
+    * ([[graft.operators.Similarity.assignByLiteralCodebook]]) — the
+    * per-row argmin runs with ZERO join and zero shuffle before the
+    * census agg, which is the only stateful operator. Identical
+    * arithmetic and tie-break to the batch assignment, so the final
+    * census is bit-identical to q_ivf_assign and shares its oracle.
+    */
+  def streamIvfAssign(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val root = stageRanges(emb, "vec_id", nBatches)
+    configureStateStore(spark)
+    val cb = Similarity.coarseCodebook(emb).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val table = s"graft_stream_ivf_${UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .withColumn("assigned", Similarity.assignByLiteralCodebook(
+        graft.functions.VectorMath.asDouble(col("embedding")), cb))
+      .groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n_vectors"))
+      .writeStream
+      .format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table).orderBy("label", "assigned")
   }
 
   /** STREAMING Count-Min heavy-term audit: the same seeded CMS Aggregator
