@@ -129,6 +129,8 @@ object SparkEntry {
     "q_decontam_frac" -> ((s, d) =>
       TextAnalysis.decontaminationFraction(documents(s, d), 5, 100, 0.2)),
     "q_vocab" -> ((s, d) => TextAnalysis.vocabulary(documents(s, d), 100)),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(documents(s, d))),
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(documents(s, d))),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(documents(s, d), 8)),
     "q_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
@@ -1299,6 +1301,66 @@ object SparkEntry {
         |       round(CAST(c.n AS DOUBLE)/t.n_w1, 6) AS p_cond
         |FROM c JOIN t USING (lang, w1) WHERE c.n >= 5
         |ORDER BY lang, w1, w2""".stripMargin,
+    // intra-doc repetition signals: top-bigram mass fraction, duplicated-
+    // trigram mass fraction, distinct-token ratio (exact rationals)
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM base),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+        |    ELSE [] END) AS g FROM base),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+        |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS max2
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+        |    ELSE [] END) AS g FROM base),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2),
+        |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+        |       FROM c3 GROUP BY 1)
+        |SELECT tk.doc_id, tk.n_tokens,
+        |  round(CASE WHEN tk.n_tokens > 0
+        |    THEN CAST(tk.n_distinct AS DOUBLE) / tk.n_tokens ELSE 0.0 END, 6) AS distinct_ratio,
+        |  round(CASE WHEN coalesce(s2.n2, 0) > 0
+        |    THEN CAST(s2.max2 AS DOUBLE) / s2.n2 ELSE 0.0 END, 6) AS top_bigram_frac,
+        |  round(CASE WHEN coalesce(s3.n3, 0) > 0
+        |    THEN CAST(s3.dup3 AS DOUBLE) / s3.n3 ELSE 0.0 END, 6) AS dup_trigram_frac
+        |FROM tk LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Gopher-style boolean gates + conjunctive pass flag
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS mean_wlen,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop
+        |  FROM base)
+        |SELECT doc_id,
+        |  CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS ok_word_count,
+        |  CAST(mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS INT) AS ok_mean_word_len,
+        |  CAST(n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1 AS INT) AS ok_symbol_ratio,
+        |  CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+        |  CAST(n_words >= 20 AND n_words <= 100000
+        |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |    AND n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+        |    AND n_stop >= 2 AS INT) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     // top-100 corpus terms with contiguous ids in (freq desc, term) order
     "q_vocab" ->
       """WITH t AS (

@@ -389,6 +389,88 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** Intra-document REPETITION signals (the Gopher-family repetition
+    * filters, arXiv:2112.11446 §A1.1, in their n-gram form — this corpus
+    * has no line structure): per document the fraction of bigram mass in
+    * the single most frequent bigram, the fraction of trigram mass in
+    * trigrams occurring more than once, and the distinct-token ratio.
+    * High values = the looping/boilerplate degeneracy a pretraining
+    * filter drops. Pure per-doc work: two explode+count aggregations
+    * shuffled on (doc_id, gram) — embarrassingly parallel over documents,
+    * no cross-document state at any scale. All ratios are exact rationals
+    * rounded to 6 (cross-engine hashable).
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    val toks = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    def gramStats(n: Int, maxCol: String, dupCol: String): DataFrame = toks
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as(s"n$n"),
+           max(col("c")).as(maxCol),
+           sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as(dupCol))
+    val base = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    base
+      .join(gramStats(2, "max2", "dup2"), Seq("doc_id"), "left")
+      .join(gramStats(3, "max3", "dup3"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("distinct_ratio"),
+        round(when(coalesce(col("n2"), lit(0L)) > 0,
+          col("max2").cast("double") / col("n2")).otherwise(lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(when(coalesce(col("n3"), lit(0L)) > 0,
+          col("dup3").cast("double") / col("n3")).otherwise(lit(0.0)), 6)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style RULE flags (arXiv:2112.11446 §A1.1, thresholds adapted
+    * to this corpus' scale): per document, word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio, and stopword presence, plus the
+    * conjunctive pass flag — the boolean-gate form quality filtering
+    * ships (vs [[qualityScore]]'s soft score). One scan, zero shuffles
+    * before the trailing oracle sort.
+    */
+  def gopherRules(documents: DataFrame, minWords: Long = 20,
+                  maxWords: Long = 100000): DataFrame = {
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    documents.repartition(col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wlen",
+        when(col("n_words") > 0,
+          length(concat_ws("", col("toks"))).cast("double") / col("n_words"))
+          .otherwise(lit(0.0)))
+      .withColumn("n_symbols",
+        (length(col("text")) -
+         length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long"))
+      .select(
+        col("doc_id"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int").as("ok_word_count"),
+        (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+          .cast("int").as("ok_mean_word_len"),
+        (col("n_words") > 0 &&
+         col("n_symbols").cast("double") / col("n_words") <= lit(0.1))
+          .cast("int").as("ok_symbol_ratio"),
+        (col("n_stop") >= 2).cast("int").as("ok_stopwords"))
+      .withColumn("pass",
+        (col("ok_word_count") === 1 && col("ok_mean_word_len") === 1 &&
+         col("ok_symbol_ratio") === 1 && col("ok_stopwords") === 1)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** BPE MERGE loop: the first `k` byte-pair merges over the corpus
     * vocabulary — the training step that turns [[vocabulary]]'s pre-merge
     * term counts into an actual subword tokenizer. Words start as
