@@ -38,6 +38,8 @@ object SparkEntry {
     "q_props_json" -> ((s, d) => Events.propsKDeciles(events(s, d))),
     "q_data_quality" -> ((s, d) => Events.dataQuality(events(s, d))),
     "q_asof_join" -> ((s, d) => Events.asofPurchaseView(events(s, d))),
+    "q_asof_tolerance" -> ((s, d) => Events.asofPurchaseViewTolerance(events(s, d), 30)),
+    "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
@@ -232,6 +234,32 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type='purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // bounded-staleness as-of: matches older than 30 min are nulled
+    "q_asof_tolerance" ->
+      """WITH a AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id,
+        |         epoch_us(p.ts) AS purchase_ts_us,
+        |         v.event_id AS last_view_id, epoch_us(v.ts) AS last_view_ts_us
+        |  FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |SELECT purchase_id, user_id, purchase_ts_us,
+        |  CASE WHEN last_view_ts_us IS NOT NULL
+        |        AND purchase_ts_us - last_view_ts_us <= 1800000000
+        |       THEN last_view_id END AS last_view_id,
+        |  CASE WHEN last_view_ts_us IS NOT NULL
+        |        AND purchase_ts_us - last_view_ts_us <= 1800000000
+        |       THEN last_view_ts_us END AS last_view_ts_us
+        |FROM a ORDER BY purchase_id""".stripMargin,
+    // forward as-of: first view at-or-after each purchase
+    "q_asof_forward" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_ts_us,
+        |       v.event_id AS next_view_id, epoch_us(v.ts) AS next_view_ts_us
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts
         |ORDER BY purchase_id""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (

@@ -116,6 +116,53 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** As-of with TOLERANCE: like [[asofPurchaseView]], but a match older
+    * than `toleranceMinutes` is discarded (nulled) — the bounded-staleness
+    * form (kdb `wj`, pandas merge_asof(tolerance=...)) a production as-of
+    * user expects: a view from last week is not the view that drove this
+    * purchase. Same O(1)-per-user carry-forward window; the tolerance is
+    * one post-hoc predicate, so the scale shape is unchanged.
+    */
+  def asofPurchaseViewTolerance(events: DataFrame,
+                                toleranceMinutes: Int): DataFrame = {
+    val tolUs = toleranceMinutes * 60L * 1000000L
+    val base = asofPurchaseView(events)
+    val fresh = col("last_view_ts_us").isNotNull &&
+      col("purchase_ts_us") - col("last_view_ts_us") <= tolUs
+    base.select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+      when(fresh, col("last_view_id")).as("last_view_id"),
+      when(fresh, col("last_view_ts_us")).as("last_view_ts_us"))
+  }
+
+  /** FORWARD as-of: each purchase matched to the user's FIRST view
+    * at-or-after it (the other direction of [[asofPurchaseView]] —
+    * "what did they look at next"). Same union+window construction
+    * scanned in DESCENDING time order: carrying last-seen-view backward
+    * yields the earliest view ≥ the purchase; at equal ts the view sorts
+    * before the purchase in scan order (>= is inclusive), and among
+    * equal-ts views the smallest event_id wins (event_id desc in scan
+    * order, matching the oracle's ASOF >= tie-break).
+    */
+  def asofPurchaseNextView(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("side"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("next_view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("next_view_ts_us",
+        last(when(col("side") === 0, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              unix_micros(col("ts")).as("purchase_ts_us"),
+              col("next_view_id"), col("next_view_ts_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Sessionization (SURVEY §2.5): gap-based sessions per user. Batch form
     * uses the same lag/cumsum construction as the SQL oracle; the streaming
     * form (streaming.StreamOps) uses session_window with a watermark.
