@@ -125,6 +125,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
     "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
     "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
+    "q_cluster_best" -> ((s, d) => NearDup.clusterRepresentatives(documents(s, d), 3)),
+    "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d), 100)),
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
@@ -1483,6 +1485,75 @@ object SparkEntry {
         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    // best-quality member per duplicate cluster: the components fixpoint
+    // joined to the quality score, argmax (quality desc, doc_id)
+    "q_cluster_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM prs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.4*(CASE WHEN len(toks) > 0
+        |        THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/len(toks) ELSE 0.0 END)
+        |      + 0.3*(CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END)
+        |      + 0.3*(CAST(least(len(toks), 100) AS DOUBLE)/100.0), 6) AS quality_score
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |        FROM documents)),
+        |ranked AS (
+        |  SELECT comp.cluster_id, comp.doc_id, qual.quality_score,
+        |         row_number() OVER (PARTITION BY comp.cluster_id
+        |           ORDER BY qual.quality_score DESC, comp.doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+        |  FROM comp JOIN qual USING (doc_id))
+        |SELECT cluster_id, doc_id AS best_doc, quality_score AS best_quality,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    // per-doc fraction of tokens inside the top-100 vocabulary (OOV audit)
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS freq FROM t GROUP BY 1),
+        |top AS (SELECT term FROM c ORDER BY freq DESC, term LIMIT 100),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN top.term IS NOT NULL THEN 1 ELSE 0 END AS iv
+        |  FROM t LEFT JOIN top USING (term))
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+        |       round(CAST(sum(iv) AS DOUBLE)/count(*), 6) AS coverage
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // IVF search probing the 2 nearest cells: same construction as
     // q_ivf_search, with the probe list widened to rk <= 2 (candidates
     // stay unique per query — each vector lives in exactly one cell).

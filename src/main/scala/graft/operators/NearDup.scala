@@ -236,6 +236,29 @@ object NearDup {
       .orderBy("doc_id")
   }
 
+  /** Cluster REPRESENTATIVE selection: for every duplicate cluster, keep
+    * the highest-QUALITY member (ties to the lowest doc_id) — the
+    * "keep the best copy, not the first copy" rewrite step real corpus
+    * dedup ships (RefinedWeb-style), composed from
+    * [[duplicateComponents]] and [[TextAnalysis.qualityScore]]. argmax
+    * via min over a (-quality, doc_id) struct == the oracle's row_number
+    * ORDER BY quality DESC, doc_id. One extra join + one cluster-keyed
+    * agg on top of the components fixpoint.
+    */
+  def clusterRepresentatives(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val comps = duplicateComponents(documents, maxHamming)
+    val quality = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality_score"))
+    comps.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("quality_score")).as("nq"), col("doc_id").as("id"))).as("m"),
+           count(lit(1)).as("n_members"))
+      // +0.0 normalizes the -0.0 a double negation round-trip can mint
+      .select(col("cluster_id"), col("m.id").as("best_doc"),
+              (-col("m.nq") + lit(0.0)).as("best_quality"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Edit-distance near-dup verification: the SimHash band candidates
     * re-scored with exact Levenshtein distance over the raw text — the
     * character-level member of the near-dup family (Jaccard/MinHash are

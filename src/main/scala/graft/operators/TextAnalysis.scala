@@ -359,6 +359,28 @@ object TextAnalysis {
       .orderBy("token_id")
   }
 
+  /** Vocabulary COVERAGE / OOV rate: per document, the fraction of its
+    * tokens found in the top-k corpus vocabulary — the metric that decides
+    * whether a tokenizer's vocab budget fits a corpus (and the per-doc
+    * OOV-rate filter some pipelines gate on). The vocab is TakeOrdered-
+    * small and broadcast; the scan side is one explode + hash agg keyed
+    * on doc_id. Docs with zero tokens have no coverage row (no tokens to
+    * cover) — same convention in the oracle.
+    */
+  def vocabCoverage(documents: DataFrame, topK: Int): DataFrame = {
+    val vocab = vocabulary(documents, topK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    documents.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(coalesce(col("in_vocab"), lit(0))).cast("long").as("n_in_vocab"))
+      .withColumn("coverage",
+        round(col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Training-sequence PACKING: assign documents (in stable doc_id order
     * per language) to fixed-token-budget bins — the "pack documents into
     * 2048-token training sequences" step of an LLM data pipeline. The bin
