@@ -36,6 +36,26 @@ class PlanSpec extends SparkSpec {
         "a stage's internal orderBy leaked into the composition")
   }
 
+  test("literal-codebook assignment plans with NO join before the census agg") {
+    // the streaming-ingest scoring path: codebook inlined as a literal,
+    // argmin per row — its batch-equivalent plan must contain zero join
+    // operators (the whole point vs the broadcast-join assignment)
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.operators.Similarity.coarseCodebook(emb).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val df = emb
+      .withColumn("assigned", graft.operators.Similarity.assignByLiteralCodebook(
+        graft.functions.VectorMath.asDouble(col("embedding")), cb))
+      .groupBy("label", "assigned").agg(count(lit(1)).as("n_vectors"))
+    val p = planText(df)
+    assert(!p.contains("Join"), "literal-codebook assignment plan contains a join:\n" + p.take(2000))
+    // and it must agree with the join-based batch assignment
+    val lit_ = df.orderBy("label", "assigned").collect().toSeq
+    val join_ = SparkEntry.queries("q_ivf_assign")(spark, sf0001).collect().toSeq
+    assert(lit_ === join_, "literal-codebook census diverged from the join-based assignment")
+    CacheRegistry.release()
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),
