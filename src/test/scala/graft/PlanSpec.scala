@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("landed time-partitioned layout prunes partitions on read") {
+    // the point of the y/m/d/h layout at 100 TB: a time-sliced read must
+    // list only the matching directories (PartitionFilters on the scan),
+    // not scan the corpus
+    val out = s"${sys.props("java.io.tmpdir")}/graft_prune_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.operators.Landing.landPartitionedJson(
+      Tables.events(spark, sf0001), col("ts"), Seq("event_id"), out).count()
+    val landed = spark.read.schema(
+      graft.streaming.StreamOps.landedDataSchema).json(out)
+      .filter(col("h") === 3)
+    val p = planText(landed.select(col("event_id")))
+    assert(p.contains("PartitionFilters") && p.contains("(h#") ,
+      "hour predicate did not become a partition filter:\n" + p.take(1500))
+    assert(landed.count() > 0)
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

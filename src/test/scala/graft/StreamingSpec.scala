@@ -116,6 +116,17 @@ class StreamingSpec extends SparkSpec {
       s"expected cross-run duplicate doc 3 dropped, got $survivors")
   }
 
+  test("historical-store dedup survivors are invariant to the batch slicing") {
+    // the min-doc_id-per-fingerprint survivor set must not depend on HOW
+    // the stream is sliced into micro-batches (range order is the only
+    // requirement) — the invariant that lets one SQL oracle cover every
+    // batch count
+    val a = StreamOps.streamHistDedup(spark, sf0001, nBatches = 2).collect().toSeq
+    val b = StreamOps.streamHistDedup(spark, sf0001, nBatches = 5).collect().toSeq
+    assert(a.nonEmpty && a === b,
+      s"survivor set changed with batch slicing: ${a.size} vs ${b.size} rows")
+  }
+
   test("incremental near-dedup drops cross-batch near-dups but not intra-batch ones") {
     val src = tempDir("nd_src")
     val out = tempDir("nd_out")
