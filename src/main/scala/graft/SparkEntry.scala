@@ -105,6 +105,8 @@ object SparkEntry {
     "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
     "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
+    "q_pq_search_trained" -> ((s, d) =>
+      Similarity.pqSearch(embeddings(s, d), 20, 10, trainIters = 2)),
     "q_ivf_search_trained" -> ((s, d) =>
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ivfpq_search" -> ((s, d) =>
@@ -696,6 +698,7 @@ object SparkEntry {
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
+    "q_pq_search_trained" -> pqTrainedOracleSql(2),
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
@@ -1621,46 +1624,54 @@ object SparkEntry {
     * decimal-exact means, rebuild cent(i). Mirrors Similarity.kmeansTrain
     * iteration for iteration, so the trained codebook hash-matches.
     */
-  private def kmeansCentChain(iters: Int): String = {
+  /** The k-means CTE chain as a composable fragment (no leading WITH):
+    * `src` is the (vec_id, label, embedding) table expression to train
+    * over, `p` prefixes every CTE name so several chains can coexist in
+    * one statement (the trained-PQ oracle runs one per vector half).
+    */
+  private def kmeansCentChainFrag(iters: Int, src: String, p: String): String = {
     val head =
-      """WITH ex AS (
-        |  SELECT label,
-        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
-        |           recursive := true)
-        |  FROM embeddings),
-        |cent0 AS (
-        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
-        |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
-        |        FROM ex GROUP BY 1,2)
-        |  GROUP BY 1)""".stripMargin
+      s"""${p}ex AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+         |           recursive := true)
+         |  FROM $src),
+         |${p}cent0 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ${p}ex GROUP BY 1,2)
+         |  GROUP BY 1)""".stripMargin
     val steps = (1 to iters).map { i =>
       s""",
-         |scored$i AS (
+         |${p}scored$i AS (
          |  SELECT e.vec_id, c.clabel,
          |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
          |           + list_dot_product(c.c, c.c) AS s
-         |  FROM embeddings e CROSS JOIN cent${i - 1} c),
-         |assigned$i AS (
+         |  FROM $src e CROSS JOIN ${p}cent${i - 1} c),
+         |${p}assigned$i AS (
          |  SELECT vec_id, clabel AS assigned FROM (
          |    SELECT vec_id, clabel,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
-         |    FROM scored$i) WHERE rk = 1),
-         |mex$i AS (
+         |    FROM ${p}scored$i) WHERE rk = 1),
+         |${p}mex$i AS (
          |  SELECT a.assigned,
          |    unnest([{'dim': i-1, 'val': e.embedding[i]} for i in range(1, len(e.embedding)+1)],
          |           recursive := true)
-         |  FROM embeddings e JOIN assigned$i a USING (vec_id)),
-         |means$i AS (
+         |  FROM $src e JOIN ${p}assigned$i a USING (vec_id)),
+         |${p}means$i AS (
          |  SELECT assigned, dim,
          |         CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
-         |  FROM mex$i GROUP BY 1,2),
-         |cent$i AS (
+         |  FROM ${p}mex$i GROUP BY 1,2),
+         |${p}cent$i AS (
          |  SELECT assigned AS clabel, list(mean_val ORDER BY dim) AS c
-         |  FROM means$i GROUP BY 1)""".stripMargin
+         |  FROM ${p}means$i GROUP BY 1)""".stripMargin
     }.mkString
     head + steps
   }
+
+  private def kmeansCentChain(iters: Int): String =
+    "WITH " + kmeansCentChainFrag(iters, "embeddings", "")
 
   /** k-means trained for `iters` iterations: the final per-cell means. */
   private def kmeansTrainOracleSql(iters: Int): String =
@@ -1881,6 +1892,61 @@ object SparkEntry {
          |    JOIN codes ON codes.vec_id = cand.vec_id
          |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
          |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, est,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+         |  FROM est)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+         |       round(est, 6) AS est_d2
+         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** PQ-ADC search with TRAINED sub-codebooks: one k-means CTE chain per
+    * vector half (prefixes h1/h2), then the same code/lookup/rank SQL as
+    * q_pq_search against the iterated sub-codebooks.
+    */
+  private def pqTrainedOracleSql(iters: Int): String =
+    s"""WITH sp AS (
+       |  SELECT vec_id, label,
+       |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+       |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+       |  FROM embeddings),
+       |sp1 AS (SELECT vec_id, label, e1 AS embedding FROM sp),
+       |sp2 AS (SELECT vec_id, label, e2 AS embedding FROM sp),
+       |""".stripMargin +
+      kmeansCentChainFrag(iters, "sp1", "h1") + ",\n" +
+      kmeansCentChainFrag(iters, "sp2", "h2") +
+      s""",
+         |a1 AS (
+         |  SELECT vec_id, clabel AS code1 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN h1cent$iters c) WHERE rk = 1),
+         |a2 AS (
+         |  SELECT vec_id, clabel AS code2 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN h2cent$iters c) WHERE rk = 1),
+         |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+         |d1 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+         |         list_dot_product(sp.e1, sp.e1)
+         |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM sp CROSS JOIN h1cent$iters c WHERE sp.vec_id < 20),
+         |d2 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+         |         list_dot_product(sp.e2, sp.e2)
+         |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM sp CROSS JOIN h2cent$iters c WHERE sp.vec_id < 20),
+         |est AS (
+         |  SELECT d1.query_id, codes.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+         |  FROM codes
+         |    JOIN d1 ON codes.code1 = d1.c1
+         |    JOIN d2 ON codes.code2 = d2.c2 AND d1.query_id = d2.query_id
+         |  WHERE codes.vec_id <> d1.query_id),
          |ranked AS (
          |  SELECT query_id, neighbor_id, est,
          |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk

@@ -377,14 +377,24 @@ object Similarity {
     * run, so estimated distances are IEEE-exact and the ranking is
     * oracle-checkable.
     */
-  def pqSearch(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  /** trainIters > 0 TRAINS each sub-codebook with that many Lloyd
+    * iterations over its half-vectors (true PQ training — the same
+    * [[lloydChain]] the coarse quantizer uses, fed a (vec_id, label,
+    * embedding=half) view; label centroids remain the k-means init).
+    * trainIters = 0 keeps the label-centroid sub-codebooks.
+    */
+  def pqSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+               trainIters: Int = 0): DataFrame = {
     val base = pqBase(embeddings)
-    val cb1 = subCodebook(base, "e1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheRegistry.track)
-    val cb2 = subCodebook(base, "e2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheRegistry.track)
+    def cb(half: String): DataFrame =
+      if (trainIters > 0)
+        lloydChain(base.select(col("vec_id"), col("label"),
+          col(half).as("embedding")), trainIters)._2
+      else subCodebook(base, half)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    val cb1 = cb("e1")
+    val cb2 = cb("e2")
     // candidate codes: argmin cell per half (identical to pqEncode)
     val codes = assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")

@@ -152,6 +152,23 @@ class SimilaritySpec extends SparkSpec {
       f"nprobe=4 recall $rWide%.3f collapsed vs nprobe=2 $rComposed%.3f — probe widening broke the candidate join")
   }
 
+  test("trained-sub-codebook PQ keeps cardinality and does not collapse recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val rLabel = (exact & pairs(Similarity.pqSearch(emb, nQ, 10)))
+      .size.toDouble / exact.size
+    CacheRegistry.release()
+    val trained = Similarity.pqSearch(emb, nQ, 10, trainIters = 2)
+    val got = trained.collect()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val rTrained = (exact & pairs(trained)).size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"PQ-ADC recall@10: label-codebooks $rLabel%.3f, trained $rTrained%.3f")
+    assert(rTrained >= rLabel - 0.10,
+      f"trained sub-codebooks collapsed recall: $rTrained%.3f vs $rLabel%.3f")
+  }
+
   test("residual IVF-PQ returns k rows per query and tracks the raw-PQ composition") {
     val emb = Tables.embeddings(spark, sf0001)
     val nQ = 20
