@@ -37,6 +37,7 @@ object SparkEntry {
         .orderBy("user_id", "event_type")),
     "q_props_json" -> ((s, d) => Events.propsKDeciles(events(s, d))),
     "q_data_quality" -> ((s, d) => Events.dataQuality(events(s, d))),
+    "q_quarantine" -> ((s, d) => Events.quarantineCensus(events(s, d))),
     "q_asof_join" -> ((s, d) => Events.asofPurchaseView(events(s, d))),
     "q_asof_tolerance" -> ((s, d) => Events.asofPurchaseViewTolerance(events(s, d), 30)),
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
@@ -231,6 +232,16 @@ object SparkEntry {
         |  SELECT event_id, 'props', 'props is blank'
         |  FROM events WHERE props IS NULL OR length(props) = 0)
         |SELECT * FROM issues ORDER BY event_id, field_name""".stripMargin,
+    // quarantine census: corrupt = every 7th event (injected in-plan);
+    // parsed rows are exactly the uncorrupted ones (all source props are
+    // valid JSON), so the oracle recomputes the split arithmetically
+    "q_quarantine" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0
+        |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k_parsed
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |       epoch_us(p.ts) AS purchase_ts_us,

@@ -60,6 +60,31 @@ object Events {
            sum(col("props_parsed.k")).as("sum_k"))
       .orderBy("k_decile")
 
+  /** Bad-record QUARANTINE census: deterministically corrupt a slice of
+    * the props payloads (every 7th event — this sandbox cannot mutate the
+    * testdata, so corruption is injected in-plan), parse with `from_json`
+    * (PERMISSIVE: malformed input → null struct, never a crash), and
+    * report per-type parsed/quarantined counts plus the surviving k-sum —
+    * the route-don't-die ingest discipline the reference's defensive
+    * record loop implies (a poison record must cost one row, not the
+    * consumer). At scale this is pure per-row expression work + one hash
+    * agg.
+    */
+  def quarantineCensus(events: DataFrame): DataFrame =
+    events
+      .withColumn("raw",
+        when(pmod(col("event_id"), lit(7)) === 0,
+          regexp_replace(col("props"), "\\{", "<")).otherwise(col("props")))
+      .withColumn("parsed", from_json(col("raw"), propsSchema))
+      // PERMISSIVE from_json yields an all-null-FIELDS struct for
+      // malformed input (not a null struct) — the quarantine test is the
+      // mandatory field, which every well-formed payload carries
+      .groupBy("event_type")
+      .agg(count(when(col("parsed.k").isNotNull, 1)).as("n_parsed"),
+           count(when(col("parsed.k").isNull, 1)).as("n_quarantined"),
+           sum(col("parsed.k")).as("sum_k_parsed"))
+      .orderBy("event_type")
+
   /** Data-quality rule audit (SURVEY P8): declarative per-row rules →
     * exploded (event_id, issue) rows, mirroring the reference's
     * data_quality array-of-struct (event.py:33-37) built with
