@@ -92,6 +92,7 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
+    "q_pipeline_curate" -> ((s, d) => Pipeline.curate(documents(s, d), 0.08)),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
@@ -584,6 +585,94 @@ object SparkEntry {
         |  CAST(sum(len(string_split_regex(trim(lt), '\s+'))) AS BIGINT) AS ws_tokens,
         |  CAST(sum(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin,
+    // curation pipeline: gopher gates -> repetition cutoff -> duplicate
+    // clusters over survivors with best-quality representative kept ->
+    // per-lang census. Each CTE block mirrors its standalone oracle.
+    "q_pipeline_curate" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS mean_wlen,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop
+        |  FROM base),
+        |gat AS (
+        |  SELECT doc_id FROM m
+        |  WHERE n_words >= 20 AND n_words <= 100000
+        |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+        |    AND n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+        |    AND n_stop >= 2),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+        |    ELSE [] END) AS g FROM base),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+        |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS max2
+        |       FROM c2 GROUP BY 1),
+        |repok AS (
+        |  SELECT b.doc_id FROM base b LEFT JOIN s2 USING (doc_id)
+        |  WHERE round(CASE WHEN coalesce(s2.n2, 0) > 0
+        |    THEN CAST(s2.max2 AS DOUBLE) / s2.n2 ELSE 0.0 END, 6) <= 0.08),
+        |kept AS (
+        |  SELECT b.doc_id, b.text, b.lang, b.toks FROM base b
+        |  JOIN gat USING (doc_id) JOIN repok USING (doc_id)),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM kept),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM prs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.4*(CASE WHEN len(toks) > 0
+        |        THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/len(toks) ELSE 0.0 END)
+        |      + 0.3*(CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END)
+        |      + 0.3*(CAST(least(len(toks), 100) AS DOUBLE)/100.0), 6) AS quality_score
+        |  FROM kept),
+        |best AS (
+        |  SELECT doc_id FROM (
+        |    SELECT comp.doc_id,
+        |           row_number() OVER (PARTITION BY comp.cluster_id
+        |             ORDER BY qual.quality_score DESC, comp.doc_id) AS rk
+        |    FROM comp JOIN qual USING (doc_id)) WHERE rk = 1),
+        |final AS (
+        |  SELECT k.lang, k.text FROM kept k
+        |  WHERE k.doc_id NOT IN (SELECT doc_id FROM comp)
+        |  UNION ALL
+        |  SELECT k.lang, k.text FROM kept k JOIN best USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM final GROUP BY 1 ORDER BY lang""".stripMargin,
     // PQ code census: two independent argmin assignments on the vector
     // halves against each half's label-centroid sub-codebook
     "q_pq_encode" ->

@@ -198,7 +198,8 @@ object NearDup {
     * Output is the true fixpoint, so it is deterministic and oracled
     * against a DuckDB recursive CTE computing the same reachability.
     */
-  def duplicateComponents(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def duplicateComponentsUnordered(documents: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
     val edges = simhashPairs(documents, maxHamming).select("a_id", "b_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
@@ -233,8 +234,10 @@ object NearDup {
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
   }
+
+  def duplicateComponents(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    duplicateComponentsUnordered(documents, maxHamming).orderBy("doc_id")
 
   /** Cluster REPRESENTATIVE selection: for every duplicate cluster, keep
     * the highest-QUALITY member (ties to the lowest doc_id) — the

@@ -73,4 +73,53 @@ object Pipeline {
              lit(TextAnalysis.bpePattern), lit(0))).cast("long")).as("bpe_tokens"))
       .orderBy("split")
   }
+
+  /** The CURATION pipeline — the round-5 composition over the gate-style
+    * operators: Gopher rule gates → repetition filter → duplicate-cluster
+    * BEST-COPY rewrite → per-language token accounting. Differs from
+    * [[e2e]] in two production-relevant ways: filtering is boolean gates
+    * (not a soft score), and near-dup handling keeps the best-QUALITY
+    * member of each cluster instead of the lowest id — "keep the best
+    * copy, not the first copy".
+    *
+    * Scale shape: gates and repetition signals are per-doc scan+agg; the
+    * cluster stage runs components-label-propagation on the gated
+    * survivors only; the final census is one hash agg keyed by lang. The
+    * gated corpus is persisted once and shared by the cluster stage's two
+    * consumers (pair generation + quality ranking).
+    */
+  def curate(documents: DataFrame, repTau: Double = 0.08): DataFrame = {
+    // stage 1+2: boolean gates + repetition cutoff (both per-row passes)
+    val gates = TextAnalysis.gopherRulesUnordered(documents)
+      .filter(col("pass") === 1).select("doc_id")
+    val rep = TextAnalysis.repetitionSignalsUnordered(documents)
+      .filter(col("top_bigram_frac") <= repTau).select("doc_id")
+    val kept = documents.join(gates, Seq("doc_id"), "left_semi")
+      .join(rep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+
+    // stage 3: duplicate clusters over the SURVIVING corpus; keep the
+    // best-quality member per cluster (ties to lowest doc_id), pass
+    // through every unclustered doc
+    val comps = NearDup.duplicateComponentsUnordered(kept, 3)
+    val quality = TextAnalysis.qualityScore(kept)
+      .select(col("doc_id"), col("quality_score"))
+    val best = comps.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("quality_score")).as("nq"), col("doc_id").as("id"))).as("m"))
+      .select(col("m.id").as("doc_id"))
+    val unclustered = kept.select("doc_id")
+      .join(comps.select("doc_id"), Seq("doc_id"), "left_anti")
+    val finalDocs = kept.join(unclustered.unionByName(best), Seq("doc_id"), "left_semi")
+
+    // stage 4: per-language census with the BPE-ish token accounting
+    finalDocs
+      .withColumn("lower_text", lower(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(regexp_extract_all(col("lower_text"),
+             lit(TextAnalysis.bpePattern), lit(0))).cast("long")).as("bpe_tokens"))
+      .orderBy("lang")
+  }
 }

@@ -422,7 +422,11 @@ object TextAnalysis {
     * no cross-document state at any scale. All ratios are exact rationals
     * rounded to 6 (cross-engine hashable).
     */
-  def repetitionSignals(documents: DataFrame): DataFrame = {
+  def repetitionSignals(documents: DataFrame): DataFrame =
+    repetitionSignalsUnordered(documents).orderBy("doc_id")
+
+  /** Unordered form for composition (Pipeline.curate). */
+  def repetitionSignalsUnordered(documents: DataFrame): DataFrame = {
     val toks = documents.repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -451,7 +455,6 @@ object TextAnalysis {
         round(when(coalesce(col("n3"), lit(0L)) > 0,
           col("dup3").cast("double") / col("n3")).otherwise(lit(0.0)), 6)
           .as("dup_trigram_frac"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style RULE flags (arXiv:2112.11446 §A1.1, thresholds adapted
@@ -462,7 +465,14 @@ object TextAnalysis {
     * before the trailing oracle sort.
     */
   def gopherRules(documents: DataFrame, minWords: Long = 20,
-                  maxWords: Long = 100000): DataFrame = {
+                  maxWords: Long = 100000): DataFrame =
+    gopherRulesUnordered(documents, minWords, maxWords).orderBy("doc_id")
+
+  /** Unordered form for composition (Pipeline.curate) — the standalone
+    * query's trailing orderBy is oracle-determinism only.
+    */
+  def gopherRulesUnordered(documents: DataFrame, minWords: Long = 20,
+                           maxWords: Long = 100000): DataFrame = {
     val stopArr = array(stopwordsEn.map(lit): _*)
     documents.repartition(col("doc_id"))
       .withColumn("toks", tokens(col("text")))
@@ -490,7 +500,6 @@ object TextAnalysis {
         (col("ok_word_count") === 1 && col("ok_mean_word_len") === 1 &&
          col("ok_symbol_ratio") === 1 && col("ok_stopwords") === 1)
           .cast("int"))
-      .orderBy("doc_id")
   }
 
   /** BPE MERGE loop: the first `k` byte-pair merges over the corpus
