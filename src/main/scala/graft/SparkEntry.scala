@@ -74,6 +74,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Warehouse.statusPriorityPivot(orders(s, d))),
     "q_unpivot" -> ((s, d) => Warehouse.unpivotMetrics(lineitem(s, d))),
     "q_window_topk" -> ((s, d) => Warehouse.topOrdersPerPriority(orders(s, d), 3)),
+    "q_window_ranks" -> ((s, d) => Warehouse.orderValueRanks(orders(s, d), 5)),
     "q_window_lag" -> ((s, d) => Warehouse.userEventGaps(events(s, d))),
     "q_window_running" -> ((s, d) => Warehouse.runningValue(events(s, d))),
     "q_window_range" -> ((s, d) => Warehouse.trailingHourValue(events(s, d))),
@@ -837,6 +838,20 @@ object SparkEntry {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    // the full rank-function family over one total-ordered window
+    "q_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk, dense_rk,
+        |       pct_rank, cume, quartile FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rk,
+        |         dense_rank() OVER w AS dense_rk,
+        |         round(percent_rank() OVER w, 6) AS pct_rank,
+        |         round(cume_dist() OVER w, 6) AS cume,
+        |         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin,
     "q_window_lag" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -329,6 +329,28 @@ object Warehouse {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** The remaining rank-function family (§2.5 completeness next to
+    * row_number/lag/frames): dense_rank, percent_rank, cume_dist, and
+    * ntile quartiles of order value within each priority class. The
+    * window orders by a total order (price desc, key) so every rank is
+    * deterministic; output restricted to the per-priority top-5 so the
+    * result stays small while every function still exercises real ties
+    * and partition boundaries.
+    */
+  def orderValueRanks(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("dense_rk", dense_rank().over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Analytic lag/lead: per-user inter-event gap statistics on the events
     * table. Window ordered by (ts, event_id) — a total order, so lag is
     * deterministic even under timestamp ties.

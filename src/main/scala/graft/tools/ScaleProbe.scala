@@ -38,6 +38,25 @@ object ScaleProbe {
     // iterative connected components on the amplified pair graph: probes
     // that round count and per-round cost stay bounded as the corpus grows
     time("components")(graft.operators.NearDup.duplicateComponents(amplified, 3).count())
+    // BPE cost is VOCABULARY-bound: the amplified corpus reuses the same
+    // words, so everything after the initial census should barely move
+    time("bpe_merges")(graft.operators.TextAnalysis.bpeMerges(amplified, 4).count())
+
+    // ANN family at N× vectors: rotated replicas with distinct ids — the
+    // candidate sets grow linearly with cell occupancy, so composed
+    // IVF-PQ should scale ~linearly in the corpus
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val m = emb.count()
+    val ampEmb = (0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * m)).as("vec_id"),
+        concat(slice(col("embedding"), k % 8 + 1, 1000000),
+               slice(col("embedding"), 1, k % 8)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    println(s"amplified vectors: ${ampEmb.count()}")
+    time("ivfpq")(graft.operators.Similarity
+      .ivfPqSearch(ampEmb, 20, 10, nprobe = 2, trainIters = 2).count())
+    time("pq_adc")(graft.operators.Similarity.pqSearch(ampEmb, 20, 10).count())
     spark.stop()
   }
 }

@@ -72,6 +72,14 @@ class PlanSpec extends SparkSpec {
     assert(landed.count() > 0)
   }
 
+  test("curate pipeline plan has at most one global sort (the final ORDER BY)") {
+    val p = planText(SparkEntry.queries("q_pipeline_curate")(spark, sf0001))
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p).size
+    assert(rangeExchanges <= 1,
+      s"$rangeExchanges range exchanges in the curate plan — a stage's internal orderBy leaked")
+    CacheRegistry.release()
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),
