@@ -120,6 +120,8 @@ object SparkEntry {
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
     "q_orc_roundtrip" -> ((s, d) => sources.Formats.orcRoundtrip(events(s, d))),
+    "q_schema_evolution" -> ((s, d) => sources.Formats.schemaEvolutionCensus(events(s, d))),
+    "q_stream_quarantine" -> ((s, d) => streaming.StreamOps.streamQuarantine(s, d)),
     "q_range_join" -> ((s, d) => Events.rangeJoinCounts(events(s, d))),
     "q_json_roundtrip" -> ((s, d) => Events.jsonRoundtrip(events(s, d))),
     "q_redact" -> ((s, d) => Events.redactionStats(events(s, d))),
@@ -243,6 +245,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
         |  CAST(sum(CASE WHEN event_id % 7 <> 0
         |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k_parsed
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // streaming dead-letter split reproduces the same census (the split
+    // is deterministic and the sinks partition it losslessly)
+    "q_stream_quarantine" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0
+        |    THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k_parsed
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // mergeSchema census: v1 rows (even ids) carry no value column
+    "q_schema_evolution" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
+        |  CAST(sum(CASE WHEN event_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,

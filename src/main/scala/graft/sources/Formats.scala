@@ -23,6 +23,31 @@ object Formats {
     d
   }
 
+  /** SCHEMA EVOLUTION read: two parquet generations of the events feed —
+    * v1 without the `value` column, v2 with it — merged into one frame
+    * via mergeSchema (v1 rows surface a null `value`), then a per-type
+    * census proving which generation each row came from. The
+    * add-a-column-without-rewriting-history migration every long-lived
+    * warehouse performs; at scale mergeSchema costs one footer read per
+    * file, not a data pass.
+    */
+  def schemaEvolutionCensus(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val dir = freshDir("schevo")
+    val ev = events.select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select("event_id", "event_type")
+      .repartition(col("event_id")).write.parquet(s"$dir/v1")
+    ev.filter(pmod(col("event_id"), lit(2)) =!= 0)
+      .repartition(col("event_id")).write.parquet(s"$dir/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           count(col("value")).as("n_with_value"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** CSV round-trip: events → headered CSV (ts as micros) → typed read →
     * per-type aggregate.
     */

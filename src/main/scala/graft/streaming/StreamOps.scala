@@ -659,6 +659,62 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** STREAMING QUARANTINE (dead-letter queue): each micro-batch splits
+    * into parseable and malformed payloads — good rows land, bad rows go
+    * to a quarantine sink with the raw payload preserved for forensics —
+    * so one poison record costs one row, never the stream (the
+    * route-don't-die discipline the reference's defensive record loop
+    * implies, upgraded from skip to quarantine-with-evidence).
+    * Corruption is injected in-plan (every 7th event; the testdata is
+    * read-only) exactly as in the batch q_quarantine. Both sinks use the
+    * idempotent batch=N overwrite.
+    */
+  def streamQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Events
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val goodDir = s"$tmp/graft_quarantine/$runId/good"
+    val badDir = s"$tmp/graft_quarantine/$runId/bad"
+    val ckDir = s"$tmp/graft_quarantine/$runId/ck"
+    configureStateStore(spark)
+    val q = eventsStream(spark, sfDir)
+      .withColumn("raw",
+        when(pmod(col("event_id"), lit(7)) === 0,
+          regexp_replace(col("props"), "\\{", "<")).otherwise(col("props")))
+      .withColumn("parsed", from_json(col("raw"), Events.propsSchema))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          // PERMISSIVE from_json: malformed input -> all-null FIELDS
+          // struct; the mandatory field is the parse-success test
+          batch.filter(col("parsed.k").isNotNull)
+            .select("event_id", "event_type", "parsed.k")
+            .write.mode("overwrite").parquet(s"$goodDir/batch=$batchId")
+          batch.filter(col("parsed.k").isNull)
+            .select(col("event_id"), col("event_type"),
+                    col("raw").as("payload"))
+            .write.mode("overwrite").parquet(s"$badDir/batch=$batchId")
+          ()
+        } finally batch.unpersist(blocking = false)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val good = spark.read.parquet(goodDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_parsed"), sum(col("k")).as("sum_k_parsed"))
+    val bad = spark.read.parquet(badDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_quarantined"))
+    good.join(bad, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_parsed"), lit(0L)).as("n_parsed"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"),
+        col("sum_k_parsed"))
+      .orderBy("event_type")
+  }
+
   /** STREAMING IVF INGEST: vectors arrive in micro-batches and are
     * assigned to the already-built coarse codebook — the index-update
     * path of a production ANN system (the index trains offline; new
