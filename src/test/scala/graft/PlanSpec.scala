@@ -109,6 +109,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter injects into a selective fact-dim join") {
+    // §4 performance feature: with a selective dimension filter, Catalyst
+    // injects a bloom filter built on the dim side into the fact scan —
+    // at 100 TB this prunes most fact rows BEFORE the join shuffle.
+    // Thresholds are lowered to make injection observable at test scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // force a shuffle join: runtime filters only pay off (and inject)
+      // when the join is not a broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf0001)
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val p = planText(joined)
+      assert(p.toLowerCase.contains("bloomfilter"),
+        "no runtime bloom filter in plan:\n" + p.take(2000))
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle on the join key") {
     val sp = spark
     import sp.implicits._
