@@ -37,21 +37,49 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", l2Norm(col("emb")))
 
+  /** The ONE ranked-top-k emission every search in this object shares:
+    * bounded TopKAgg partial aggregation per query (TopKAgg keeps the
+    * HIGHEST `s`, so distance callers negate on the way in), exploded to
+    * (query_id, rank, neighbor_id, <score>) with `emit` restoring the
+    * caller's score orientation. A single implementation so the
+    * rank/tie-break/rounding contract can never drift between the exact,
+    * LSH, IVF, PQ, and composed searches.
+    */
+  private def rankedTopK(scored: DataFrame, k: Int, out: String,
+                         emit: Column => Column = identity): DataFrame = {
+    val topk = topK(k)
+    scored.groupBy("query_id")
+      .agg(topk(col("s"), col("cand_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+              col("nbr.id").as("neighbor_id"),
+              round(emit(col("nbr.score")), 6).as(out))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Each query's `nprobe` nearest codebook cells under the same
+    * (score, clabel) order the assignment argmin uses — at nprobe=1 this
+    * degenerates to exactly the query's own assigned cell. `queries`
+    * must carry (query_id, q_emb); extra columns ride through.
+    */
+  private def nearestCells(queries: DataFrame, cents: DataFrame,
+                           nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("score", cellScore(col("q_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+  }
+
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val base = withNorms(embeddings.select("vec_id", "embedding"))
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
               col("nrm").as("q_nrm"))
-    val topk = topK(k)
-    base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .groupBy("query_id")
-      .agg(topk(col("sim"), col("vec_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(col("nbr.score"), 6).as("sim"))
-      .orderBy("query_id", "rank")
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("s"))
+    rankedTopK(scored, k, "sim")
   }
 
   /** Deterministic random hyperplanes: L tables × bits planes × dim
@@ -98,24 +126,18 @@ object Similarity {
     // shuffling 2 longs per candidate instead of 2 embeddings
     val cells = withLshCells(base.select(col("vec_id"), col("emb")), hps)
       .select("tbl", "bucket", "vec_id")
-    val topk = topK(k)
-    cells.as("a").join(cells.as("b"), Seq("tbl", "bucket"))
+    val scored = cells.as("a").join(cells.as("b"), Seq("tbl", "bucket"))
       .filter(col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("cand_id"))
       // a pair found by several tables is scored once
-      .dropDuplicates("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "cand_id")
       .join(base.select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm")), "query_id")
-      .join(base.select(col("vec_id").as("neighbor_id"), col("emb").as("c_emb"),
-        col("nrm").as("c_nrm")), "neighbor_id")
-      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .groupBy("query_id")
-      .agg(topk(col("sim"), col("neighbor_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(col("nbr.score"), 6).as("sim"))
-      .orderBy("query_id", "rank")
+      .join(base.select(col("vec_id").as("cand_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("s"))
+    rankedTopK(scored, k, "sim")
   }
 
   /** Similarity JOIN (J5): all pairs with cosine ≥ threshold, blocked by a
@@ -402,21 +424,15 @@ object Similarity {
       .transform(graft.CacheRegistry.track)
     val d1 = adcLookup(base, "e1", cb1, nQueries, "query_id", "c1", "d1")
     val d2 = adcLookup(base, "e2", cb2, nQueries, "query_id2", "c2", "d2")
-    val topk = topK(k)
-    codes
+    // TopKAgg keeps the HIGHEST scores — negate the distance estimate
+    val scored = codes
       .join(broadcast(d1), col("code1") === col("c1"))
       .join(broadcast(d2),
         col("code2") === col("c2") && col("query_id") === col("query_id2"))
-      .select(col("vec_id"), col("query_id"), (col("d1") + col("d2")).as("est"))
       .filter(col("vec_id") =!= col("query_id"))
-      // TopKAgg keeps the HIGHEST scores — negate the distance estimate
-      .groupBy("query_id")
-      .agg(topk(-col("est"), col("vec_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(-col("nbr.score"), 6).as("est_d2"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-(col("d1") + col("d2"))).as("s"))
+    rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
   /** IVF-PQ COMPOSED search — the index a production ANN system actually
@@ -450,13 +466,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     val cells = assigned.select(col("vec_id"), col("assigned"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("score", cellScore(col("q_emb")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nprobe)
+    val probes = nearestCells(
+        assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        cents, nprobe)
       .select(col("query_id"), col("clabel").as("assigned"))
     // fine quantizer: PQ codes + per-query ADC lookup tables
     val base = pqBase(embeddings)
@@ -470,10 +483,10 @@ object Similarity {
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
     val d1 = adcLookup(base, "e1", cb1, nQueries, "q1", "c1", "d1")
     val d2 = adcLookup(base, "e2", cb2, nQueries, "q2", "c2", "d2")
-    val topk = topK(k)
     // candidates: members of each query's probed cells (cells are
-    // disjoint, so no candidate is scored twice per query)
-    cells.join(broadcast(probes), Seq("assigned"))
+    // disjoint, so no candidate is scored twice per query); negated
+    // estimate because TopKAgg keeps the HIGHEST scores
+    val scored = cells.join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("vec_id"), col("query_id"))
       .join(codes, "vec_id")
@@ -481,15 +494,9 @@ object Similarity {
         col("code1") === col("c1") && col("query_id") === col("q1"))
       .join(broadcast(d2),
         col("code2") === col("c2") && col("query_id") === col("q2"))
-      .select(col("vec_id"), col("query_id"), (col("d1") + col("d2")).as("est"))
-      // TopKAgg keeps the HIGHEST scores — negate the distance estimate
-      .groupBy("query_id")
-      .agg(topk(-col("est"), col("vec_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(-col("nbr.score"), 6).as("est_d2"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-(col("d1") + col("d2"))).as("s"))
+    rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
   /** RESIDUAL IVF-PQ search (IVFADC proper): PQ encodes each vector's
@@ -547,13 +554,10 @@ object Similarity {
       .transform(graft.CacheRegistry.track)
     val codes = assignHalf(resid, "e1", cb1, "code1")
       .join(assignHalf(resid, "e2", cb2, "code2"), "vec_id")
-    val wProbe = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("score", cellScore(col("q_emb")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nprobe)
+    val probes = nearestCells(
+        assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        cents, nprobe)
       .select(col("query_id"), col("clabel").as("pcell"), col("q_emb"))
     // the query's residual w.r.t. EACH probed cell's centroid (same
     // 6-decimal quantization as the corpus residuals)
@@ -572,8 +576,7 @@ object Similarity {
         (dot(col("q"), col("q")) + cellScore(col("q"))).as(out))
     val d1 = lookupR("q1h", cb1, "q1", "p1", "c1", "d1")
     val d2 = lookupR("q2h", cb2, "q2", "p2", "c2", "d2")
-    val topk = topK(k)
-    assigned.select(col("vec_id"), col("assigned"))
+    val scored = assigned.select(col("vec_id"), col("assigned"))
       .join(broadcast(probes.select("query_id", "pcell")),
         col("assigned") === col("pcell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -583,14 +586,9 @@ object Similarity {
         col("query_id") === col("q1") && col("assigned") === col("p1"))
       .join(broadcast(d2), col("code2") === col("c2") &&
         col("query_id") === col("q2") && col("assigned") === col("p2"))
-      .select(col("vec_id"), col("query_id"), (col("d1") + col("d2")).as("est"))
-      .groupBy("query_id")
-      .agg(topk(-col("est"), col("vec_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(-col("nbr.score"), 6).as("est_d2"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-(col("d1") + col("d2"))).as("s"))
+    rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
   /** Total distortion (sum of squared L2 distance to the assigned
@@ -652,30 +650,18 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    // per-query probe list: the nprobe nearest cells under the same
-    // (score, clabel) order the assignment argmin uses — at nprobe=1 this
-    // degenerates to exactly the query's own assigned cell
-    val wProbe = Window.partitionBy("query_id").orderBy(col("score"), col("clabel"))
-    val probes = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
-              col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("score", cellScore(col("q_emb")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nprobe)
+    val probes = nearestCells(
+        assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+                  col("nrm").as("q_nrm")),
+        cents, nprobe)
       .select(col("query_id"), col("clabel").as("assigned"),
               col("q_emb"), col("q_nrm"))
-    val topk = topK(k)
-    assigned.join(broadcast(probes), Seq("assigned"))
+    val scored = assigned.join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim", dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .groupBy("query_id")
-      .agg(topk(col("sim"), col("vec_id")).as("nbrs"))
-      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-              col("nbr.id").as("neighbor_id"),
-              round(col("nbr.score"), 6).as("sim"))
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("s"))
+    rankedTopK(scored, k, "sim")
   }
 
   /** One Lloyd's iteration of k-means over the embedding corpus: assign
