@@ -53,6 +53,7 @@ object SparkEntry {
       Warehouse.localSupplierRevenue(region(s, d), nation(s, d), customer(s, d),
         orders(s, d), lineitem(s, d), supplier(s, d), "EUROPE")),
     "q_join_left_outer" -> ((s, d) => Warehouse.orderLineHistogram(orders(s, d), lineitem(s, d))),
+    "q_join_full_outer" -> ((s, d) => Warehouse.dailyOrderShipCounts(orders(s, d), lineitem(s, d))),
     "q10_returned_revenue" -> ((s, d) =>
       Warehouse.returnedRevenue(customer(s, d), orders(s, d), lineitem(s, d))),
     "q_funnel" -> ((s, d) => Events.funnelCounts(events(s, d))),
@@ -236,6 +237,14 @@ object SparkEntry {
         |  SELECT event_id, 'props', 'props is blank'
         |  FROM events WHERE props IS NULL OR length(props) = 0)
         |SELECT * FROM issues ORDER BY event_id, field_name""".stripMargin,
+    // full outer: order-day vs ship-day counts, nulls surface both sides
+    "q_join_full_outer" ->
+      """WITH od AS (SELECT o_orderdate AS day, count(*) AS n_orders FROM orders GROUP BY 1),
+        |sd AS (SELECT l_shipdate AS day, count(*) AS n_ships FROM lineitem GROUP BY 1)
+        |SELECT strftime(coalesce(od.day, sd.day), '%Y-%m-%d') AS day,
+        |       od.n_orders, sd.n_ships
+        |FROM od FULL OUTER JOIN sd ON od.day = sd.day
+        |ORDER BY day""".stripMargin,
     // quarantine census: corrupt = every 7th event (injected in-plan);
     // parsed rows are exactly the uncorrupted ones (all source props are
     // valid JSON), so the oracle recomputes the split arithmetically

@@ -145,6 +145,24 @@ object Warehouse {
       .orderBy("n_lines")
   }
 
+  /** FULL OUTER join (the one join type without its own oracled query
+    * until round 5): daily order counts vs daily ship counts — ship
+    * dates trail order dates, so both left-only days (early orders not
+    * yet shipped-on) and right-only days (late shipments) genuinely
+    * occur, exercising null-surfacing on BOTH sides. The join key
+    * coalesces (Seq-key full outer), nulls stay nulls in the counts.
+    */
+  def dailyOrderShipCounts(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val od = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sd = lineitem.groupBy(col("l_shipdate").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    od.join(sd, Seq("day"), "full_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+              col("n_orders"), col("n_ships"))
+      .orderBy("day")
+  }
+
   /** Left-semi: customers that placed at least one order, counted per
     * nation. Semi-join shuffles only the keys; no row duplication.
     */
