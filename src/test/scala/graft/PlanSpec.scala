@@ -17,6 +17,17 @@ class PlanSpec extends SparkSpec {
     out.toString
   }
 
+  test("driver contract: queries and oracleSql keys agree (rows-only set is explicit)") {
+    // a typo'd key on either side would silently weaken the correctness
+    // gate (driver records rows-only instead of hash-matching)
+    val rowsOnlyByDesign = Set("q_ann_lsh", "q_approx_distinct", "q_approx_percentiles")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled === rowsOnlyByDesign,
+      s"queries without an oracle beyond the declared rows-only set: ${unoracled -- rowsOnlyByDesign}")
+  }
+
   test("q5 join chain: dims broadcast, region filter pushed to the scan") {
     val p = planText(SparkEntry.queries("q5_local_supplier")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
