@@ -184,6 +184,9 @@ object SparkEntry {
     "q_percentiles" -> ((s, d) => Warehouse.pricePercentiles(orders(s, d))),
 
     // --- multimodal plumbing (north-star; stub decode, real plumbing) ---
+    "q_multimodal_resize" -> ((s, d) =>
+      operators.Multimodal.resizeSample(
+        operators.Multimodal.mediaFromDocuments(documents(s, d)), 256)),
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(documents(s, d)))),
 
@@ -237,6 +240,20 @@ object SparkEntry {
         |  SELECT event_id, 'props', 'props is blank'
         |  FROM events WHERE props IS NULL OR length(props) = 0)
         |SELECT * FROM issues ORDER BY event_id, field_name""".stripMargin,
+    // resize plumbing: stride-sampled stand-in payloads (target 256 = 2^8
+    // so i*n/256 is exact in doubles), census + content digest
+    "q_multimodal_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id, CASE WHEN n <= 256 THEN text
+        |    ELSE array_to_string([text[CAST((i*n)//256 AS INT)+1] for i in range(0, 256)], '')
+        |    END AS r
+        |  FROM img)
+        |SELECT 'image' AS media_type, count(*) AS n_docs,
+        |       CAST(sum(length(r)) AS BIGINT) AS sum_resized_len,
+        |       min(md5(r)) AS min_digest
+        |FROM r GROUP BY 1""".stripMargin,
     // full outer: order-day vs ship-day counts, nulls surface both sides
     "q_join_full_outer" ->
       """WITH od AS (SELECT o_orderdate AS day, count(*) AS n_orders FROM orders GROUP BY 1),

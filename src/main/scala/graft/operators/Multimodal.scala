@@ -83,6 +83,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** RESIZE plumbing for image payloads: nearest-neighbor stride
+    * sampling down to `target` units (a real implementation resamples
+    * pixels; the plumbing — metadata-driven target, payload→payload
+    * transform, size census, content digest — is what downstream
+    * consumers depend on, and the stub keeps it deterministic over the
+    * text stand-in payload). `target` must be a power of two: the stride
+    * position i·n/target is then EXACT in double arithmetic, so the
+    * sampled positions are engine-identical (an arbitrary target would
+    * make floor(i·n/target) rounding-sensitive cross-engine).
+    * Payloads already at or under target pass through untouched.
+    */
+  def resizeSample(media: DataFrame, target: Int): DataFrame = {
+    require(target > 0 && (target & (target - 1)) == 0,
+      s"target=$target must be a power of two (exact stride arithmetic)")
+    val s = decode(col("media_bytes"), "UTF-8")
+    val n = length(s)
+    val resized = when(n <= target, s).otherwise(
+      concat_ws("", transform(sequence(lit(0), lit(target - 1)), i =>
+        s.substr((i.cast("long") * n.cast("long") / lit(target.toLong))
+          .cast("int") + 1, lit(1)))))
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), resized.as("r"))
+      .groupBy(lit("image").as("media_type"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col("r")).cast("long")).as("sum_resized_len"),
+           min(md5(col("r"))).as("min_digest"))
+  }
+
   /** Frame sampling for video payloads: n evenly-spaced fixed-width byte
     * slices (a real implementation seeks keyframes; the slice plumbing —
     * offsets, bounds, array<binary> output — is what downstream consumers
