@@ -522,26 +522,36 @@ object StreamOps {
     } finally fps.unpersist(blocking = false)
   }
 
+  /** The shared micro-batch runner for the document-stream sinks: one
+    * staged file per trigger, AvailableNow drain, checkpointed offsets —
+    * the incremental dedup/quarantine sinks differ only in their
+    * per-batch function.
+    */
+  private def runDocBatches(spark: SparkSession, srcDir: String,
+                            ckDir: String)(
+                            f: (DataFrame, Long) => Unit): Unit = {
+    configureStateStore(spark)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The historical-dedup stream over an arbitrary staged directory
     * (tests append files across runs; the store and checkpoint persist,
     * so a duplicate arriving in a LATER RUN is still dropped).
     */
   def histDedupStreamFromDir(spark: SparkSession, srcDir: String,
                              outDir: String, storeDir: String,
-                             ckDir: String): Unit = {
-    configureStateStore(spark)
-    val q = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
-      .parquet(srcDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        histDedupBatch(batch, batchId, storeDir, outDir)
-      }
-      .option("checkpointLocation", ckDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
+                             ckDir: String): Unit =
+    runDocBatches(spark, srcDir, ckDir) { (batch, batchId) =>
+      histDedupBatch(batch, batchId, storeDir, outDir)
+    }
 
   /** Stage the documents table as `nBatches` contiguous doc_id ranges,
     * one parquet file each with strictly increasing mtimes, so the file
@@ -643,18 +653,9 @@ object StreamOps {
   def streamNearDedup(spark: SparkSession, sfDir: String,
                       nBatches: Int = 3): DataFrame = {
     val root = stageDocRanges(spark, sfDir, nBatches)
-    configureStateStore(spark)
-    val q = spark.readStream.schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$root/src")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDedupBatch(batch, batchId, s"$root/store", s"$root/out")
-      }
-      .option("checkpointLocation", s"$root/ck")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
+      nearDedupBatch(batch, batchId, s"$root/store", s"$root/out")
+    }
     spark.read.parquet(s"$root/out").select("doc_id", "simhash")
       .orderBy("doc_id")
   }
