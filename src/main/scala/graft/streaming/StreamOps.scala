@@ -703,10 +703,16 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val good = spark.read.parquet(goodDir)
+    // explicit read-back schemas: a batch with zero rows on one side
+    // writes no part files, and schema inference would fail there
+    val goodSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("k", LongType)))
+    val badSchema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("payload", StringType)))
+    val good = spark.read.schema(goodSchema).parquet(goodDir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_parsed"), sum(col("k")).as("sum_k_parsed"))
-    val bad = spark.read.parquet(badDir)
+    val bad = spark.read.schema(badSchema).parquet(badDir)
       .groupBy("event_type").agg(count(lit(1)).as("n_quarantined"))
     good.join(bad, Seq("event_type"), "full_outer")
       .select(col("event_type"),
