@@ -130,6 +130,7 @@ object SparkEntry {
     // --- near-duplicate detection on documents (north-star dedup) ---
     "q_neardup_jaccard" -> ((s, d) => NearDup.jaccardPairs(documents(s, d), 3, 0.5, 100)),
     "q_neardup_minhash" -> ((s, d) => NearDup.minhashPairs(documents(s, d), 3, 0.5, 100)),
+    "q_minhash_estimate" -> ((s, d) => NearDup.minhashEstimates(documents(s, d), 3, 0.5, 100)),
     "q_dedup_simhash" -> ((s, d) => NearDup.simhash(documents(s, d))),
     "q_neardup_simhash" -> ((s, d) => NearDup.simhashPairs(documents(s, d), 3)),
     "q_neardup_components" -> ((s, d) => NearDup.duplicateComponents(documents(s, d), 3)),
@@ -1356,6 +1357,7 @@ object SparkEntry {
     // path reproduces the exact result — it shares the exact oracle, which
     // is precisely the property a sketch-based dedup must be graded on.
     "q_neardup_minhash" -> neardupOracleSql,
+    "q_minhash_estimate" -> minhashEstOracleSql,
     "q_dedup_simhash" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -2250,6 +2252,53 @@ object SparkEntry {
        |SELECT est.term, est.cms_estimate,
        |       coalesce(ex.exact_count, 0) AS exact_count
        |FROM est LEFT JOIN ex USING (term) ORDER BY term""".stripMargin
+  }
+
+  /** MinHash-estimator oracle: rebuilds all 64 signature components in
+    * SQL from the same seeded universal-hash params as the Spark
+    * expression (the CMS-style full sketch rebuild), then compares the
+    * equal-component fraction against the exact pruned-set Jaccard on
+    * the exact pair list.
+    */
+  private def minhashEstOracleSql: String = {
+    import graft.operators.NearDup.{minhashParams, MinhashP}
+    val ps = minhashParams(64, 42L)
+    val paramVals = ps.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+       |    ELSE [] END) AS sh FROM toks),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+       |ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+       |pruned AS (SELECT ex.doc_id, ex.s FROM ex JOIN ok USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+       |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2),
+       |pairs AS (
+       |  SELECT a_id, b_id,
+       |         round(CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+       |hv AS (SELECT doc_id, CAST(('0x' || substr(md5(s),1,15))::UBIGINT AS BIGINT) AS h
+       |       FROM pruned),
+       |params(i, a, b) AS (VALUES $paramVals),
+       |sig AS (
+       |  SELECT hv.doc_id, p.i, min((p.a * (hv.h % $MinhashP) + p.b) % $MinhashP) AS s
+       |  FROM hv CROSS JOIN params p GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT pr.a_id, pr.b_id, pr.jaccard,
+       |         CAST(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+       |  FROM pairs pr JOIN sig sa ON sa.doc_id = pr.a_id
+       |       JOIN sig sb ON sb.doc_id = pr.b_id AND sa.i = sb.i
+       |  GROUP BY 1,2,3)
+       |SELECT a_id, b_id, round(CAST(n_eq AS DOUBLE)/64, 6) AS est_jaccard, jaccard
+       |FROM mm ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Exact pruned-shingle Jaccard pairs — shared by the exact and the

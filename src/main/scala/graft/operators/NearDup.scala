@@ -239,6 +239,37 @@ object NearDup {
   def duplicateComponents(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     duplicateComponentsUnordered(documents, maxHamming).orderBy("doc_id")
 
+  /** MinHash Jaccard ESTIMATES next to ground truth: for every exact
+    * near-dup pair, the sketch estimate (fraction of equal signature
+    * components) alongside the exact pruned-set Jaccard — the estimator
+    * quality audit, fully ORACLED because every ingredient (md5-60bit
+    * base hash, Mersenne-prime universal hash, component-wise min) is
+    * deterministic and SQL-reproducible, so the oracle rebuilds all k
+    * signature components from scratch (the same rare property the CMS
+    * matrix oracle exploits). Pairs come from the exact path: the audit
+    * measures estimator error on known positives, not banding recall
+    * (that lives in q_neardup_minhash).
+    */
+  def minhashEstimates(documents: DataFrame, n: Int, threshold: Double,
+                       dfCutoff: Long, k: Int = 64,
+                       seed: Long = 42L): DataFrame = {
+    val pairs = jaccardPairs(documents, n, threshold, dfCutoff)
+      .select("a_id", "b_id", "jaccard")
+    val sigs = invertedIndex(shingleSets(documents, n), dfCutoff)
+      .groupBy("doc_id").agg(collect_set(col("s")).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => md5Hash60(s)))
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.minhashSig(col("hs"), k, seed).as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / k, 6).as("est_jaccard"),
+        col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Cluster REPRESENTATIVE selection: for every duplicate cluster, keep
     * the highest-QUALITY member (ties to the lowest doc_id) — the
     * "keep the best copy, not the first copy" rewrite step real corpus
