@@ -146,6 +146,7 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(documents(s, d))),
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(documents(s, d), 8)),
     "q_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(documents(s, d), 8)),
+    "q_bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
@@ -846,6 +847,7 @@ object SparkEntry {
     "q_pq_search_trained" -> pqTrainedOracleSql(2),
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
+    "q_bpe_token_count" -> bpeTokenCountOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
     // a per-lang running count in doc_id order (see sequencePacking docs)
     "q_seq_packing" ->
@@ -1919,6 +1921,20 @@ object SparkEntry {
          |       count(DISTINCT word) AS n_words
          |FROM (SELECT word, freq, unnest(toks) AS tok FROM words$iters)
          |GROUP BY 1 ORDER BY token""".stripMargin
+
+  /** Corpus subword-token accounting under the trained merges. */
+  private def bpeTokenCountOracleSql(iters: Int): String =
+    bpeChainSql(iters) +
+      s""",
+         |wl AS (SELECT word, CAST(len(toks) AS BIGINT) AS n_sub FROM words$iters),
+         |t AS (
+         |  SELECT lang,
+         |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_words,
+         |       CAST(sum(n_sub) AS BIGINT) AS n_subword_tokens
+         |FROM t JOIN wl USING (word)
+         |GROUP BY 1 ORDER BY lang""".stripMargin
 
   private def bpeChainSql(iters: Int): String = {
     val head =

@@ -540,6 +540,25 @@ object TextAnalysis {
            countDistinct(col("word")).as("n_words"))
       .orderBy("token")
 
+  /** Corpus size under the TRAINED tokenizer: per language, word
+    * occurrences and total subword tokens after the first `k` merges —
+    * the number that actually sizes a training run (raw word counts
+    * overstate it, character counts understate it). The corpus side is
+    * one explode + a broadcast-sized join against the vocabulary's final
+    * word → symbols mapping (every corpus word is in the vocabulary by
+    * construction), then a per-lang hash agg.
+    */
+  def bpeTokenCount(documents: DataFrame, k: Int): DataFrame = {
+    val wlen = bpeChain(documents, k)._2
+      .select(col("word"), size(col("toks")).cast("long").as("n_sub"))
+    documents.repartition(col("doc_id"))
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(wlen), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subword_tokens"))
+      .orderBy("lang")
+  }
+
   /** The ONE BPE loop behind [[bpeMerges]] and [[bpeVocab]]: k greedy
     * merge steps, returning both the merge table and the final per-word
     * symbol state (same single-implementation discipline as the k-means
