@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
+    "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
 
     // --- warehouse suite (J1-J3, A6, §2.5-2.7) ---
     "q1_pricing_summary" -> ((s, d) => Warehouse.pricingSummary(lineitem(s, d))),
@@ -949,6 +950,18 @@ object SparkEntry {
         |SELECT window_start_s, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ex GROUP BY 1,2 ORDER BY window_start_s, event_type""".stripMargin,
+    // windowed DAU: distinct users per sliding pane
+    "q_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS w1, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT w1 AS window_start_s, user_id FROM e
+        |  UNION ALL
+        |  SELECT w1 - 21600, user_id FROM e)
+        |SELECT window_start_s, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM ex GROUP BY 1 ORDER BY window_start_s""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, lang,

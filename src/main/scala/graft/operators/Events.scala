@@ -254,6 +254,23 @@ object Events {
               col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("window_start_s", "event_type")
 
+  /** DISTINCT aggregation under event-time windows: unique active users
+    * per sliding window — the windowed-DAU shape, combining the sliding
+    * pane expansion with a distinct agg (each event lands in width/slide
+    * panes, then the per-window distinct collapses repeat visitors).
+    * Exact distinct; the approximate twin at 100 TB is the same query
+    * with approx_count_distinct (bounded like q_approx_distinct).
+    */
+  def slidingDistinctUsers(events: DataFrame, widthHours: Int,
+                           slideHours: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$widthHours hours", s"$slideHours hours").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("n_users"), col("n_events"))
+      .orderBy("window_start_s")
+
   /** Range (interval) join: events against overlapping time intervals
     * (SURVEY custom-operator list: "as-of join, range join"). The naive
     * plan is a BroadcastNestedLoopJoin with a range predicate — fine only
