@@ -29,22 +29,33 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f below floor — LSH bucketing no longer overlaps the true neighbors")
   }
 
-  test("LSH ANN recall is high on data with real neighbor structure") {
-    // planted clusters: 20 centers × 10 members, members = center + small
-    // noise — the regime LSH is built for (the warehouse embeddings are
-    // near-random, which is why the floor above is low)
+  /** Planted clusters: 20 centers × 10 members, members = center + small
+    * noise — data with real neighbor structure, the regime ANN indexes
+    * are built for (the warehouse embeddings are near-random, which is
+    * why the floors on them are low). `label` carries the true cluster,
+    * so the label-centroid codebook init sees the planted structure —
+    * mirroring a production build where the coarse quantizer is trained
+    * on the corpus it indexes. Members are interleaved across clusters
+    * (vec_id = m*20 + c) so the query set (vec_id < nQ) spans ALL 20
+    * clusters instead of exercising just the first two.
+    */
+  private lazy val clustered: org.apache.spark.sql.DataFrame = {
     val rnd = new scala.util.Random(7)
     val dim = 64
     val rows = (0 until 20).flatMap { c =>
       val center = Array.fill(dim)(rnd.nextGaussian())
       (0 until 10).map { m =>
         val v = center.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
-        (c * 10L + m, v.toSeq, c)
+        (m * 20L + c, v.toSeq, c)
       }
     }
     val sp = spark
     import sp.implicits._
-    val emb = rows.toDF("vec_id", "embedding", "label")
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("LSH ANN recall is high on data with real neighbor structure") {
+    val emb = clustered
     val nQ = 20
     val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 5))
     val ann = pairs(Similarity.lshAnnTopK(emb, 4, 8, 5)
@@ -150,6 +161,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rComposed > 0.0, "IVF-PQ found none of the exact neighbors")
     assert(rWide >= rComposed - 0.10,
       f"nprobe=4 recall $rWide%.3f collapsed vs nprobe=2 $rComposed%.3f — probe widening broke the candidate join")
+  }
+
+  test("PQ-ADC recall is high on data with real neighbor structure") {
+    // the clustered twin of the random-data floor above: with planted
+    // neighbor structure the ADC estimate must rank the true neighbors
+    // at the top, not merely overlap them (recall@10 >= 0.5 is the
+    // index-quality bar; the random-data floor only catches collapse)
+    val emb = clustered
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val adc = Similarity.pqSearch(emb, nQ, 10)
+    val recall = (exact & pairs(adc)).size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"clustered PQ-ADC recall@10 = $recall%.3f")
+    assert(recall >= 0.5,
+      f"recall $recall%.3f on clustered data — PQ codes no longer separate planted clusters")
+  }
+
+  test("IVF-PQ and residual IVF-PQ recall are high on data with real neighbor structure") {
+    val emb = clustered
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val rComposed = (exact & pairs(
+      Similarity.ivfPqSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)))
+      .size.toDouble / exact.size
+    CacheRegistry.release()
+    val rResidual = (exact & pairs(
+      Similarity.ivfPqResidualSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)))
+      .size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"clustered recall@10: IVF-PQ $rComposed%.3f, residual $rResidual%.3f")
+    assert(rComposed >= 0.5,
+      f"IVF-PQ recall $rComposed%.3f on clustered data — composed index lost the planted neighbors")
+    assert(rResidual >= 0.5,
+      f"residual IVF-PQ recall $rResidual%.3f on clustered data — residual encoding lost the planted neighbors")
   }
 
   test("trained-sub-codebook PQ keeps cardinality and does not collapse recall") {
