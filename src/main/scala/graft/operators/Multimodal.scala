@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side is real — binary schema, typed Encoders, mapPartitions
   * batch shape (one decoder instance per partition, the pattern that
-  * amortizes model/codec init at scale), deterministic output. The decode
-  * itself is a STUB: the container ships no image/audio codecs, so
-  * [[decodeStub]] derives features from the raw bytes with fixed integer
-  * arithmetic. Swapping in a real codec changes only that one function —
-  * the schema, partitioning and batch shape stay as tested.
+  * amortizes model/codec init at scale), deterministic output. The IMAGE
+  * path decodes for real: [[imageMedia]] encodes deterministic grayscale
+  * PNGs with the JDK's `javax.imageio` and [[decodeImages]] decodes them
+  * back to exact pixel statistics — a true encode → PNG → decode round
+  * trip (PNG is lossless, so the stats are oracle-computable in closed
+  * form from doc_id alone). The audio/video paths keep [[decodeStub]]
+  * (the JDK ships no audio/video codecs): fixed integer arithmetic over
+  * the raw bytes. Swapping in libsndfile/ffmpeg changes only that one
+  * function — the schema, partitioning and batch shape stay as tested.
   *
   * At 100 TB: binary payloads dominate row size, so the media scan prunes
   * to (id, media_bytes) only when features are requested (columnar
@@ -79,6 +83,84 @@ object Multimodal {
       // real codecs initialize here, once per partition
       it.map(decodeStub)
     }(Encoders.product[MediaFeatures])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Decoded-image statistics: exact integers (and one IEEE division for
+    * the mean), so the row is engine-reproducible.
+    */
+  case class ImageStats(doc_id: Long, width: Int, height: Int,
+                        n_pixels: Long, pixel_sum: Long,
+                        pixel_min: Int, pixel_max: Int, pixel_mean: Double)
+
+  /** The deterministic pixel law shared by the encoder, the decoder test
+    * and the SQL oracle: an image's gray value at (x, y) is a fixed
+    * integer function of doc_id. Dimensions likewise — small and coprime
+    * moduli so widths × heights vary across docs.
+    */
+  def imageDims(docId: Long): (Int, Int) =
+    ((docId % 13 + 4).toInt, (docId % 11 + 4).toInt)
+
+  def pixelValue(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** REAL image payloads: a deterministic grayscale PNG per document,
+    * encoded with the JDK's ImageIO in the same mapPartitions seat a
+    * production encoder occupies. The PNG byte stream itself is never
+    * oracled (encoder byte layout is a JDK implementation detail); the
+    * DECODED pixels are, because PNG is lossless.
+    */
+  def imageMedia(documents: DataFrame): DataFrame = {
+    // single-file source → spread the encode work across cores
+    val ds = documents.repartition(col("doc_id"))
+      .select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { it =>
+      it.map { docId =>
+        val (w, h) = imageDims(docId)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        for (y <- 0 until h; x <- 0 until w)
+          raster.setSample(x, y, 0, pixelValue(docId, x, y))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (docId, out.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "png_bytes")
+  }
+
+  /** REAL image decode: `javax.imageio.ImageIO.read` over the PNG
+    * payloads, one reader context per partition, emitting exact
+    * width/height/pixel statistics. Zero shuffle — the 100 TB shape is a
+    * columnar scan of (doc_id, png_bytes) with the decode embarrassingly
+    * parallel; the final orderBy is the oracle-determinism contract.
+    */
+  def decodeImages(images: DataFrame): DataFrame = {
+    val ds = images.select(col("doc_id"), col("png_bytes"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"doc $docId: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L; var min = 255; var max = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v; if (v < min) min = v; if (v > max) max = v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        ImageStats(docId, w, h, n, sum, min, max, sum.toDouble / n)
+      }
+    }(Encoders.product[ImageStats])
       .toDF()
       .orderBy("doc_id")
   }

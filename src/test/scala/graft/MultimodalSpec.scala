@@ -34,6 +34,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.collect().toSeq === Multimodal.extractFeatures(media).collect().toSeq)
   }
 
+  test("real PNG decode recovers a known golden image exactly") {
+    // hand-built 3x2 gray image — decode must return these pixels, not
+    // byte math over the encoded stream
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Seq(Seq(0, 128, 255), Seq(10, 20, 30))
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.getRaster.setSample(x, y, 0, px(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val sp = spark
+    import sp.implicits._
+    val media = Seq((7L, out.toByteArray)).toDF("doc_id", "png_bytes")
+    val row = Multimodal.decodeImages(media).collect().head
+    assert(row.getAs[Int]("width") === 3)
+    assert(row.getAs[Int]("height") === 2)
+    assert(row.getAs[Long]("n_pixels") === 6L)
+    assert(row.getAs[Long]("pixel_sum") === px.flatten.sum.toLong)
+    assert(row.getAs[Int]("pixel_min") === 0)
+    assert(row.getAs[Int]("pixel_max") === 255)
+    assert(row.getAs[Double]("pixel_mean") === px.flatten.sum.toDouble / 6)
+  }
+
+  test("image encode -> PNG -> decode round trip matches the pixel law") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val stats = Multimodal.decodeImages(Multimodal.imageMedia(docs)).collect()
+    assert(stats.length === 50)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = Multimodal.imageDims(id)
+      val expected = for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelValue(id, x, y)
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("pixel_sum") === expected.map(_.toLong).sum,
+        s"doc $id: PNG round trip altered pixels")
+      assert(r.getAs[Int]("pixel_min") === expected.min)
+      assert(r.getAs[Int]("pixel_max") === expected.max)
+    }
+  }
+
   test("frame sampling yields n fixed-width slices inside the payload") {
     val frames = Multimodal.frameSample(media, nFrames = 4, frameBytes = 16)
     val r = frames.limit(5).collect()
