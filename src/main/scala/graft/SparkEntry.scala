@@ -148,6 +148,7 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(documents(s, d), 8)),
     "q_bpe_vocab" -> ((s, d) => TextAnalysis.bpeVocab(documents(s, d), 8)),
     "q_bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(documents(s, d), 8)),
+    "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
@@ -192,6 +193,8 @@ object SparkEntry {
         operators.Multimodal.mediaFromDocuments(documents(s, d)), 256)),
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(documents(s, d)))),
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.imageMedia(documents(s, d)))),
 
     // --- nested schema / flatten / scalar fns (P3, F6, F7, F8) ---
     "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
@@ -849,6 +852,7 @@ object SparkEntry {
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
     "q_bpe_token_count" -> bpeTokenCountOracleSql(8),
+    "q_bpe_apply" -> bpeApplyOracleSql(8),
     // offset-based first-fit packing: bin = tokens-before DIV budget over
     // a per-lang running count in doc_id order (see sequencePacking docs)
     "q_seq_packing" ->
@@ -1198,6 +1202,29 @@ object SparkEntry {
         |     - list_min([ascii(c) for c in string_split(text, '')]) AS INT) AS f_range,
         |  CAST(strlen(text) % 256 AS INT) AS f_mod
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // REAL decode round trip: Spark encodes deterministic grayscale PNGs
+    // (pixel = (doc_id*31 + x*7 + y*13) % 256) and decodes them back with
+    // javax.imageio; PNG is lossless, so the oracle recomputes the decoded
+    // statistics in closed form from doc_id — a decode bug (wrong raster
+    // band, truncated read, lossy path) breaks the hash
+    "q_multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 13 + 4 AS INT) AS width,
+        |         CAST(doc_id % 11 + 4 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |    [ (doc_id*31 + (i % width)*7 + (i // width)*13) % 256
+        |      for i in range(0, width*height) ] AS ps
+        |  FROM dims)
+        |SELECT doc_id, width, height,
+        |       CAST(width AS BIGINT) * height AS n_pixels,
+        |       CAST(list_sum(ps) AS BIGINT) AS pixel_sum,
+        |       CAST(list_min(ps) AS INT) AS pixel_min,
+        |       CAST(list_max(ps) AS INT) AS pixel_max,
+        |       CAST(list_sum(ps) AS DOUBLE) / (width * height) AS pixel_mean
+        |FROM px ORDER BY doc_id""".stripMargin,
     "q_land_compact" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
         |       count(DISTINCT event_id) AS n_events
@@ -1949,14 +1976,76 @@ object SparkEntry {
          |FROM t JOIN wl USING (word)
          |GROUP BY 1 ORDER BY lang""".stripMargin
 
-  private def bpeChainSql(iters: Int): String = {
-    val head =
-      """WITH w0 AS (
-        |  SELECT word, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
-        |    FROM documents) GROUP BY 1),
-        |words0 AS MATERIALIZED (
-        |  SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS toks FROM w0)""".stripMargin
+  /** One merge-step application: `prev` words + the (t1, t2) in `top`
+    * → `out` words, greedy left-to-right via run-parity windows (within
+    * a run of consecutive matching positions — possible only when
+    * t1 = t2 — greedy keeps exactly the even offsets, == the Spark
+    * fold). Shared by the TRAINING chain and the APPLY chain so the
+    * merge semantics can never drift between them.
+    */
+  private def bpeMergeStepSql(prev: String, top: String, mrg: String,
+                              out: String): String =
+    s""",
+       |$mrg AS (
+       |  SELECT word, freq, pos, tok, nxt,
+       |         CASE WHEN mt = 1 AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+       |              THEN 1 ELSE 0 END AS do_merge
+       |  FROM (
+       |    SELECT word, freq, pos, tok, nxt, mt,
+       |           CASE WHEN mt = 1 THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos)
+       |                ELSE NULL END AS grp
+       |    FROM (
+       |      SELECT word, freq, pos, tok,
+       |             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+       |             CASE WHEN tok = (SELECT t1 FROM $top)
+       |                   AND lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT t2 FROM $top)
+       |                  THEN 1 ELSE 0 END AS mt
+       |      FROM (SELECT word, freq,
+       |              unnest([{'pos': j, 'tok': toks[j]} for j in range(1, len(toks)+1)],
+       |                     recursive := true)
+       |            FROM $prev)))),
+       |$out AS MATERIALIZED (
+       |  SELECT word, freq, list(otok ORDER BY pos) AS toks FROM (
+       |    SELECT word, freq, pos,
+       |           CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS otok,
+       |           lag(do_merge) OVER (PARTITION BY word ORDER BY pos) AS dropped
+       |    FROM $mrg)
+       |  WHERE coalesce(dropped, 0) = 0
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Word census with char-split symbol state over `documents$where`,
+    * named `${pfx}0` — the start state of both chains.
+    */
+  private def bpeWordsSql(pfx: String, where: String, withKw: String): String =
+    s"""$withKw w_$pfx AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS word
+       |    FROM documents$where) GROUP BY 1),
+       |${pfx}0 AS MATERIALIZED (
+       |  SELECT word, freq, [word[i] for i in range(1, len(word)+1)] AS toks FROM w_$pfx)""".stripMargin
+
+  /** Train → apply oracle: the merge chain trained on the md5-routed
+    * train split (same routing as q_hash_split), then each top$i merge
+    * REPLAYED over the held-out split's words — eval words carry OOV
+    * material by construction, so this checks segmentation via the
+    * merge table, not vocabulary lookup.
+    */
+  private def bpeApplyOracleSql(iters: Int): String = {
+    val trainPred =
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 < 80"
+    bpeChainSql(iters, s" WHERE $trainPred") +
+      "," + bpeWordsSql("ew", s" WHERE NOT ($trainPred)", "").stripPrefix(" ") +
+      (1 to iters).map { i =>
+        bpeMergeStepSql(s"ew${i - 1}", s"top$i", s"amrg$i", s"ew$i")
+      }.mkString +
+      s"""
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |       CAST(len(toks) AS BIGINT) AS n_sub,
+         |       array_to_string(toks, '|') AS segmentation
+         |FROM ew$iters ORDER BY word""".stripMargin
+  }
+
+  private def bpeChainSql(iters: Int, where: String = ""): String = {
     val steps = (1 to iters).map { i =>
       s""",
          |pairs$i AS (
@@ -1966,35 +2055,10 @@ object SparkEntry {
          |             recursive := true)
          |    FROM words${i - 1} WHERE len(toks) >= 2)
          |  GROUP BY 1,2),
-         |top$i AS MATERIALIZED (SELECT t1, t2, c FROM pairs$i ORDER BY c DESC, t1, t2 LIMIT 1),
-         |mrg$i AS (
-         |  SELECT word, freq, pos, tok, nxt,
-         |         CASE WHEN mt = 1 AND (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0
-         |              THEN 1 ELSE 0 END AS do_merge
-         |  FROM (
-         |    SELECT word, freq, pos, tok, nxt, mt,
-         |           CASE WHEN mt = 1 THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos)
-         |                ELSE NULL END AS grp
-         |    FROM (
-         |      SELECT word, freq, pos, tok,
-         |             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
-         |             CASE WHEN tok = (SELECT t1 FROM top$i)
-         |                   AND lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT t2 FROM top$i)
-         |                  THEN 1 ELSE 0 END AS mt
-         |      FROM (SELECT word, freq,
-         |              unnest([{'pos': j, 'tok': toks[j]} for j in range(1, len(toks)+1)],
-         |                     recursive := true)
-         |            FROM words${i - 1})))),
-         |words$i AS MATERIALIZED (
-         |  SELECT word, freq, list(otok ORDER BY pos) AS toks FROM (
-         |    SELECT word, freq, pos,
-         |           CASE WHEN do_merge = 1 THEN tok || nxt ELSE tok END AS otok,
-         |           lag(do_merge) OVER (PARTITION BY word ORDER BY pos) AS dropped
-         |    FROM mrg$i)
-         |  WHERE coalesce(dropped, 0) = 0
-         |  GROUP BY 1, 2)""".stripMargin
+         |top$i AS MATERIALIZED (SELECT t1, t2, c FROM pairs$i ORDER BY c DESC, t1, t2 LIMIT 1)""".stripMargin +
+        bpeMergeStepSql(s"words${i - 1}", s"top$i", s"mrg$i", s"words$i")
     }.mkString
-    head + steps
+    bpeWordsSql("words", where, "WITH") + steps
   }
 
   /** IVF-PQ composed search: the coarse side is the cent$iters codebook

@@ -559,19 +559,41 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  /** The ONE BPE loop behind [[bpeMerges]] and [[bpeVocab]]: k greedy
-    * merge steps, returning both the merge table and the final per-word
-    * symbol state (same single-implementation discipline as the k-means
-    * `lloydChain`).
+  /** Word census with per-character symbol state — the BPE starting
+    * point, shared by the training loop and [[bpeApply]]'s eval side.
     */
-  private def bpeChain(documents: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val spark = documents.sparkSession
-    var words = documents.repartition(col("doc_id"))
+  private def wordChars(documents: DataFrame): DataFrame =
+    documents.repartition(col("doc_id"))
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("toks",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint()
+
+  /** Greedy left-to-right application of ONE merge (a, b) to the `toks`
+    * symbol list, as a fold: a merged symbol (a||b) can never equal the
+    * left symbol `a`, so overlap resolution (e.g. "aaa" under pair
+    * (a,a) → [aa, a]) falls out of the fold order. Shared by the
+    * training loop and [[bpeApply]] so train and apply can never drift.
+    */
+  private def mergeFold(a: String, b: String): Column =
+    aggregate(col("toks"),
+      array().cast("array<string>"),
+      (acc, t) => when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
+
+  /** The ONE BPE loop behind [[bpeMerges]], [[bpeVocab]] and
+    * [[bpeApply]]: k greedy merge steps, returning the merge table, the
+    * final per-word symbol state, and the merge list itself (driver-side
+    * — it IS driver state by construction, k scalar rows) for replay on
+    * unseen text (same single-implementation discipline as the k-means
+    * `lloydChain`).
+    */
+  private def bpeChain(documents: DataFrame, k: Int)
+      : (DataFrame, DataFrame, Seq[(String, String)]) = {
+    val spark = documents.sparkSession
+    var words = wordChars(documents).localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to k) {
       val n = size(col("toks"))
@@ -588,19 +610,41 @@ object TextAnalysis {
         s"BPE merge $step: vocabulary fully merged — k=$k exceeds the corpus' pair budget")
       val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       merges += ((step.toLong, a, b, c))
-      // greedy left-to-right merge as a fold: a merged symbol (a||b) can
-      // never equal the left symbol `a`, so overlap resolution (e.g.
-      // "aaa" under pair (a,a) → [aa, a]) falls out of the fold order
-      val merged = aggregate(col("toks"),
-        array().cast("array<string>"),
-        (acc, t) => when(size(acc) > 0 &&
-            element_at(acc, lit(-1)) === lit(a) && t === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(t))))
-      words = words.withColumn("toks", merged).localCheckpoint()
+      words = words.withColumn("toks", mergeFold(a, b)).localCheckpoint()
     }
     import spark.implicits._
-    (merges.toSeq.toDF("step", "t1", "t2", "pair_count").orderBy("step"), words)
+    (merges.toSeq.toDF("step", "t1", "t2", "pair_count").orderBy("step"),
+     words, merges.toSeq.map { case (_, a, b, _) => (a, b) })
+  }
+
+  /** APPLY the trained tokenizer to UNSEEN text — the other half of
+    * train → apply: train the k-merge BPE on the md5-routed train split
+    * (the same content-stable routing as [[hashSplit]]), then segment
+    * the HELD-OUT split's words by replaying the merge table in
+    * training order. Char-level initialization makes every eval word
+    * segmentable — including OOV words never seen in training, which a
+    * vocabulary lookup (the [[bpeTokenCount]] shape) cannot handle;
+    * unseen characters simply never merge. (The synthetic testdata's
+    * closed 31-word vocabulary cannot produce OOV words under any doc
+    * split, so the oracled query certifies cross-engine train→apply
+    * replay equivalence; the OOV property itself is exercised in
+    * TextAnalysisSpec on a constructed corpus.) Scale shape: the merge table
+    * is driver/broadcast state (k scalar rows), each replay step is a
+    * per-row fold over the EVAL VOCABULARY (never the corpus), and
+    * localCheckpoint truncates the k-step lineage exactly like the
+    * trainer's loop.
+    */
+  def bpeApply(documents: DataFrame, k: Int): DataFrame = {
+    val h = pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100))
+    val merges = bpeChain(documents.filter(h < 80), k)._3
+    var words = wordChars(documents.filter(h >= 80)).localCheckpoint()
+    merges.foreach { case (a, b) =>
+      words = words.withColumn("toks", mergeFold(a, b)).localCheckpoint()
+    }
+    words.select(col("word"), col("freq"),
+        size(col("toks")).cast("long").as("n_sub"),
+        concat_ws("|", col("toks")).as("segmentation"))
+      .orderBy("word")
   }
 
   /** Document fingerprinting: md5 over word 4-gram shingles, keeping the

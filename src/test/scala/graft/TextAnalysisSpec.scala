@@ -63,6 +63,32 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "an", "a", 5L), (5L, "ban", "ana", 4L), (6L, "ban", "d", 4L)))
   }
 
+  test("bpeApply segments OOV words via merge replay, not vocabulary lookup") {
+    val sp = spark
+    import sp.implicits._
+    // doc_ids 1,2,3 route to the train split under the md5-mod-100 law,
+    // doc_ids 6,9 to the held-out split. Train corpus = the bpeMerges
+    // fixture (merges: (a,n),(b,an),(a,a),(an,a),(ban,ana),(ban,d));
+    // eval carries "bandit" and "queen" — words (and for 'q','u','e',
+    // whole CHARACTERS) absent from training, which no vocabulary
+    // lookup could segment
+    val docs = Seq(
+      (1L, "aaa banana band banana"),
+      (2L, "banana bandana aaa band"),
+      (3L, "the band banana the aaa"),
+      (6L, "bandit queen banana"),
+      (9L, "bandit aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApply(docs, 6).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      // OOV: trained prefixes apply ((a,n)->(b,an)->(ban,d)), tail stays chars
+      ("aaaa", 1L, 2L, "aa|aa"),       // (a,a) twice — overlap parity on 4 a's
+      ("bandit", 2L, 3L, "band|i|t"),
+      ("banana", 1L, 1L, "banana"),    // in-vocab word reaches its trained form
+      ("queen", 1L, 5L, "q|u|e|e|n")   // fully unseen characters never merge
+    ).sortBy(_._1))
+  }
+
   test("funnelWindowedCounts drops conversions outside the max-lag window") {
     val sp = spark
     import sp.implicits._
