@@ -178,6 +178,11 @@ object SparkEntry {
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
+    // rows-only by design: HLL++ sketch values are engine-specific (same
+    // as q_approx_distinct); the rsd bound vs the exact batch answer is
+    // asserted in StreamingSpec
+    "q_stream_sliding_distinct" -> ((s, d) =>
+      streaming.StreamOps.streamSlidingDistinct(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),

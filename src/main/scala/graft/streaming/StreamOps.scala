@@ -303,6 +303,44 @@ object StreamOps {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Streaming windowed-DAU, APPROXIMATE form — the streaming twin of
+    * the batch [[graft.operators.Events.slidingDistinctUsers]], closing
+    * the batch/streaming matrix's last asymmetric cell: Structured
+    * Streaming disallows EXACT distinct aggregation (countDistinct
+    * state is unbounded per window and not incrementally mergeable),
+    * which is why q_sliding_distinct is batch-only BY ENGINE
+    * CONSTRAINT. The production answer is the HLL++ sketch:
+    * approx_count_distinct is a mergeable aggregate, so each window's
+    * state is one sketch (KB, not user-set-sized) updated per
+    * micro-batch and expired by the watermark like any other windowed
+    * agg. rsd=0.02 bounds the relative error; the rows-only driver
+    * check plus the rsd-bound scalatest against the exact batch answer
+    * certify it (sketch internals are not oracle-reproducible, same as
+    * q_approx_distinct). n_events rides along exactly — the count agg
+    * is unaffected by the sketch.
+    */
+  def streamSlidingDistinct(spark: SparkSession, sfDir: String,
+                            widthHours: Int, slideHours: Int,
+                            rsd: Double = 0.02): DataFrame = {
+    val table = s"graft_stream_sdist_${UUID.randomUUID().toString.take(8)}"
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$widthHours hours", s"$slideHours hours").as("w"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+           count(lit(1)).as("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(unix_seconds(col("w.start")).as("window_start_s"),
+              col("n_users_approx"), col("n_events"))
+      .orderBy("window_start_s")
+  }
+
   /** STREAM-STREAM interval join (the last big Structured Streaming
     * operator class next to windowed aggs and custom state): purchases
     * joined to the same user's views from the preceding hour, both sides

@@ -169,6 +169,27 @@ class StreamingSpec extends SparkSpec {
       s"expected cross-batch drop only, got $survivors")
   }
 
+  test("streaming approx sliding distinct tracks the exact batch answer within the rsd bound") {
+    val rsd = 0.02
+    val approx = StreamOps.streamSlidingDistinct(spark, sf0001, 12, 6, rsd)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.operators.Events
+      .slidingDistinctUsers(Tables.events(spark, sf0001), 12, 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same windows, exact n_events per window (the count agg is not
+    // approximated), and the HLL++ estimate within 5·rsd of the exact
+    // distinct — a generous multiple of the one-sigma bound, so the
+    // test is deterministic-stable while still catching a broken sketch
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (w, (nUsers, nEvents)) =>
+      val (est, gotEvents) = approx(w)
+      assert(gotEvents === nEvents, s"window $w: n_events diverged")
+      val relErr = math.abs(est - nUsers).toDouble / math.max(nUsers, 1L)
+      assert(relErr <= 5 * rsd,
+        f"window $w: estimate $est vs exact $nUsers (rel err $relErr%.4f > ${5 * rsd}%.2f)")
+    }
+  }
+
   test("RocksDB state store yields identical results for agg, custom-state, and join state") {
     def collectAll() = (
       StreamOps.streamSessionize(spark, sf0001, 30).collect().toSeq,
