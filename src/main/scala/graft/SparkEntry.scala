@@ -172,6 +172,7 @@ object SparkEntry {
     // --- streaming (S1/S3/S5/S6, T1-T5, T8): full pipelines executed via
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
+    "q_land_upsert" -> ((s, d) => streaming.StreamOps.streamLandUpsert(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -1146,6 +1147,20 @@ object SparkEntry {
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
         |       count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    // post-upsert state: every 10th event replaced (not appended) by its
+    // correction — counts match the raw corpus, corrected flags and the
+    // +1000 value shift land exactly
+    "q_land_upsert" ->
+      """WITH merged AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN event_id % 10 = 0 THEN value + 1000.0 ELSE value END AS value,
+        |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS corrected
+        |  FROM events)
+        |SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        |       count(*) AS n_events,
+        |       CAST(sum(corrected) AS BIGINT) AS n_corrected,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY 1,2,3 ORDER BY y, m, d""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,

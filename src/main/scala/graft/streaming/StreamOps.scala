@@ -206,6 +206,87 @@ object StreamOps {
       .orderBy("y", "m", "d", "h")
   }
 
+  /** One micro-batch of the MERGE-shaped LANDING UPSERT: late-corrected
+    * events REPLACE their originals in the landed parquet layout, keyed
+    * on event_id — the correction path the reference's append-only sink
+    * (consumer.py:244 put_object) lacks: once a bad record lands there,
+    * it lands forever. MERGE semantics over plain parquet via dynamic
+    * partition overwrite: (1) the batch's touched (y,m,d) day partitions
+    * are identified (a broadcast-sized day list), (2) those partitions'
+    * surviving rows are the anti-join of the base against the batch's
+    * event_ids, (3) survivors + corrections rewrite ONLY the touched
+    * partitions (partitionOverwriteMode=dynamic) — untouched days are
+    * never read or written. Idempotent on crash-replay: a replayed batch
+    * anti-joins its own previous corrections out and rewrites the same
+    * rows (corrections are self-contained), so at-least-once delivery
+    * upgrades to exactly-once state.
+    *
+    * 100 TB shape: cost scales with the CORRECTED days' data, not the
+    * table (late corrections cluster in recent days); the anti-join is a
+    * hash shuffle of only those partitions on event_id; the day list is
+    * broadcast. The localCheckpoint is load-bearing — it materializes
+    * the merged rows before the write, because the plan reads the same
+    * partitions the write replaces.
+    */
+  def upsertBatch(batch: DataFrame, baseDir: String): Unit = {
+    val spark = batch.sparkSession
+    val bucketed = Landing.withTimeBuckets(batch, col("ts"))
+    if (!bucketed.isEmpty) {
+      val days = bucketed.select("y", "m", "d").distinct()
+      val kept = spark.read.parquet(baseDir)
+        .join(broadcast(days), Seq("y", "m", "d"), "left_semi")
+        .join(bucketed.select("event_id"), Seq("event_id"), "left_anti")
+      val merged = kept.unionByName(bucketed.select(kept.columns.map(col): _*))
+        .repartition(col("y"), col("m"), col("d"))
+        .localCheckpoint()
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("y", "m", "d")
+        .parquet(baseDir)
+    }
+  }
+
+  /** Oracle-facing landing-upsert cycle: land the full corpus as the
+    * base parquet layout, stream deterministic corrections (every 10th
+    * event redelivered with value+1000 and a corrected flag) in
+    * event_id-range micro-batches through [[upsertBatch]], then
+    * aggregate the post-upsert state per day — counts prove corrections
+    * REPLACED their originals (no appends), the corrected sum proves the
+    * new values landed.
+    */
+  def streamLandUpsert(spark: SparkSession, sfDir: String,
+                       nBatches: Int = 3): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val baseDir = s"${sys.props("java.io.tmpdir")}/graft_upsert/$runId/base"
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+              col("value"), lit(0).as("corrected"))
+    Landing.withTimeBuckets(ev, col("ts"))
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite").partitionBy("y", "m", "d").parquet(baseDir)
+    val corrections = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .withColumn("corrected", lit(1))
+    val root = stageRanges(corrections, "event_id", nBatches)
+    val q = spark.readStream.schema(corrections.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, baseDir)
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(baseDir)
+      .groupBy("y", "m", "d")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("corrected")).cast("long").as("n_corrected"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("y", "m", "d")
+  }
+
   /** Data-file schema of the landed JSON layout (partition cols y/m/d/h
     * and batch are directory-encoded and discovered on read). Derived BY
     * CONSTRUCTION from the same envelope + landing transforms the write

@@ -31,6 +31,52 @@ class LandingSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("upsert replaces corrected rows in touched partitions only, idempotently") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    val day1 = 1700000000000L - (1700000000000L % 86400000L)
+    def ts(day: Int, hr: Int) = new Timestamp(day1 + day * 86400000L + hr * 3600000L)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_upsert/${java.util.UUID.randomUUID().toString.take(8)}"
+    // two days, three events each
+    val ev = Seq(
+      (1L, 10L, "view", ts(0, 1), 1.0, 0), (2L, 11L, "view", ts(0, 2), 2.0, 0),
+      (3L, 12L, "click", ts(0, 3), 3.0, 0), (4L, 10L, "view", ts(1, 1), 4.0, 0),
+      (5L, 11L, "click", ts(1, 2), 5.0, 0), (6L, 12L, "view", ts(1, 3), 6.0, 0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    Landing.withTimeBuckets(ev, col("ts"))
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    def day2Files() = {
+      val d = new java.io.File(base).listFiles()
+        .filter(_.getName.startsWith("y=")).flatMap(_.listFiles())
+        .flatMap(_.listFiles()).filter(f => f.getName == s"d=${ts(1, 0).toLocalDateTime.getDayOfMonth}")
+      d.flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSeq.sortBy(_._1)
+    }
+    val before = day2Files()
+    assert(before.nonEmpty)
+    // correction touches only day 1 (event 2's value revised)
+    val correction = Seq((2L, 11L, "view", ts(0, 2), 999.0, 1))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after1 = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"))).toSeq
+    // replaced, not appended; other rows intact
+    assert(after1 === Seq((1L, 1.0, 0), (2L, 999.0, 1), (3L, 3.0, 0),
+      (4L, 4.0, 0), (5L, 5.0, 0), (6L, 6.0, 0)))
+    // the untouched day-2 partition kept its exact files (dynamic
+    // overwrite never read or wrote it)
+    assert(day2Files() === before, "untouched partition was rewritten")
+    // crash-replay of the same batch converges to the same state
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after2 = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"))).toSeq
+    assert(after2 === after1, "replayed upsert batch diverged")
+  }
+
   test("landing twice yields identical partition counts (idempotence)") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test_land_idem"
     val ev = Tables.events(spark, sf0001)
