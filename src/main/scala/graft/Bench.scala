@@ -29,6 +29,13 @@ object Bench {
     // back-to-back per query (cache cleared between) rather than as N
     // full passes, so run-order effects are identical across reps.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    if (reps == 1)
+      // the artifact self-documents its noise: single-rep timings have
+      // repeatedly charged multi-second one-off stalls (GC, codegen) to
+      // innocent queries; README prescribes SPARK_GRAFT_BENCH_REPS=3
+      System.err.println(
+        "[bench] WARNING: reps=1 — single-run timings are jitter-prone; " +
+        "set SPARK_GRAFT_BENCH_REPS=3 for median-of-3 (the intended protocol)")
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =

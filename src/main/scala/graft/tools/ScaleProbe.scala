@@ -26,12 +26,17 @@ object ScaleProbe {
                lit(" "), substring(col("text"), 1, k * 7)).as("text"))
     }.reduce(_ unionByName _)
     println(s"amplified corpus: ${amplified.count()} docs")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
-      spark.catalog.clearCache()
-    }
+    // SPARK_GRAFT_PROBE_ONLY: comma-separated probe names for targeted
+    // runs (a single new probe needn't re-pay the whole suite)
+    val onlyProbes = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def time(name: String)(f: => Long): Unit =
+      if (onlyProbes.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+        spark.catalog.clearCache()
+      }
     time("jaccard")(graft.operators.NearDup.jaccardPairs(amplified, 3, 0.5, 100).count())
     time("minhash")(graft.operators.NearDup.minhashPairs(amplified, 3, 0.5, 100).count())
     time("simhash")(graft.operators.NearDup.simhash(amplified).count())
@@ -41,6 +46,13 @@ object ScaleProbe {
     // BPE cost is VOCABULARY-bound: the amplified corpus reuses the same
     // words, so everything after the initial census should barely move
     time("bpe_merges")(graft.operators.TextAnalysis.bpeMerges(amplified, 4).count())
+    // decontamination: the df-cutoff prunes boilerplate shingles BEFORE
+    // the train×eval join — the cutoff is what keeps the shared-shingle
+    // join linear as the corpus (and any hot shingle's df) grows
+    time("decontam")(graft.operators.TextAnalysis
+      .decontamination(amplified, 5, 100).count())
+    time("decontam_frac")(graft.operators.TextAnalysis
+      .decontaminationFraction(amplified, 5, 100).count())
 
     // ANN family at N× vectors: rotated replicas with distinct ids — the
     // candidate sets grow linearly with cell occupancy, so composed
