@@ -201,6 +201,10 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(documents(s, d)))),
     "q_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.imageMedia(documents(s, d)))),
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.decodeAudio(Multimodal.audioMedia(documents(s, d)))),
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameCensus(Multimodal.mediaFromDocuments(documents(s, d)), 4, 16)),
 
     // --- nested schema / flatten / scalar fns (P3, F6, F7, F8) ---
     "q_flatten_nested" -> ((s, d) => Events.flattenedEvents(events(s, d))),
@@ -1245,6 +1249,39 @@ object SparkEntry {
         |       CAST(list_max(ps) AS INT) AS pixel_max,
         |       CAST(list_sum(ps) AS DOUBLE) / (width * height) AS pixel_mean
         |FROM px ORDER BY doc_id""".stripMargin,
+    // REAL audio decode round trip: hand-written RIFF/WAVE PCM containers
+    // (sample = closed-form function of doc_id, i) parsed back with
+    // javax.sound; PCM is lossless, so the oracle recomputes the decoded
+    // sample statistics from doc_id alone
+    "q_multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 100 + 50 AS BIGINT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    [ (doc_id*37 + i*11) % 65536 - 32768 for i in range(0, n) ] AS ss
+        |  FROM d)
+        |SELECT doc_id, CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |       n AS n_samples,
+        |       CAST(list_sum(ss) AS BIGINT) AS sample_sum,
+        |       CAST(list_min(ss) AS INT) AS sample_min,
+        |       CAST(list_max(ss) AS INT) AS sample_max
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // frame sampling census: evenly-spaced 16-byte slices of the video
+    // payloads; ASCII stand-in text makes the slices reproducible with
+    // substring arithmetic (integer // matches Spark's cast-truncate on
+    // the non-negative offsets)
+    "q_multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id,
+        |    [substring(text, CAST((i * greatest(n - 16, 0)) // 3 AS INT) + 1, 16)
+        |     for i in range(0, 4)] AS fr
+        |  FROM v)
+        |SELECT doc_id, CAST(len(fr) AS BIGINT) AS n_frames,
+        |       CAST(length(array_to_string(fr, '')) AS BIGINT) AS n_frame_bytes,
+        |       md5(array_to_string(fr, '')) AS digest
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_land_compact" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
         |       count(DISTINCT event_id) AS n_events

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * PNGs with the JDK's `javax.imageio` and [[decodeImages]] decodes them
   * back to exact pixel statistics — a true encode → PNG → decode round
   * trip (PNG is lossless, so the stats are oracle-computable in closed
-  * form from doc_id alone). The audio/video paths keep [[decodeStub]]
-  * (the JDK ships no audio/video codecs): fixed integer arithmetic over
-  * the raw bytes. Swapping in libsndfile/ffmpeg changes only that one
-  * function — the schema, partitioning and batch shape stay as tested.
+  * form from doc_id alone). The AUDIO path likewise decodes for real:
+  * [[audioMedia]] hand-writes RIFF/WAVE PCM containers and
+  * [[decodeAudio]] parses them back with `javax.sound.sampled`. Only
+  * VIDEO keeps [[decodeStub]] (the JDK ships no video codec): fixed
+  * integer arithmetic over the raw bytes. Swapping in ffmpeg changes
+  * only that one function — the schema, partitioning and batch shape
+  * stay as tested.
   *
   * At 100 TB: binary payloads dominate row size, so the media scan prunes
   * to (id, media_bytes) only when features are requested (columnar
@@ -165,6 +168,82 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded-audio statistics: exact integers over the PCM samples. */
+  case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
+                        n_samples: Long, sample_sum: Long,
+                        sample_min: Int, sample_max: Int)
+
+  /** The deterministic sample law shared by the WAV encoder, the decoder
+    * test and the SQL oracle: 16-bit signed PCM, mono, 16 kHz.
+    */
+  def audioLen(docId: Long): Int = (docId % 100 + 50).toInt
+
+  def sampleValue(docId: Long, i: Int): Int =
+    ((docId * 37 + i * 11) % 65536).toInt - 32768
+
+  /** REAL audio payloads: a deterministic PCM WAV per document. The RIFF
+    * container is written BY HAND (44-byte canonical header +
+    * little-endian samples) so [[decodeAudio]]'s `javax.sound` path must
+    * genuinely parse the container — encoder and decoder share no code.
+    */
+  def audioMedia(documents: DataFrame): DataFrame = {
+    val ds = documents.repartition(col("doc_id"))
+      .select(col("doc_id")).as(Encoders.scalaLong)
+    ds.mapPartitions { it =>
+      it.map { docId =>
+        val n = audioLen(docId)
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)               // PCM
+          .putShort(1)               // mono
+          .putInt(16000)             // sample rate
+          .putInt(16000 * 2)         // byte rate
+          .putShort(2)               // block align
+          .putShort(16)              // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        (0 until n).foreach(i => bb.putShort(sampleValue(docId, i).toShort))
+        (docId, bb.array())
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "wav_bytes")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` parses the
+    * RIFF/WAVE container (format, rate, channels) and streams the PCM
+    * frames; exact integer sample statistics come out. Same
+    * zero-shuffle mapPartitions shape as [[decodeImages]].
+    */
+  def decodeAudio(audio: DataFrame): DataFrame = {
+    val ds = audio.select(col("doc_id"), col("wav_bytes"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc $docId: unexpected PCM layout $fmt")
+        val data = ais.readAllBytes()
+        ais.close()
+        var sum = 0L; var min = Int.MaxValue; var max = Int.MinValue
+        var i = 0
+        while (i + 1 < data.length) {
+          val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          sum += v; if (v < min) min = v; if (v > max) max = v
+          i += 2
+        }
+        AudioStats(docId, fmt.getSampleRate.toInt, fmt.getChannels,
+          data.length / 2L, sum, min, max)
+      }
+    }(Encoders.product[AudioStats])
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** RESIZE plumbing for image payloads: nearest-neighbor stride
     * sampling down to `target` units (a real implementation resamples
     * pixels; the plumbing — metadata-driven target, payload→payload
@@ -207,5 +286,22 @@ object Multimodal {
             .cast("int") / lit(math.max(nFrames - 1, 1))).cast("int") + 1
           col("media_bytes").substr(offset, lit(frameBytes))
         }).as("frames"))
+  }
+
+  /** Oracle-facing census of [[frameSample]]: per video doc, frame count,
+    * total sampled bytes, and a content digest of the concatenated
+    * frames — byte-exact evidence the offsets/bounds/slices are the ones
+    * the spec claims (the text stand-in payloads are ASCII, so the SQL
+    * oracle reproduces the slices with substring arithmetic).
+    */
+  def frameCensus(media: DataFrame, nFrames: Int, frameBytes: Int): DataFrame = {
+    val all = concat((0 until nFrames).map(i =>
+      element_at(col("frames"), i + 1)): _*)
+    frameSample(media, nFrames, frameBytes)
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        length(all).cast("long").as("n_frame_bytes"),
+        md5(all).as("digest"))
+      .orderBy("doc_id")
   }
 }

@@ -75,6 +75,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode recovers a known golden clip exactly") {
+    // a javax.sound-ENCODED clip (AudioSystem.write), decoded by our
+    // hand-rolled-header-independent decode path — the two ends of the
+    // codec share no code in either direction
+    val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 42)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val sp = spark
+    import sp.implicits._
+    val row = Multimodal.decodeAudio(
+      Seq((3L, out.toByteArray)).toDF("doc_id", "wav_bytes")).collect().head
+    assert(row.getAs[Int]("sample_rate") === 8000)
+    assert(row.getAs[Int]("channels") === 1)
+    assert(row.getAs[Long]("n_samples") === samples.length.toLong)
+    assert(row.getAs[Long]("sample_sum") === samples.map(_.toLong).sum)
+    assert(row.getAs[Int]("sample_min") === -32768)
+    assert(row.getAs[Int]("sample_max") === 32767)
+  }
+
+  test("audio encode -> WAV -> decode round trip matches the sample law") {
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val stats = Multimodal.decodeAudio(Multimodal.audioMedia(docs)).collect()
+    assert(stats.length === 50)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = Multimodal.audioLen(id)
+      val expected = (0 until n).map(Multimodal.sampleValue(id, _))
+      assert(r.getAs[Int]("sample_rate") === 16000)
+      assert(r.getAs[Long]("n_samples") === n.toLong)
+      assert(r.getAs[Long]("sample_sum") === expected.map(_.toLong).sum,
+        s"doc $id: WAV round trip altered samples")
+      assert(r.getAs[Int]("sample_min") === expected.min)
+      assert(r.getAs[Int]("sample_max") === expected.max)
+    }
+  }
+
   test("frame sampling yields n fixed-width slices inside the payload") {
     val frames = Multimodal.frameSample(media, nFrames = 4, frameBytes = 16)
     val r = frames.limit(5).collect()

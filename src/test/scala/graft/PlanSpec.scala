@@ -20,7 +20,8 @@ class PlanSpec extends SparkSpec {
   test("driver contract: queries and oracleSql keys agree (rows-only set is explicit)") {
     // a typo'd key on either side would silently weaken the correctness
     // gate (driver records rows-only instead of hash-matching)
-    val rowsOnlyByDesign = Set("q_ann_lsh", "q_approx_distinct", "q_approx_percentiles")
+    val rowsOnlyByDesign = Set("q_ann_lsh", "q_approx_distinct", "q_approx_percentiles",
+      "q_stream_sliding_distinct")
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
