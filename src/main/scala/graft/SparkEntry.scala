@@ -150,6 +150,10 @@ object SparkEntry {
     "q_bpe_token_count" -> ((s, d) => TextAnalysis.bpeTokenCount(documents(s, d), 8)),
     "q_bpe_apply" -> ((s, d) => TextAnalysis.bpeApply(documents(s, d), 8)),
     "q_bigram_lm" -> ((s, d) => TextAnalysis.bigramLm(documents(s, d), 5)),
+    // model-based curation: train-on-corpus, score-corpus filters
+    "q_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(documents(s, d))),
+    "q_nb_quality" -> ((s, d) => TextAnalysis.nbQuality(documents(s, d))),
+    "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -1593,6 +1597,130 @@ object SparkEntry {
         |       round(CAST(c.n AS DOUBLE)/t.n_w1, 6) AS p_cond
         |FROM c JOIN t USING (lang, w1) WHERE c.n >= 5
         |ORDER BY lang, w1, w2""".stripMargin,
+    // CCNet perplexity filter: per-lang Laplace bigram LM trained on the
+    // h<80 split, eval docs scored by mean surprisal. round(-ln(x),6) is
+    // the cross-engine determinism device (see TextAnalysis.surprisal6)
+    "q_lm_perplexity" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, lang, h,
+        |    unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))],
+        |           recursive := true)
+        |  FROM d WHERE len(toks) >= 2),
+        |n12 AS (SELECT lang, w1, w2, count(*) AS n12 FROM bg WHERE h < 80 GROUP BY 1,2,3),
+        |n1 AS (SELECT lang, w1, CAST(sum(n12) AS BIGINT) AS n1 FROM n12 GROUP BY 1,2),
+        |v AS (SELECT lang, count(DISTINCT w2) AS v FROM bg WHERE h < 80 GROUP BY 1),
+        |sc AS (
+        |  SELECT e.doc_id, e.lang,
+        |    CAST(round(-ln((coalesce(n12.n12, 0) + 1)::DOUBLE /
+        |                   (coalesce(n1.n1, 0) + v.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s
+        |  FROM bg e
+        |  LEFT JOIN n12 ON e.lang = n12.lang AND e.w1 = n12.w1 AND e.w2 = n12.w2
+        |  LEFT JOIN n1 ON e.lang = n1.lang AND e.w1 = n1.w1
+        |  JOIN v ON e.lang = v.lang
+        |  WHERE e.h >= 80)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |       round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS cross_entropy,
+        |       CAST(round(CAST(sum(s) AS DOUBLE) / count(*), 6) <= 8.0 AS INT) AS keep
+        |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // Naive Bayes quality classifier: Gopher-gate labels on the train
+    // split, token-count model, eval docs classified by smaller NLL
+    "q_nb_quality" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, h, toks,
+        |    CAST(len(toks) >= 20 AND len(toks) <= 100000
+        |      AND (CASE WHEN len(toks) > 0
+        |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |      AND len(toks) > 0
+        |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / len(toks) <= 0.1
+        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
+        |      AS INT) AS pass
+        |  FROM base),
+        |tok AS MATERIALIZED (SELECT doc_id, h, pass, unnest(toks) AS t FROM lab),
+        |model AS (
+        |  SELECT t, CAST(sum(pass) AS BIGINT) AS n_pass,
+        |         CAST(sum(1 - pass) AS BIGINT) AS n_fail
+        |  FROM tok WHERE h < 80 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_pass) AS BIGINT) AS tot_pass,
+        |               CAST(sum(n_fail) AS BIGINT) AS tot_fail, count(*) AS v FROM model),
+        |pri AS (SELECT
+        |    CAST(round(-ln(sum(pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_pass,
+        |    CAST(round(-ln(sum(1 - pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_fail
+        |  FROM lab WHERE h < 80),
+        |sc AS (
+        |  SELECT e.doc_id,
+        |    CAST(round(-ln((coalesce(m.n_pass, 0) + 1)::DOUBLE /
+        |                   (tot.tot_pass + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_pass,
+        |    CAST(round(-ln((coalesce(m.n_fail, 0) + 1)::DOUBLE /
+        |                   (tot.tot_fail + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_fail
+        |  FROM tok e LEFT JOIN model m ON e.t = m.t CROSS JOIN tot
+        |  WHERE e.h >= 80),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens, sum(s_pass) AS lp, sum(s_fail) AS lf
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6) AS nll_pass,
+        |  round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS nll_fail,
+        |  CAST(round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6)
+        |    <= round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS INT) AS predicted_pass
+        |FROM agg CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+    // DSIR importance weights: hashed unigram+bigram features, target =
+    // Gopher-pass train docs, raw = all train docs; weight = sum of
+    // surprisal differences; top-100 by (weight, doc_id) selected
+    "q_dsir_weights" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, h, toks,
+        |    CAST(len(toks) >= 20 AND len(toks) <= 100000
+        |      AND (CASE WHEN len(toks) > 0
+        |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |      AND len(toks) > 0
+        |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / len(toks) <= 0.1
+        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
+        |      AS INT) AS pass
+        |  FROM base),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, h, pass,
+        |    ('0x' || substr(md5(u.f),1,15))::UBIGINT::BIGINT % 1024 AS b
+        |  FROM lab, unnest(list_concat(toks,
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) u(f)),
+        |raw AS (SELECT b, count(*) AS n_raw FROM f WHERE h < 80 GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS n_tgt FROM f WHERE h < 80 AND pass = 1 GROUP BY 1),
+        |t AS (SELECT count(*) AS tot_raw, CAST(sum(pass) AS BIGINT) AS tot_tgt
+        |      FROM f WHERE h < 80),
+        |sc AS (
+        |  SELECT ff.doc_id,
+        |    CAST(round(-ln((coalesce(r.n_raw, 0) + 1)::DOUBLE /
+        |                   (t.tot_raw + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_raw,
+        |    CAST(round(-ln((coalesce(g.n_tgt, 0) + 1)::DOUBLE /
+        |                   (t.tot_tgt + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_tgt
+        |  FROM f ff LEFT JOIN raw r ON ff.b = r.b
+        |            LEFT JOIN tgt g ON ff.b = g.b CROSS JOIN t),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    CAST(sum(s_raw) - sum(s_tgt) AS DOUBLE) AS log_ratio
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_feats, log_ratio,
+        |  CAST(row_number() OVER (ORDER BY log_ratio DESC, doc_id) AS BIGINT) AS w_rank,
+        |  CAST(row_number() OVER (ORDER BY log_ratio DESC, doc_id) <= 100 AS INT) AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // intra-doc repetition signals: top-bigram mass fraction, duplicated-
     // trigram mass fraction, distinct-token ratio (exact rationals)
     "q_repetition" ->

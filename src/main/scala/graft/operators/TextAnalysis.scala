@@ -669,4 +669,199 @@ object TextAnalysis {
 
   def fingerprints(documents: DataFrame, n: Int = 4): DataFrame =
     fingerprintsUnordered(documents, n).orderBy("doc_id")
+
+  // --------------------------------------------------------------------
+  // MODEL-BASED CURATION: the three classic "train a cheap model on the
+  // corpus, score the corpus with it" filters of an LLM data pipeline —
+  // perplexity filtering (CCNet), quality classification (GPT-3-style
+  // linear classifier, here Naive Bayes so training is pure counting),
+  // and importance resampling (DSIR). All three share one determinism
+  // device: [[surprisal6]].
+  // --------------------------------------------------------------------
+
+  /** Cross-engine-deterministic surprisal: `round(-ln(p), 6)` as
+    * DECIMAL(18,6), so downstream sums are exact decimal arithmetic
+    * (commutative — partial aggregation order cannot change the result).
+    *
+    * `p` is always a ratio of integer counts here, so the double reaching
+    * `ln` is bit-identical in Spark and DuckDB; `ln` itself is the only
+    * transcendental, and rounding its result to 6 decimals absorbs any
+    * last-ulp libm disagreement. Verified empirically: 0 mismatches
+    * between JVM `Math.log` (Spark's round = BigDecimal HALF_UP) and
+    * DuckDB `round(-ln(x),6)` over the dense grid k/2^20 (k=1..2^20) AND
+    * 1M pseudo-random count ratios a/b with a,b <= 10^6 — the entire
+    * realistic input space of Laplace-smoothed count ratios.
+    */
+  private def surprisal6(p: Column): Column =
+    round(-log(p), 6).cast("decimal(18,6)")
+
+  /** PERPLEXITY FILTERING (CCNet): train a per-language bigram LM on the
+    * train split, score every held-out document by its cross-entropy
+    * under that LM, keep the low-perplexity (in-distribution) documents.
+    * The model is Laplace-smoothed: P(w2|w1) = (n12+1)/(n1+V), with V the
+    * per-language distinct-continuation count, so unseen bigrams and
+    * unseen histories are both well-defined (p = 1/V at the floor).
+    * Cross-entropy is the mean bigram surprisal in nats; perplexity =
+    * exp(H) is monotone in H, so thresholding H is thresholding ppl.
+    *
+    * Scale shape: the LM "model" is a (lang, w1, w2) count table — it
+    * stays DISTRIBUTED (a real corpus's bigram table does not fit on the
+    * driver, much less in a broadcast). Scoring is one shuffle hash join
+    * of exploded eval bigrams against the LM on its natural key, a
+    * smaller join for the history totals, and a broadcast of the per-lang
+    * vocabulary scalars. Documents with < 2 tokens have no bigrams and
+    * are excluded (no LM evidence either way).
+    */
+  def lmPerplexity(documents: DataFrame, keepBelow: Double = 8.0): DataFrame = {
+    val bigrams = documents.repartition(col("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .select(col("doc_id"), col("lang"), col("h"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val train = bigrams.filter(col("h") < 80)
+    val n12 = train.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n12"))
+    val n1 = n12.groupBy("lang", "w1")
+      .agg(sum(col("n12")).cast("long").as("n1"))
+    val vocab = train.groupBy("lang")
+      .agg(countDistinct(col("w2")).as("v"))
+    bigrams.filter(col("h") >= 80)
+      .join(n12, Seq("lang", "w1", "w2"), "left")
+      .join(n1, Seq("lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("lang"))
+      .withColumn("s", surprisal6(
+        (coalesce(col("n12"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("n1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("nll"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("nll").cast("double") / col("n_bigrams"), 6)
+          .as("cross_entropy"))
+      .withColumn("keep", (col("cross_entropy") <= lit(keepBelow)).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** QUALITY CLASSIFIER (the GPT-3/PaLM "train a classifier on a
+    * high-quality reference, score the crawl" gate): multinomial Naive
+    * Bayes over unigram tokens. Training labels come from the Gopher
+    * heuristic gates on the TRAIN split (the bootstrap every pipeline
+    * uses before it has human labels); scoring assigns each held-out
+    * document the class with the smaller negative log-likelihood
+    * `-ln P(c) - sum_t ln P(t|c)`, Laplace-smoothed over the training
+    * vocabulary. Naive Bayes rather than logistic regression because
+    * training is two hash aggregations (counts) — no gradient loop — and
+    * every probability is a ratio of integers, so the whole model AND its
+    * scores hash-match the SQL oracle via [[surprisal6]].
+    *
+    * Scale shape: training = one groupBy(token) with a pivoted per-class
+    * count pair; the model is token-keyed and stays distributed; class
+    * totals and priors are 1-row broadcasts. Scoring = exploded eval
+    * tokens hash-joined against the model on the token key, then one
+    * per-document aggregation. Zero-token documents are excluded.
+    */
+  def nbQuality(documents: DataFrame): DataFrame = {
+    val labeled = documents.repartition(col("doc_id"))
+      .join(gopherRulesUnordered(documents).select(col("doc_id"), col("pass")),
+        Seq("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+    val toks = labeled.select(col("doc_id"), col("h"), col("pass"),
+      explode(tokens(col("text"))).as("t"))
+    val train = toks.filter(col("h") < 80)
+    // token-conditional counts, pivoted to one row per token
+    val model = train.groupBy("t").agg(
+      sum(col("pass")).cast("long").as("n_pass"),
+      sum(lit(1) - col("pass")).cast("long").as("n_fail"))
+    // class token totals + vocabulary size: three scalars, one broadcast
+    val totals = model.agg(
+      sum(col("n_pass")).cast("long").as("tot_pass"),
+      sum(col("n_fail")).cast("long").as("tot_fail"),
+      count(lit(1)).as("v"))
+    // document-count priors on the same train split
+    val priors = labeled.filter(col("h") < 80).agg(
+      surprisal6(sum(col("pass")).cast("double") / count(lit(1)))
+        .as("prior_pass"),
+      surprisal6(sum(lit(1) - col("pass")).cast("double") / count(lit(1)))
+        .as("prior_fail"))
+    toks.filter(col("h") >= 80)
+      .join(model, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s_pass", surprisal6(
+        (coalesce(col("n_pass"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tot_pass") + col("v")).cast("double")))
+      .withColumn("s_fail", surprisal6(
+        (coalesce(col("n_fail"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tot_fail") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s_pass")).as("ll_pass"), sum(col("s_fail")).as("ll_fail"))
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("prior_pass").cast("double") + col("ll_pass").cast("double"), 6)
+          .as("nll_pass"),
+        round(col("prior_fail").cast("double") + col("ll_fail").cast("double"), 6)
+          .as("nll_fail"))
+      .withColumn("predicted_pass",
+        (col("nll_pass") <= col("nll_fail")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** IMPORTANCE RESAMPLING (DSIR, Xie et al. 2023): weight every document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET distribution (here: train-split documents passing the Gopher
+    * gates — the in-domain/high-quality proxy) than under the RAW pool
+    * (all train-split documents), then keep the top slice. Features are
+    * unigrams and bigrams hashed into `buckets` buckets (the paper's
+    * hashed n-gram parameterization — fixed-size model regardless of
+    * vocabulary), each bucket distribution Laplace-smoothed; the weight
+    * is `sum_f [ln p_target(b(f)) - ln p_raw(b(f))]`, a difference of
+    * [[surprisal6]] decimals, so exact.
+    *
+    * Scale shape: both "models" are `buckets`-sized count tables —
+    * broadcast-sized BY CONSTRUCTION (that is the point of feature
+    * hashing), so scoring is an exploded-features broadcast join + one
+    * per-document sum; no shuffle touches the wide corpus beyond the
+    * per-document aggregation. The final global rank is the
+    * oracle-determinism tail; at 100 TB the selection threshold comes
+    * from approx_percentile over the weights instead of a global sort.
+    */
+  def dsirWeights(documents: DataFrame, buckets: Int = 1024,
+                  keepTop: Int = 100): DataFrame = {
+    val feats = documents.repartition(col("doc_id"))
+      .join(gopherRulesUnordered(documents).select(col("doc_id"), col("pass")),
+        Seq("doc_id"))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("h"), col("pass"),
+        explode(concat(col("toks"), shingles(col("toks"), 2))).as("f"))
+      .withColumn("b", pmod(NearDup.md5Hash60(col("f")), lit(buckets)))
+    val raw = feats.filter(col("h") < 80)
+    val rawCounts = raw.groupBy("b").agg(count(lit(1)).as("n_raw"))
+    val tgtCounts = raw.filter(col("pass") === 1)
+      .groupBy("b").agg(count(lit(1)).as("n_tgt"))
+    val totals = raw.agg(
+      count(lit(1)).as("tot_raw"),
+      sum(col("pass")).cast("long").as("tot_tgt"))
+    val scored = feats
+      .join(broadcast(rawCounts), Seq("b"), "left")
+      .join(broadcast(tgtCounts), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("s_raw", surprisal6(
+        (coalesce(col("n_raw"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tot_raw") + lit(buckets.toLong)).cast("double")))
+      .withColumn("s_tgt", surprisal6(
+        (coalesce(col("n_tgt"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tot_tgt") + lit(buckets.toLong)).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("s_raw")) - sum(col("s_tgt"))).cast("double").as("log_ratio"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("log_ratio").desc, col("doc_id"))
+    scored
+      .withColumn("w_rank", row_number().over(w).cast("long"))
+      .withColumn("selected", (col("w_rank") <= keepTop).cast("int"))
+      .orderBy("doc_id")
+  }
 }
