@@ -138,6 +138,7 @@ object SparkEntry {
     "q_cluster_best" -> ((s, d) => NearDup.clusterRepresentatives(documents(s, d), 3)),
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d), 100)),
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
+    "q_substr_dedup" -> ((s, d) => NearDup.substringDedup(documents(s, d), 5)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
     "q_decontam_frac" -> ((s, d) =>
@@ -1547,6 +1548,48 @@ object SparkEntry {
         |       count(DISTINCT tr.train_doc) AS n_train_docs
         |FROM ev JOIN tr USING (s)
         |GROUP BY 1,2 ORDER BY split, eval_doc""".stripMargin,
+    // exact substring dedup (Lee et al. 2022): positional 5-grams, a gram
+    // is duplicated when seen in >=2 distinct docs, covers merge by
+    // gaps-and-islands (new span when start gap > k) into maximal spans.
+    // Oracle positions are 1-based vs Spark's 0-based posexplode — only
+    // gaps and lengths reach the output, which are offset-invariant.
+    "q_substr_dedup" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest([{'p': i, 'g': array_to_string(toks[i:i+4], ' ')}
+        |            for i in range(1, len(toks)-3)], recursive := true)
+        |  FROM base WHERE len(toks) >= 5),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (g)),
+        |flg AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 5
+        |         THEN 1 ELSE 0 END AS newisl
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM flg),
+        |spans AS (SELECT doc_id, isl, min(p) AS sp, max(p) + 4 AS ep
+        |          FROM isl GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans,
+        |    CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens,
+        |    CAST(max(ep - sp + 1) AS BIGINT) AS max_span
+        |  FROM spans GROUP BY 1)
+        |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+        |  coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(per.max_span, 0) AS max_span,
+        |  round(CASE WHEN len(b.toks) > 0
+        |    THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / len(b.toks)
+        |    ELSE 0.0 END, 6) AS dup_frac
+        |FROM base b LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // contaminated-fraction form: n_shared over the eval doc's FULL
     // distinct-shingle count (pre-cutoff), thresholded at tau=0.2
     "q_decontam_frac" ->

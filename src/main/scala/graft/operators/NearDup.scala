@@ -314,6 +314,80 @@ object NearDup {
       .orderBy("a_id", "b_id")
   }
 
+  /** EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" operator, arXiv:
+    * 2107.06499, in its token-k-gram form): find the spans of ≥k
+    * consecutive tokens that also appear in ANOTHER document, and report
+    * per document the maximal merged duplicated spans — the passage-level
+    * dedup that document-level dedup (whole-doc drop) cannot express.
+    * Document- and near-dup operators above drop whole documents; this
+    * one localizes WHICH tokens are boilerplate so a pipeline can mask or
+    * cut the span and keep the rest.
+    *
+    * Span semantics: position p is the start of a duplicated k-gram when
+    * the k-gram at p occurs in ≥2 distinct documents. Each such start
+    * covers tokens [p, p+k-1]; overlapping or exactly-adjacent covers
+    * merge into maximal spans (gaps-and-islands: a new span starts when
+    * the gap between consecutive duplicated starts exceeds k). Output per
+    * document: token count, number of maximal duplicated spans, total
+    * duplicated-token coverage, longest span, and the duplicated
+    * fraction — all integer arithmetic, fully oracle-able.
+    *
+    * Scale shape (the reference implementation is a suffix array over the
+    * concatenated corpus — a global sort of every suffix; this is the
+    * shuffle-native equivalent): one positional-shingle explode, ONE hash
+    * shuffle on the k-gram key to find cross-doc grams, one hash join
+    * back (the build side is a skinny gram-only frame), then per-document
+    * window work keyed on doc_id. Documents never meet each other —
+    * no pair space exists at any point, so a hot boilerplate gram costs
+    * its posting-list length, never its square.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokenized once, reused by the position explode AND the final
+    // per-doc census (same persist contract as jaccardPairs)
+    val toks = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // POSITIONAL k-grams — posexplode keeps the start offset the span
+    // arithmetic needs (the near-dup family's array_distinct would lose it)
+    val pos = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.shingles(col("toks"), k)).as(Seq("p", "g")))
+    // a gram is duplicated iff it appears in >= 2 DISTINCT documents
+    // (cross-document spans; within-doc repetition is q_repetition's job)
+    val dupG = pos.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val dp = pos.join(dupG, "g").select("doc_id", "p")
+    // gaps-and-islands per document: both windows are doc_id-keyed, so
+    // the sort is per-document, never global
+    val wl = Window.partitionBy("doc_id").orderBy("p")
+    val isl = dp
+      .withColumn("newisl",
+        when(col("p") - lag(col("p"), 1).over(wl) > k, 1).otherwise(0))
+      .withColumn("isl", sum(col("newisl"))
+        .over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy("doc_id", "isl")
+      .agg(min(col("p")).as("sp"), (max(col("p")) + lit(k) - 1).as("ep"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("ep") - col("sp") + 1).cast("long").as("dup_tokens"),
+           max(col("ep") - col("sp") + 1).cast("long").as("max_span"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-band split is exact only for hamming <= 3")
     // fingerprints are skinny (doc_id, simhash) but cost a full

@@ -84,6 +84,57 @@ class DedupSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("substringDedup merges overlapping and adjacent covers into maximal spans") {
+    val sp = spark
+    import sp.implicits._
+    // Shared passage between docs 1 and 2: tokens "one two three four
+    // five six" — SIX tokens, so doc 1 has duplicated 5-gram starts at
+    // positions 0 and 1 (overlapping covers [0,4] and [1,5]) which must
+    // merge into ONE maximal span of 6 tokens, not two spans of 5.
+    // Doc 3 shares a separate disjoint passage "alpha beta gamma delta
+    // epsilon" with doc 1, placed with a > k token gap after the first
+    // passage, so doc 1 reports exactly TWO maximal spans.
+    val shared1 = "one two three four five six"
+    val shared2 = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared1 filler1 filler2 filler3 filler4 filler5 filler6 $shared2"),
+      (2L, s"prefix padding words here $shared1 trailing stuff"),
+      (3L, s"$shared2 entirely unrelated tail content"),
+      (4L, "no overlap with anything else at all in this document"))
+      .toDF("doc_id", "text")
+    val res = NearDup.substringDedup(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: span of 6 ("one..six", merged from 2 overlapping starts) +
+    // span of 5 ("alpha..epsilon") = 2 spans, 11 dup tokens, max 6
+    assert(res(1L) === ((2L, 11L, 6L)))
+    // doc 2: one span of 6; doc 3: one span of 5; doc 4: clean
+    assert(res(2L) === ((1L, 6L, 6L)))
+    assert(res(3L) === ((1L, 5L, 5L)))
+    assert(res(4L) === ((0L, 0L, 0L)))
+    CacheRegistry.release()
+  }
+
+  test("substringDedup adjacent (gap == k) covers merge; gap > k covers do not") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1/2 share "a1 a2 a3 a4 a5" and "b1 b2 b3 b4 b5"; in doc 1 the
+    // two passages are back-to-back (duplicated starts at 0 and 5 — gap
+    // exactly k) so they merge into ONE 10-token span; in doc 2 a 6-token
+    // filler separates them (gap 11 > k) so they stay TWO spans.
+    val p1 = "a1 a2 a3 a4 a5"
+    val p2 = "b1 b2 b3 b4 b5"
+    val docs = Seq(
+      (1L, s"$p1 $p2"),
+      (2L, s"$p1 f1 f2 f3 f4 f5 f6 $p2"),
+      (3L, s"$p1 unrelated other words $p2"))
+      .toDF("doc_id", "text")
+    val res = NearDup.substringDedup(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(res(1L) === ((1L, 10L, 10L)))
+    assert(res(2L) === ((2L, 10L, 5L)))
+    CacheRegistry.release()
+  }
+
   test("approx_count_distinct lands within 5x rsd of the exact count") {
     val orders = Tables.orders(spark, sf0001)
     val exact = operators.Warehouse.distinctBuyers(orders)
