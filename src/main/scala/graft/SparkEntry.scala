@@ -118,6 +118,8 @@ object SparkEntry {
       Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(embeddings(s, d), 0.3, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -861,6 +863,7 @@ object SparkEntry {
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
+    "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_pq_search_trained" -> pqTrainedOracleSql(2),
@@ -2142,6 +2145,48 @@ object SparkEntry {
          |  FROM pairs)
          |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
          |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** SemDeDup oracle: same trained codebook as the IVF oracles, then the
+    * within-cell cosine pairs and the centroid-closest retention rule.
+    * d2 = |v|² + s reproduces Spark's exact addition grouping (s is the
+    * assignment score -2v·c+|c|², one value on both sides).
+    */
+  private def semanticDedupOracleSql(iters: Int, tau: Double): String =
+    kmeansCentChain(iters) +
+      s""",
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel, s,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |b AS (
+         |  SELECT e.vec_id, a.clabel AS cell, e.embedding::DOUBLE[] AS emb,
+         |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         |         list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) + a.s AS d2
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, clabel, s FROM assignrk WHERE rk = 1) a USING (vec_id)),
+         |qual AS (
+         |  SELECT x.cell, x.vec_id AS a_id, y.vec_id AS b_id,
+         |         x.d2 AS a_d2, y.d2 AS b_d2
+         |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) >= $tau),
+         |sym AS (
+         |  SELECT a_id AS vec_id, a_d2 AS my_d2, b_id AS nbr_id, b_d2 AS nbr_d2 FROM qual
+         |  UNION ALL
+         |  SELECT b_id, b_d2, a_id, a_d2 FROM qual),
+         |agg AS (
+         |  SELECT vec_id, count(*) AS n_near,
+         |    max(CASE WHEN nbr_d2 < my_d2 OR (nbr_d2 = my_d2 AND nbr_id < vec_id)
+         |        THEN 1 ELSE 0 END) AS dropped
+         |  FROM sym GROUP BY 1)
+         |SELECT b.vec_id, b.cell, round(b.d2, 6) AS d2,
+         |  coalesce(agg.n_near, 0) AS n_near,
+         |  CAST(1 - coalesce(agg.dropped, 0) AS INT) AS kept
+         |FROM b LEFT JOIN agg USING (vec_id) ORDER BY vec_id""".stripMargin
 
   private val ivfAssignOracleSql: String =
     """WITH ex AS (

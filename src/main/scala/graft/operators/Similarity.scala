@@ -307,6 +307,72 @@ object Similarity {
   private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame =
     lloydChain(embeddings, iters)._2
 
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, then WITHIN each cluster drop
+    * every vector that has a cosine-≥τ neighbor closer to the cluster
+    * centroid — embedding-space near-dup removal, the semantic sibling
+    * of the token-level near-dup family in [[NearDup]]. Composes the
+    * trained Lloyd chain (the coarse quantizer every IVF search here
+    * shares) with the within-cell pair generation of
+    * [[cosineJoinBlocked]] and the best-copy retention rule of
+    * `NearDup.clusterRepresentatives` (there: quality score; here:
+    * centroid distance, the paper's retention criterion).
+    *
+    * Drop rule: x is dropped iff some same-cell y has cos(x,y) ≥ τ and
+    * (d²(y,centroid), y_id) < (d²(x,centroid), x_id) — a strict total
+    * order, so the centroid-closest member of every similar group
+    * always survives (no cycle can drop a whole group, including
+    * transitive chains). Output per vector: cell, centroid distance,
+    * qualifying-neighbor count, kept flag.
+    *
+    * Scale shape: pairs arise only INSIDE a k-means cell (the SemDeDup
+    * design point — never all-pairs; at 100 TB the cell count scales
+    * with the corpus so cells stay bounded), the codebook is broadcast,
+    * and the verdict aggregation is one hash shuffle on vec_id. Every
+    * arithmetic step (dot products, sqrt, comparisons) is IEEE-exact
+    * and engine-neutral, so the whole operator hash-matches a DuckDB
+    * oracle that recomputes the same trained codebook.
+    */
+  def semanticDedup(embeddings: DataFrame, tau: Double = 0.3,
+                    trainIters: Int = 2): DataFrame = {
+    val cents = trainedCodebook(embeddings, trainIters)
+    // every vector with its assigned cell, norm, and exact squared
+    // centroid distance |v|² + (-2 v·c + |c|²) — one persisted frame
+    // feeding both self-join sides and the final census
+    val base = assignedVectors(embeddings, cents)
+      .join(broadcast(cents), col("assigned") === col("clabel"))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("d2", dot(col("emb"), col("emb")) + cellScore(col("emb")))
+      .select(col("vec_id"), col("assigned").as("cell"),
+              col("emb"), col("nrm"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val a = base.select(col("cell"), col("vec_id").as("a_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"), col("d2").as("a_d2"))
+    val b = base.select(col("cell"), col("vec_id").as("b_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"), col("d2").as("b_d2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim",
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") >= tau)
+      .select("cell", "a_id", "b_id", "a_d2", "b_d2")
+    val sym = pairs.select(col("a_id").as("vec_id"), col("a_d2").as("my_d2"),
+        col("b_id").as("nbr_id"), col("b_d2").as("nbr_d2"))
+      .union(pairs.select(col("b_id").as("vec_id"), col("b_d2").as("my_d2"),
+        col("a_id").as("nbr_id"), col("a_d2").as("nbr_d2")))
+    val verdict = sym.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_near"),
+           max(when(col("nbr_d2") < col("my_d2") ||
+               (col("nbr_d2") === col("my_d2") && col("nbr_id") < col("vec_id")),
+             1).otherwise(0)).as("dropped"))
+    base.join(verdict, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("d2"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (lit(1) - coalesce(col("dropped"), lit(0))).cast("int").as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Shared PQ base (M=2 subspaces): every vector split into halves, one
     * persisted scan feeding sub-codebook derivation, code assignment, AND
     * query lookup tables across [[pqEncode]]/[[pqSearch]]/[[ivfPqSearch]]

@@ -198,6 +198,30 @@ class SimilaritySpec extends SparkSpec {
       f"residual IVF-PQ recall $rResidual%.3f on clustered data — residual encoding lost the planted neighbors")
   }
 
+  test("semanticDedup collapses each planted cluster to one kept representative") {
+    // planted near-dups: every cluster's 10 members are mutual cosine
+    // near-dups (intra-cluster cosine ~0.9 at 64 dims, cross-cluster ~0),
+    // so at tau=0.8 SemDeDup must keep exactly ONE representative per
+    // planted cluster — and it must be the centroid-closest member
+    val res = Similarity.semanticDedup(clustered, 0.8, trainIters = 2).collect()
+    CacheRegistry.release()
+    assert(res.length === 200, s"expected one row per vector, got ${res.length}")
+    val byCell = res.groupBy(_.getInt(1))
+    assert(byCell.size === 20, s"expected 20 cells, got ${byCell.size}")
+    byCell.foreach { case (cell, rows) =>
+      val kept = rows.filter(_.getInt(4) === 1)
+      assert(kept.length === 1,
+        s"cell $cell kept ${kept.length} of ${rows.length} members — planted near-dups did not collapse")
+      // the survivor is the member closest to the cell centroid
+      val best = rows.minBy(r => (r.getDouble(2), r.getLong(0)))
+      assert(kept.head.getLong(0) === best.getLong(0),
+        s"cell $cell kept ${kept.head.getLong(0)} but centroid-closest is ${best.getLong(0)}")
+      // every dropped member saw at least one qualifying neighbor
+      rows.filter(_.getInt(4) === 0).foreach(r =>
+        assert(r.getLong(3) >= 1L, s"dropped ${r.getLong(0)} with n_near=0"))
+    }
+  }
+
   test("trained-sub-codebook PQ keeps cardinality and does not collapse recall") {
     val emb = Tables.embeddings(spark, sf0001)
     val nQ = 20
