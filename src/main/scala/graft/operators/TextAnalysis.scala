@@ -778,12 +778,21 @@ object TextAnalysis {
       sum(col("n_pass")).cast("long").as("tot_pass"),
       sum(col("n_fail")).cast("long").as("tot_fail"),
       count(lit(1)).as("v"))
-    // document-count priors on the same train split
+    // document-count priors on the same train split. A SINGLE-CLASS
+    // train split fails LOUDLY: Spark's log(0) silently yields NULL
+    // priors (nulling every score) where the DuckDB oracle's ln(0)
+    // raises — the assert_true makes both engines fail the same way on
+    // a degenerate corpus (the same loud-failure discipline as
+    // bpeChain's require on an exhausted pair budget)
     val priors = labeled.filter(col("h") < 80).agg(
       surprisal6(sum(col("pass")).cast("double") / count(lit(1)))
         .as("prior_pass"),
       surprisal6(sum(lit(1) - col("pass")).cast("double") / count(lit(1)))
         .as("prior_fail"))
+      .filter(assert_true(
+        col("prior_pass").isNotNull && col("prior_fail").isNotNull,
+        lit("nbQuality: train split is single-class — both Gopher-gate " +
+            "label classes must be present to train the classifier")).isNull)
     toks.filter(col("h") >= 80)
       .join(model, Seq("t"), "left")
       .crossJoin(broadcast(totals))
@@ -822,12 +831,25 @@ object TextAnalysis {
     * broadcast-sized BY CONSTRUCTION (that is the point of feature
     * hashing), so scoring is an exploded-features broadcast join + one
     * per-document sum; no shuffle touches the wide corpus beyond the
-    * per-document aggregation. The final global rank is the
-    * oracle-determinism tail; at 100 TB the selection threshold comes
-    * from approx_percentile over the weights instead of a global sort.
+    * per-document aggregation. The global weight rank is computed by
+    * [[withGlobalRank]] — range-partitioned local ranks + counts-only
+    * offsets, never a single-partition window — so the selection runs
+    * fully parallel at any corpus size.
     */
   def dsirWeights(documents: DataFrame, buckets: Int = 1024,
                   keepTop: Int = 100): DataFrame = {
+    val scored = dsirScores(documents, buckets)
+    scored
+      .transform(withGlobalRank("w_rank", col("log_ratio").desc, col("doc_id")))
+      .withColumn("selected", (col("w_rank") <= keepTop).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** The DSIR scoring core behind [[dsirWeights]] and [[mixtureSample]]:
+    * per-document hashed-feature count and the target/raw log-likelihood
+    * ratio. See [[dsirWeights]] for the model + scale discussion.
+    */
+  def dsirScores(documents: DataFrame, buckets: Int = 1024): DataFrame = {
     val feats = documents.repartition(col("doc_id"))
       .join(gopherRulesUnordered(documents).select(col("doc_id"), col("pass")),
         Seq("doc_id"))
@@ -844,7 +866,7 @@ object TextAnalysis {
     val totals = raw.agg(
       count(lit(1)).as("tot_raw"),
       sum(col("pass")).cast("long").as("tot_tgt"))
-    val scored = feats
+    feats
       .join(broadcast(rawCounts), Seq("b"), "left")
       .join(broadcast(tgtCounts), Seq("b"), "left")
       .crossJoin(broadcast(totals))
@@ -857,11 +879,91 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         (sum(col("s_raw")) - sum(col("s_tgt"))).cast("double").as("log_ratio"))
-    val w = org.apache.spark.sql.expressions.Window
+  }
+
+  /** GLOBAL dense-row rank WITHOUT a single-partition exchange: range-
+    * repartition on the sort key (unique by construction — callers pass a
+    * tie-breaking id as the last key), rank locally per partition, then
+    * shift each partition's ranks by the total row count of the
+    * partitions before it. The only cross-partition state is the
+    * per-partition COUNT frame — one row per shuffle partition, bounded
+    * by cluster config, never by data (the same bounded-state argument as
+    * the k-means codebook). Produces exactly
+    * `row_number() OVER (ORDER BY keys)`:
+    * range partitions are totally ordered on the keys, so local rank +
+    * preceding-partition offset is the global rank.
+    */
+  private[operators] def withGlobalRank(out: String, keys: Column*)
+      (df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = df.repartitionByRange(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      // ranked locally per range partition; persisted because the offset
+      // census and the final join both consume it (and the upstream —
+      // here the whole DSIR scoring pipeline — must not run twice)
+      .withColumn("_lrk",
+        row_number().over(Window.partitionBy("_pid").orderBy(keys: _*)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // preceding-partition totals via a partitions×partitions broadcast
+    // theta-join (rows = shuffle-partition count, bounded by cluster
+    // config) — keeps even this step free of unpartitioned windows
+    val cnts = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+    val offsets = cnts.select(col("_pid"))
+      .join(broadcast(cnts.select(col("_pid").as("_p2"), col("_cnt"))),
+        col("_p2") < col("_pid"), "left")
+      .groupBy("_pid").agg(coalesce(sum(col("_cnt")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(out, (col("_lrk") + col("_off")).cast("long"))
+      .drop("_pid", "_lrk", "_off")
+  }
+
+  /** Per-source sampling rates (per-mille of the source's TOKEN mass) for
+    * [[mixtureSample]]: the data-mixture recipe ("half of src0's tokens,
+    * a fifth of src1's, 30% of the rest") a pretraining corpus build
+    * executes after curation.
+    */
+  val mixtureRatesPerMille: Map[String, Int] = Map("src0" -> 500, "src1" -> 200)
+  val defaultMixtureRatePerMille: Int = 300
+
+  /** DATA-MIXTURE sampling: fill each source domain's token budget with
+    * its highest-DSIR-weight documents — the composition step between
+    * curation ([[dsirScores]] supplies quality order) and packing
+    * ([[sequencePacking]] consumes the selection). Budget = the domain's
+    * token mass × its per-mille mixture rate; selection is offset-based
+    * first-fit in (weight desc, doc_id) order — a doc is taken while the
+    * tokens selected before it are under budget, so each budget overflows
+    * by at most one document (the same distributable greedy as
+    * sequencePacking) and no document is ever taken twice (one row per
+    * doc by construction).
+    *
+    * Scale shape: one source-keyed window pair (rank + running tokens —
+    * same key, ONE shuffle; domains sort independently, the shape
+    * sequencePacking already ships) over the per-doc DSIR scores; the
+    * budget derives from a same-key window total, no driver state at all.
+    */
+  def mixtureSample(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rate = mixtureRatesPerMille.foldLeft(lit(defaultMixtureRatePerMille)) {
+      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    val wTot = Window.partitionBy("source")
+    val wOrd = Window.partitionBy("source")
       .orderBy(col("log_ratio").desc, col("doc_id"))
-    scored
-      .withColumn("w_rank", row_number().over(w).cast("long"))
-      .withColumn("selected", (col("w_rank") <= keepTop).cast("int"))
+    documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(dsirScores(documents, buckets).select("doc_id", "log_ratio"),
+        Seq("doc_id"))
+      .withColumn("rate_pm", rate)
+      .withColumn("src_tokens", sum(col("n_tok")).over(wTot))
+      .withColumn("budget", expr("(src_tokens * rate_pm) DIV 1000"))
+      .withColumn("dom_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
+        col("dom_rank"), col("budget").cast("long").as("budget"),
+        (col("cum_before") < col("budget")).cast("int").as("selected"))
       .orderBy("doc_id")
   }
 }

@@ -92,6 +92,19 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("dsirWeights ranks with NO unpartitioned window (scale-safe global rank)") {
+    val plan = planText(
+      operators.TextAnalysis.dsirWeights(Tables.documents(spark, sf0001)))
+    CacheRegistry.release()
+    // the only window in the plan is the _pid-partitioned local rank —
+    // the old single-partition Window.orderBy(log_ratio) must never return
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).length
+    assert(plan.contains("windowspecdefinition(_pid"),
+      "expected the _pid-partitioned local-rank window in the plan")
+    assert(specs === 1,
+      s"expected exactly one window spec (the partitioned rank), got $specs")
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

@@ -108,6 +108,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(unwindowed === Seq(("1_view", 2L), ("2_click", 2L), ("3_purchase", 1L)))
   }
 
+  test("nbQuality fails loudly on a single-class train split") {
+    val sp = spark
+    import sp.implicits._
+    // every doc fails the Gopher word-count gate (3 tokens < 20), so the
+    // bootstrap labels are single-class — training must abort, not emit
+    // silently-null scores
+    val docs = (1L to 30L).map(i => (i, s"short doc number$i", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] { TextAnalysis.nbQuality(docs).collect() }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("single-class")),
+      s"expected the single-class assert, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("dsirWeights' distributed rank equals the global row_number ordering") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.dsirWeights(docs).collect()
+    CacheRegistry.release()
+    // expected rank: sort the collected scores by (log_ratio desc, doc_id)
+    val expected = rows
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, lr) => (-lr, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) === expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: w_rank ${r.getLong(3)} != global ${expected(r.getLong(0))}")
+    }
+    // selection = rank <= keepTop, exactly
+    rows.foreach(r => assert((r.getLong(3) <= 100) === (r.getInt(4) === 1)))
+  }
+
+  test("mixtureSample fills each domain budget by weight rank, overflowing by at most one doc") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = TextAnalysis.mixtureSample(docs).collect()
+    CacheRegistry.release()
+    // one row per scored doc — nothing sampled twice
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val budget = rs.head.getLong(5)
+      assert(rs.forall(_.getLong(5) == budget), s"$src: budget not constant")
+      val sel = rs.filter(_.getInt(6) === 1)
+      val selTok = sel.map(_.getLong(2)).sum
+      if (sel.nonEmpty) {
+        // offset-based first-fit: under budget before the last taken doc
+        assert(selTok - sel.map(_.getLong(2)).max < budget,
+          s"$src: selected $selTok tokens beyond one-doc overflow of budget $budget")
+        // selection is a weight-rank PREFIX of the domain
+        val maxSelRank = sel.map(_.getLong(4)).max
+        assert(sel.map(_.getLong(4)).toSet === (1L to maxSelRank).toSet,
+          s"$src: selected ranks are not a prefix")
+      }
+      // budget is met unless the domain ran out of documents
+      if (selTok < budget) assert(sel.length === rs.length,
+        s"$src: budget $budget unmet ($selTok) with unselected docs remaining")
+    }
+  }
+
   test("sequencePacking conserves docs/tokens and bounds bins by budget + one doc") {
     val budget = 512L
     val docs = Tables.documents(spark, sf0001)
