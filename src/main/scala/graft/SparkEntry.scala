@@ -157,6 +157,7 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(documents(s, d))),
     "q_nb_quality" -> ((s, d) => TextAnalysis.nbQuality(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
+    "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -1767,6 +1768,65 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY log_ratio DESC, doc_id) AS BIGINT) AS w_rank,
         |  CAST(row_number() OVER (ORDER BY log_ratio DESC, doc_id) <= 100 AS INT) AS selected
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // data-mixture sampling: per-source token budgets (mixture rates over
+    // the source's token mass) filled by DSIR weight rank, offset-based
+    // first-fit — same DSIR scoring chain as q_dsir_weights
+    "q_mixture" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, h, toks,
+        |    CAST(len(toks) >= 20 AND len(toks) <= 100000
+        |      AND (CASE WHEN len(toks) > 0
+        |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+        |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        |      AND len(toks) > 0
+        |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / len(toks) <= 0.1
+        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
+        |      AS INT) AS pass
+        |  FROM base),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id, h, pass,
+        |    ('0x' || substr(md5(u.f),1,15))::UBIGINT::BIGINT % 1024 AS b
+        |  FROM lab, unnest(list_concat(toks,
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) u(f)),
+        |raw AS (SELECT b, count(*) AS n_raw FROM f WHERE h < 80 GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS n_tgt FROM f WHERE h < 80 AND pass = 1 GROUP BY 1),
+        |t AS (SELECT count(*) AS tot_raw, CAST(sum(pass) AS BIGINT) AS tot_tgt
+        |      FROM f WHERE h < 80),
+        |sc AS (
+        |  SELECT ff.doc_id,
+        |    CAST(round(-ln((coalesce(r.n_raw, 0) + 1)::DOUBLE /
+        |                   (t.tot_raw + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_raw,
+        |    CAST(round(-ln((coalesce(g.n_tgt, 0) + 1)::DOUBLE /
+        |                   (t.tot_tgt + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_tgt
+        |  FROM f ff LEFT JOIN raw r ON ff.b = r.b
+        |            LEFT JOIN tgt g ON ff.b = g.b CROSS JOIN t),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(s_raw) - sum(s_tgt) AS DOUBLE) AS log_ratio
+        |  FROM sc GROUP BY 1),
+        |mix AS (
+        |  SELECT b.doc_id, d.source, CAST(len(b.toks) AS BIGINT) AS n_tok, a.log_ratio,
+        |    CASE WHEN d.source = 'src0' THEN 500
+        |         WHEN d.source = 'src1' THEN 200 ELSE 300 END AS rate_pm
+        |  FROM base b JOIN documents d USING (doc_id) JOIN agg a USING (doc_id)),
+        |bud AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY source) * rate_pm // 1000 AS budget
+        |  FROM mix),
+        |rnk AS (
+        |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS dom_rank,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY log_ratio DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM bud
+        |  WINDOW w AS (PARTITION BY source ORDER BY log_ratio DESC, doc_id))
+        |SELECT doc_id, source, n_tok, log_ratio, dom_rank,
+        |       CAST(budget AS BIGINT) AS budget,
+        |       CAST(cum_before < budget AS INT) AS selected
+        |FROM rnk ORDER BY doc_id""".stripMargin,
     // intra-doc repetition signals: top-bigram mass fraction, duplicated-
     // trigram mass fraction, distinct-token ratio (exact rationals)
     "q_repetition" ->
@@ -2255,6 +2315,13 @@ object SparkEntry {
     * t1 = t2 — greedy keeps exactly the even offsets, == the Spark
     * fold). Shared by the TRAINING chain and the APPLY chain so the
     * merge semantics can never drift between them.
+    *
+    * An EMPTY `top` (pair budget exhausted before k merges) fails
+    * LOUDLY via error() instead of NULL-no-op'ing the remaining steps —
+    * mirroring the Spark trainer's require() (TextAnalysis.bpeChain), so
+    * both engines fail the same way on a degenerate corpus instead of
+    * silently diverging (the train-split chain behind q_bpe_apply has a
+    * smaller pair budget than the full corpus).
     */
   private def bpeMergeStepSql(prev: String, top: String, mrg: String,
                               out: String): String =
@@ -2270,8 +2337,10 @@ object SparkEntry {
        |    FROM (
        |      SELECT word, freq, pos, tok,
        |             lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
-       |             CASE WHEN tok = (SELECT t1 FROM $top)
-       |                   AND lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT t2 FROM $top)
+       |             CASE WHEN tok = (SELECT coalesce(max(t1),
+       |                     error('BPE: pair budget exhausted before k merges')) FROM $top)
+       |                   AND lead(tok) OVER (PARTITION BY word ORDER BY pos) = (SELECT coalesce(max(t2),
+       |                     error('BPE: pair budget exhausted before k merges')) FROM $top)
        |                  THEN 1 ELSE 0 END AS mt
        |      FROM (SELECT word, freq,
        |              unnest([{'pos': j, 'tok': toks[j]} for j in range(1, len(toks)+1)],

@@ -212,30 +212,45 @@ object StreamOps {
     * (consumer.py:244 put_object) lacks: once a bad record lands there,
     * it lands forever. MERGE semantics over plain parquet via dynamic
     * partition overwrite: (1) the batch's touched (y,m,d) day partitions
-    * are identified (a broadcast-sized day list), (2) those partitions'
-    * surviving rows are the anti-join of the base against the batch's
-    * event_ids, (3) survivors + corrections rewrite ONLY the touched
-    * partitions (partitionOverwriteMode=dynamic) — untouched days are
-    * never read or written. Idempotent on crash-replay: a replayed batch
-    * anti-joins its own previous corrections out and rewrites the same
-    * rows (corrections are self-contained), so at-least-once delivery
-    * upgrades to exactly-once state.
+    * are identified — the days its corrections LAND in, plus the days
+    * its event_ids currently LIVE in (so a correction whose ts moves an
+    * event across days also evicts the stale original from the old day,
+    * instead of leaving a duplicate event_id behind), (2) those
+    * partitions' surviving rows are the anti-join of the base against
+    * the batch's event_ids, (3) survivors + corrections rewrite ONLY the
+    * touched partitions (partitionOverwriteMode=dynamic) — untouched
+    * days are never written. Idempotent on crash-replay: a replayed
+    * batch anti-joins its own previous corrections out and rewrites the
+    * same rows (corrections are self-contained), so at-least-once
+    * delivery upgrades to exactly-once state.
     *
-    * 100 TB shape: cost scales with the CORRECTED days' data, not the
-    * table (late corrections cluster in recent days); the anti-join is a
-    * hash shuffle of only those partitions on event_id; the day list is
-    * broadcast. The localCheckpoint is load-bearing — it materializes
-    * the merged rows before the write, because the plan reads the same
-    * partitions the write replaces.
+    * 100 TB shape: the REWRITE cost scales with the corrected days'
+    * data, not the table (late corrections cluster in recent days); the
+    * anti-join is a hash shuffle of only those partitions on event_id;
+    * the day list is broadcast. Locating where the batch's event_ids
+    * live is the one table-wide step — a scan pruned to the event_id
+    * column plus directory-derived partition values, with the batch's
+    * ids broadcast into the semi-join (and a runtime bloom filter
+    * eligible to inject); a table format (Delta/Iceberg/Hudi) or a
+    * key→partition index would bound it further, which is exactly what
+    * those formats exist for — this is the honest cost of MERGE over
+    * bare parquet. The localCheckpoint is load-bearing — it
+    * materializes the merged rows before the write, because the plan
+    * reads the same partitions the write replaces.
     */
   def upsertBatch(batch: DataFrame, baseDir: String): Unit = {
     val spark = batch.sparkSession
     val bucketed = Landing.withTimeBuckets(batch, col("ts"))
     if (!bucketed.isEmpty) {
-      val days = bucketed.select("y", "m", "d").distinct()
-      val kept = spark.read.parquet(baseDir)
+      val base = spark.read.parquet(baseDir)
+      val ids = bucketed.select("event_id")
+      val days = bucketed.select("y", "m", "d")
+        .union(base.join(broadcast(ids), Seq("event_id"), "left_semi")
+          .select("y", "m", "d"))
+        .distinct()
+      val kept = base
         .join(broadcast(days), Seq("y", "m", "d"), "left_semi")
-        .join(bucketed.select("event_id"), Seq("event_id"), "left_anti")
+        .join(broadcast(ids), Seq("event_id"), "left_anti")
       val merged = kept.unionByName(bucketed.select(kept.columns.map(col): _*))
         .repartition(col("y"), col("m"), col("d"))
         .localCheckpoint()
@@ -393,8 +408,18 @@ object StreamOps {
     * CONSTRAINT. The production answer is the HLL++ sketch:
     * approx_count_distinct is a mergeable aggregate, so each window's
     * state is one sketch (KB, not user-set-sized) updated per
-    * micro-batch and expired by the watermark like any other windowed
-    * agg. rsd=0.02 bounds the relative error; the rows-only driver
+    * micro-batch. Output mode: this harness run is BOUNDED
+    * (AvailableNow over a finite file stream), so the query uses
+    * `complete` mode — the final watermark never passes the trailing
+    * windows, and complete mode is what makes them emit; under complete
+    * the watermark does NOT evict window state (all windows stay live in
+    * the store, and a memory-sink complete table grows with the window
+    * count). On an UNBOUNDED production stream the same query runs in
+    * `update`/`append` mode, where the declared 1-hour watermark
+    * genuinely expires each window's sketch once the watermark passes
+    * its end — per-window state is a KB sketch either way; the mode only
+    * decides whether closed windows are retained or evicted.
+    * rsd=0.02 bounds the relative error; the rows-only driver
     * check plus the rsd-bound scalatest against the exact batch answer
     * certify it (sketch internals are not oracle-reproducible, same as
     * q_approx_distinct). n_events rides along exactly — the count agg

@@ -77,6 +77,41 @@ class LandingSpec extends SparkSpec {
     assert(after2 === after1, "replayed upsert batch diverged")
   }
 
+  test("upsert evicts the stale original when a correction moves an event across days") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    val day1 = 1700000000000L - (1700000000000L % 86400000L)
+    def ts(day: Int, hr: Int) = new Timestamp(day1 + day * 86400000L + hr * 3600000L)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_upsert_move/${java.util.UUID.randomUUID().toString.take(8)}"
+    val ev = Seq(
+      (1L, 10L, "view", ts(0, 1), 1.0, 0), (2L, 11L, "view", ts(0, 2), 2.0, 0),
+      (3L, 12L, "click", ts(1, 3), 3.0, 0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    Landing.withTimeBuckets(ev, col("ts"))
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    // event 2's corrected timestamp lands on day 2 — the day-0 original
+    // must disappear, not survive as a duplicate event_id
+    val correction = Seq((2L, 11L, "view", ts(2, 5), 999.0, 1))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"), r.getAs[Int]("d"))).toSeq
+    assert(after.map(_._1) === Seq(1L, 2L, 3L), s"duplicate or lost event_id: $after")
+    val moved = after.find(_._1 == 2L).get
+    assert(moved._2 === 999.0 && moved._3 === 1)
+    assert(moved._4 === ts(2, 0).toLocalDateTime.getDayOfMonth,
+      s"corrected event 2 should live on its new day, got $moved")
+    // replay converges (idempotence survives the cross-day path)
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after2 = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"), r.getAs[Int]("d"))).toSeq
+    assert(after2 === after, "replayed cross-day upsert diverged")
+  }
+
   test("landing twice yields identical partition counts (idempotence)") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test_land_idem"
     val ev = Tables.events(spark, sf0001)
