@@ -85,7 +85,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // durability: log tails get truncated and stdout parsing has lost the
+    // per-query map before (BENCH_r05/r06 both recovered "parsed": null) —
+    // also write the full JSON line next to the repo so the artifact
+    // survives regardless of how the caller captures stdout
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -23,7 +23,8 @@ object ScaleProbe {
     val amplified = (0 until factor).map { k =>
       docs.select((col("doc_id") + lit(k * n)).as("doc_id"),
         concat(substring(col("text"), k * 7 + 1, 1000000),
-               lit(" "), substring(col("text"), 1, k * 7)).as("text"))
+               lit(" "), substring(col("text"), 1, k * 7)).as("text"),
+        col("lang"), col("source"))
     }.reduce(_ unionByName _)
     println(s"amplified corpus: ${amplified.count()} docs")
     // SPARK_GRAFT_PROBE_ONLY: comma-separated probe names for targeted
@@ -53,6 +54,19 @@ object ScaleProbe {
       .decontamination(amplified, 5, 100).count())
     time("decontam_frac")(graft.operators.TextAnalysis
       .decontaminationFraction(amplified, 5, 100).count())
+    // substring dedup: posting-list work per gram, never pairs — cost
+    // should track total positions (linear), like decontam
+    time("substr_dedup")(graft.operators.NearDup
+      .substringDedup(amplified, 5).count())
+    // model-based curation tier: the LM join fan-out (perplexity), the
+    // token-keyed NB model join, and the bucketed DSIR broadcast —
+    // all should be linear in exploded token/feature count
+    time("lm_perplexity")(graft.operators.TextAnalysis
+      .lmPerplexity(amplified).count())
+    time("nb_quality")(graft.operators.TextAnalysis.nbQuality(amplified).count())
+    time("dsir_weights")(graft.operators.TextAnalysis
+      .dsirWeights(amplified).count())
+    time("mixture")(graft.operators.TextAnalysis.mixtureSample(amplified).count())
 
     // ANN family at N× vectors: rotated replicas with distinct ids — the
     // candidate sets grow linearly with cell occupancy, so composed
@@ -69,6 +83,10 @@ object ScaleProbe {
     time("ivfpq")(graft.operators.Similarity
       .ivfPqSearch(ampEmb, 20, 10, nprobe = 2, trainIters = 2).count())
     time("pq_adc")(graft.operators.Similarity.pqSearch(ampEmb, 20, 10).count())
+    // semantic dedup: within-cell pair space grows with cell occupancy² —
+    // the probe watches whether the k-means cells keep pairs bounded
+    time("semantic_dedup")(graft.operators.Similarity
+      .semanticDedup(ampEmb, 0.3, trainIters = 2).count())
     spark.stop()
   }
 }
