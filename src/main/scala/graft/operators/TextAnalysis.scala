@@ -896,11 +896,16 @@ object TextAnalysis {
   private[operators] def withGlobalRank(out: String, keys: Column*)
       (df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val local = df.repartitionByRange(keys: _*)
+    // persist the INPUT: repartitionByRange runs a boundary-sampling pass
+    // over its child before the real exchange, so an unpersisted upstream
+    // (here the whole DSIR scoring pipeline) would execute twice
+    val in = df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val local = in.repartitionByRange(keys: _*)
       .withColumn("_pid", spark_partition_id())
       // ranked locally per range partition; persisted because the offset
-      // census and the final join both consume it (and the upstream —
-      // here the whole DSIR scoring pipeline — must not run twice)
+      // census and the final join both consume it
       .withColumn("_lrk",
         row_number().over(Window.partitionBy("_pid").orderBy(keys: _*)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
