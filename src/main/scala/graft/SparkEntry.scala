@@ -141,6 +141,7 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(documents(s, d), 100)),
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
     "q_substr_dedup" -> ((s, d) => NearDup.substringDedup(documents(s, d), 5)),
+    "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkDocuments(documents(s, d), 64, 48)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
     "q_decontam_frac" -> ((s, d) =>
@@ -889,6 +890,23 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |       max(n_tok) AS max_doc_tokens
         |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
+    // sliding-window chunking: starts at 0, stride, 2*stride, ... while
+    // start < n_tok; tail chunks shorter than `size` are emitted (the
+    // RAG-prep contract chunkDocuments documents)
+    "q_chunk_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM b2)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - start) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(toks[start+1 : start + least(64, n - start)], ' '))
+        |    AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CASE

@@ -411,6 +411,43 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** Sliding-window document CHUNKING with token overlap — the retrieval/
+    * context-window prep stage every RAG and long-context pretraining
+    * pipeline runs between curation and embedding: each document becomes
+    * `ceil(n_tok / stride)` chunks of up to `size` tokens starting every
+    * `stride` tokens (consecutive chunks share `size - stride` tokens of
+    * overlap; the tail chunk may be shorter). Emits per chunk the token
+    * offsets plus an md5 content hash — the join key downstream chunk-level
+    * dedup and embedding stores use.
+    *
+    * Scale shape: pure per-document expression work — tokenize once,
+    * `posexplode` a stride sequence, slice — with NO shuffle before the
+    * emission ordering (the trailing orderBy is the oracle-determinism
+    * contract; composition uses the frame before it). Chunks-per-doc is
+    * bounded by document length, so the fan-out is corpus-linear and
+    * embarrassingly parallel over documents at any corpus size.
+    */
+  def chunkDocuments(documents: DataFrame, size: Int = 64,
+                     stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .withColumn("n_tok", least(lit(size), col("n") - col("start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        col("n_tok").cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, col("n_tok"))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Intra-document REPETITION signals (the Gopher-family repetition
     * filters, arXiv:2112.11446 §A1.1, in their n-gram form — this corpus
     * has no line structure): per document the fraction of bigram mass in

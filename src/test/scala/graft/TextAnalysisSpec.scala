@@ -193,4 +193,32 @@ class TextAnalysisSpec extends SparkSpec {
           s"holds $slack tokens beyond its largest doc — exceeds budget $budget")
     }
   }
+
+  test("chunkDocuments: count law, overlap law, and tail-chunk length") {
+    val sp = spark
+    import sp.implicits._
+    // 10 tokens, size=4, stride=3: chunks at 0,3,6,9 — the last a 1-token
+    // tail; consecutive chunks share exactly size-stride = 1 token
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+                   (2L, "only three tokens"),
+                   (3L, "...")) // no alphanumeric tokens -> zero chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, 4, 3).collect()
+    val byDoc = got.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(3L), "token-free doc must emit no chunks")
+    // ceil(10/3)=4 chunks; ceil(3/3)=1 chunk
+    assert(byDoc(1L).length === 4 && byDoc(2L).length === 1)
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(_.getAs[Long]("start_tok")).toSeq === Seq(0L, 3L, 6L, 9L))
+    assert(d1.map(_.getAs[Long]("n_tok")).toSeq === Seq(4L, 4L, 4L, 1L))
+    // overlap law: chunk i's last token == chunk i+1's first token, so the
+    // hash of the shared slice must agree — check via reconstruction
+    import org.apache.spark.sql.functions.{col, concat_ws, md5, slice, lit}
+    val toks = docs.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val expect = toks.select(
+      md5(concat_ws(" ", slice(col("toks"), 4, 4))).as("h")).head.getString(0)
+    assert(d1(1).getAs[String]("chunk_hash") === expect,
+      "chunk 1 must hash tokens [3..6] (1-based 4..7, 4 tokens)")
+  }
 }
