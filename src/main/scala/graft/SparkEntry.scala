@@ -110,6 +110,7 @@ object SparkEntry {
     "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
     "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
+    "q_ann_rerank" -> ((s, d) => Similarity.pqRerankSearch(embeddings(s, d), 20, 10, 30)),
     "q_pq_search_trained" -> ((s, d) =>
       Similarity.pqSearch(embeddings(s, d), 20, 10, trainIters = 2)),
     "q_ivf_search_trained" -> ((s, d) =>
@@ -797,72 +798,12 @@ object SparkEntry {
     // by each candidate's code pair; est = d1(code1) + d2(code2), ranked
     // ascending with vec_id tiebreak — the same grouping of additions as
     // the Spark side, so estimates are IEEE-exact
-    "q_pq_search" ->
-      """WITH sp AS (
-        |  SELECT vec_id, label,
-        |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
-        |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
-        |  FROM embeddings),
-        |ex1 AS (
-        |  SELECT label,
-        |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
-        |           recursive := true)
-        |  FROM sp),
-        |cb1 AS (
-        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
-        |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
-        |        FROM ex1 GROUP BY 1,2)
-        |  GROUP BY 1),
-        |ex2 AS (
-        |  SELECT label,
-        |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
-        |           recursive := true)
-        |  FROM sp),
-        |cb2 AS (
-        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
-        |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
-        |        FROM ex2 GROUP BY 1,2)
-        |  GROUP BY 1),
-        |a1 AS (
-        |  SELECT vec_id, clabel AS code1 FROM (
-        |    SELECT sp.vec_id, c.clabel,
-        |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
-        |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
-        |             c.clabel) AS rk
-        |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
-        |a2 AS (
-        |  SELECT vec_id, clabel AS code2 FROM (
-        |    SELECT sp.vec_id, c.clabel,
-        |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
-        |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
-        |             c.clabel) AS rk
-        |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
-        |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
-        |d1 AS (
-        |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
-        |         list_dot_product(sp.e1, sp.e1)
-        |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
-        |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < 20),
-        |d2 AS (
-        |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
-        |         list_dot_product(sp.e2, sp.e2)
-        |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
-        |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < 20),
-        |est AS (
-        |  SELECT d1.query_id, codes.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
-        |  FROM codes
-        |    JOIN d1 ON codes.code1 = d1.c1
-        |    JOIN d2 ON codes.code2 = d2.c2 AND d1.query_id = d2.query_id
-        |  WHERE codes.vec_id <> d1.query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, est,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
-        |  FROM est)
+    "q_pq_search" -> (pqAdcRankedSql +
+      """
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(est, 6) AS est_d2
-        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+    "q_ann_rerank" -> annRerankOracleSql(30),
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
@@ -2427,6 +2368,98 @@ object SparkEntry {
     * side is the PQ code/lookup CTEs of q_pq_search verbatim; candidates
     * are the probed cells' members only, ADC-scored and ranked.
     */
+  /** The q_pq_search WITH-chain (untrained label-centroid sub-codebooks,
+    * PQ codes, per-query ADC lookups, estimated distances, and the
+    * (est, neighbor_id) ranking) — shared by q_pq_search's emission and
+    * q_ann_rerank's shortlist so the two can never drift.
+    */
+  private def pqAdcRankedSql: String =
+    """WITH sp AS (
+      |  SELECT vec_id, label,
+      |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+      |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+      |  FROM embeddings),
+      |ex1 AS (
+      |  SELECT label,
+      |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+      |           recursive := true)
+      |  FROM sp),
+      |cb1 AS (
+      |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+      |  FROM (SELECT label, dim,
+      |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |        FROM ex1 GROUP BY 1,2)
+      |  GROUP BY 1),
+      |ex2 AS (
+      |  SELECT label,
+      |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+      |           recursive := true)
+      |  FROM sp),
+      |cb2 AS (
+      |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+      |  FROM (SELECT label, dim,
+      |          CAST(sum(CAST(val AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |        FROM ex2 GROUP BY 1,2)
+      |  GROUP BY 1),
+      |a1 AS (
+      |  SELECT vec_id, clabel AS code1 FROM (
+      |    SELECT sp.vec_id, c.clabel,
+      |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+      |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+      |             c.clabel) AS rk
+      |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+      |a2 AS (
+      |  SELECT vec_id, clabel AS code2 FROM (
+      |    SELECT sp.vec_id, c.clabel,
+      |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+      |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+      |             c.clabel) AS rk
+      |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+      |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+      |d1 AS (
+      |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+      |         list_dot_product(sp.e1, sp.e1)
+      |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+      |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < 20),
+      |d2 AS (
+      |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+      |         list_dot_product(sp.e2, sp.e2)
+      |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+      |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < 20),
+      |est AS (
+      |  SELECT d1.query_id, codes.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+      |  FROM codes
+      |    JOIN d1 ON codes.code1 = d1.c1
+      |    JOIN d2 ON codes.code2 = d2.c2 AND d1.query_id = d2.query_id
+      |  WHERE codes.vec_id <> d1.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, est,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+      |  FROM est)""".stripMargin
+
+  /** Two-stage re-rank: the PQ-ADC top-`m` shortlist re-ordered by exact
+    * squared L2 from the raw vectors — expression grouping
+    * (|q|² − 2 q·v) + |v|² mirrors Similarity.pqRerankSearch exactly.
+    */
+  private def annRerankOracleSql(m: Int): String =
+    pqAdcRankedSql +
+      s""",
+         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
+         |exact AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+         |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+         |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
+         |  FROM cand
+         |    JOIN embeddings q ON q.vec_id = cand.query_id
+         |    JOIN embeddings v ON v.vec_id = cand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM exact)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
+         |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def ivfPqOracleSql(iters: Int, nprobe: Int): String =
     kmeansCentChain(iters) +
       s""",

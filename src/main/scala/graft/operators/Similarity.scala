@@ -501,6 +501,63 @@ object Similarity {
     rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
+  /** TWO-STAGE search: PQ-ADC candidate generation + EXACT re-ranking —
+    * the refinement step every production ANN serving stack runs on top
+    * of a compressed index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", §V: re-rank the shortlist with exact
+    * distances). Stage 1 is [[pqSearch]]'s scoring verbatim, kept to the
+    * top `m` estimated candidates per query; stage 2 retrieves ONLY those
+    * m raw vectors and re-orders by true squared L2, emitting the top k
+    * exact distances.
+    *
+    * Scale shape: stage 1 scans codes, never vectors (two longs + two
+    * doubles per candidate); stage 2's vector retrieval is a skinny
+    * (query_id, neighbor_id) hash join that touches |Q|·m rows of the
+    * vector table — the random-access read a serving system does against
+    * its vector store — and the final top-k is the same bounded TopKAgg,
+    * so no stage shuffles more than |Q|·m skinny rows. Exactness of the
+    * re-ranked distances is what the oracle checks; recall improvement
+    * over raw PQ order is a scalatest concern.
+    */
+  def pqRerankSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+                     m: Int = 30): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val base = pqBase(embeddings)
+    def cb(half: String): DataFrame = subCodebook(base, half)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb1 = cb("e1")
+    val cb2 = cb("e2")
+    val codes = assignHalf(base, "e1", cb1, "code1")
+      .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+    val d1 = adcLookup(base, "e1", cb1, nQueries, "query_id", "c1", "d1")
+    val d2 = adcLookup(base, "e2", cb2, nQueries, "query_id2", "c2", "d2")
+    val scored = codes
+      .join(broadcast(d1), col("code1") === col("c1"))
+      .join(broadcast(d2),
+        col("code2") === col("c2") && col("query_id") === col("query_id2"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-(col("d1") + col("d2"))).as("s"))
+    val shortlist = rankedTopK(scored, m, "est_d2", sc => -sc)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: fetch the shortlist's raw vectors and re-rank by exact
+    // squared L2 — grouping (|q|² − 2 q·v) + |v|² matches the oracle's
+    // expression order, so distances are IEEE-identical cross-engine
+    val vecs = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("q_emb"))
+    val exact = shortlist
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(queries), col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        (-((dot(col("q_emb"), col("q_emb"))
+            - lit(2.0) * dot(col("q_emb"), col("emb")))
+           + dot(col("emb"), col("emb")))).as("s"))
+    rankedTopK(exact, k, "d2", sc => -sc)
+  }
+
   /** IVF-PQ COMPOSED search — the index a production ANN system actually
     * deploys: a k-means-trained coarse quantizer bounds the candidate set
     * (each query probes only its `nprobe` nearest cells), and PQ

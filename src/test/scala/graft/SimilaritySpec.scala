@@ -198,6 +198,39 @@ class SimilaritySpec extends SparkSpec {
       f"residual IVF-PQ recall $rResidual%.3f on clustered data — residual encoding lost the planted neighbors")
   }
 
+  test("pqRerankSearch: exact distances, no recall loss vs raw PQ, shortlist-bounded") {
+    val emb = clustered
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val rPq = (exact & pairs(Similarity.pqSearch(emb, nQ, 10))).size.toDouble / exact.size
+    CacheRegistry.release()
+    val reranked = Similarity.pqRerankSearch(emb, nQ, 10, m = 30)
+    val got = reranked.collect()
+    CacheRegistry.release()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    val rRr = (exact & pairs(reranked)).size.toDouble / exact.size
+    CacheRegistry.release()
+    info(f"clustered recall@10: PQ-ADC $rPq%.3f, PQ+exact-rerank $rRr%.3f")
+    // the shortlist (m=30) is a superset of PQ's top-10, and exact
+    // re-ranking can only promote true neighbors within it
+    assert(rRr >= rPq,
+      f"re-rank recall $rRr%.3f fell below raw PQ $rPq%.3f — the refinement stage is discarding true neighbors")
+    // emitted distances must be the TRUE squared L2, not the ADC estimate
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val d2 = vecs(q).zip(vecs(n)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(r.getAs[Double]("d2") - d2) < 1e-4,
+        s"query $q neighbor $n: emitted ${r.getAs[Double]("d2")} != exact $d2")
+    }
+    // per-query order is by ascending exact distance
+    got.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ds = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("d2")).toSeq
+      assert(ds === ds.sorted, "ranks not ordered by exact distance")
+    }
+  }
+
   test("semanticDedup collapses each planted cluster to one kept representative") {
     // planted near-dups: every cluster's 10 members are mutual cosine
     // near-dups (intra-cluster cosine ~0.9 at 64 dims, cross-cluster ~0),
