@@ -111,6 +111,8 @@ object SparkEntry {
     "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
     "q_ann_rerank" -> ((s, d) => Similarity.pqRerankSearch(embeddings(s, d), 20, 10, 30)),
+    "q_embed_quantize" -> ((s, d) => Similarity.sq8Quantize(embeddings(s, d))),
+    "q_sq_search" -> ((s, d) => Similarity.sq8Search(embeddings(s, d), 20, 10)),
     "q_pq_search_trained" -> ((s, d) =>
       Similarity.pqSearch(embeddings(s, d), 20, 10, trainIters = 2)),
     "q_ivf_search_trained" -> ((s, d) =>
@@ -1089,6 +1091,53 @@ object SparkEntry {
         |pairs AS (
         |  SELECT q.query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(q.q_emb, b.emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // SQ8: per-element zero-scale guard inside the comprehension mirrors
+    // sq8Base's transform-with-when exactly
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |      FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |        [CASE WHEN scale > 0
+        |              THEN CAST(floor(e[i] / scale + 0.5) AS BIGINT)
+        |              ELSE 0 END for i in range(1, len(e)+1)] AS codes
+        |      FROM s),
+        |r AS (SELECT vec_id, e, scale, codes,
+        |        [e[i] - codes[i] * scale for i in range(1, len(e)+1)] AS res
+        |      FROM q)
+        |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
+        |  round(scale, 6) AS scale,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+        |  round(sqrt(list_dot_product(res, res)), 6) AS l2_err
+        |FROM r ORDER BY vec_id""".stripMargin,
+    "q_sq_search" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+        |      FROM v),
+        |r AS (SELECT vec_id, e,
+        |        [CASE WHEN scale > 0
+        |              THEN floor(e[i] / scale + 0.5) * scale
+        |              ELSE 0.0 END for i in range(1, len(e)+1)] AS recon
+        |      FROM s),
+        |b AS (SELECT vec_id, e, recon,
+        |        sqrt(list_dot_product(e, e)) AS nrm_e,
+        |        sqrt(list_dot_product(recon, recon)) AS nrm_r
+        |      FROM r),
+        |q AS (SELECT vec_id AS query_id, e AS q_emb, nrm_e AS q_nrm
+        |      FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(b.recon, q.q_emb) / (b.nrm_r * q.q_nrm) AS sim
         |  FROM b, q WHERE b.vec_id <> q.query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,

@@ -558,6 +558,70 @@ object Similarity {
     rankedTopK(exact, k, "d2", sc => -sc)
   }
 
+  /** INT8 SCALAR QUANTIZATION (SQ8) census — the 4× compression a vector
+    * store applies before anything fancier: per vector a symmetric scale
+    * max|x|/127, codes floor(x/scale + 0.5) in [-127, 127], and the
+    * reconstruction L2 error. floor(·+0.5) is the rounding both engines
+    * define identically (Spark round() and DuckDB round() disagree on
+    * negative halves), and every step is per-row expression work — a
+    * zero-shuffle scan at any corpus size, emitting one skinny census row
+    * per vector while the codes themselves would stream to the store.
+    */
+  def sq8Quantize(embeddings: DataFrame): DataFrame =
+    sq8Base(embeddings)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.size(col("e")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale"),
+        aggregate(col("codes"), lit(0L), (acc, q) => acc + q).as("sum_code"),
+        aggregate(col("codes"), lit(0L),
+          (acc, q) => acc + when(abs(q) === 127, lit(1L)).otherwise(lit(0L)))
+          .as("n_sat"),
+        round(sqrt(dot(col("res"), col("res"))), 6).as("l2_err"))
+      .orderBy("vec_id")
+
+  /** Shared SQ8 derivation: per-element scale/code/residual columns. The
+    * code expression keeps its zero-scale guard PER ELEMENT so the DuckDB
+    * oracle's CASE-inside-comprehension is the literally same arithmetic.
+    */
+  private def sq8Base(embeddings: DataFrame): DataFrame =
+    embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("scale",
+        array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      .withColumn("codes", transform(col("e"),
+        x => when(col("scale") > 0,
+          floor(x / col("scale") + lit(0.5)).cast("long")).otherwise(lit(0L))))
+      .withColumn("res", zip_with(col("e"), col("codes"),
+        (x, q) => x - q * col("scale")))
+
+  /** ASYMMETRIC SQ8 search: queries stay full-precision, candidates are
+    * scanned RECONSTRUCTED from their int8 codes (code × scale) — the
+    * memory-bandwidth-bound brute-force pass a quantized vector store
+    * runs (4× fewer bytes per candidate than the float scan of
+    * [[bruteForceTopK]], at ~1e-2 relative distance error). Same
+    * broadcast-queries / streaming-candidates / bounded-TopKAgg plan as
+    * the exact baseline; recall vs exact is a scalatest bound, the
+    * reconstructed arithmetic itself is oracle-exact.
+    */
+  def sq8Search(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = sq8Base(embeddings)
+      .withColumn("recon", transform(col("e"),
+        x => when(col("scale") > 0,
+          floor(x / col("scale") + lit(0.5)) * col("scale"))
+          .otherwise(lit(0.0))))
+      .select(col("vec_id"), col("e"), col("recon"),
+        l2Norm(col("e")).as("nrm_e"), l2Norm(col("recon")).as("nrm_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("q_emb"),
+              col("nrm_e").as("q_nrm"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("recon"), col("q_emb")) / (col("nrm_r") * col("q_nrm"))).as("s"))
+    rankedTopK(scored, k, "sim")
+  }
+
   /** IVF-PQ COMPOSED search — the index a production ANN system actually
     * deploys: a k-means-trained coarse quantizer bounds the candidate set
     * (each query probes only its `nprobe` nearest cells), and PQ

@@ -231,6 +231,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8: codes saturate at ±127, error bounded by the rounding law, search recall ~exact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val census = Similarity.sq8Quantize(emb).collect()
+    assert(census.length === emb.count())
+    census.foreach { r =>
+      val (d, scale, err) = (r.getAs[Long]("n_dims"),
+        r.getAs[Double]("scale"), r.getAs[Double]("l2_err"))
+      // per-element rounding error is <= scale/2, so the L2 error is
+      // <= sqrt(d) * scale / 2 (+ slack for the round-6 on scale itself)
+      assert(err <= math.sqrt(d.toDouble) * (scale + 1e-6) / 2 + 1e-6,
+        s"vec ${r.getAs[Long]("vec_id")}: l2_err $err breaks the rounding bound")
+      assert(r.getAs[Long]("n_sat") >= 1,
+        "symmetric max-abs scaling must saturate at least the max element")
+    }
+    // asymmetric quantized scan loses almost nothing at int8 precision
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val sq = pairs(Similarity.sq8Search(emb, nQ, 10))
+    CacheRegistry.release()
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(f"SQ8 asymmetric-scan recall@10 vs exact = $recall%.3f")
+    assert(recall >= 0.9,
+      f"recall $recall%.3f — int8 reconstruction should be near-lossless even on near-random vectors")
+  }
+
   test("semanticDedup collapses each planted cluster to one kept representative") {
     // planted near-dups: every cluster's 10 members are mutual cosine
     // near-dups (intra-cluster cosine ~0.9 at 64 dims, cross-cluster ~0),
