@@ -145,6 +145,7 @@ object SparkEntry {
     "q_neardup_edit" -> ((s, d) => NearDup.editDistancePairs(documents(s, d), 50)),
     "q_substr_dedup" -> ((s, d) => NearDup.substringDedup(documents(s, d), 5)),
     "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkDocuments(documents(s, d), 64, 48)),
+    "q_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(documents(s, d), 64, 48)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
     "q_decontam_frac" -> ((s, d) =>
@@ -850,6 +851,33 @@ object SparkEntry {
         |  md5(array_to_string(toks[start+1 : start + least(64, n - start)], ' '))
         |    AS chunk_hash
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
+    // distinct documents; per-doc census of shared-chunk mass
+    "q_chunk_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+        |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM b2),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[start+1 : start + least(64, n - start)], ' '))
+        |      AS chunk_hash
+        |  FROM st),
+        |dup AS (
+        |  SELECT chunk_hash FROM ch
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (
+        |  SELECT ch.doc_id, count(*) AS n_dup_chunks
+        |  FROM ch JOIN dup USING (chunk_hash) GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+        |SELECT tot.doc_id, CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        |  round(coalesce(per.n_dup_chunks, 0) / tot.n_chunks, 6) AS dup_chunk_frac
+        |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "q_hash_split" ->
       """WITH b AS (
         |  SELECT CASE

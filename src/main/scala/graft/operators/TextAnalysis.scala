@@ -428,7 +428,12 @@ object TextAnalysis {
     * embarrassingly parallel over documents at any corpus size.
     */
   def chunkDocuments(documents: DataFrame, size: Int = 64,
-                     stride: Int = 48): DataFrame = {
+                     stride: Int = 48): DataFrame =
+    chunkDocumentsUnordered(documents, size, stride).orderBy("doc_id", "chunk_id")
+
+  /** Unordered form for composition ([[chunkDedup]]). */
+  def chunkDocumentsUnordered(documents: DataFrame, size: Int,
+                              stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       s"need 0 < stride <= size, got size=$size stride=$stride")
     documents
@@ -445,7 +450,39 @@ object TextAnalysis {
         col("n_tok").cast("long").as("n_tok"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, col("n_tok"))))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** CHUNK-LEVEL cross-document dedup census — the granularity a RAG /
+    * embedding store actually dedups at: a chunk is duplicated iff its
+    * content hash appears in ≥ 2 distinct documents (within-doc repeats
+    * are q_repetition's job), and each document reports how much of it is
+    * made of such shared chunks. Composes [[chunkDocumentsUnordered]]
+    * with the same duplicated-key census shape as NearDup.substringDedup.
+    *
+    * Scale shape: chunks carry only (doc_id, chunk_id, hash) — text never
+    * leaves the chunker — and the census is two hash-shuffles on the
+    * 16-byte hash key plus one on doc_id; no pairwise comparison exists
+    * anywhere, so cost is chunk-count-linear at any corpus size.
+    */
+  def chunkDedup(documents: DataFrame, size: Int = 64,
+                 stride: Int = 48): DataFrame = {
+    val ch = chunkDocumentsUnordered(documents, size, stride)
+      .select("doc_id", "chunk_id", "chunk_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val dup = ch.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("chunk_hash")
+    val perDoc = ch.join(dup, Seq("chunk_hash"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          col("n_chunks"), 6).as("dup_chunk_frac"))
+      .orderBy("doc_id")
   }
 
   /** Intra-document REPETITION signals (the Gopher-family repetition

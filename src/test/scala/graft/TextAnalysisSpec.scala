@@ -221,4 +221,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d1(1).getAs[String]("chunk_hash") === expect,
       "chunk 1 must hash tokens [3..6] (1-based 4..7, 4 tokens)")
   }
+
+  test("chunkDedup counts cross-doc duplicated chunks; alignment and within-doc semantics") {
+    val sp = spark
+    import sp.implicits._
+    val ten = (0 until 10).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, ten),                       // identical twin of doc 2
+      (2L, ten),                       //   -> every chunk duplicated
+      (3L, "u0 u1 u2 u3 u4 u5 u6"),    // unique content -> no dups
+      (4L, "x0 t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // shares TEXT but shifted
+                                       //   one token -> chunk grids
+                                       //   misalign -> no chunk dups
+      (5L, "r0 r1 r2 r0 r1 r2 r0 r1 r2 r0 r1 r2")) // within-doc repeats
+                                       //   only -> NOT duplicated
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDedup(docs, 4, 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toMap
+    assert(got(1L) === (4L, 4L) && got(2L) === (4L, 4L),
+      "identical docs must have every chunk flagged as cross-doc duplicated")
+    assert(got(3L)._2 === 0L, "unique content flagged as duplicated")
+    assert(got(4L)._2 === 0L,
+      "shifted copy must NOT dup — chunk boundaries are grid-aligned, not content-defined")
+    assert(got(5L)._2 === 0L,
+      "within-doc repetition must not count as cross-doc duplication")
+    CacheRegistry.release()
+  }
 }
