@@ -67,6 +67,13 @@ object ScaleProbe {
     time("dsir_weights")(graft.operators.TextAnalysis
       .dsirWeights(amplified).count())
     time("mixture")(graft.operators.TextAnalysis.mixtureSample(amplified).count())
+    // chunking: pure map-stage fan-out, ceil(n/stride) chunks per doc —
+    // wall must track total token count (linear), the dedup census adds
+    // hash-key shuffles that stay chunk-count-linear
+    time("chunk_overlap")(graft.operators.TextAnalysis
+      .chunkDocuments(amplified, 64, 48).count())
+    time("chunk_dedup")(graft.operators.TextAnalysis
+      .chunkDedup(amplified, 64, 48).count())
 
     // ANN family at N× vectors: rotated replicas with distinct ids — the
     // candidate sets grow linearly with cell occupancy, so composed
@@ -87,6 +94,16 @@ object ScaleProbe {
     // the probe watches whether the k-means cells keep pairs bounded
     time("semantic_dedup")(graft.operators.Similarity
       .semanticDedup(ampEmb, 0.3, trainIters = 2).count())
+    // SQ8: census is a map-only scan (linear by construction); the
+    // asymmetric search is the bandwidth-bound candidate scan — both
+    // should track vector count exactly
+    time("sq8_quantize")(graft.operators.Similarity.sq8Quantize(ampEmb).count())
+    time("sq8_search")(graft.operators.Similarity.sq8Search(ampEmb, 20, 10).count())
+    // two-stage re-rank: stage 1 is the PQ scan, stage 2 is bounded by
+    // |Q|*m regardless of corpus — wall should track pq_adc, not grow
+    // faster than it
+    time("ann_rerank")(graft.operators.Similarity
+      .pqRerankSearch(ampEmb, 20, 10, m = 30).count())
     spark.stop()
   }
 }
