@@ -68,6 +68,37 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("chunking plan: no join, pruned 2-column scan, only repartition + oracle sort exchanges") {
+    val p = planText(SparkEntry.queries("q_chunk_overlap")(spark, sf0001))
+    assert(!p.contains("Join"), "chunking must be a pure map stage:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "chunk scan reads more than (doc_id, text) — column pruning lost")
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p).size
+    assert(rangeExchanges <= 1,
+      s"$rangeExchanges range exchanges — only the trailing oracle sort is allowed")
+  }
+
+  test("SQ8 asymmetric search keeps the broadcast-queries + partial-TopK plan") {
+    val p = planText(SparkEntry.queries("q_sq_search")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      "query side must broadcast — candidates stream, queries don't shuffle")
+    val partials = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(partials >= 2,
+      s"$partials ObjectHashAggregate nodes — TopKAgg lost its map-side partial aggregation")
+    CacheRegistry.release()
+  }
+
+  test("re-rank stage 2 broadcasts the query vectors and keeps partial TopK") {
+    val p = planText(SparkEntry.queries("q_ann_rerank")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      "re-rank plan lost its broadcasts (ADC tables / query vectors)")
+    val partials = "ObjectHashAggregate".r.findAllIn(p).size
+    // two TopKAgg stages (shortlist m, final k), each partial+final
+    assert(partials >= 4,
+      s"$partials ObjectHashAggregate nodes — a TopKAgg stage lost partial aggregation")
+    CacheRegistry.release()
+  }
+
   test("landed time-partitioned layout prunes partitions on read") {
     // the point of the y/m/d/h layout at 100 TB: a time-sliced read must
     // list only the matching directories (PartitionFilters on the scan),
