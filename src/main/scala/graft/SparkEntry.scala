@@ -187,6 +187,7 @@ object SparkEntry {
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
     "q_land_upsert" -> ((s, d) => streaming.StreamOps.streamLandUpsert(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
+    "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
@@ -834,23 +835,10 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |       max(n_tok) AS max_doc_tokens
         |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
-    // sliding-window chunking: starts at 0, stride, 2*stride, ... while
-    // start < n_tok; tail chunks shorter than `size` are emitted (the
-    // RAG-prep contract chunkDocuments documents)
-    "q_chunk_overlap" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
-        |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM b2)
-        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
-        |  CAST(start AS BIGINT) AS start_tok,
-        |  CAST(least(64, n - start) AS BIGINT) AS n_tok,
-        |  md5(array_to_string(toks[start+1 : start + least(64, n - start)], ' '))
-        |    AS chunk_hash
-        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_overlap" -> chunkOverlapOracleSql,
+    // chunks are doc-local, so the drained micro-batch union is
+    // bit-identical to the batch chunker — same oracle (the q_cms device)
+    "q_stream_chunks" -> chunkOverlapOracleSql,
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->
@@ -2445,6 +2433,26 @@ object SparkEntry {
     * side is the PQ code/lookup CTEs of q_pq_search verbatim; candidates
     * are the probed cells' members only, ADC-scored and ranked.
     */
+  /** Sliding-window chunking: starts at 0, stride, 2*stride, ... while
+    * start < n_tok; tail chunks shorter than `size` are emitted (the
+    * RAG-prep contract chunkDocuments documents). Shared verbatim by the
+    * batch (q_chunk_overlap) and streaming (q_stream_chunks) forms.
+    */
+  private def chunkOverlapOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents),
+      |b2 AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+      |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM b2)
+      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start_tok,
+      |  CAST(least(64, n - start) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(toks[start+1 : start + least(64, n - start)], ' '))
+      |    AS chunk_hash
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
   /** The q_pq_search WITH-chain (untrained label-centroid sub-codebooks,
     * PQ codes, per-query ADC lookups, estimated distances, and the
     * (est, neighbor_id) ranking) — shared by q_pq_search's emission and

@@ -686,6 +686,33 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** STREAMING CHUNKING: documents arrive in micro-batches and are
+    * chunked statelessly at ingest — the stream side of the RAG-prep
+    * stage (chunk as you crawl, embed downstream). Chunks are doc-local,
+    * so no cross-batch state exists; each micro-batch writes its chunks
+    * to an idempotent batch=N overwrite, and the drained union is
+    * bit-identical to the batch chunker — q_stream_chunks shares
+    * q_chunk_overlap's oracle, the same device as the q_cms pair.
+    *
+    * 100 TB shape: identical to the batch chunker (pure map stage per
+    * batch); the only added cost is the sink's append discipline.
+    */
+  def streamChunks(spark: SparkSession, sfDir: String, nBatches: Int = 3,
+                   size: Int = 64, stride: Int = 48): DataFrame = {
+    val root = stageDocRanges(spark, sfDir, nBatches)
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
+      graft.operators.TextAnalysis.chunkDocumentsUnordered(batch, size, stride)
+        .write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+      ()
+    }
+    val chunkSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("chunk_id", LongType), StructField("start_tok", LongType),
+      StructField("n_tok", LongType), StructField("chunk_hash", StringType)))
+    spark.read.schema(chunkSchema).parquet(s"$root/out")
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_hash")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** The historical-dedup stream over an arbitrary staged directory
     * (tests append files across runs; the store and checkpoint persist,
     * so a duplicate arriving in a LATER RUN is still dropped).

@@ -246,4 +246,18 @@ class StreamingSpec extends SparkSpec {
     val expected = Tables.events(spark, sf0001).count()
     assert(distinctIds === expected)
   }
+
+  test("streaming chunker equals the batch chunker regardless of batch slicing") {
+    // chunks are doc-local, so ANY doc partitioning into micro-batches
+    // must reproduce the batch result exactly — checked at two slicings
+    val docs = Tables.documents(spark, sf0001)
+    val batch = graft.operators.TextAnalysis.chunkDocuments(docs, 64, 48)
+      .collect().toSeq
+    Seq(2, 5).foreach { n =>
+      val streamed = StreamOps.streamChunks(spark, sf0001, nBatches = n)
+        .collect().toSeq
+      assert(streamed === batch,
+        s"streamed chunks at $n batches diverged from the batch chunker")
+    }
+  }
 }
