@@ -188,6 +188,7 @@ object SparkEntry {
     "q_land_upsert" -> ((s, d) => streaming.StreamOps.streamLandUpsert(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
+    "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
@@ -1114,27 +1115,10 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
-    // SQ8: per-element zero-scale guard inside the comprehension mirrors
-    // sq8Base's transform-with-when exactly
-    "q_embed_quantize" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |s AS (SELECT vec_id, e,
-        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
-        |      FROM v),
-        |q AS (SELECT vec_id, e, scale,
-        |        [CASE WHEN scale > 0
-        |              THEN CAST(floor(e[i] / scale + 0.5) AS BIGINT)
-        |              ELSE 0 END for i in range(1, len(e)+1)] AS codes
-        |      FROM s),
-        |r AS (SELECT vec_id, e, scale, codes,
-        |        [e[i] - codes[i] * scale for i in range(1, len(e)+1)] AS res
-        |      FROM q)
-        |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
-        |  round(scale, 6) AS scale,
-        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
-        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
-        |  round(sqrt(list_dot_product(res, res)), 6) AS l2_err
-        |FROM r ORDER BY vec_id""".stripMargin,
+    "q_embed_quantize" -> sq8CensusOracleSql,
+    // per-vector census is stateless, so the drained micro-batch union is
+    // bit-identical to the batch census — same oracle (the q_cms device)
+    "q_stream_sq8" -> sq8CensusOracleSql,
     "q_sq_search" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,
@@ -2433,6 +2417,31 @@ object SparkEntry {
     * side is the PQ code/lookup CTEs of q_pq_search verbatim; candidates
     * are the probed cells' members only, ADC-scored and ranked.
     */
+  /** SQ8 census: per-element zero-scale guard inside the comprehension
+    * mirrors sq8Base's transform-with-when exactly. Shared verbatim by
+    * the batch (q_embed_quantize) and streaming-ingest (q_stream_sq8)
+    * forms.
+    */
+  private def sq8CensusOracleSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |s AS (SELECT vec_id, e,
+      |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      |      FROM v),
+      |q AS (SELECT vec_id, e, scale,
+      |        [CASE WHEN scale > 0
+      |              THEN CAST(floor(e[i] / scale + 0.5) AS BIGINT)
+      |              ELSE 0 END for i in range(1, len(e)+1)] AS codes
+      |      FROM s),
+      |r AS (SELECT vec_id, e, scale, codes,
+      |        [e[i] - codes[i] * scale for i in range(1, len(e)+1)] AS res
+      |      FROM q)
+      |SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims,
+      |  round(scale, 6) AS scale,
+      |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+      |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+      |  round(sqrt(list_dot_product(res, res)), 6) AS l2_err
+      |FROM r ORDER BY vec_id""".stripMargin
+
   /** Sliding-window chunking: starts at 0, stride, 2*stride, ... while
     * start < n_tok; tail chunks shorter than `size` are emitted (the
     * RAG-prep contract chunkDocuments documents). Shared verbatim by the

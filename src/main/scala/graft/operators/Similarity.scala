@@ -568,6 +568,10 @@ object Similarity {
     * per vector while the codes themselves would stream to the store.
     */
   def sq8Quantize(embeddings: DataFrame): DataFrame =
+    sq8QuantizeUnordered(embeddings).orderBy("vec_id")
+
+  /** Unordered form for composition (StreamOps.streamSq8). */
+  def sq8QuantizeUnordered(embeddings: DataFrame): DataFrame =
     sq8Base(embeddings)
       .select(col("vec_id"),
         org.apache.spark.sql.functions.size(col("e")).cast("long").as("n_dims"),
@@ -577,7 +581,6 @@ object Similarity {
           (acc, q) => acc + when(abs(q) === 127, lit(1L)).otherwise(lit(0L)))
           .as("n_sat"),
         round(sqrt(dot(col("res"), col("res"))), 6).as("l2_err"))
-      .orderBy("vec_id")
 
   /** Shared SQ8 derivation: per-element scale/code/residual columns. The
     * code expression keeps its zero-scale guard PER ELEMENT so the DuckDB

@@ -931,6 +931,42 @@ object StreamOps {
     spark.table(table).orderBy("label", "assigned")
   }
 
+  /** STREAMING SQ8 INGEST: vectors are int8-quantized as they arrive —
+    * quantize-on-write, the form a production vector store actually runs
+    * (raw floats never land; codes + one scale per vector do). The
+    * census is per-vector stateless expression work, so each micro-batch
+    * writes an idempotent batch=N overwrite and the drained union is
+    * bit-identical to the batch census — q_stream_sq8 shares
+    * q_embed_quantize's oracle (the q_cms / q_stream_chunks device).
+    */
+  def streamSq8(spark: SparkSession, sfDir: String,
+                nBatches: Int = 3): DataFrame = {
+    import graft.operators.Similarity
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val root = stageRanges(emb, "vec_id", nBatches)
+    configureStateStore(spark)
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.sq8QuantizeUnordered(batch)
+          .write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val censusSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("n_dims", LongType), StructField("scale", DoubleType),
+      StructField("sum_code", LongType), StructField("n_sat", LongType),
+      StructField("l2_err", DoubleType)))
+    spark.read.schema(censusSchema).parquet(s"$root/out")
+      .select("vec_id", "n_dims", "scale", "sum_code", "n_sat", "l2_err")
+      .orderBy("vec_id")
+  }
+
   /** STREAMING Count-Min heavy-term audit: the same seeded CMS Aggregator
     * as the batch q_cms_heavy, aggregated ACROSS micro-batches by the
     * streaming engine (complete mode; the sketch matrix is the operator
