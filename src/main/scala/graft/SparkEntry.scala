@@ -119,6 +119,8 @@ object SparkEntry {
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ivfpq_search" -> ((s, d) =>
       Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_ivfpq_rerank" -> ((s, d) =>
+      Similarity.ivfPqRerankSearch(embeddings(s, d), 20, 10, m = 30, nprobe = 2, trainIters = 2)),
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_semantic_dedup" -> ((s, d) =>
@@ -813,6 +815,7 @@ object SparkEntry {
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
+    "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_pq_search_trained" -> pqTrainedOracleSql(2),
     "q_bpe_merges" -> bpeOracleSql(8),
@@ -2536,25 +2539,44 @@ object SparkEntry {
     * (|q|² − 2 q·v) + |v|² mirrors Similarity.pqRerankSearch exactly.
     */
   private def annRerankOracleSql(m: Int): String =
-    pqAdcRankedSql +
-      s""",
-         |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
-         |exact AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
-         |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
-         |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
-         |  FROM cand
-         |    JOIN embeddings q ON q.vec_id = cand.query_id
-         |    JOIN embeddings v ON v.vec_id = cand.neighbor_id),
-         |rr AS (
-         |  SELECT query_id, neighbor_id, d2,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
-         |  FROM exact)
-         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
-         |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+    pqAdcRankedSql + rerankSuffixSql(m)
 
   private def ivfPqOracleSql(iters: Int, nprobe: Int): String =
+    ivfPqRankedSql(iters, nprobe) +
+      """
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(est, 6) AS est_d2
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Exact re-rank tail shared by q_ann_rerank and q_ivfpq_rerank: the
+    * top-m of a `ranked` CTE re-ordered by true squared L2 from the raw
+    * vectors, grouping (|q|² − 2 q·v) + |v|² mirroring exactRerank.
+    */
+  private def rerankSuffixSql(m: Int): String =
+    s""",
+       |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
+       |rexact AS (
+       |  SELECT rcand.query_id, rcand.neighbor_id,
+       |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+       |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+       |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
+       |  FROM rcand
+       |    JOIN embeddings q ON q.vec_id = rcand.query_id
+       |    JOIN embeddings v ON v.vec_id = rcand.neighbor_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+       |  FROM rexact)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
+       |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int): String =
+    ivfPqRankedSql(iters, nprobe) + rerankSuffixSql(m)
+
+  /** The q_ivfpq_search WITH-chain through its (est, neighbor_id)
+    * ranking — shared by the emission and the re-rank shortlist.
+    */
+  private def ivfPqRankedSql(iters: Int, nprobe: Int): String =
     kmeansCentChain(iters) +
       s""",
          |sp AS (
@@ -2635,10 +2657,7 @@ object SparkEntry {
          |ranked AS (
          |  SELECT query_id, neighbor_id, est,
          |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
-         |  FROM est)
-         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
-         |       round(est, 6) AS est_d2
-         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+         |  FROM est)""".stripMargin
 
   /** PQ-ADC search with TRAINED sub-codebooks: one k-means CTE chain per
     * vector half (prefixes h1/h2), then the same code/lookup/rank SQL as

@@ -541,9 +541,17 @@ object Similarity {
         (-(col("d1") + col("d2"))).as("s"))
     val shortlist = rankedTopK(scored, m, "est_d2", sc => -sc)
       .select(col("query_id"), col("neighbor_id"))
-    // stage 2: fetch the shortlist's raw vectors and re-rank by exact
-    // squared L2 — grouping (|q|² − 2 q·v) + |v|² matches the oracle's
-    // expression order, so distances are IEEE-identical cross-engine
+    exactRerank(shortlist, embeddings, nQueries, k)
+  }
+
+  /** Stage 2 of the two-stage searches: fetch the shortlist's raw vectors
+    * and re-rank by exact squared L2 — grouping (|q|² − 2 q·v) + |v|²
+    * matches the oracle's expression order, so distances are
+    * IEEE-identical cross-engine. Shared by [[pqRerankSearch]] and
+    * [[ivfPqRerankSearch]] so the refinement contract can never drift.
+    */
+  private def exactRerank(shortlist: DataFrame, embeddings: DataFrame,
+                          nQueries: Int, k: Int): DataFrame = {
     val vecs = embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val queries = vecs.filter(col("vec_id") < nQueries)
@@ -644,7 +652,35 @@ object Similarity {
     * candidates reduce to |probed cells| scans of code shards.
     */
   def ivfPqSearch(embeddings: DataFrame, nQueries: Int, k: Int,
-                  nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+                  nprobe: Int = 2, trainIters: Int = 2): DataFrame =
+    rankedTopK(ivfPqScored(embeddings, nQueries, nprobe, trainIters),
+      k, "est_d2", sc => -sc)
+
+  /** FULL SERVING STACK: IVF-PQ candidate generation + exact re-ranking —
+    * [[ivfPqSearch]]'s bounded-candidate ADC scoring kept to the top `m`
+    * estimates per query, refined by [[exactRerank]]'s raw-vector fetch.
+    * This is the complete production ANN serving plan: coarse cells bound
+    * the scan, codes bound the bytes, and the m-row shortlist bounds the
+    * random-access reads — each stage's cost independent of corpus size
+    * except the code scan, which is nprobe × cell occupancy.
+    */
+  def ivfPqRerankSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+                        m: Int = 30, nprobe: Int = 2,
+                        trainIters: Int = 2): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val shortlist =
+      rankedTopK(ivfPqScored(embeddings, nQueries, nprobe, trainIters),
+        m, "est_d2", sc => -sc)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlist, embeddings, nQueries, k)
+  }
+
+  /** The IVF-PQ candidate scorer shared by [[ivfPqSearch]] and
+    * [[ivfPqRerankSearch]]: (query_id, cand_id, s = −est_d2) rows for
+    * every member of each query's probed cells.
+    */
+  private def ivfPqScored(embeddings: DataFrame, nQueries: Int,
+                          nprobe: Int, trainIters: Int): DataFrame = {
     val cents =
       if (trainIters > 0) trainedCodebook(embeddings, trainIters)
       else centroidsDF(embeddings)
@@ -686,7 +722,7 @@ object Similarity {
         col("code2") === col("c2") && col("query_id") === col("q2"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (-(col("d1") + col("d2"))).as("s"))
-    rankedTopK(scored, k, "est_d2", sc => -sc)
+    scored
   }
 
   /** RESIDUAL IVF-PQ search (IVFADC proper): PQ encodes each vector's

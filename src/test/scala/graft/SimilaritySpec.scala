@@ -231,6 +231,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankSearch: full serving stack keeps recall and emits exact distances") {
+    val emb = clustered
+    val nQ = 20
+    val exact = pairs(Similarity.bruteForceTopK(emb, nQ, 10))
+    val rIvfPq = (exact & pairs(
+      Similarity.ivfPqSearch(emb, nQ, 10, nprobe = 2, trainIters = 2)))
+      .size.toDouble / exact.size
+    CacheRegistry.release()
+    val reranked = Similarity.ivfPqRerankSearch(emb, nQ, 10, m = 30,
+      nprobe = 2, trainIters = 2)
+    val got = reranked.collect()
+    val rRr = (exact & pairs(reranked)).size.toDouble / exact.size
+    CacheRegistry.release()
+    assert(got.length === nQ * 10, s"expected ${nQ * 10} rows, got ${got.length}")
+    info(f"clustered recall@10: IVF-PQ $rIvfPq%.3f, +exact-rerank $rRr%.3f")
+    assert(rRr >= rIvfPq,
+      f"re-rank recall $rRr%.3f fell below IVF-PQ $rIvfPq%.3f — refinement discarded true neighbors")
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val d2 = vecs(q).zip(vecs(n)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(r.getAs[Double]("d2") - d2) < 1e-4,
+        s"query $q neighbor $n: emitted ${r.getAs[Double]("d2")} != exact $d2")
+    }
+  }
+
   test("SQ8: codes saturate at ±127, error bounded by the rounding law, search recall ~exact") {
     val emb = Tables.embeddings(spark, sf0001)
     val census = Similarity.sq8Quantize(emb).collect()
