@@ -89,12 +89,20 @@ object Bench {
     println(line)
     // durability: log tails get truncated and stdout parsing has lost the
     // per-query map before (BENCH_r05/r06 both recovered "parsed": null) —
-    // also write the full JSON line next to the repo so the artifact
-    // survives regardless of how the caller captures stdout
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_out.json: ${e.getMessage}")
+    // also write the full JSON line to a file so the artifact survives
+    // regardless of how the caller captures stdout. Anchored to the repo
+    // root when detectable (a CWD-relative default lands in whatever
+    // scratch dir the runner used, which is the very durability failure
+    // being fixed); SPARK_GRAFT_BENCH_OUT overrides.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      val cwd = new java.io.File(".").getCanonicalFile
+      if (new java.io.File(cwd, "build.sbt").exists()) "bench_out.json"
+      else sys.props.getOrElse("user.home", ".") + "/bench_out.json"
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

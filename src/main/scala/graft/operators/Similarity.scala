@@ -472,7 +472,17 @@ object Similarity {
     * trainIters = 0 keeps the label-centroid sub-codebooks.
     */
   def pqSearch(embeddings: DataFrame, nQueries: Int, k: Int,
-               trainIters: Int = 0): DataFrame = {
+               trainIters: Int = 0): DataFrame =
+    rankedTopK(pqScored(embeddings, nQueries, trainIters),
+      k, "est_d2", sc => -sc)
+
+  /** The PQ-ADC candidate scorer shared by [[pqSearch]] and
+    * [[pqRerankSearch]]: (query_id, cand_id, s = −est_d2) rows — one
+    * implementation so the code/lookup/self-match contract can never
+    * drift between the raw search and the re-ranked one.
+    */
+  private def pqScored(embeddings: DataFrame, nQueries: Int,
+                       trainIters: Int): DataFrame = {
     val base = pqBase(embeddings)
     def cb(half: String): DataFrame =
       if (trainIters > 0)
@@ -491,14 +501,13 @@ object Similarity {
     val d1 = adcLookup(base, "e1", cb1, nQueries, "query_id", "c1", "d1")
     val d2 = adcLookup(base, "e2", cb2, nQueries, "query_id2", "c2", "d2")
     // TopKAgg keeps the HIGHEST scores — negate the distance estimate
-    val scored = codes
+    codes
       .join(broadcast(d1), col("code1") === col("c1"))
       .join(broadcast(d2),
         col("code2") === col("c2") && col("query_id") === col("query_id2"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (-(col("d1") + col("d2"))).as("s"))
-    rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
   /** TWO-STAGE search: PQ-ADC candidate generation + EXACT re-ranking —
@@ -522,24 +531,9 @@ object Similarity {
   def pqRerankSearch(embeddings: DataFrame, nQueries: Int, k: Int,
                      m: Int = 30): DataFrame = {
     require(m >= k, s"shortlist m=$m must be >= k=$k")
-    val base = pqBase(embeddings)
-    def cb(half: String): DataFrame = subCodebook(base, half)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheRegistry.track)
-    val cb1 = cb("e1")
-    val cb2 = cb("e2")
-    val codes = assignHalf(base, "e1", cb1, "code1")
-      .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
-    val d1 = adcLookup(base, "e1", cb1, nQueries, "query_id", "c1", "d1")
-    val d2 = adcLookup(base, "e2", cb2, nQueries, "query_id2", "c2", "d2")
-    val scored = codes
-      .join(broadcast(d1), col("code1") === col("c1"))
-      .join(broadcast(d2),
-        col("code2") === col("c2") && col("query_id") === col("query_id2"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
-        (-(col("d1") + col("d2"))).as("s"))
-    val shortlist = rankedTopK(scored, m, "est_d2", sc => -sc)
+    val shortlist =
+      rankedTopK(pqScored(embeddings, nQueries, trainIters = 0),
+        m, "est_d2", sc => -sc)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(shortlist, embeddings, nQueries, k)
   }
@@ -615,11 +609,13 @@ object Similarity {
     * reconstructed arithmetic itself is oracle-exact.
     */
   def sq8Search(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    // reconstruction is code × scale — derived from sq8Base's codes so
+    // the rounding law has exactly one definition (codes are whole
+    // doubles cast to long exactly, so this is value-identical to
+    // re-running floor(x/scale + 0.5) × scale, which is what the oracle
+    // computes)
     val base = sq8Base(embeddings)
-      .withColumn("recon", transform(col("e"),
-        x => when(col("scale") > 0,
-          floor(x / col("scale") + lit(0.5)) * col("scale"))
-          .otherwise(lit(0.0))))
+      .withColumn("recon", transform(col("codes"), q => q * col("scale")))
       .select(col("vec_id"), col("e"), col("recon"),
         l2Norm(col("e")).as("nrm_e"), l2Norm(col("recon")).as("nrm_r"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

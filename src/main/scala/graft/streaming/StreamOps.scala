@@ -240,14 +240,20 @@ object StreamOps {
     */
   def upsertBatch(batch: DataFrame, baseDir: String): Unit = {
     val spark = batch.sparkSession
+    import spark.implicits._
     val bucketed = Landing.withTimeBuckets(batch, col("ts"))
     if (!bucketed.isEmpty) {
       val base = spark.read.parquet(baseDir)
       val ids = bucketed.select("event_id")
-      val days = bucketed.select("y", "m", "d")
+      // the touched-day list is the documented broadcast-sized scalar —
+      // collected once so it can drive the joins AND the emptied-day
+      // cleanup below without recomputing the base-table location scan
+      val dayList = bucketed.select("y", "m", "d")
         .union(base.join(broadcast(ids), Seq("event_id"), "left_semi")
           .select("y", "m", "d"))
-        .distinct()
+        .distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      val days = dayList.toSeq.toDF("y", "m", "d")
       val kept = base
         .join(broadcast(days), Seq("y", "m", "d"), "left_semi")
         .join(broadcast(ids), Seq("event_id"), "left_anti")
@@ -258,6 +264,21 @@ object StreamOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("y", "m", "d")
         .parquet(baseDir)
+      // dynamic overwrite only rewrites partitions PRESENT in `merged`;
+      // a source day left EMPTY by cross-day corrections (every resident
+      // event moved to another day) carries no rows, so its stale
+      // directory must be dropped explicitly or the old copies survive
+      val remaining = merged.select("y", "m", "d").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+      val emptied = dayList.filterNot(remaining)
+      if (emptied.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { case (yy, mm, dd) =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$baseDir/y=$yy/m=$mm/d=$dd"), true)
+        }
+      }
     }
   }
 
@@ -673,9 +694,17 @@ object StreamOps {
     */
   private def runDocBatches(spark: SparkSession, srcDir: String,
                             ckDir: String)(
-                            f: (DataFrame, Long) => Unit): Unit = {
+                            f: (DataFrame, Long) => Unit): Unit =
+    runStagedBatches(spark, docSchema, srcDir, ckDir)(f)
+
+  /** Schema-general form of the staged micro-batch runner (the document
+    * sinks read docSchema; [[streamSq8]] reads the embeddings schema).
+    */
+  private def runStagedBatches(spark: SparkSession, schema: StructType,
+                               srcDir: String, ckDir: String)(
+                               f: (DataFrame, Long) => Unit): Unit = {
     configureStateStore(spark)
-    val q = spark.readStream.schema(docSchema)
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1) // one staged file per micro-batch
       .parquet(srcDir)
       .writeStream
@@ -944,20 +973,12 @@ object StreamOps {
     import graft.operators.Similarity
     val emb = graft.Tables.embeddings(spark, sfDir)
     val root = stageRanges(emb, "vec_id", nBatches)
-    configureStateStore(spark)
-    val q = spark.readStream.schema(emb.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$root/src")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    runStagedBatches(spark, emb.schema, s"$root/src", s"$root/ck") {
+      (batch, batchId) =>
         Similarity.sq8QuantizeUnordered(batch)
           .write.mode("overwrite").parquet(s"$root/out/batch=$batchId")
         ()
-      }
-      .option("checkpointLocation", s"$root/ck")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    }
     val censusSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("n_dims", LongType), StructField("scale", DoubleType),
       StructField("sum_code", LongType), StructField("n_sat", LongType),

@@ -112,6 +112,43 @@ class LandingSpec extends SparkSpec {
     assert(after2 === after, "replayed cross-day upsert diverged")
   }
 
+  test("upsert drops a day partition left EMPTY by a cross-day correction") {
+    val sp = spark
+    import sp.implicits._
+    import java.sql.Timestamp
+    val day1 = 1700000000000L - (1700000000000L % 86400000L)
+    def ts(day: Int, hr: Int) = new Timestamp(day1 + day * 86400000L + hr * 3600000L)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_upsert_empty/${java.util.UUID.randomUUID().toString.take(8)}"
+    // day 0 holds ONLY event 1 — its correction empties that day, the
+    // case dynamic partition overwrite cannot express (no rows to carry)
+    val ev = Seq(
+      (1L, 10L, "view", ts(0, 1), 1.0, 0), (2L, 11L, "click", ts(1, 2), 2.0, 0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    Landing.withTimeBuckets(ev, col("ts"))
+      .repartition(col("y"), col("m"), col("d"))
+      .write.mode("overwrite").partitionBy("y", "m", "d").parquet(base)
+    val correction = Seq((1L, 10L, "view", ts(2, 5), 999.0, 1))
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "corrected")
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"), r.getAs[Int]("d"))).toSeq
+    assert(after.map(_._1) === Seq(1L, 2L),
+      s"stale original survived in the emptied day: $after")
+    val moved = after.find(_._1 == 1L).get
+    assert(moved._2 === 999.0 && moved._3 === 1)
+    val day0 = ts(0, 0).toLocalDateTime
+    assert(!new java.io.File(
+        s"$base/y=${day0.getYear}/m=${day0.getMonthValue}/d=${day0.getDayOfMonth}")
+      .exists(), "emptied day directory was not dropped")
+    // replay converges: the emptied-day cleanup is idempotent too
+    graft.streaming.StreamOps.upsertBatch(correction, base)
+    val after2 = spark.read.parquet(base).orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"),
+                 r.getAs[Int]("corrected"), r.getAs[Int]("d"))).toSeq
+    assert(after2 === after, "replayed emptied-day upsert diverged")
+  }
+
   test("landing twice yields identical partition counts (idempotence)") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test_land_idem"
     val ev = Tables.events(spark, sf0001)
