@@ -222,6 +222,24 @@ class TextAnalysisSpec extends SparkSpec {
       "chunk 1 must hash tokens [3..6] (1-based 4..7, 4 tokens)")
   }
 
+  test("chunkDocuments at stride == size produces disjoint cover; bad params rejected") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, (0 until 10).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    // stride == size: no overlap, chunks tile the doc exactly
+    val got = TextAnalysis.chunkDocuments(docs, 4, 4).collect()
+      .sortBy(_.getAs[Long]("chunk_id"))
+    assert(got.map(_.getAs[Long]("start_tok")).toSeq === Seq(0L, 4L, 8L))
+    assert(got.map(_.getAs[Long]("n_tok")).toSeq === Seq(4L, 4L, 2L))
+    assert(got.map(_.getAs[Long]("n_tok")).sum === 10L,
+      "disjoint chunks must cover every token exactly once")
+    // stride > size would skip tokens — rejected loudly, not silently
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, 4, 5)
+    }
+  }
+
   test("chunkDedup counts cross-doc duplicated chunks; alignment and within-doc semantics") {
     val sp = spark
     import sp.implicits._
