@@ -62,6 +62,13 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
+    "q4_priority_exists" -> ((s, d) =>
+      Warehouse.priorityExistsCheck(orders(s, d), lineitem(s, d))),
+    "q6_forecast_revenue" -> ((s, d) => Warehouse.forecastRevenue(lineitem(s, d))),
+    "q13_count_distribution" -> ((s, d) =>
+      Warehouse.orderCountDistribution(customer(s, d), orders(s, d))),
+    "q22_dormant_value" -> ((s, d) =>
+      Warehouse.dormantValue(customer(s, d), orders(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
     "q19_brand_promo" -> ((s, d) => Warehouse.brandPromoRevenue(lineitem(s, d), part(s, d))),
     "q18_large_orders" -> ((s, d) => Warehouse.largeOrders(orders(s, d), lineitem(s, d), 250)),
@@ -462,6 +469,41 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q13_count_distribution" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_dormant_value" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+        |           AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, t
+        |WHERE c.c_acctbal > t.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= '2000-01-01')
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "q19_brand_promo" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -521,4 +521,86 @@ object Warehouse {
         expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("ap99"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
+
+  /** TPC-H Q4-shape order priority check, adapted to this schema: the
+    * canonical query counts orders with a late lineitem
+    * (l_commitdate < l_receiptdate); those columns don't exist here, so
+    * "late" is a lineitem shipped more than 60 days after the order date.
+    * Same plan shape either way: a correlated EXISTS that Catalyst plans
+    * as a LEFT SEMI hash join on orderkey (one shuffle, never multiplies
+    * rows), then a priority rollup of a handful of groups.
+    */
+  def priorityExistsCheck(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(
+        lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q6 forecasting-revenue scan: a single filtered pass over
+    * lineitem with zero joins — the query whose whole cost is scan
+    * bandwidth, and whose whole optimization is pushdown (PushedFilters
+    * carries the date/discount/quantity bands to the parquet reader;
+    * WholeStageCodegen fuses filter and partial agg). The classic
+    * sanity-check that the engine's fast path IS fast.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    * customers with zero (qualifying) orders appear in the c_count=0
+    * bucket, then a distribution over the counts — the two-level
+    * aggregation shape (group by key, then group by the count itself).
+    * The qualifying-order predicate stands in for the canonical
+    * o_comment NOT LIKE filter (no comment column in this schema).
+    */
+  def orderCountDistribution(customer: DataFrame,
+                             orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  /** TPC-H Q22-shape dormant high-value customers: balance above the
+    * average POSITIVE balance (a correlated scalar the plan evaluates
+    * once — here kept in-plan as a 1-row broadcast crossJoin, never a
+    * driver collect) and no orders SINCE the cutoff (LEFT ANTI join —
+    * the canonical "hasn't ordered in years"; every synthetic customer
+    * has SOME order, so unconditional orderlessness would be empty),
+    * rolled up by market segment (the schema has no phone column, so
+    * the canonical country-code grouping becomes c_mktsegment).
+    * Decimal-exact sums, double division — the cross-engine money
+    * convention.
+    */
+  def dormantValue(customer: DataFrame, orders: DataFrame,
+                   since: String = "2000-01-01"): DataFrame = {
+    val threshold = customer.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    customer.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(since))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+           dsum(col("c_acctbal")).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("q6 scan: date/discount/quantity bands pushed to the parquet reader, no join") {
+    val p = planText(SparkEntry.queries("q6_forecast_revenue")(spark, sf0001))
+    assert(!p.contains("Join"), "q6 must be a single filtered scan")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_quantity,24"),
+      "quantity band did not reach the parquet scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("landed time-partitioned layout prunes partitions on read") {
     // the point of the y/m/d/h layout at 100 TB: a time-sliced read must
     // list only the matching directories (PartitionFilters on the scan),
