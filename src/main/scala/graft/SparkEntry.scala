@@ -69,6 +69,12 @@ object SparkEntry {
       Warehouse.orderCountDistribution(customer(s, d), orders(s, d))),
     "q22_dormant_value" -> ((s, d) =>
       Warehouse.dormantValue(customer(s, d), orders(s, d))),
+    "q7_volume_shipping" -> ((s, d) =>
+      Warehouse.volumeShipping(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Warehouse.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d), region(s, d), part(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
     "q19_brand_promo" -> ((s, d) => Warehouse.brandPromoRevenue(lineitem(s, d), part(s, d))),
     "q18_large_orders" -> ((s, d) => Warehouse.largeOrders(orders(s, d), lineitem(s, d), 250)),
@@ -504,6 +510,44 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT r1.r_name AS cust_region, r2.r_name AS supp_region,
+        |       year(o.o_orderdate) AS o_year,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |WHERE r1.r_name <> r2.r_name
+        |GROUP BY 1,2,3 ORDER BY cust_region, supp_region, o_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN r2.r_name = 'EUROPE'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+        |    6) AS mkt_share,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |WHERE r1.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q19_brand_promo" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

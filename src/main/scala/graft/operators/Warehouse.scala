@@ -578,6 +578,86 @@ object Warehouse {
       .agg(count(lit(1)).as("custdist"))
       .orderBy(desc("custdist"), desc("c_count"))
 
+  /** Customer-side geography: each custkey tagged with its region name.
+    * The nation and region dims are tiny — the join graph's Q7/Q8 trick
+    * is that the SAME dims join twice in different roles (customer side
+    * here, supplier side in [[suppGeo]]), and Catalyst broadcasts both.
+    */
+  private def custGeo(customer: DataFrame, nation: DataFrame,
+                      region: DataFrame): DataFrame =
+    customer.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name").as("cust_region"))
+
+  /** Supplier-side geography (the second role of the same dims). */
+  private def suppGeo(supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame): DataFrame =
+    supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name").as("supp_region"))
+
+  /** TPC-H Q7-shape volume shipping, adapted one level up the geography:
+    * the canonical query fixes a nation PAIR, but 25 nations over this
+    * synthetic volume make any single pair empty — cross-REGION trade
+    * (customer's region ≠ supplier's region) keeps the exact join graph
+    * (lineitem⋈orders⋈customer⋈nation⋈region and the same two dims
+    * re-joined on the supplier side) with a non-trivial 5×4-pair result.
+    * Both geography sides are broadcast; the fact tables meet in one
+    * hash join on orderkey — the plan Q7 is designed to exercise.
+    */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custGeo(customer, nation, region)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppGeo(supplier, nation, region)),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cust_region") =!= col("supp_region"))
+      .groupBy(col("cust_region"), col("supp_region"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(dsum(col("l_extendedprice")).cast("double").as("volume"),
+           count(lit(1)).as("n_lines"))
+      .orderBy("cust_region", "supp_region", "o_year")
+
+  /** TPC-H Q8-shape market share: the fraction of one region's purchases
+    * of one part type supplied from WITHIN that region, by year — the
+    * local-vs-foreign sourcing share (the canonical single supplier
+    * nation is empty-sparse at this volume, same adaptation rationale as
+    * [[volumeShipping]]). Exercises the full 7-table Q8 join graph:
+    * part prunes the fact scan, customer geography filters the market,
+    * supplier geography labels each line, and the share is the q14
+    * decimal-sum-then-double-divide device.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame,
+                  nation: DataFrame, region: DataFrame, part: DataFrame,
+                  market: String = "EUROPE",
+                  ptype: String = "ECONOMY"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === ptype)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custGeo(customer, nation, region)
+        .filter(col("cust_region") === market)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppGeo(supplier, nation, region)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_region") === market,
+            revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("local_rev"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .as("total_rev"),
+        count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        round(col("local_rev").cast("double")
+          / col("total_rev").cast("double"), 6).as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"),
+        col("n_lines"))
+      .orderBy("o_year")
+
   /** TPC-H Q22-shape dormant high-value customers: balance above the
     * average POSITIVE balance (a correlated scalar the plan evaluates
     * once — here kept in-plan as a 1-row broadcast crossJoin, never a

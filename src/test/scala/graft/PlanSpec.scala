@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("q7 dual-role geography joins broadcast both sides, no cartesian product") {
+    val p = planText(SparkEntry.queries("q7_volume_shipping")(spark, sf0001))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 2,
+      s"$nBroadcast broadcast joins — the geography dims must broadcast in both roles")
+    assert(!p.contains("CartesianProduct"), "q7 plan degenerated to a cartesian product")
+  }
+
   test("q6 scan: date/discount/quantity bands pushed to the parquet reader, no join") {
     val p = planText(SparkEntry.queries("q6_forecast_revenue")(spark, sf0001))
     assert(!p.contains("Join"), "q6 must be a single filtered scan")
