@@ -75,6 +75,8 @@ object SparkEntry {
     "q8_market_share" -> ((s, d) =>
       Warehouse.marketShare(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d), nation(s, d), region(s, d), part(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Warehouse.topSupplier(lineitem(s, d), supplier(s, d))),
     "q17_small_qty" -> ((s, d) => Warehouse.smallQtyRevenue(lineitem(s, d))),
     "q19_brand_promo" -> ((s, d) => Warehouse.brandPromoRevenue(lineitem(s, d), part(s, d))),
     "q18_large_orders" -> ((s, d) => Warehouse.largeOrders(orders(s, d), lineitem(s, d), 250)),
@@ -548,6 +550,18 @@ object SparkEntry {
         |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
         |WHERE r1.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+        |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q19_brand_promo" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,

@@ -658,6 +658,31 @@ object Warehouse {
         col("n_lines"))
       .orderBy("o_year")
 
+  /** TPC-H Q15 top supplier: quarterly revenue per supplier, then the
+    * suppliers whose revenue EQUALS the maximum (the canonical
+    * view + scalar-subquery shape — ties all surface, unlike a LIMIT 1).
+    * The max is decimal-exact, so the equality is engine-safe; the
+    * revenue view aggregates before joining supplier names, and the
+    * 1-row max broadcasts. At 100 TB: one hash agg on suppkey, one
+    * broadcast, no sort.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        .as("total_rev"))
+    val best = revenue.agg(max(col("total_rev")).as("best_rev"))
+    revenue.crossJoin(broadcast(best))
+      .filter(col("total_rev") === col("best_rev"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q22-shape dormant high-value customers: balance above the
     * average POSITIVE balance (a correlated scalar the plan evaluates
     * once — here kept in-plan as a 1-row broadcast crossJoin, never a
