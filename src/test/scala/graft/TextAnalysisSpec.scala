@@ -222,6 +222,34 @@ class TextAnalysisSpec extends SparkSpec {
       "chunk 1 must hash tokens [3..6] (1-based 4..7, 4 tokens)")
   }
 
+  test("chunkDocuments coverage law holds for random (n, size, stride) (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sp = spark
+    import sp.implicits._
+    // any valid config must cover token positions [0, n) exactly — every
+    // position inside some chunk, no chunk past the end, chunk_ids dense
+    val cfgGen = for {
+      n <- Gen.choose(1, 50)
+      size <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, size)
+    } yield (n, size, stride)
+    val prop = Prop.forAll(cfgGen) { case (n, size, stride) =>
+      val text = (0 until n).map("w" + _).mkString(" ")
+      val chunks = TextAnalysis.chunkDocuments(
+          Seq((1L, text)).toDF("doc_id", "text"), size, stride)
+        .collect()
+        .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_tok"),
+                   r.getAs[Long]("n_tok")))
+      val covered = chunks.flatMap { case (_, s, len) => s until (s + len) }.toSet
+      val dense = chunks.map(_._1).sorted.toSeq == (0L until chunks.length).toSeq
+      val inBounds = chunks.forall { case (_, s, len) => s + len <= n && len >= 1 }
+      covered == (0L until n).toSet && dense && inBounds
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDocuments at stride == size produces disjoint cover; bad params rejected") {
     val sp = spark
     import sp.implicits._
