@@ -243,13 +243,24 @@ object Similarity {
   /** Per-cell component means of the vectors assigned under `cents` — the
     * "update" half of one Lloyd iteration, shared by [[kmeansStep]] and
     * the [[kmeansTrain]] loop. Decimal-exact sums keep the means
-    * independent of partition/merge order.
+    * independent of partition/merge order, and each component is rounded
+    * to 6 decimals IN DOUBLE SPACE before the decimal cast: Spark's
+    * double→decimal goes through BigDecimal.valueOf (shortest-string
+    * HALF_UP) while DuckDB's cast truncates toward zero, so raw
+    * float-origin components quantize differently ~60% of the time —
+    * a ~1e-10 cross-engine mean drift that surfaced as a round-6
+    * boundary flip at sf0.1 (q_semantic_dedup, round 7). 6-decimal
+    * doubles cast identically on both engines (0/3000 disagreement,
+    * measured), making every codebook bit-identical cross-engine; the
+    * 1e-6 input quantization is semantically free for a quantizer that
+    * is about to compress far harder anyway. Same device as the
+    * residual quantization in [[ivfPqResidualSearch]].
     */
   private def stepMeans(embeddings: DataFrame, cents: DataFrame): DataFrame =
     assignedVectors(embeddings, cents)
       .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy("assigned", "dim")
-      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mean_val"))
 
   /** Rebuild the broadcastable codebook from (assigned, dim, mean_val)
@@ -398,7 +409,7 @@ object Similarity {
   private def subCodebook(base: DataFrame, half: String): DataFrame = base
     .select(col("label"), posexplode(col(half)).as(Seq("dim", "x")))
     .groupBy("label", "dim")
-    .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+    .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
       .as("mean_val"))
     .groupBy(col("label").as("clabel"))
     .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
@@ -908,7 +919,7 @@ object Similarity {
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg((sum(col("x").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mean_val"))
       .orderBy("label", "dim")
 }
