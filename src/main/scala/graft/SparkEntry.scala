@@ -670,7 +670,7 @@ object SparkEntry {
         |cent AS (
         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
         |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |        FROM ex GROUP BY 1,2)
         |  GROUP BY 1),
         |scored AS (
@@ -689,7 +689,7 @@ object SparkEntry {
         |           recursive := true)
         |  FROM embeddings e JOIN assigned a USING (vec_id))
         |SELECT assigned, CAST(dim AS INT) AS dim,
-        |       CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM newex GROUP BY 1,2 ORDER BY assigned, dim""".stripMargin,
     // the composed pipeline: quality >= 0.5 → exact-dup drop (min doc_id
     // per fingerprint survives) → simhash hamming<=3 near-dup drop (higher
@@ -866,7 +866,7 @@ object SparkEntry {
         |cb1 AS (
         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
         |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |        FROM ex1 GROUP BY 1,2)
         |  GROUP BY 1),
         |s1 AS (
@@ -886,7 +886,7 @@ object SparkEntry {
         |cb2 AS (
         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
         |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |        FROM ex2 GROUP BY 1,2)
         |  GROUP BY 1),
         |s2 AS (
@@ -1241,7 +1241,7 @@ object SparkEntry {
         |pairs AS (
         |  SELECT q.query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(b.recon, q.q_emb) / (b.nrm_r * q.q_nrm) AS sim
-        |  FROM b, q WHERE b.vec_id <> q.query_id),
+        |  FROM b, q WHERE b.vec_id <> q.query_id AND b.nrm_r > 0),
         |ranked AS (
         |  SELECT query_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
@@ -1265,7 +1265,7 @@ object SparkEntry {
         |           recursive := true)
         |  FROM embeddings)
         |SELECT label, CAST(dim AS INT) AS dim,
-        |       CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
     "q_stream_land" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
@@ -1466,7 +1466,7 @@ object SparkEntry {
         |cent AS (
         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
         |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |        FROM ex GROUP BY 1,2)
         |  GROUP BY 1),
         |scored AS (
@@ -2173,7 +2173,7 @@ object SparkEntry {
         |cent AS (
         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
         |  FROM (SELECT label, dim,
-        |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |        FROM ex GROUP BY 1,2)
         |  GROUP BY 1),
         |scored AS (
@@ -2243,7 +2243,7 @@ object SparkEntry {
          |${p}cent0 AS (
          |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
          |  FROM (SELECT label, dim,
-         |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |        FROM ${p}ex GROUP BY 1,2)
          |  GROUP BY 1)""".stripMargin
     val steps = (1 to iters).map { i =>
@@ -2265,7 +2265,7 @@ object SparkEntry {
          |  FROM $src e JOIN ${p}assigned$i a USING (vec_id)),
          |${p}means$i AS (
          |  SELECT assigned, dim,
-         |         CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |         CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |  FROM ${p}mex$i GROUP BY 1,2),
          |${p}cent$i AS (
          |  SELECT assigned AS clabel, list(mean_val ORDER BY dim) AS c
@@ -2368,7 +2368,7 @@ object SparkEntry {
       |cent AS (
       |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
       |  FROM (SELECT label, dim,
-      |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
       |        FROM ex GROUP BY 1,2)
       |  GROUP BY 1),
       |scored AS (
@@ -2584,7 +2584,7 @@ object SparkEntry {
       |cb1 AS (
       |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
       |  FROM (SELECT label, dim,
-      |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
       |        FROM ex1 GROUP BY 1,2)
       |  GROUP BY 1),
       |ex2 AS (
@@ -2595,7 +2595,7 @@ object SparkEntry {
       |cb2 AS (
       |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
       |  FROM (SELECT label, dim,
-      |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+      |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
       |        FROM ex2 GROUP BY 1,2)
       |  GROUP BY 1),
       |a1 AS (
@@ -2692,7 +2692,7 @@ object SparkEntry {
          |cb1 AS (
          |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
          |  FROM (SELECT label, dim,
-         |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |        FROM ex1 GROUP BY 1,2)
          |  GROUP BY 1),
          |ex2 AS (
@@ -2703,7 +2703,7 @@ object SparkEntry {
          |cb2 AS (
          |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
          |  FROM (SELECT label, dim,
-         |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |        FROM ex2 GROUP BY 1,2)
          |  GROUP BY 1),
          |a1 AS (
@@ -2834,7 +2834,7 @@ object SparkEntry {
          |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
          |rs AS (
          |  SELECT e.vec_id, e.label, cl.cell,
-         |         [round((e.embedding::DOUBLE[])[i] - c.c[i], 6) for i in range(1, len(c.c)+1)] AS r
+         |         [floor(((e.embedding::DOUBLE[])[i] - c.c[i]) * 1000000.0 + 0.5) / 1000000.0 for i in range(1, len(c.c)+1)] AS r
          |  FROM embeddings e JOIN cells cl USING (vec_id)
          |       JOIN cent$iters c ON cl.cell = c.clabel),
          |sp AS (
@@ -2849,7 +2849,7 @@ object SparkEntry {
          |cb1 AS (
          |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
          |  FROM (SELECT label, dim,
-         |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |        FROM ex1 GROUP BY 1,2)
          |  GROUP BY 1),
          |ex2 AS (
@@ -2860,7 +2860,7 @@ object SparkEntry {
          |cb2 AS (
          |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
          |  FROM (SELECT label, dim,
-         |          CAST(sum(CAST(round(CAST(val AS DOUBLE), 6) AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
          |        FROM ex2 GROUP BY 1,2)
          |  GROUP BY 1),
          |a1 AS (
@@ -2883,7 +2883,7 @@ object SparkEntry {
          |  FROM assignrk WHERE vec_id < 20 AND rk <= $nprobe),
          |qr AS (
          |  SELECT p.query_id, p.pcell,
-         |         [round((e.embedding::DOUBLE[])[i] - c.c[i], 6) for i in range(1, len(c.c)+1)] AS qr
+         |         [floor(((e.embedding::DOUBLE[])[i] - c.c[i]) * 1000000.0 + 0.5) / 1000000.0 for i in range(1, len(c.c)+1)] AS qr
          |  FROM probes p JOIN embeddings e ON e.vec_id = p.query_id
          |       JOIN cent$iters c ON p.pcell = c.clabel),
          |qsp AS (

@@ -26,6 +26,20 @@ import graft.functions.VectorMath._
   */
 object Similarity {
 
+  /** Quantize to 6 decimals via floor(x·1e6 + 0.5)/1e6 — the ONE rounding
+    * law for every value that feeds further cross-engine arithmetic
+    * (codebook means, PQ residuals). Unlike each engine's round() —
+    * Spark rounds the exact binary expansion through BigDecimal, DuckDB
+    * rounds the double product — this is three IEEE-754 ops both engines
+    * execute bit-identically, so the quantized value can NEVER diverge,
+    * not just "didn't diverge on the corpora measured". Same device as
+    * the SQ8 code rounding in [[sq8Base]]. (Trailing DISPLAY rounds on
+    * already-final sims/distances keep round(): nothing downstream
+    * amplifies them.)
+    */
+  private[operators] def quant6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries).
     * Queries are broadcast with precomputed norms; candidates stream.
     */
@@ -243,24 +257,26 @@ object Similarity {
   /** Per-cell component means of the vectors assigned under `cents` — the
     * "update" half of one Lloyd iteration, shared by [[kmeansStep]] and
     * the [[kmeansTrain]] loop. Decimal-exact sums keep the means
-    * independent of partition/merge order, and each component is rounded
-    * to 6 decimals IN DOUBLE SPACE before the decimal cast: Spark's
-    * double→decimal goes through BigDecimal.valueOf (shortest-string
-    * HALF_UP) while DuckDB's cast truncates toward zero, so raw
-    * float-origin components quantize differently ~60% of the time —
-    * a ~1e-10 cross-engine mean drift that surfaced as a round-6
-    * boundary flip at sf0.1 (q_semantic_dedup, round 7). 6-decimal
-    * doubles cast identically on both engines (0/3000 disagreement,
-    * measured), making every codebook bit-identical cross-engine; the
-    * 1e-6 input quantization is semantically free for a quantizer that
-    * is about to compress far harder anyway. Same device as the
-    * residual quantization in [[ivfPqResidualSearch]].
+    * independent of partition/merge order, and each component is
+    * quantized to 6 decimals IN DOUBLE SPACE ([[quant6]]) before the
+    * decimal cast: Spark's double→decimal goes through
+    * BigDecimal.valueOf (shortest-string HALF_UP) while DuckDB's cast
+    * truncates toward zero, so raw float-origin components quantize
+    * differently ~60% of the time — a ~1e-10 cross-engine mean drift
+    * that surfaced as a round-6 boundary flip at sf0.1
+    * (q_semantic_dedup, round 7). 6-decimal doubles cast identically on
+    * both engines, making every codebook bit-identical cross-engine
+    * (quant6's floor device makes that a guarantee, not a measurement:
+    * each engine's round() can disagree within one ulp of a .5
+    * boundary); the 1e-6 input quantization is semantically free for a
+    * quantizer that is about to compress far harder anyway. Same device
+    * as the residual quantization in [[ivfPqResidualSearch]].
     */
   private def stepMeans(embeddings: DataFrame, cents: DataFrame): DataFrame =
     assignedVectors(embeddings, cents)
       .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
       .groupBy("assigned", "dim")
-      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
+      .agg((sum(quant6(col("x").cast("double")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mean_val"))
 
   /** Rebuild the broadcastable codebook from (assigned, dim, mean_val)
@@ -409,7 +425,7 @@ object Similarity {
   private def subCodebook(base: DataFrame, half: String): DataFrame = base
     .select(col("label"), posexplode(col(half)).as(Seq("dim", "x")))
     .groupBy("label", "dim")
-    .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
+    .agg((sum(quant6(col("x").cast("double")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
       .as("mean_val"))
     .groupBy(col("label").as("clabel"))
     .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
@@ -634,7 +650,12 @@ object Similarity {
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("q_emb"),
               col("nrm_e").as("q_nrm"))
-    val scored = base.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    // an all-zero vector has scale 0 ⇒ all codes 0 ⇒ nrm_r = 0, and 0/0
+    // is NaN — which BOTH engines order above every real sim, so one zero
+    // vector would top every query's list; such a vector has no direction
+    // and belongs in no cosine ranking, so drop it from the candidates
+    val scored = base.filter(col("nrm_r") > 0)
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (dot(col("recon"), col("q_emb")) / (col("nrm_r") * col("q_nrm"))).as("s"))
     rankedTopK(scored, k, "sim")
@@ -763,17 +784,18 @@ object Similarity {
       .transform(graft.CacheRegistry.track)
     // residual base: v - c(v), split into halves — the (label, e1, e2)
     // shape the shared PQ helpers consume. Residuals are QUANTIZED to 6
-    // decimals as part of the spec: raw residual components carry full
-    // double precision (centroids are divided means), where the decimal
-    // cast inside the sub-codebook mean is forced to round — and Spark's
-    // BigDecimal rounding and DuckDB's double-space decimal cast disagree
-    // at the last ulp. Quantized residuals make every downstream decimal
-    // cast exact on both engines (the same 6-decimal discipline as all
-    // cross-engine ratios in this suite); for a PQ index the quantization
-    // is semantically free — PQ is about to compress far harder anyway.
+    // decimals (quant6) as part of the spec: raw residual components
+    // carry full double precision (centroids are divided means), where
+    // the decimal cast inside the sub-codebook mean is forced to round —
+    // and Spark's BigDecimal rounding and DuckDB's double-space decimal
+    // cast disagree at the last ulp. Quantized residuals make every
+    // downstream decimal cast exact on both engines (the same 6-decimal
+    // discipline as all cross-engine ratios in this suite); for a PQ
+    // index the quantization is semantically free — PQ is about to
+    // compress far harder anyway.
     val resid = assigned.join(broadcast(cents), col("assigned") === col("clabel"))
       .select(col("vec_id"), col("label"), col("assigned"),
-        zip_with(col("emb"), col("cvec"), (x, c) => round(x - c, 6)).as("r"))
+        zip_with(col("emb"), col("cvec"), (x, c) => quant6(x - c)).as("r"))
       .select(col("vec_id"), col("label"), col("assigned"),
         slice(col("r"), lit(1), lit(h)).as("e1"),
         slice(col("r"), lit(h + 1), lit(d - h)).as("e2"))
@@ -796,7 +818,7 @@ object Similarity {
     // 6-decimal quantization as the corpus residuals)
     val qres = probes.join(broadcast(cents), col("pcell") === col("clabel"))
       .select(col("query_id"), col("pcell"),
-        zip_with(col("q_emb"), col("cvec"), (x, c) => round(x - c, 6)).as("qr"))
+        zip_with(col("q_emb"), col("cvec"), (x, c) => quant6(x - c)).as("qr"))
       .select(col("query_id"), col("pcell"),
         slice(col("qr"), lit(1), lit(h)).as("q1h"),
         slice(col("qr"), lit(h + 1), lit(d - h)).as("q2h"))
@@ -919,7 +941,7 @@ object Similarity {
     embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg((sum(round(col("x").cast("double"), 6).cast("decimal(18,9)")).cast("double") / count(lit(1)))
+      .agg((sum(quant6(col("x").cast("double")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mean_val"))
       .orderBy("label", "dim")
 }

@@ -272,7 +272,10 @@ object StreamOps {
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
       val emptied = dayList.filterNot(remaining)
       if (emptied.nonEmpty) {
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // resolve the filesystem FROM the path, not the default FS: if
+        // baseDir is s3a://... while the default is hdfs://, the default
+        // FS would silently delete nothing and the stale day survives
+        val fs = new org.apache.hadoop.fs.Path(baseDir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         emptied.foreach { case (yy, mm, dd) =>
           fs.delete(new org.apache.hadoop.fs.Path(
