@@ -385,31 +385,34 @@ object TextAnalysis {
     * per language) to fixed-token-budget bins — the "pack documents into
     * 2048-token training sequences" step of an LLM data pipeline. The bin
     * of a doc is floor(tokens_before_it / budget) over a running token
-    * count, i.e. offset-based first-fit: deterministic, one window pass,
-    * and expressible identically in both engines (an exact
+    * count, i.e. offset-based first-fit: deterministic, one pass, and
+    * expressible identically in both engines (an exact
     * reset-on-overflow greedy is inherently sequential; offset packing is
     * the distributable form real pipelines use, bins overflow by at most
     * one document). Output: per (lang, bin) document count and token
     * total, plus the max single-doc token count as an overflow witness.
-    * Scale shape: one shuffle for the window (keyed by lang — at 100 TB
-    * the partition key would be (lang, shard) with per-shard packing,
-    * same plan), one for the final agg.
+    * Scale shape: the running sum is [[withGroupedPrefix]] — range
+    * partitions + per-(lang, partition) local sums + census offsets —
+    * NOT a lang-keyed window: languages are few and skewed (English is
+    * most of a real corpus), so a plain grouped window would push the
+    * dominant language through one task. Tokenization happens in the
+    * hash-partitioned scan stage before the skinny (doc_id, lang, n_tok)
+    * rows enter the range exchange; one grouped-prefix pass + one hash
+    * agg, all parallel in the corpus.
     */
-  def sequencePacking(documents: DataFrame, budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+  def sequencePacking(documents: DataFrame, budget: Long): DataFrame =
     documents
       .repartition(col("doc_id"))
-      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .transform(withGroupedPrefix(Seq("lang"), "_rk", "cum_before",
+        col("n_tok"), col("doc_id")))
       .withColumn("bin", expr(s"cum_before DIV $budget")) // exact integer division
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_tok")).as("bin_tokens"),
            max(col("n_tok")).as("max_doc_tokens"))
       .orderBy("lang", "bin")
-  }
 
   /** Sliding-window document CHUNKING with token overlap — the retrieval/
     * context-window prep stage every RAG and long-context pretraining
@@ -997,6 +1000,75 @@ object TextAnalysis {
       .drop("_pid", "_lrk", "_off")
   }
 
+  /** GROUPED scale-safe rank + EXCLUSIVE running sum — [[withGlobalRank]]
+    * generalized to per-group order statistics, the device that replaces
+    * `Window.partitionBy(domain).orderBy(...)` when the domain is
+    * low-cardinality (sources in a mixture recipe, languages in a packing
+    * run): a plain grouped window funnels every row of a domain —
+    * potentially most of the corpus — through ONE task, while here a
+    * domain's rows spread over range partitions and only per-(group,
+    * partition) COUNT/SUM rows are globally combined.
+    *
+    * Emits `rankOut` = `row_number() OVER (PARTITION BY group ORDER BY
+    * keys)` and `cumOut` = `sum(value) OVER (same spec ROWS UNBOUNDED
+    * PRECEDING TO -1)`, exactly (callers pass a tie-breaking unique key
+    * last): range partitions are totally ordered on (group ++ keys), so
+    * a group's rows in partition p all precede its rows in p' > p, and
+    * local stat + preceding-same-group-partition offset is the group
+    * stat.
+    *
+    * Scale shape: one range exchange + one (_pid, group)-keyed window —
+    * every window partition is bounded by a single range partition's
+    * slice, never by a domain's share of the corpus. The offset census
+    * has one row per (group, partition); range partitioning keeps groups
+    * contiguous, so census size ≤ #groups + #partitions — broadcast-sized
+    * for the low-cardinality domains this device exists for (a
+    * high-cardinality group key needs no device: the plain grouped
+    * window is already parallel). Offsets come from a census self-join
+    * (same group, smaller pid), not a window, so the plan stays free of
+    * domain-only window specs — which is what PlanSpec locks.
+    */
+  private[operators] def withGroupedPrefix(groupCols: Seq[String],
+      rankOut: String, cumOut: String, valueCol: Column, keys: Column*)
+      (df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gCols = groupCols.map(col)
+    // persist the INPUT: repartitionByRange samples boundaries first (see
+    // withGlobalRank)
+    val in = df
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val wLoc = Window.partitionBy((col("_pid") +: gCols): _*).orderBy(keys: _*)
+    val local = in.repartitionByRange((gCols ++ keys): _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_val", valueCol.cast("long"))
+      .withColumn("_lrk", row_number().over(wLoc))
+      .withColumn("_lcum", coalesce(sum(col("_val"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // per-(group, partition) totals; offsets = same-group smaller-pid
+    // sums via a census self-join (census-sized, not corpus-sized) with
+    // the prior side renamed — the same _p2 device as withGlobalRank
+    val census = local.groupBy((col("_pid") +: gCols): _*)
+      .agg(count(lit(1)).as("_cnt"), sum(col("_val")).as("_sum"))
+    val prior = census.select(
+      (groupCols.map(g => col(g).as(s"_g_$g")) :+ col("_pid").as("_p2")
+        :+ col("_cnt") :+ col("_sum")): _*)
+    val offsets = census.select((col("_pid") +: gCols): _*)
+      .join(prior,
+        groupCols.map(g => col(g) === col(s"_g_$g")).reduce(_ && _) &&
+          col("_p2") < col("_pid"),
+        "left")
+      .groupBy((col("_pid") +: gCols): _*)
+      .agg(coalesce(sum(col("_cnt")), lit(0L)).as("_rkoff"),
+           coalesce(sum(col("_sum")), lit(0L)).as("_cumoff"))
+    local.join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn(rankOut, (col("_lrk") + col("_rkoff")).cast("long"))
+      .withColumn(cumOut, (col("_lcum") + col("_cumoff")).cast("long"))
+      .drop("_pid", "_val", "_lrk", "_lcum", "_rkoff", "_cumoff")
+  }
+
   /** Per-source sampling rates (per-mille of the source's TOKEN mass) for
     * [[mixtureSample]]: the data-mixture recipe ("half of src0's tokens,
     * a fifth of src1's, 30% of the rest") a pretraining corpus build
@@ -1016,30 +1088,37 @@ object TextAnalysis {
     * sequencePacking) and no document is ever taken twice (one row per
     * doc by construction).
     *
-    * Scale shape: one source-keyed window pair (rank + running tokens —
-    * same key, ONE shuffle; domains sort independently, the shape
-    * sequencePacking already ships) over the per-doc DSIR scores; the
-    * budget derives from a same-key window total, no driver state at all.
+    * Scale shape: rank + running tokens come from ONE
+    * [[withGroupedPrefix]] pass (range partitions + census offsets) —
+    * NOT source-keyed windows: a mixture recipe names a handful of
+    * sources, so a plain grouped window would funnel each domain
+    * (potentially most of the corpus) through a single task. The
+    * per-source token totals that set the budgets are a hash aggregation
+    * over the prefix output (map-side partial, three rows out) broadcast
+    * back; no driver state at all.
     */
-  def mixtureSample(documents: DataFrame, buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rate = mixtureRatesPerMille.foldLeft(lit(defaultMixtureRatePerMille)) {
-      case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
-    }
-    val wTot = Window.partitionBy("source")
-    val wOrd = Window.partitionBy("source")
-      .orderBy(col("log_ratio").desc, col("doc_id"))
-    documents.repartition(col("doc_id"))
+  def mixtureSample(documents: DataFrame, buckets: Int = 1024,
+                    ratesPerMille: Map[String, Int] = mixtureRatesPerMille,
+                    defaultRatePerMille: Int = defaultMixtureRatePerMille)
+      : DataFrame = {
+    val rate = ratesPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRatePerMille)) {
+        case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+      }
+    val prefixed = documents.repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(dsirScores(documents, buckets).select("doc_id", "log_ratio"),
         Seq("doc_id"))
+      .transform(withGroupedPrefix(Seq("source"), "dom_rank", "cum_before",
+        col("n_tok"), col("log_ratio").desc, col("doc_id")))
+    // per-source totals from the (persisted) prefix output: a partial-agg
+    // groupBy emitting |sources| rows, broadcast back onto the corpus
+    val totals = prefixed.groupBy("source")
+      .agg(sum(col("n_tok")).as("src_tokens"))
+    prefixed.join(broadcast(totals), Seq("source"))
       .withColumn("rate_pm", rate)
-      .withColumn("src_tokens", sum(col("n_tok")).over(wTot))
       .withColumn("budget", expr("(src_tokens * rate_pm) DIV 1000"))
-      .withColumn("dom_rank", row_number().over(wOrd).cast("long"))
-      .withColumn("cum_before", coalesce(sum(col("n_tok"))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
         col("dom_rank"), col("budget").cast("long").as("budget"),
         (col("cum_before") < col("budget")).cast("int").as("selected"))

@@ -67,6 +67,22 @@ object ScaleProbe {
     time("dsir_weights")(graft.operators.TextAnalysis
       .dsirWeights(amplified).count())
     time("mixture")(graft.operators.TextAnalysis.mixtureSample(amplified).count())
+    time("seq_packing")(graft.operators.TextAnalysis
+      .sequencePacking(amplified, 2048L).count())
+    // DOMINANT-DOMAIN skew: 90% of the corpus in one source/lang — the
+    // exact shape that serialized the old per-domain windows through a
+    // single task. With the grouped-prefix device both probes must track
+    // the corpus size (compare against the uniform rows above), not the
+    // dominant domain's share.
+    val skewed = amplified
+      .withColumn("source", when(pmod(col("doc_id"), lit(10)) < 9,
+        lit("src0")).otherwise(lit("src1")))
+      .withColumn("lang", when(pmod(col("doc_id"), lit(10)) < 9,
+        lit("en")).otherwise(lit("de")))
+    time("mixture_skew")(graft.operators.TextAnalysis
+      .mixtureSample(skewed).count())
+    time("packing_skew")(graft.operators.TextAnalysis
+      .sequencePacking(skewed, 2048L).count())
     // chunking: pure map-stage fan-out, ceil(n/stride) chunks per doc —
     // wall must track total token count (linear), the dedup census adds
     // hash-key shuffles that stay chunk-count-linear

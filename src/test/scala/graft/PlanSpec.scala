@@ -152,6 +152,23 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one window spec (the partitioned rank), got $specs")
   }
 
+  test("mixture + packing plans: every window is _pid-partitioned (no domain-only window)") {
+    // regression lock for the round-8 grouped-prefix rewrite: sources/
+    // languages are low-cardinality, so a Window.partitionBy(source|lang)
+    // would serialize each domain — potentially most of the corpus —
+    // through one task. Every window in these plans must be the grouped
+    // device's (_pid, group)-partitioned local pass (same contract as the
+    // dsirWeights lock above).
+    for (name <- Seq("q_mixture", "q_seq_packing")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty, s"$name: expected window specs in the plan")
+      assert(specs.forall(_.contains("_pid")),
+        s"$name: found a window whose leading partition key is not _pid: $specs")
+      CacheRegistry.release()
+    }
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

@@ -166,6 +166,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample honors a many-source recipe (grouped prefix across 10 domains)") {
+    // the grouped-prefix device must hold when the recipe names many
+    // sources, not just the 3-domain default fixture: remap the corpus
+    // onto 10 synthetic sources with 8 explicit rates + default
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("source",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(10))))
+    val rates = (0 until 8).map(i => s"s$i" -> (100 + 50 * i)).toMap
+    val rows = TextAnalysis.mixtureSample(docs, 1024, rates, 400).collect()
+    CacheRegistry.release()
+    assert(rows.map(_.getString(1)).distinct.length === 10)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val ratePm = rates.getOrElse(src, 400)
+      val srcTokens = rs.map(_.getLong(2)).sum
+      val budget = rs.head.getLong(5)
+      assert(budget === srcTokens * ratePm / 1000,
+        s"$src: budget $budget != ${srcTokens * ratePm / 1000}")
+      // per-domain first-fit law, same as the default-fixture test
+      val sel = rs.filter(_.getInt(6) === 1)
+      if (sel.nonEmpty) {
+        val selTok = sel.map(_.getLong(2)).sum
+        assert(selTok - sel.map(_.getLong(2)).max < budget)
+        val maxSelRank = sel.map(_.getLong(4)).max
+        assert(sel.map(_.getLong(4)).toSet === (1L to maxSelRank).toSet,
+          s"$src: selected ranks are not a prefix")
+      }
+      // ranks are a dense 1..n per domain (the grouped rank is exact)
+      assert(rs.map(_.getLong(4)).sorted.toSeq === (1L to rs.length).toSeq,
+        s"$src: dom_rank not dense")
+    }
+  }
+
   test("sequencePacking conserves docs/tokens and bounds bins by budget + one doc") {
     val budget = 512L
     val docs = Tables.documents(spark, sf0001)
