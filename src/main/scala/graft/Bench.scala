@@ -93,11 +93,17 @@ object Bench {
     // regardless of how the caller captures stdout. Anchored to the repo
     // root when detectable (a CWD-relative default lands in whatever
     // scratch dir the runner used, which is the very durability failure
-    // being fixed); SPARK_GRAFT_BENCH_OUT overrides.
+    // being fixed); SPARK_GRAFT_BENCH_OUT overrides. Smoke runs (reps=1,
+    // a subset, or a non-sf0.1 dir) must NOT clobber the repo's durable
+    // 3-rep sf0.1 anchor — a round-8 sf0.001 probe did exactly that —
+    // so they divert to a .smoke file unless the caller overrides.
+    val isAnchorRun = reps >= 2 && only.isEmpty && sfDir.endsWith("sf0.1")
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val cwd = new java.io.File(".").getCanonicalFile
-      if (new java.io.File(cwd, "build.sbt").exists()) "bench_out.json"
-      else sys.props.getOrElse("user.home", ".") + "/bench_out.json"
+      val base =
+        if (new java.io.File(cwd, "build.sbt").exists()) "bench_out.json"
+        else sys.props.getOrElse("user.home", ".") + "/bench_out.json"
+      if (isAnchorRun) base else base + ".smoke"
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")

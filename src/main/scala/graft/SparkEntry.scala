@@ -111,6 +111,7 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(documents(s, d), 0.08)),
+    "q_pipeline_pretrain" -> ((s, d) => Pipeline.pretrain(documents(s, d))),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
@@ -138,6 +139,7 @@ object SparkEntry {
       Similarity.ivfPqRerankSearch(embeddings(s, d), 20, 10, m = 30, nprobe = 2, trainIters = 2)),
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(embeddings(s, d), 0.3, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
@@ -205,6 +207,7 @@ object SparkEntry {
     "q_land_upsert" -> ((s, d) => streaming.StreamOps.streamLandUpsert(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
+    "q_stream_chunk_upsert" -> ((s, d) => streaming.StreamOps.streamChunkUpsert(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -766,90 +769,12 @@ object SparkEntry {
     // clusters over survivors with best-quality representative kept ->
     // per-lang census. Each CTE block mirrors its standalone oracle.
     "q_pipeline_curate" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text, lang,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
-        |      ELSE 0.0 END AS mean_wlen,
-        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
-        |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop
-        |  FROM base),
-        |gat AS (
-        |  SELECT doc_id FROM m
-        |  WHERE n_words >= 20 AND n_words <= 100000
-        |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-        |    AND n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
-        |    AND n_stop >= 2),
-        |g2 AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-        |    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
-        |    ELSE [] END) AS g FROM base),
-        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
-        |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS max2
-        |       FROM c2 GROUP BY 1),
-        |repok AS (
-        |  SELECT b.doc_id FROM base b LEFT JOIN s2 USING (doc_id)
-        |  WHERE round(CASE WHEN coalesce(s2.n2, 0) > 0
-        |    THEN CAST(s2.max2 AS DOUBLE) / s2.n2 ELSE 0.0 END, 6) <= 0.08),
-        |kept AS (
-        |  SELECT b.doc_id, b.text, b.lang, b.toks FROM base b
-        |  JOIN gat USING (doc_id) JOIN repok USING (doc_id)),
-        |hashed AS (
-        |  SELECT doc_id,
-        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
-        |  FROM kept),
-        |fp AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
-        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-        |         for j in range(0, 60)]) AS BIGINT) AS simhash
-        |  FROM hashed),
-        |banded AS (
-        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
-        |  FROM fp, unnest(range(0, 4)) AS t(b)),
-        |prs AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-        |edges AS (
-        |  SELECT a_id AS s, b_id AS d FROM prs
-        |  UNION ALL
-        |  SELECT b_id, a_id FROM prs),
-        |reach(s, d) AS (
-        |  SELECT s, d FROM edges
-        |  UNION
-        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-        |comp AS (
-        |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-        |  FROM reach GROUP BY s),
-        |qual AS (
-        |  SELECT doc_id,
-        |    round(0.4*(CASE WHEN len(toks) > 0
-        |        THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/len(toks) ELSE 0.0 END)
-        |      + 0.3*(CASE WHEN length(text) > 0
-        |        THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END)
-        |      + 0.3*(CAST(least(len(toks), 100) AS DOUBLE)/100.0), 6) AS quality_score
-        |  FROM kept),
-        |best AS (
-        |  SELECT doc_id FROM (
-        |    SELECT comp.doc_id,
-        |           row_number() OVER (PARTITION BY comp.cluster_id
-        |             ORDER BY qual.quality_score DESC, comp.doc_id) AS rk
-        |    FROM comp JOIN qual USING (doc_id)) WHERE rk = 1),
-        |final AS (
-        |  SELECT k.lang, k.text FROM kept k
-        |  WHERE k.doc_id NOT IN (SELECT doc_id FROM comp)
-        |  UNION ALL
-        |  SELECT k.lang, k.text FROM kept k JOIN best USING (doc_id))
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
-        |FROM final GROUP BY 1 ORDER BY lang""".stripMargin,
+      ("WITH RECURSIVE " + curateChainFrag +
+        """
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+          |FROM final GROUP BY 1 ORDER BY lang""".stripMargin),
+    "q_pipeline_pretrain" -> pretrainOracleSql(2048L),
     // PQ code census: two independent argmin assignments on the vector
     // halves against each half's label-centroid sub-codebook
     "q_pq_encode" ->
@@ -917,6 +842,7 @@ object SparkEntry {
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
+    "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     "q_pq_search_trained" -> pqTrainedOracleSql(2),
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
@@ -943,6 +869,12 @@ object SparkEntry {
     // chunks are doc-local, so the drained micro-batch union is
     // bit-identical to the batch chunker — same oracle (the q_cms device)
     "q_stream_chunks" -> chunkOverlapOracleSql,
+    // post-upsert store census: the revision batch's chunks REPLACED the
+    // originals (every 10th doc reports revised counts), and each doc's
+    // dup flags reflect the accumulated store at its insert time — for
+    // range-staged batches "earlier batch" is (doc_id - lo) // span, and
+    // the revision batch (last) saw every original
+    "q_stream_chunk_upsert" -> chunkUpsertOracleSql(3, 64, 48),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->
@@ -1883,61 +1815,12 @@ object SparkEntry {
     // the source's token mass) filled by DSIR weight rank, offset-based
     // first-fit — same DSIR scoring chain as q_dsir_weights
     "q_mixture" ->
-      """WITH base AS MATERIALIZED (
-        |  SELECT doc_id, text,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |lab AS MATERIALIZED (
-        |  SELECT doc_id, h, toks,
-        |    CAST(len(toks) >= 20 AND len(toks) <= 100000
-        |      AND (CASE WHEN len(toks) > 0
-        |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
-        |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
-        |      AND len(toks) > 0
-        |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |          / len(toks) <= 0.1
-        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
-        |      AS INT) AS pass
-        |  FROM base),
-        |f AS MATERIALIZED (
-        |  SELECT doc_id, h, pass,
-        |    ('0x' || substr(md5(u.f),1,15))::UBIGINT::BIGINT % 1024 AS b
-        |  FROM lab, unnest(list_concat(toks,
-        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) u(f)),
-        |raw AS (SELECT b, count(*) AS n_raw FROM f WHERE h < 80 GROUP BY 1),
-        |tgt AS (SELECT b, count(*) AS n_tgt FROM f WHERE h < 80 AND pass = 1 GROUP BY 1),
-        |t AS (SELECT count(*) AS tot_raw, CAST(sum(pass) AS BIGINT) AS tot_tgt
-        |      FROM f WHERE h < 80),
-        |sc AS (
-        |  SELECT ff.doc_id,
-        |    CAST(round(-ln((coalesce(r.n_raw, 0) + 1)::DOUBLE /
-        |                   (t.tot_raw + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_raw,
-        |    CAST(round(-ln((coalesce(g.n_tgt, 0) + 1)::DOUBLE /
-        |                   (t.tot_tgt + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_tgt
-        |  FROM f ff LEFT JOIN raw r ON ff.b = r.b
-        |            LEFT JOIN tgt g ON ff.b = g.b CROSS JOIN t),
-        |agg AS (
-        |  SELECT doc_id, CAST(sum(s_raw) - sum(s_tgt) AS DOUBLE) AS log_ratio
-        |  FROM sc GROUP BY 1),
-        |mix AS (
-        |  SELECT b.doc_id, d.source, CAST(len(b.toks) AS BIGINT) AS n_tok, a.log_ratio,
-        |    CASE WHEN d.source = 'src0' THEN 500
-        |         WHEN d.source = 'src1' THEN 200 ELSE 300 END AS rate_pm
-        |  FROM base b JOIN documents d USING (doc_id) JOIN agg a USING (doc_id)),
-        |bud AS (
-        |  SELECT *, sum(n_tok) OVER (PARTITION BY source) * rate_pm // 1000 AS budget
-        |  FROM mix),
-        |rnk AS (
-        |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS dom_rank,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY log_ratio DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM bud
-        |  WINDOW w AS (PARTITION BY source ORDER BY log_ratio DESC, doc_id))
-        |SELECT doc_id, source, n_tok, log_ratio, dom_rank,
-        |       CAST(budget AS BIGINT) AS budget,
-        |       CAST(cum_before < budget AS INT) AS selected
-        |FROM rnk ORDER BY doc_id""".stripMargin,
+      ("WITH " + mixtureChainFrag("documents") +
+        """
+          |SELECT doc_id, source, n_tok, log_ratio, dom_rank,
+          |       CAST(budget AS BIGINT) AS budget,
+          |       CAST(cum_before < budget AS INT) AS selected
+          |FROM rnk ORDER BY doc_id""".stripMargin),
     // intra-doc repetition signals: top-bigram mass fraction, duplicated-
     // trigram mass fraction, distinct-token ratio (exact rationals)
     "q_repetition" ->
@@ -2565,6 +2448,234 @@ object SparkEntry {
       |    AS chunk_hash
       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** CTEs mxbase..rnk of the data-mixture chain: DSIR scoring over the
+    * RAW corpus (hashed features, 80% sample, gate-passers as target),
+    * then per-source budgets and the (weight desc, doc_id) selection
+    * order over the rows of `memberSrc` — `documents` for q_mixture,
+    * the curated `final` for q_pipeline_pretrain (scores stay trained on
+    * the raw distribution; membership and budgets are the curated
+    * corpus's). Shared so the two selections can never drift.
+    */
+  private def mixtureChainFrag(memberSrc: String): String =
+    s"""mxbase AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, h, toks,
+       |    CAST(len(toks) >= 20 AND len(toks) <= 100000
+       |      AND (CASE WHEN len(toks) > 0
+       |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+       |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+       |      AND len(toks) > 0
+       |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / len(toks) <= 0.1
+       |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
+       |      AS INT) AS pass
+       |  FROM mxbase),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, h, pass,
+       |    ('0x' || substr(md5(u.f),1,15))::UBIGINT::BIGINT % 1024 AS b
+       |  FROM lab, unnest(list_concat(toks,
+       |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])) u(f)),
+       |raw AS (SELECT b, count(*) AS n_raw FROM f WHERE h < 80 GROUP BY 1),
+       |tgt AS (SELECT b, count(*) AS n_tgt FROM f WHERE h < 80 AND pass = 1 GROUP BY 1),
+       |t AS (SELECT count(*) AS tot_raw, CAST(sum(pass) AS BIGINT) AS tot_tgt
+       |      FROM f WHERE h < 80),
+       |sc AS (
+       |  SELECT ff.doc_id,
+       |    CAST(round(-ln((coalesce(r.n_raw, 0) + 1)::DOUBLE /
+       |                   (t.tot_raw + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_raw,
+       |    CAST(round(-ln((coalesce(g.n_tgt, 0) + 1)::DOUBLE /
+       |                   (t.tot_tgt + 1024)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_tgt
+       |  FROM f ff LEFT JOIN raw r ON ff.b = r.b
+       |            LEFT JOIN tgt g ON ff.b = g.b CROSS JOIN t),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(s_raw) - sum(s_tgt) AS DOUBLE) AS log_ratio
+       |  FROM sc GROUP BY 1),
+       |mix AS (
+       |  SELECT b.doc_id, d.source, CAST(len(b.toks) AS BIGINT) AS n_tok, a.log_ratio,
+       |    CASE WHEN d.source = 'src0' THEN 500
+       |         WHEN d.source = 'src1' THEN 200 ELSE 300 END AS rate_pm
+       |  FROM mxbase b JOIN $memberSrc d USING (doc_id) JOIN agg a USING (doc_id)),
+       |bud AS (
+       |  SELECT *, sum(n_tok) OVER (PARTITION BY source) * rate_pm // 1000 AS budget
+       |  FROM mix),
+       |rnk AS (
+       |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS dom_rank,
+       |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY log_ratio DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM bud
+       |  WINDOW w AS (PARTITION BY source ORDER BY log_ratio DESC, doc_id))""".stripMargin
+
+  /** q_pipeline_pretrain: the full corpus build — curate (stages 1-3) →
+    * mixture selection within the curated membership (scores from the
+    * raw corpus) → md5-mod-100 80/10/10 split → offset first-fit packing
+    * per (split, lang) → per-(split, lang) sequence/doc/token census.
+    */
+  private def pretrainOracleSql(budget: Long): String =
+    "WITH RECURSIVE " + curateChainFrag + ",\n" +
+      mixtureChainFrag("final") +
+      s""",
+         |sel AS (SELECT doc_id FROM rnk WHERE cum_before < budget),
+         |pd AS (
+         |  SELECT f2.doc_id, f2.lang, CAST(len(f2.toks) AS BIGINT) AS n_tok,
+         |    ('0x' || substr(md5(CAST(f2.doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS sh
+         |  FROM final f2 JOIN sel USING (doc_id)),
+         |spl AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CASE WHEN sh < 80 THEN 'train' WHEN sh < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM pd),
+         |packed AS (
+         |  SELECT split, lang, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget AS bin
+         |  FROM spl)
+         |SELECT split, lang, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens
+         |FROM packed GROUP BY 1,2 ORDER BY split, lang""".stripMargin
+
+  /** CTEs base..final of the curation chain (q_pipeline_curate stages
+    * 1-3: Gopher gates → repetition cutoff → best-copy-per-cluster) over
+    * `documents`, ending in final(doc_id, lang, source, text, toks) —
+    * shared by q_pipeline_curate's census and q_pipeline_pretrain's
+    * composition so the two can never drift. Callers must open with
+    * WITH RECURSIVE (the reach CTE).
+    */
+  private def curateChainFrag: String =
+    """base AS (
+      |  SELECT doc_id, text, lang, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CASE WHEN len(toks) > 0
+      |      THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+      |      ELSE 0.0 END AS mean_wlen,
+      |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS n_stop
+      |  FROM base),
+      |gat AS (
+      |  SELECT doc_id FROM m
+      |  WHERE n_words >= 20 AND n_words <= 100000
+      |    AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+      |    AND n_words > 0 AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+      |    AND n_stop >= 2),
+      |g2 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |    THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+      |    ELSE [] END) AS g FROM base),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+      |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS max2
+      |       FROM c2 GROUP BY 1),
+      |repok AS (
+      |  SELECT b.doc_id FROM base b LEFT JOIN s2 USING (doc_id)
+      |  WHERE round(CASE WHEN coalesce(s2.n2, 0) > 0
+      |    THEN CAST(s2.max2 AS DOUBLE) / s2.n2 ELSE 0.0 END, 6) <= 0.08),
+      |kept AS (
+      |  SELECT b.doc_id, b.text, b.lang, b.source, b.toks FROM base b
+      |  JOIN gat USING (doc_id) JOIN repok USING (doc_id)),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+      |  FROM kept),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+      |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+      |         for j in range(0, 60)]) AS BIGINT) AS simhash
+      |  FROM hashed),
+      |banded AS (
+      |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+      |  FROM fp, unnest(range(0, 4)) AS t(b)),
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |edges AS (
+      |  SELECT a_id AS s, b_id AS d FROM prs
+      |  UNION ALL
+      |  SELECT b_id, a_id FROM prs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      |  FROM reach GROUP BY s),
+      |qual AS (
+      |  SELECT doc_id,
+      |    round(0.4*(CASE WHEN len(toks) > 0
+      |        THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/len(toks) ELSE 0.0 END)
+      |      + 0.3*(CASE WHEN length(text) > 0
+      |        THEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) ELSE 0.0 END)
+      |      + 0.3*(CAST(least(len(toks), 100) AS DOUBLE)/100.0), 6) AS quality_score
+      |  FROM kept),
+      |best AS (
+      |  SELECT doc_id FROM (
+      |    SELECT comp.doc_id,
+      |           row_number() OVER (PARTITION BY comp.cluster_id
+      |             ORDER BY qual.quality_score DESC, comp.doc_id) AS rk
+      |    FROM comp JOIN qual USING (doc_id)) WHERE rk = 1),
+      |final AS (
+      |  SELECT k.doc_id, k.lang, k.source, k.text, k.toks FROM kept k
+      |  WHERE k.doc_id NOT IN (SELECT doc_id FROM comp)
+      |  UNION ALL
+      |  SELECT k.doc_id, k.lang, k.source, k.text, k.toks FROM kept k JOIN best USING (doc_id))""".stripMargin
+
+  /** q_stream_chunk_upsert: the final chunk-store state rebuilt in SQL.
+    * Final text per doc = doubled for every 10th (the revision batch);
+    * a final chunk's dup-at-insert flag is TRUE iff its hash exists
+    * among the ORIGINAL chunks of a different document from an earlier
+    * batch — batch(d) = (d - lo) // span per the stageRanges law, and
+    * the revision batch (last) saw every original doc's chunks.
+    */
+  private def chunkUpsertOracleSql(nBatches: Int, size: Int,
+                                   stride: Int): String =
+    s"""WITH spn AS (
+       |  SELECT min(doc_id) AS lo,
+       |         (max(doc_id) - min(doc_id) + $nBatches) // $nBatches AS span
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text AS otext,
+       |    CASE WHEN doc_id % 10 = 0 THEN text || ' ' || text ELSE text END AS ftext
+       |  FROM documents),
+       |ob AS (SELECT doc_id, list_filter(string_split_regex(lower(otext), '[^a-z0-9]+'),
+       |                t -> t <> '') AS toks FROM corpus),
+       |ob2 AS (SELECT doc_id, toks, len(toks) AS n FROM ob WHERE len(toks) > 0),
+       |ost AS (SELECT doc_id, toks, n, unnest(range(0, n, $stride)) AS start FROM ob2),
+       |och AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[start+1 : start + least($size, n - start)], ' ')) AS chunk_hash
+       |  FROM ost),
+       |fb AS (SELECT doc_id, list_filter(string_split_regex(lower(ftext), '[^a-z0-9]+'),
+       |                t -> t <> '') AS toks FROM corpus),
+       |fb2 AS (SELECT doc_id, toks, len(toks) AS n FROM fb WHERE len(toks) > 0),
+       |fst AS (SELECT doc_id, toks, n, unnest(range(0, n, $stride)) AS start FROM fb2),
+       |fch AS (
+       |  SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |    CAST(least($size, n - start) AS BIGINT) AS n_tok,
+       |    md5(array_to_string(toks[start+1 : start + least($size, n - start)], ' ')) AS chunk_hash
+       |  FROM fst),
+       |flag AS (
+       |  SELECT f.doc_id, f.chunk_id, f.n_tok,
+       |    CASE WHEN EXISTS (
+       |      SELECT 1 FROM och o, spn
+       |      WHERE o.chunk_hash = f.chunk_hash AND o.doc_id <> f.doc_id
+       |        AND (f.doc_id % 10 = 0
+       |             OR (o.doc_id - spn.lo) // spn.span < (f.doc_id - spn.lo) // spn.span))
+       |    THEN 1 ELSE 0 END AS dup_store
+       |  FROM fch f)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+       |       CAST(sum(dup_store) AS BIGINT) AS n_dup_store,
+       |       CAST(doc_id % 10 = 0 AS INT) AS revised
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** The q_pq_search WITH-chain (untrained label-centroid sub-codebooks,
     * PQ codes, per-query ADC lookups, estimated distances, and the
     * (est, neighbor_id) ranking) — shared by q_pq_search's emission and
@@ -2673,17 +2784,79 @@ object SparkEntry {
   private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int): String =
     ivfPqRankedSql(iters, nprobe) + rerankSuffixSql(m)
 
+  /** q_rag_e2e: the chunking CTEs (chunkOverlapOracleSql's chain,
+    * parameterized), a hash-derived per-chunk embedding (md5-of-
+    * chunk_hash per component scaled to [-1,1] at 6 decimals — the same
+    * arithmetic Similarity.ragRetrieve runs), then the SHARED
+    * [[ivfPqRankedFrag]] serving chain over the chunk corpus and an
+    * exact re-rank whose final select joins back to the chunk table for
+    * (doc_id, chunk_id, start_tok, n_tok) provenance.
+    */
+  private def ragOracleSql(iters: Int, nprobe: Int, m: Int, k: Int,
+                           size: Int, stride: Int, dims: Int,
+                           nLabels: Int, nQueryDocs: Int): String =
+    s"""WITH chbase AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                t -> t <> '') AS toks
+       |  FROM documents),
+       |chb2 AS (SELECT doc_id, toks, len(toks) AS n FROM chbase WHERE len(toks) > 0),
+       |chst AS (SELECT doc_id, toks, n, unnest(range(0, n, $stride)) AS start FROM chb2),
+       |chunks AS (
+       |  SELECT doc_id, CAST(start // $stride AS BIGINT) AS chunk_id,
+       |    CAST(start AS BIGINT) AS start_tok,
+       |    CAST(least($size, n - start) AS BIGINT) AS n_tok,
+       |    md5(array_to_string(toks[start+1 : start + least($size, n - start)], ' ')) AS chunk_hash
+       |  FROM chst),
+       |cemb AS (
+       |  SELECT doc_id * 1000000 + chunk_id AS vec_id,
+       |    CAST(('0x' || substr(md5(chunk_hash),1,15))::UBIGINT::BIGINT % $nLabels AS INT) AS label,
+       |    [CAST(('0x' || substr(md5(chunk_hash || ':' || CAST(j AS VARCHAR)),1,15))::UBIGINT::BIGINT % 2000001 - 1000000 AS DOUBLE) / 1000000.0
+       |     for j in range(0, $dims)] AS embedding,
+       |    doc_id, chunk_id, start_tok, n_tok
+       |  FROM chunks),
+       |""".stripMargin +
+      ivfPqRankedFrag(iters, nprobe, "cemb", nQueryDocs * 1000000L) +
+      s""",
+         |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
+         |rexact AS (
+         |  SELECT rcand.query_id, rcand.neighbor_id,
+         |         (list_dot_product(q.embedding, q.embedding)
+         |            - 2.0 * list_dot_product(q.embedding, v.embedding))
+         |           + list_dot_product(v.embedding, v.embedding) AS d2
+         |  FROM rcand
+         |    JOIN cemb q ON q.vec_id = rcand.query_id
+         |    JOIN cemb v ON v.vec_id = rcand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM rexact)
+         |SELECT rr.query_id // 1000000 AS q_doc_id, rr.query_id % 1000000 AS q_chunk_id,
+         |       CAST(rr.rk AS BIGINT) AS rank, c.doc_id, c.chunk_id,
+         |       c.start_tok, c.n_tok, round(rr.d2, 6) AS d2
+         |FROM rr JOIN cemb c ON c.vec_id = rr.neighbor_id
+         |WHERE rr.rk <= $k ORDER BY q_doc_id, q_chunk_id, rank""".stripMargin
+
   /** The q_ivfpq_search WITH-chain through its (est, neighbor_id)
     * ranking — shared by the emission and the re-rank shortlist.
     */
   private def ivfPqRankedSql(iters: Int, nprobe: Int): String =
-    kmeansCentChain(iters) +
+    "WITH " + ivfPqRankedFrag(iters, nprobe, "embeddings", 20L)
+
+  /** [[ivfPqRankedSql]]'s chain with the source relation and the
+    * query-id bound as parameters — reused verbatim by q_rag_e2e over
+    * the chunk-embedding CTE, so the serving chain and the RAG chain
+    * can never drift.
+    */
+  private def ivfPqRankedFrag(iters: Int, nprobe: Int, src: String,
+                              nq: Long): String =
+    kmeansCentChainFrag(iters, src, "") +
       s""",
          |sp AS (
          |  SELECT vec_id, label,
          |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
          |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
-         |  FROM embeddings),
+         |  FROM $src),
          |ex1 AS (
          |  SELECT label,
          |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
@@ -2725,7 +2898,7 @@ object SparkEntry {
          |  SELECT e.vec_id, c.clabel,
          |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
          |           + list_dot_product(c.c, c.c) AS s
-         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |  FROM $src e CROSS JOIN cent$iters c),
          |assignrk AS (
          |  SELECT vec_id, clabel,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
@@ -2733,17 +2906,17 @@ object SparkEntry {
          |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
          |probes AS (
          |  SELECT vec_id AS query_id, clabel AS pcell
-         |  FROM assignrk WHERE vec_id < 20 AND rk <= $nprobe),
+         |  FROM assignrk WHERE vec_id < $nq AND rk <= $nprobe),
          |d1 AS (
          |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
          |         list_dot_product(sp.e1, sp.e1)
          |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
-         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < 20),
+         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < $nq),
          |d2 AS (
          |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
          |         list_dot_product(sp.e2, sp.e2)
          |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
-         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < 20),
+         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < $nq),
          |cand AS (
          |  SELECT p.query_id, c.vec_id
          |  FROM cells c JOIN probes p ON c.cell = p.pcell

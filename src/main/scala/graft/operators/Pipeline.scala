@@ -88,7 +88,21 @@ object Pipeline {
     * gated corpus is persisted once and shared by the cluster stage's two
     * consumers (pair generation + quality ranking).
     */
-  def curate(documents: DataFrame, repTau: Double = 0.08): DataFrame = {
+  def curate(documents: DataFrame, repTau: Double = 0.08): DataFrame =
+    // stage 4: per-language census with the BPE-ish token accounting
+    curatedDocs(documents, repTau)
+      .withColumn("lower_text", lower(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(regexp_extract_all(col("lower_text"),
+             lit(TextAnalysis.bpePattern), lit(0))).cast("long")).as("bpe_tokens"))
+      .orderBy("lang")
+
+  /** [[curate]]'s document SET (stages 1-3, full original rows) — split
+    * out so compositions ([[pretrain]]) can consume the curated corpus
+    * instead of its census.
+    */
+  def curatedDocs(documents: DataFrame, repTau: Double = 0.08): DataFrame = {
     // stage 1+2: boolean gates + repetition cutoff (both per-row passes)
     val gates = TextAnalysis.gopherRulesUnordered(documents)
       .filter(col("pass") === 1).select("doc_id")
@@ -111,15 +125,56 @@ object Pipeline {
       .select(col("m.id").as("doc_id"))
     val unclustered = kept.select("doc_id")
       .join(comps.select("doc_id"), Seq("doc_id"), "left_anti")
-    val finalDocs = kept.join(unclustered.unionByName(best), Seq("doc_id"), "left_semi")
+    kept.join(unclustered.unionByName(best), Seq("doc_id"), "left_semi")
+  }
 
-    // stage 4: per-language census with the BPE-ish token accounting
-    finalDocs
-      .withColumn("lower_text", lower(col("text")))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-           sum(size(regexp_extract_all(col("lower_text"),
-             lit(TextAnalysis.bpePattern), lit(0))).cast("long")).as("bpe_tokens"))
-      .orderBy("lang")
+  /** The PRETRAINING-CORPUS COMPOSITION — the full corpus build a real
+    * pipeline runs, chaining the tiers that so far only existed as
+    * standalone operators: CURATE (gates + repetition + best-copy,
+    * [[curatedDocs]]) → MIXTURE (per-source token budgets filled in DSIR
+    * order, TextAnalysis.mixtureSelect) → SPLIT (content-stable
+    * md5-mod-100, 80/10/10) → PACK (offset first-fit into `budget`-token
+    * sequences per (split, lang)) → the per-(split, lang) accounting a
+    * training run consumes: sequence (bin) count, documents, tokens.
+    *
+    * The DSIR importance model is computed on the RAW corpus (its target
+    * is the gate-passing subset — computing it post-curation would make
+    * every survivor a target member and collapse the ranking to a
+    * constant); selection then runs WITHIN the curated membership, each
+    * source's budget set by its curated token mass.
+    *
+    * Scale shape: every stage keeps its standalone plan — per-row gates,
+    * banded pair generation, broadcast DSIR model, and BOTH order-
+    * statistics stages (mixture rank, packing prefix-sum) on the grouped
+    * range-partition device, never a domain-keyed window; the one global
+    * sort is the final ORDER BY (PlanSpec-locked).
+    */
+  def pretrain(documents: DataFrame, budget: Long = 2048L,
+               repTau: Double = 0.08, buckets: Int = 1024): DataFrame = {
+    val curated = curatedDocs(documents, repTau)
+    val perDoc = curated
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(TextAnalysis.dsirScores(documents, buckets)
+        .select("doc_id", "log_ratio"), Seq("doc_id"))
+    val selected = TextAnalysis
+      .mixtureSelect(perDoc, TextAnalysis.mixtureRatesPerMille,
+        TextAnalysis.defaultMixtureRatePerMille)
+      .filter(col("selected") === 1)
+      .select("doc_id", "lang", "n_tok")
+    selected
+      .withColumn("sh",
+        pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("sh") < 80, "train").when(col("sh") < 90, "valid")
+          .otherwise("test"))
+      .transform(TextAnalysis.withGroupedPrefix(Seq("split", "lang"),
+        "_rk", "cum_before", col("n_tok"), col("doc_id")))
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+      .groupBy("split", "lang")
+      .agg(countDistinct(col("bin")).as("n_bins"),
+           count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"))
+      .orderBy("split", "lang")
   }
 }

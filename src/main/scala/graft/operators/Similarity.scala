@@ -703,6 +703,64 @@ object Similarity {
     exactRerank(shortlist, embeddings, nQueries, k)
   }
 
+  /** CHUNK-LEVEL RAG RETRIEVAL end-to-end — the composition a retrieval
+    * pipeline runs daily and the reason chunkDocuments emits `chunk_hash`:
+    * documents → sliding-window chunks (TextAnalysis.chunkDocumentsUnordered)
+    * → per-chunk embedding → IVF-PQ index → two-stage search → hits WITH
+    * PROVENANCE: each result row carries the source (doc_id, chunk_id,
+    * start_tok, n_tok) span, so a generator can quote exactly the text it
+    * retrieved. Queries are the chunks of the first `nQueryDocs`
+    * documents (a held-out "question" set at test scale).
+    *
+    * The embedding is hash-DERIVED (md5Hash60 of chunk_hash per
+    * component, scaled to [-1,1] at 6 decimals) — the deterministic
+    * stand-in this sandbox uses wherever a learned model would run (the
+    * same device as the driver's synthetic fixtures): cross-engine
+    * reproducible, so the ENTIRE pipeline chunk → vector → trained
+    * coarse quantizer → PQ codes → ADC → exact re-rank hash-matches the
+    * DuckDB oracle. Swapping in a real encoder changes one `select`.
+    *
+    * vec_id is the composite doc_id·10⁶ + chunk_id (chunks per doc are
+    * corpus-bounded far below 10⁶ at any document length a chunker
+    * sees; a production key would be the same composite over a wider
+    * split). Scale shape: chunking and embedding are map-only over
+    * documents; everything after is [[ivfPqRerankSearch]]'s serving
+    * plan — cells bound the scan, codes bound the bytes, the m-row
+    * shortlist bounds the raw-vector reads; the final provenance join is
+    * a skinny broadcast-sized (|Q|·k) hash join against the chunk table.
+    */
+  def ragRetrieve(documents: DataFrame, k: Int = 5, m: Int = 15,
+                  nprobe: Int = 2, trainIters: Int = 2,
+                  size: Int = 64, stride: Int = 48,
+                  dims: Int = 8, nLabels: Int = 8,
+                  nQueryDocs: Int = 10): DataFrame = {
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocumentsUnordered(documents, size, stride)
+      .withColumn("vec_id",
+        col("doc_id") * lit(1000000L) + col("chunk_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val emb = chunks.select(
+      col("vec_id"),
+      pmod(NearDup.md5Hash60(col("chunk_hash")), lit(nLabels.toLong))
+        .cast("int").as("label"),
+      array((0 until dims).map { j =>
+        (pmod(NearDup.md5Hash60(concat(col("chunk_hash"), lit(s":$j"))),
+              lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
+      }: _*).as("embedding"))
+    val hits = ivfPqRerankSearch(emb, nQueries = nQueryDocs * 1000000,
+      k = k, m = m, nprobe = nprobe, trainIters = trainIters)
+    val prov = chunks.select(col("vec_id").as("nid"), col("doc_id"),
+      col("chunk_id"), col("start_tok"), col("n_tok"))
+    hits.join(prov, col("neighbor_id") === col("nid"))
+      .select(
+        expr("query_id DIV 1000000").as("q_doc_id"),
+        pmod(col("query_id"), lit(1000000L)).as("q_chunk_id"),
+        col("rank"), col("doc_id"), col("chunk_id"),
+        col("start_tok"), col("n_tok"), col("d2"))
+      .orderBy("q_doc_id", "q_chunk_id", "rank")
+  }
+
   /** The IVF-PQ candidate scorer shared by [[ivfPqSearch]] and
     * [[ivfPqRerankSearch]]: (query_id, cand_id, s = −est_d2) rows for
     * every member of each query's probed cells.

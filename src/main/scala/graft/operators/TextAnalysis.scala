@@ -1101,27 +1101,43 @@ object TextAnalysis {
                     ratesPerMille: Map[String, Int] = mixtureRatesPerMille,
                     defaultRatePerMille: Int = defaultMixtureRatePerMille)
       : DataFrame = {
-    val rate = ratesPerMille.toSeq.sortBy(_._1)
-      .foldLeft(lit(defaultRatePerMille)) {
-        case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
-      }
-    val prefixed = documents.repartition(col("doc_id"))
+    val perDoc = documents.repartition(col("doc_id"))
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .join(dsirScores(documents, buckets).select("doc_id", "log_ratio"),
         Seq("doc_id"))
-      .transform(withGroupedPrefix(Seq("source"), "dom_rank", "cum_before",
+    mixtureSelect(perDoc, ratesPerMille, defaultRatePerMille)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
+        col("dom_rank"), col("budget"), col("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** The SELECTION core behind [[mixtureSample]], reusable over any
+    * scored membership (Pipeline.pretrain selects within the CURATED
+    * corpus using scores from the raw corpus): input rows carry
+    * (doc_id, source, n_tok, log_ratio) plus any passthrough columns;
+    * output adds dom_rank, budget, selected. Unordered, composition-
+    * ready; the scale shape is [[withGroupedPrefix]] plus a |sources|-row
+    * aggregate broadcast back.
+    */
+  private[operators] def mixtureSelect(perDoc: DataFrame,
+      ratesPerMille: Map[String, Int],
+      defaultRatePerMille: Int): DataFrame = {
+    val rate = ratesPerMille.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRatePerMille)) {
+        case (acc, (src, r)) => when(col("source") === src, lit(r)).otherwise(acc)
+      }
+    val prefixed = perDoc
+      .transform(withGroupedPrefix(Seq("source"), "dom_rank", "_cum_before",
         col("n_tok"), col("log_ratio").desc, col("doc_id")))
     // per-source totals from the (persisted) prefix output: a partial-agg
     // groupBy emitting |sources| rows, broadcast back onto the corpus
     val totals = prefixed.groupBy("source")
-      .agg(sum(col("n_tok")).as("src_tokens"))
+      .agg(sum(col("n_tok")).as("_src_tokens"))
     prefixed.join(broadcast(totals), Seq("source"))
-      .withColumn("rate_pm", rate)
-      .withColumn("budget", expr("(src_tokens * rate_pm) DIV 1000"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
-        col("dom_rank"), col("budget").cast("long").as("budget"),
-        (col("cum_before") < col("budget")).cast("int").as("selected"))
-      .orderBy("doc_id")
+      .withColumn("_rate_pm", rate)
+      .withColumn("budget", expr("(_src_tokens * _rate_pm) DIV 1000").cast("long"))
+      .withColumn("selected", (col("_cum_before") < col("budget")).cast("int"))
+      .drop("_cum_before", "_src_tokens", "_rate_pm")
   }
 }

@@ -1037,6 +1037,123 @@ object StreamOps {
       .orderBy("term")
   }
 
+  /** One micro-batch of the CHUNK-STORE UPSERT — the maintenance loop a
+    * RAG/embedding store runs as documents are re-crawled: the batch's
+    * documents are chunked at ingest, each new chunk is flagged if its
+    * chunk_hash already exists in the ACCUMULATED store from a different
+    * document (the q_stream_histdedup shape at chunk granularity), and
+    * the store is MERGED by document — a re-delivered document REPLACES
+    * all of its old chunks (a shorter revision must not leave stale tail
+    * chunks behind; (doc_id, chunk_id) remains the storage key).
+    *
+    * Same MERGE-over-parquet discipline as [[upsertBatch]]: the store is
+    * hash-bucketed on doc_id, only the batch's touched buckets are
+    * rewritten (survivors = bucket members anti-joined on the batch's
+    * doc_ids), dynamic partition overwrite leaves other buckets alone,
+    * and the localCheckpoint materializes the merge before the write
+    * reads the files it replaces. Idempotent on crash-replay (the
+    * re-run anti-joins its own chunks out and rewrites the same rows).
+    *
+    * 100 TB shape: rewrite cost scales with the touched buckets, not the
+    * store; the dup-flag join is a hash shuffle on the 16-byte
+    * chunk_hash; the doc_id anti-join key set is batch-sized and
+    * broadcast. A doc's bucket is a pure function of doc_id, so an
+    * upsert can never strand chunks in an untouched bucket.
+    */
+  def chunkUpsertBatch(batch: DataFrame, storeDir: String,
+                       size: Int = 64, stride: Int = 48,
+                       nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val chunkStoreSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("chunk_id", LongType),
+      StructField("start_tok", LongType), StructField("n_tok", LongType),
+      StructField("chunk_hash", StringType),
+      StructField("dup_store", IntegerType),
+      StructField("bucket", IntegerType)))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit schema: a pre-created-but-empty store dir must read as an
+    // empty store, not fail schema inference
+    val store =
+      if (fs.exists(storePath))
+        spark.read.schema(chunkStoreSchema).parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], chunkStoreSchema)
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocumentsUnordered(batch, size, stride)
+    // dup-at-insert: the hash already lives in the store under ANOTHER
+    // document (own old chunks are about to be replaced, not duplicated)
+    val dup = chunks.join(
+        store.select(col("chunk_hash").as("h"), col("doc_id").as("od")),
+        col("chunk_hash") === col("h") && col("doc_id") =!= col("od"),
+        "left_semi")
+      .select(col("doc_id"), col("chunk_id"))
+      .withColumn("dup_store", lit(1))
+    val flagged = chunks.join(dup, Seq("doc_id", "chunk_id"), "left")
+      .na.fill(0, Seq("dup_store"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+    val ids = chunks.select("doc_id").distinct()
+    val touched = flagged.select("bucket").distinct()
+    val kept = store
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val merged = kept.unionByName(flagged.select(kept.columns.map(col): _*))
+      .repartition(col("bucket"))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+  }
+
+  /** Oracle-facing chunk-store maintenance cycle: the documents table
+    * arrives in doc_id-range micro-batches and is chunked+upserted into
+    * the store; a FINAL batch re-delivers every 10th document REVISED
+    * (text doubled — a deterministic re-crawl), whose chunks replace the
+    * originals. The emitted census per document — chunk count, token
+    * total, how many chunks were already in the store under another
+    * document at insert time — proves both halves: replacement (revised
+    * docs report their REVISED chunk counts, originals gone) and
+    * cross-batch chunk dedup (dup flags reflect the accumulated store
+    * at each batch's insert time, reproduced in SQL from the range
+    * staging law).
+    */
+  def streamChunkUpsert(spark: SparkSession, sfDir: String,
+                        nBatches: Int = 3, size: Int = 64,
+                        stride: Int = 48): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = stageDocRanges(spark, sfDir, nBatches)
+    // stage the revision batch AFTER the ranges (mtime order = replay
+    // order): every 10th doc re-delivered with doubled text
+    val rev = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val stagedir = s"$root/revstage"
+    rev.coalesce(1).write.parquet(stagedir)
+    val listing = Files.list(Paths.get(stagedir))
+    val part =
+      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      finally listing.close()
+    val target = Paths.get(s"$root/src/range$nBatches.parquet")
+    Files.move(Paths.get(part), target)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1000000000000L + nBatches * 60000L))
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, _) =>
+      chunkUpsertBatch(batch, s"$root/store", size, stride)
+    }
+    spark.read.parquet(s"$root/store")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("n_tok")).as("n_tok_total"),
+           sum(col("dup_store")).cast("long").as("n_dup_store"))
+      .withColumn("revised", (col("doc_id") % 10 === 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

@@ -152,6 +152,19 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one window spec (the partitioned rank), got $specs")
   }
 
+  test("pretrain composition has at most one global sort (the final ORDER BY)") {
+    // curate → mixture → split → pack chains four tiers; every stage's
+    // oracle-determinism orderBy must stay out of the composed plan, and
+    // the order-statistics stages must not smuggle in a global Sort —
+    // repartitionByRange exchanges (the grouped-prefix device) are fine,
+    // global Sort nodes are not
+    val p = planText(SparkEntry.queries("q_pipeline_pretrain")(spark, sf0001))
+    CacheRegistry.release()
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(p).size
+    assert(globalSorts <= 1,
+      s"$globalSorts global sorts in the pretrain plan — a stage's orderBy leaked")
+  }
+
   test("mixture + packing plans: every window is _pid-partitioned (no domain-only window)") {
     // regression lock for the round-8 grouped-prefix rewrite: sources/
     // languages are low-cardinality, so a Window.partitionBy(source|lang)
@@ -226,6 +239,51 @@ class PlanSpec extends SparkSpec {
       assert(p.toLowerCase.contains("bloomfilter"),
         "no runtime bloom filter in plan:\n" + p.take(2000))
       assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("AQE splits a planted-skew sort-merge join (skew=true in the adaptive plan)") {
+    // the 100 TB reality is skewed fact-fact joins: one hot key's shuffle
+    // partition dwarfs the rest and serializes the stage. AQE's skew-join
+    // rule splits the oversized partition into parallel sub-reads —
+    // thresholds lowered here to make the split observable at test scale.
+    // The aggregation after the join is GLOBAL on purpose: a groupBy on
+    // the join key would demand hash-clustered output, which the skew
+    // rule refuses to break (it would need an extra shuffle).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val n = 200000L
+      // 90% of the fact rows share ONE hot key
+      val fact = spark.range(n).select(
+        when(pmod(col("id"), lit(10L)) < 9, lit(7L))
+          .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(n / 10).select(
+        pmod(col("id"), lit(1000L)).as("k"), col("id").as("w"))
+      val joined = fact.join(dim, "k").agg(sum(col("v") + col("w")).as("s"))
+      assert(joined.collect().head.getLong(0) > 0)
+      val executed = joined.queryExecution.executedPlan.toString
+      assert(executed.contains("skew=true"),
+        "AQE did not mark the skewed join split:\n" + executed.take(2000))
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

@@ -397,4 +397,34 @@ class SimilaritySpec extends SparkSpec {
     val sims = topk.select("sim").collect().map(_.getDouble(0))
     assert(sims.nonEmpty && sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
+
+  test("ragRetrieve returns provenance spans that lie inside their source documents") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val hits = Similarity.ragRetrieve(docs).collect()
+    CacheRegistry.release()
+    assert(hits.nonEmpty, "no retrieval hits")
+    // ground truth: per-document token counts from the same tokenizer
+    val nTok = docs.select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits.foreach { r =>
+      val (qd, doc) = (r.getAs[Long]("q_doc_id"), r.getAs[Long]("doc_id"))
+      val (start, n) = (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"))
+      assert(qd < 10, s"query doc $qd outside the query set")
+      // the retrieved span must be a REAL span of the source document —
+      // the provenance contract a RAG generator depends on
+      assert(n > 0 && start >= 0 && start + n <= nTok(doc),
+        s"span [$start, ${start + n}) outside doc $doc (${nTok(doc)} tokens)")
+      // a query chunk never retrieves itself
+      assert(!(qd == doc && r.getAs[Long]("q_chunk_id") == r.getAs[Long]("chunk_id")),
+        s"query ($qd, ${r.getAs[Long]("q_chunk_id")}) retrieved itself")
+    }
+    // ranks are dense 1..k per query chunk
+    hits.groupBy(r => (r.getAs[Long]("q_doc_id"), r.getAs[Long]("q_chunk_id")))
+      .foreach { case (q, rs) =>
+        val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+        assert(ranks === (1L to ranks.length).toSeq, s"$q: ranks not dense")
+      }
+  }
 }

@@ -116,6 +116,38 @@ class StreamingSpec extends SparkSpec {
       s"expected cross-run duplicate doc 3 dropped, got $survivors")
   }
 
+  test("chunk-store upsert REPLACES a re-delivered doc's chunks and flags store dups") {
+    val store = tempDir("cu_store")
+    val sp = spark
+    import sp.implicits._
+    // 10 tokens, size=4, stride=3 → doc 1 has 4 chunks
+    val tenTok = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    StreamOps.chunkUpsertBatch(
+      Seq((1L, tenTok), (2L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      store, size = 4, stride = 3)
+    val after1 = spark.read.parquet(store)
+    assert(after1.filter(col("doc_id") === 1L).count() === 4)
+    assert(after1.filter(col("dup_store") === 1).count() === 0,
+      "first batch has an empty store — nothing can be a store dup")
+
+    // batch 2: doc 1 re-delivered SHORTER (1 chunk) — must REPLACE all 4
+    // old chunks, no stale tail; doc 3 copies doc 2's content — every
+    // chunk is already in the store under another doc → flagged
+    StreamOps.chunkUpsertBatch(
+      Seq((1L, "u0 u1 u2"), (3L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      store, size = 4, stride = 3)
+    val after2 = spark.read.parquet(store)
+    val doc1 = after2.filter(col("doc_id") === 1L).collect()
+    assert(doc1.length === 1,
+      s"revision must replace, not append: doc 1 has ${doc1.length} chunks")
+    assert(doc1.head.getAs[Long]("n_tok") === 3L)
+    val doc3 = after2.filter(col("doc_id") === 3L).collect()
+    assert(doc3.nonEmpty && doc3.forall(_.getAs[Int]("dup_store") === 1),
+      "doc 3's chunks duplicate doc 2's store content and must be flagged")
+    // untouched doc 2 still intact (starts 0 and 3 → 2 chunks), unflagged
+    assert(after2.filter(col("doc_id") === 2L && col("dup_store") === 0).count() === 2)
+  }
+
   test("historical-store dedup survivors are invariant to the batch slicing") {
     // the min-doc_id-per-fingerprint survivor set must not depend on HOW
     // the stream is sliced into micro-batches (range order is the only
