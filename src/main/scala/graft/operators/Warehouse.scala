@@ -335,17 +335,23 @@ object Warehouse {
         count(lit(1)).as("n_lines"))
 
   /** Windowed top-k per group: 3 priciest orders per priority class.
-    * row_number is tie-broken by the unique orderkey so it is total.
+    * The rank is tie-broken by the unique orderkey so it is total, and
+    * it is computed by TextAnalysis.withGroupedPrefix rather than a
+    * `Window.partitionBy(o_orderpriority)`: there are five priority
+    * classes, so a grouped window would pull a fifth of the orders
+    * table through ONE task — the same low-cardinality-domain
+    * serialization the mixture/packing rewrite cleared (round 8). The
+    * grouped device spreads each class over range partitions and
+    * shifts local ranks by counts-only census offsets.
     */
-  def topOrdersPerPriority(orders: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  def topOrdersPerPriority(orders: DataFrame, k: Int): DataFrame =
     orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
+      .transform(TextAnalysis.withGroupedPrefix(Seq("o_orderpriority"),
+        "rk", "_cum", lit(0L), col("o_totalprice").desc, col("o_orderkey")))
+      .drop("_cum")
       .filter(col("rk") <= k)
       .orderBy("o_orderpriority", "rk")
-  }
 
   /** The remaining rank-function family (§2.5 completeness next to
     * row_number/lag/frames): dense_rank, percent_rank, cume_dist, and
@@ -354,6 +360,16 @@ object Warehouse {
     * deterministic; output restricted to the per-priority top-5 so the
     * result stays small while every function still exercises real ties
     * and partition boundaries.
+    *
+    * Scale note: this query is deliberately the NATIVE-window-surface
+    * demonstration, and its five-class partition key funnels each class
+    * through one window task. At warehouse scale the same values have a
+    * scale-safe derivation: under a total order, dense_rank equals
+    * row_number, percent_rank = (rk−1)/(n−1), cume_dist = rk/n, and
+    * ntile is floor arithmetic over (rk, n) — i.e. everything reduces
+    * to TextAnalysis.withGroupedPrefix's grouped rank plus a group
+    * count, which is how [[topOrdersPerPriority]] now computes its
+    * plain rank.
     */
   def orderValueRanks(orders: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")

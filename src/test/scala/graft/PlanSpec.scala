@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("rag retrieval keeps the serving-plan shape: broadcasts + partial TopK") {
+    // the chunk-level RAG stack must inherit ivfPqRerankSearch's plan:
+    // codebooks/probes/queries broadcast, both TopKAgg stages (ADC
+    // shortlist m, exact top-k) keeping their map-side partials
+    val p = planText(SparkEntry.queries("q_rag_e2e")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      "rag plan lost its broadcasts (codebooks / probe lists / query vectors)")
+    val partials = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(partials >= 4,
+      s"$partials ObjectHashAggregate nodes — a TopKAgg stage lost partial aggregation")
+    CacheRegistry.release()
+  }
+
+  test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {
+    val p = planText(SparkEntry.queries("q_window_topk")(spark, sf0001))
+    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
+      s"q_window_topk: expected only _pid-led windows, got $specs")
+    CacheRegistry.release()
+  }
+
   test("q7 dual-role geography joins broadcast both sides, no cartesian product") {
     val p = planText(SparkEntry.queries("q7_volume_shipping")(spark, sf0001))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
