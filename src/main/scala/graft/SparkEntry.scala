@@ -140,6 +140,10 @@ object SparkEntry {
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
+    "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
+    "q_ivf_search_filtered" -> ((s, d) =>
+      Similarity.ivfSearchFiltered(embeddings(s, d), 20, 10,
+        org.apache.spark.sql.functions.col("label") % 2 === 0)),
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(embeddings(s, d), 0.3, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
@@ -208,6 +212,7 @@ object SparkEntry {
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_stream_chunk_upsert" -> ((s, d) => streaming.StreamOps.streamChunkUpsert(s, d)),
+    "q_stream_chunk_embed" -> ((s, d) => streaming.StreamOps.streamChunkEmbed(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -843,6 +848,48 @@ object SparkEntry {
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
+    "q_rag_docs" -> ragDocsOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
+    // filtered search: candidates restricted to even labels BEFORE the
+    // top-k (filter-then-rank); queries unfiltered
+    "q_ivf_search_filtered" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
+        |           recursive := true)
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+        |  FROM (SELECT label, dim,
+        |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+        |        FROM ex GROUP BY 1,2)
+        |  GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assignrk AS (
+        |  SELECT vec_id, clabel,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |  FROM scored),
+        |b AS (
+        |  SELECT e.vec_id, e.label, a.clabel AS assigned, e.embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings e JOIN (SELECT vec_id, clabel FROM assignrk WHERE rk = 1) a
+        |    USING (vec_id)),
+        |q AS (SELECT vec_id AS query_id, assigned, emb AS q_emb, nrm AS q_nrm
+        |      FROM b WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM b JOIN q ON b.assigned = q.assigned AND b.vec_id <> q.query_id
+        |  WHERE b.label % 2 = 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_pq_search_trained" -> pqTrainedOracleSql(2),
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_vocab" -> bpeVocabOracleSql(8),
@@ -875,6 +922,10 @@ object SparkEntry {
     // range-staged batches "earlier batch" is (doc_id - lo) // span, and
     // the revision batch (last) saw every original
     "q_stream_chunk_upsert" -> chunkUpsertOracleSql(3, 64, 48),
+    // streaming chunk→embed→assign ingest is stateless per document, so
+    // the drained census is bit-identical to the batch chunk-embedding
+    // assignment the standalone SQL rebuilds
+    "q_stream_chunk_embed" -> chunkAssignOracleSql(64, 48, 8, 8),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->
@@ -2792,10 +2843,13 @@ object SparkEntry {
     * exact re-rank whose final select joins back to the chunk table for
     * (doc_id, chunk_id, start_tok, n_tok) provenance.
     */
-  private def ragOracleSql(iters: Int, nprobe: Int, m: Int, k: Int,
-                           size: Int, stride: Int, dims: Int,
-                           nLabels: Int, nQueryDocs: Int): String =
-    s"""WITH chbase AS (
+  /** CTEs chbase..cemb: the chunk table plus the hash-derived chunk
+    * embeddings — the SQL twin of Similarity.chunkEmbeddings, shared by
+    * q_rag_e2e and q_stream_chunk_embed.
+    */
+  private def chunkEmbFrag(size: Int, stride: Int, dims: Int,
+                           nLabels: Int): String =
+    s"""chbase AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                t -> t <> '') AS toks
@@ -2814,8 +2868,39 @@ object SparkEntry {
        |    [CAST(('0x' || substr(md5(chunk_hash || ':' || CAST(j AS VARCHAR)),1,15))::UBIGINT::BIGINT % 2000001 - 1000000 AS DOUBLE) / 1000000.0
        |     for j in range(0, $dims)] AS embedding,
        |    doc_id, chunk_id, start_tok, n_tok
-       |  FROM chunks),
-       |""".stripMargin +
+       |  FROM chunks)""".stripMargin
+
+  /** q_stream_chunk_embed: the ingest-side census rebuilt standalone —
+    * chunk embeddings, their label-centroid coarse codebook (the same
+    * cent0 the batch coarseCodebook computes), per-chunk argmin with the
+    * (score, clabel) tie-break, per-(label, cell) counts.
+    */
+  private def chunkAssignOracleSql(size: Int, stride: Int, dims: Int,
+                                   nLabels: Int): String =
+    "WITH " + chunkEmbFrag(size, stride, dims, nLabels) + ",\n" +
+      kmeansCentChainFrag(0, "cemb", "") +
+      """,
+        |scoredq AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+        |           + list_dot_product(c.c, c.c) AS s
+        |  FROM cemb e CROSS JOIN cent0 c),
+        |assigned AS (
+        |  SELECT vec_id, label, clabel AS assigned FROM (
+        |    SELECT vec_id, label, clabel,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+        |    FROM scoredq) WHERE rk = 1)
+        |SELECT label, assigned, count(*) AS n_chunks
+        |FROM assigned GROUP BY 1,2 ORDER BY label, assigned""".stripMargin
+
+  /** The rag chain through the exact-re-rank CTE `rr` — shared by the
+    * chunk-level emission (q_rag_e2e) and the parent-document collapse
+    * (q_rag_docs).
+    */
+  private def ragRankedChainSql(iters: Int, nprobe: Int, m: Int,
+                                size: Int, stride: Int, dims: Int,
+                                nLabels: Int, nQueryDocs: Int): String =
+    "WITH " + chunkEmbFrag(size, stride, dims, nLabels) + ",\n" +
       ivfPqRankedFrag(iters, nprobe, "cemb", nQueryDocs * 1000000L) +
       s""",
          |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
@@ -2830,12 +2915,45 @@ object SparkEntry {
          |rr AS (
          |  SELECT query_id, neighbor_id, d2,
          |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
-         |  FROM rexact)
+         |  FROM rexact)""".stripMargin
+
+  private def ragOracleSql(iters: Int, nprobe: Int, m: Int, k: Int,
+                           size: Int, stride: Int, dims: Int,
+                           nLabels: Int, nQueryDocs: Int): String =
+    ragRankedChainSql(iters, nprobe, m, size, stride, dims, nLabels,
+      nQueryDocs) +
+      s"""
          |SELECT rr.query_id // 1000000 AS q_doc_id, rr.query_id % 1000000 AS q_chunk_id,
          |       CAST(rr.rk AS BIGINT) AS rank, c.doc_id, c.chunk_id,
          |       c.start_tok, c.n_tok, round(rr.d2, 6) AS d2
          |FROM rr JOIN cemb c ON c.vec_id = rr.neighbor_id
          |WHERE rr.rk <= $k ORDER BY q_doc_id, q_chunk_id, rank""".stripMargin
+
+  /** q_rag_docs: the chunk hits collapsed to parent documents — best
+    * chunk distance per (query, doc), chunk-hit corroboration count,
+    * per-query doc rank by (best_d2, doc_id).
+    */
+  private def ragDocsOracleSql(iters: Int, nprobe: Int, m: Int, k: Int,
+                               size: Int, stride: Int, dims: Int,
+                               nLabels: Int, nQueryDocs: Int): String =
+    ragRankedChainSql(iters, nprobe, m, size, stride, dims, nLabels,
+      nQueryDocs) +
+      s""",
+         |hits AS (
+         |  SELECT rr.query_id // 1000000 AS q_doc_id,
+         |         rr.query_id % 1000000 AS q_chunk_id,
+         |         c.doc_id, round(rr.d2, 6) AS d2
+         |  FROM rr JOIN cemb c ON c.vec_id = rr.neighbor_id
+         |  WHERE rr.rk <= $k),
+         |byd AS (
+         |  SELECT q_doc_id, q_chunk_id, doc_id,
+         |         min(d2) AS best_d2, count(*) AS n_chunk_hits
+         |  FROM hits GROUP BY 1,2,3)
+         |SELECT q_doc_id, q_chunk_id, doc_id, best_d2,
+         |       CAST(n_chunk_hits AS BIGINT) AS n_chunk_hits,
+         |       CAST(row_number() OVER (PARTITION BY q_doc_id, q_chunk_id
+         |         ORDER BY best_d2, doc_id) AS BIGINT) AS doc_rank
+         |FROM byd ORDER BY q_doc_id, q_chunk_id, doc_rank""".stripMargin
 
   /** The q_ivfpq_search WITH-chain through its (est, neighbor_id)
     * ranking — shared by the emission and the re-rank shortlist.

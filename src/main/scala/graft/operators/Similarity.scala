@@ -733,21 +733,22 @@ object Similarity {
                   nprobe: Int = 2, trainIters: Int = 2,
                   size: Int = 64, stride: Int = 48,
                   dims: Int = 8, nLabels: Int = 8,
-                  nQueryDocs: Int = 10): DataFrame = {
+                  nQueryDocs: Int = 10): DataFrame =
+    ragRetrieveUnordered(documents, k, m, nprobe, trainIters, size, stride,
+      dims, nLabels, nQueryDocs)
+      .orderBy("q_doc_id", "q_chunk_id", "rank")
+
+  /** Unordered form for composition ([[ragDocRetrieve]]). */
+  private[graft] def ragRetrieveUnordered(documents: DataFrame, k: Int,
+      m: Int, nprobe: Int, trainIters: Int, size: Int, stride: Int,
+      dims: Int, nLabels: Int, nQueryDocs: Int): DataFrame = {
     val chunks = graft.operators.TextAnalysis
       .chunkDocumentsUnordered(documents, size, stride)
       .withColumn("vec_id",
         col("doc_id") * lit(1000000L) + col("chunk_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    val emb = chunks.select(
-      col("vec_id"),
-      pmod(NearDup.md5Hash60(col("chunk_hash")), lit(nLabels.toLong))
-        .cast("int").as("label"),
-      array((0 until dims).map { j =>
-        (pmod(NearDup.md5Hash60(concat(col("chunk_hash"), lit(s":$j"))),
-              lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
-      }: _*).as("embedding"))
+    val emb = chunkEmbeddingsFrom(chunks, dims, nLabels)
     val hits = ivfPqRerankSearch(emb, nQueries = nQueryDocs * 1000000,
       k = k, m = m, nprobe = nprobe, trainIters = trainIters)
     val prov = chunks.select(col("vec_id").as("nid"), col("doc_id"),
@@ -758,8 +759,62 @@ object Similarity {
         pmod(col("query_id"), lit(1000000L)).as("q_chunk_id"),
         col("rank"), col("doc_id"), col("chunk_id"),
         col("start_tok"), col("n_tok"), col("d2"))
-      .orderBy("q_doc_id", "q_chunk_id", "rank")
   }
+
+  /** PARENT-DOCUMENT retrieval — the standard RAG post-step over chunk
+    * hits: each query's top-k CHUNK hits collapse to documents (a doc's
+    * score is its best chunk's distance; its chunk-hit count is the
+    * corroboration signal), re-ranked per query by (best_d2, doc_id).
+    * This is "retrieve chunks, hand the generator whole documents" —
+    * parent-document / coarse-to-fine retrieval.
+    *
+    * Scale shape: everything after [[ragRetrieveUnordered]] is a hash
+    * aggregation on (query, doc) plus a per-QUERY-chunk rank window —
+    * the window key is the query id, high-cardinality by construction
+    * (one partition per query chunk, ≤k rows each), so unlike the
+    * domain windows the grouped-prefix device replaced, this one is
+    * already embarrassingly parallel.
+    */
+  def ragDocRetrieve(documents: DataFrame, k: Int = 5, m: Int = 15,
+                     nprobe: Int = 2, trainIters: Int = 2,
+                     size: Int = 64, stride: Int = 48,
+                     dims: Int = 8, nLabels: Int = 8,
+                     nQueryDocs: Int = 10): DataFrame = {
+    val w = Window.partitionBy("q_doc_id", "q_chunk_id")
+      .orderBy(col("best_d2"), col("doc_id"))
+    ragRetrieveUnordered(documents, k, m, nprobe, trainIters, size, stride,
+        dims, nLabels, nQueryDocs)
+      .groupBy("q_doc_id", "q_chunk_id", "doc_id")
+      .agg(min(col("d2")).as("best_d2"),
+           count(lit(1)).as("n_chunk_hits"))
+      .withColumn("doc_rank", row_number().over(w).cast("long"))
+      .orderBy("q_doc_id", "q_chunk_id", "doc_rank")
+  }
+
+  /** Chunk corpus → embeddings-shaped frame (vec_id, label, embedding):
+    * the composite doc_id·10⁶ + chunk_id key, an md5-derived label, and
+    * the hash-derived [-1,1] 6-decimal embedding ([[ragRetrieve]]'s
+    * encoder stand-in). Shared by the batch RAG stack and the streaming
+    * chunk-embedding ingest so the embedding law has one definition.
+    */
+  def chunkEmbeddings(documents: DataFrame, size: Int = 64,
+                      stride: Int = 48, dims: Int = 8,
+                      nLabels: Int = 8): DataFrame =
+    chunkEmbeddingsFrom(
+      graft.operators.TextAnalysis.chunkDocumentsUnordered(documents, size, stride)
+        .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id")),
+      dims, nLabels)
+
+  private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
+                                         nLabels: Int): DataFrame =
+    chunks.select(
+      col("vec_id"),
+      pmod(NearDup.md5Hash60(col("chunk_hash")), lit(nLabels.toLong))
+        .cast("int").as("label"),
+      array((0 until dims).map { j =>
+        (pmod(NearDup.md5Hash60(concat(col("chunk_hash"), lit(s":$j"))),
+              lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
+      }: _*).as("embedding"))
 
   /** The IVF-PQ candidate scorer shared by [[ivfPqSearch]] and
     * [[ivfPqRerankSearch]]: (query_id, cand_id, s = −est_d2) rows for
@@ -945,7 +1000,32 @@ object Similarity {
     * Bench does between queries.
     */
   def ivfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
-                nprobe: Int = 1, trainIters: Int = 0): DataFrame = {
+                nprobe: Int = 1, trainIters: Int = 0): DataFrame =
+    ivfSearchImpl(embeddings, nQueries, k, nprobe, trainIters, lit(true))
+
+  /** FILTERED vector search — the metadata-predicate form every
+    * production vector store serves ("top-k among candidates WHERE
+    * lang = 'en'"): the predicate bounds the CANDIDATE set between cell
+    * assignment and scoring, so filtered queries scan strictly fewer
+    * rows than unfiltered ones (filter-then-rank, never rank-then-drop:
+    * dropping after the top-k would under-fill k whenever the filter
+    * removes ranked hits). Queries themselves are NOT filtered — a
+    * query may search a slice it does not belong to.
+    *
+    * Scale shape: identical to [[ivfSearch]] plus one per-row predicate
+    * on the candidate scan (pushed down to the assignment cache read);
+    * the probed-cell bound and the TopKAgg partial aggregation carry
+    * over unchanged.
+    */
+  def ivfSearchFiltered(embeddings: DataFrame, nQueries: Int, k: Int,
+                        candidateFilter: Column, nprobe: Int = 1,
+                        trainIters: Int = 0): DataFrame =
+    ivfSearchImpl(embeddings, nQueries, k, nprobe, trainIters,
+      candidateFilter)
+
+  private def ivfSearchImpl(embeddings: DataFrame, nQueries: Int, k: Int,
+                            nprobe: Int, trainIters: Int,
+                            candFilter: Column): DataFrame = {
     // codebook built once and shared by the assignment and the probe
     // derivation — persisted (it is codebook-sized, i.e. tiny) so the
     // second consumer reuses the scan instead of re-deriving it.
@@ -970,7 +1050,8 @@ object Similarity {
         cents, nprobe)
       .select(col("query_id"), col("clabel").as("assigned"),
               col("q_emb"), col("q_nrm"))
-    val scored = assigned.join(broadcast(probes), Seq("assigned"))
+    val scored = assigned.filter(candFilter)
+      .join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("s"))

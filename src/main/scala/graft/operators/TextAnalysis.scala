@@ -1028,7 +1028,7 @@ object TextAnalysis {
     * (same group, smaller pid), not a window, so the plan stays free of
     * domain-only window specs — which is what PlanSpec locks.
     */
-  private[operators] def withGroupedPrefix(groupCols: Seq[String],
+  private[graft] def withGroupedPrefix(groupCols: Seq[String],
       rankOut: String, cumOut: String, valueCol: Column, keys: Column*)
       (df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -963,6 +963,55 @@ object StreamOps {
     spark.table(table).orderBy("label", "assigned")
   }
 
+  /** STREAMING RAG INGEST: documents arrive in micro-batches and flow
+    * through the WHOLE ingest side of the RAG stack — chunked, embedded
+    * (the deterministic hash-derived encoder stand-in), and assigned to
+    * the offline-trained coarse codebook — the path a production
+    * retrieval system runs as it crawls (the index trains offline; new
+    * chunks stream in). Composes [[streamChunks]]' chunk-at-ingest with
+    * [[streamIvfAssign]]'s literal-codebook zero-join argmin at CHUNK
+    * granularity: the codebook is collected once (codebook-sized driver
+    * state) and inlined, so each micro-batch is pure per-row expression
+    * work until the census agg — the only stateful operator.
+    *
+    * Chunking, embedding, and assignment are all stateless per
+    * document, so the drained census is bit-identical to the batch
+    * equivalent and the oracle rebuilds it standalone: chunk CTEs →
+    * hash embeddings → label-centroid codebook → argmin census.
+    */
+  def streamChunkEmbed(spark: SparkSession, sfDir: String,
+                       nBatches: Int = 3, size: Int = 64, stride: Int = 48,
+                       dims: Int = 8, nLabels: Int = 8): DataFrame = {
+    import graft.operators.Similarity
+    val root = stageDocRanges(spark, sfDir, nBatches)
+    configureStateStore(spark)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val cb = Similarity.coarseCodebook(
+        Similarity.chunkEmbeddings(docs, size, stride, dims, nLabels))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val table = s"graft_stream_cemb_${UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .transform(b => Similarity.chunkEmbeddingsFrom(
+        graft.operators.TextAnalysis.chunkDocumentsUnordered(b, size, stride)
+          .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id")),
+        dims, nLabels))
+      .withColumn("assigned", Similarity.assignByLiteralCodebook(
+        graft.functions.VectorMath.asDouble(col("embedding")), cb))
+      .groupBy("label", "assigned")
+      .agg(count(lit(1)).as("n_chunks"))
+      .writeStream
+      .format("memory").queryName(table)
+      .outputMode("complete")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table).orderBy("label", "assigned")
+  }
+
   /** STREAMING SQ8 INGEST: vectors are int8-quantized as they arrive —
     * quantize-on-write, the form a production vector store actually runs
     * (raw floats never land; codes + one scale per vector do). The

@@ -90,6 +90,14 @@ object ScaleProbe {
       .chunkDocuments(amplified, 64, 48).count())
     time("chunk_dedup")(graft.operators.TextAnalysis
       .chunkDedup(amplified, 64, 48).count())
+    // round-8 compositions: RAG retrieval cost is chunking (linear) +
+    // the IVF-PQ serving stack over ~n/48-token chunks (cells bound the
+    // scan); pretrain is the sum of its tiers, each individually probed
+    // above — both should track the corpus, with the components stage
+    // dominating pretrain
+    time("rag_e2e")(graft.operators.Similarity.ragRetrieve(amplified).count())
+    time("curate_docs")(graft.operators.Pipeline.curatedDocs(amplified).count())
+    time("pretrain")(graft.operators.Pipeline.pretrain(amplified).count())
 
     // ANN family at N× vectors: rotated replicas with distinct ids — the
     // candidate sets grow linearly with cell occupancy, so composed

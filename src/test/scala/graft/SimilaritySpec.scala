@@ -398,6 +398,59 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.nonEmpty && sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("filtered search: every hit satisfies the predicate, ranks stay dense (filter-then-rank)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val hits = Similarity.ivfSearchFiltered(emb, 20, 10, col("label") % 2 === 0)
+      .collect()
+    CacheRegistry.release()
+    assert(hits.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the predicate bounds the CANDIDATES: no odd-labeled neighbor may
+    // appear at any rank (rank-then-drop would leak them)
+    hits.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neighbor_id")) % 2 === 0,
+        s"odd-labeled neighbor ${r.getAs[Long]("neighbor_id")} leaked through the filter")
+    }
+    hits.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+    }
+  }
+
+  test("ragDocRetrieve collapses chunk hits to parent docs consistently") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val chunkHits = Similarity.ragRetrieve(docs).collect()
+    CacheRegistry.release()
+    val docHits = Similarity.ragDocRetrieve(docs).collect()
+    CacheRegistry.release()
+    assert(docHits.nonEmpty)
+    // ground truth from the chunk-level output: per (query, doc) the best
+    // (min) distance and the hit count
+    val byQueryDoc = chunkHits.groupBy(r =>
+      (r.getAs[Long]("q_doc_id"), r.getAs[Long]("q_chunk_id"), r.getAs[Long]("doc_id")))
+    assert(docHits.length === byQueryDoc.size)
+    docHits.foreach { r =>
+      val key = (r.getAs[Long]("q_doc_id"), r.getAs[Long]("q_chunk_id"),
+        r.getAs[Long]("doc_id"))
+      val hs = byQueryDoc(key)
+      assert(r.getAs[Double]("best_d2") === hs.map(_.getAs[Double]("d2")).min,
+        s"$key: best_d2 is not the min chunk distance")
+      assert(r.getAs[Long]("n_chunk_hits") === hs.length.toLong)
+    }
+    // doc ranks dense per query chunk, ordered by (best_d2, doc_id)
+    docHits.groupBy(r => (r.getAs[Long]("q_doc_id"), r.getAs[Long]("q_chunk_id")))
+      .foreach { case (q, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("doc_rank"))
+        assert(sorted.map(_.getAs[Long]("doc_rank")).toSeq ===
+          (1L to rs.length).toSeq, s"$q: doc ranks not dense")
+        val keys = sorted.map(r => (r.getAs[Double]("best_d2"), r.getAs[Long]("doc_id")))
+        assert(keys === keys.sorted, s"$q: docs not ordered by (best_d2, doc_id)")
+      }
+  }
+
   test("ragRetrieve returns provenance spans that lie inside their source documents") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

@@ -148,6 +148,17 @@ class StreamingSpec extends SparkSpec {
     assert(after2.filter(col("doc_id") === 2L && col("dup_store") === 0).count() === 2)
   }
 
+  test("streaming chunk-embed census is invariant to the batch slicing") {
+    // chunk → embed → assign is stateless per document, so slicing the
+    // corpus into 2 vs 5 micro-batches cannot change the drained census
+    // (the invariant that lets the standalone SQL oracle cover every
+    // batch count)
+    val a = StreamOps.streamChunkEmbed(spark, sf0001, nBatches = 2).collect().toSeq
+    val b = StreamOps.streamChunkEmbed(spark, sf0001, nBatches = 5).collect().toSeq
+    assert(a.nonEmpty && a === b,
+      s"chunk-embed census changed with batch slicing: ${a.size} vs ${b.size} rows")
+  }
+
   test("historical-store dedup survivors are invariant to the batch slicing") {
     // the min-doc_id-per-fingerprint survivor set must not depend on HOW
     // the stream is sliced into micro-batches (range order is the only

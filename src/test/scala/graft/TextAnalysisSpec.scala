@@ -286,6 +286,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("withGroupedPrefix equals per-group row_number + exclusive running sum (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sp = spark
+    import sp.implicits._
+    // random row sets with SKEWED group sizes (one group holds most
+    // rows — the shape the device exists for) and duplicate key values
+    // (the unique id is the tie-break, as every caller passes one)
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      nGroups <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, for {
+        hot <- Gen.prob(0.7)
+        g <- if (hot) Gen.const(0) else Gen.choose(0, nGroups - 1)
+        k <- Gen.choose(0, 9) // few distinct keys → real ties
+        v <- Gen.choose(0L, 50L)
+      } yield (g, k, v))
+    } yield rows.zipWithIndex.map { case ((g, k, v), id) =>
+      (s"g$g", k, v, id.toLong)
+    }
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("grp", "key", "value", "id")
+      val got = df.transform(TextAnalysis.withGroupedPrefix(Seq("grp"),
+          "rk", "cum", org.apache.spark.sql.functions.col("value"),
+          org.apache.spark.sql.functions.col("key"),
+          org.apache.spark.sql.functions.col("id")))
+        .collect()
+        .map(r => (r.getAs[Long]("id"),
+          (r.getAs[Long]("rk"), r.getAs[Long]("cum")))).toMap
+      CacheRegistry.release()
+      // brute-force oracle: per group, sort by (key, id), rank = position,
+      // cum = sum of values strictly before
+      val expected = rows.groupBy(_._1).values.flatMap { g =>
+        val sorted = g.sortBy(r => (r._2, r._4))
+        sorted.zipWithIndex.map { case (r, i) =>
+          r._4 -> ((i + 1L, sorted.take(i).map(_._3).sum))
+        }
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDocuments at stride == size produces disjoint cover; bad params rejected") {
     val sp = spark
     import sp.implicits._
