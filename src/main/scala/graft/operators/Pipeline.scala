@@ -102,10 +102,23 @@ object Pipeline {
     * out so compositions ([[pretrain]]) can consume the curated corpus
     * instead of its census.
     */
-  def curatedDocs(documents: DataFrame, repTau: Double = 0.08): DataFrame = {
-    // stage 1+2: boolean gates + repetition cutoff (both per-row passes)
-    val gates = TextAnalysis.gopherRulesUnordered(documents)
-      .filter(col("pass") === 1).select("doc_id")
+  def curatedDocs(documents: DataFrame, repTau: Double = 0.08): DataFrame =
+    curatedDocsWithGates(documents, repTau)._1
+
+  /** [[curatedDocs]] plus the (doc_id, pass) gate frame it computed —
+    * [[pretrain]] feeds the gates to dsirScores so the corpus pays ONE
+    * Gopher pass, not two.
+    */
+  private def curatedDocsWithGates(documents: DataFrame,
+      repTau: Double): (DataFrame, DataFrame) = {
+    // stage 1+2: boolean gates + repetition cutoff (both per-row passes);
+    // the gate frame is persisted because curation and (in pretrain) the
+    // DSIR target labels both consume it
+    val gop = TextAnalysis.gopherRulesUnordered(documents)
+      .select(col("doc_id"), col("pass"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val gates = gop.filter(col("pass") === 1).select("doc_id")
     val rep = TextAnalysis.repetitionSignalsUnordered(documents)
       .filter(col("top_bigram_frac") <= repTau).select("doc_id")
     val kept = documents.join(gates, Seq("doc_id"), "left_semi")
@@ -125,7 +138,8 @@ object Pipeline {
       .select(col("m.id").as("doc_id"))
     val unclustered = kept.select("doc_id")
       .join(comps.select("doc_id"), Seq("doc_id"), "left_anti")
-    kept.join(unclustered.unionByName(best), Seq("doc_id"), "left_semi")
+    (kept.join(unclustered.unionByName(best), Seq("doc_id"), "left_semi"),
+     gop)
   }
 
   /** The PRETRAINING-CORPUS COMPOSITION — the full corpus build a real
@@ -151,11 +165,11 @@ object Pipeline {
     */
   def pretrain(documents: DataFrame, budget: Long = 2048L,
                repTau: Double = 0.08, buckets: Int = 1024): DataFrame = {
-    val curated = curatedDocs(documents, repTau)
+    val (curated, gates) = curatedDocsWithGates(documents, repTau)
     val perDoc = curated
       .select(col("doc_id"), col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
-      .join(TextAnalysis.dsirScores(documents, buckets)
+      .join(TextAnalysis.dsirScores(documents, buckets, Some(gates))
         .select("doc_id", "log_ratio"), Seq("doc_id"))
     val selected = TextAnalysis
       .mixtureSelect(perDoc, TextAnalysis.mixtureRatesPerMille,

@@ -926,9 +926,15 @@ object TextAnalysis {
     * per-document hashed-feature count and the target/raw log-likelihood
     * ratio. See [[dsirWeights]] for the model + scale discussion.
     */
-  def dsirScores(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+  def dsirScores(documents: DataFrame, buckets: Int = 1024,
+                 gatePass: Option[DataFrame] = None): DataFrame = {
+    // gatePass: a precomputed (doc_id, pass) frame — Pipeline.pretrain
+    // already runs the Gopher gates for curation and passes them in, so
+    // the corpus pays ONE gate pass instead of two; None recomputes
+    // (the standalone q_dsir_weights / q_mixture path)
     val feats = documents.repartition(col("doc_id"))
-      .join(gopherRulesUnordered(documents).select(col("doc_id"), col("pass")),
+      .join(gatePass.getOrElse(
+          gopherRulesUnordered(documents).select(col("doc_id"), col("pass"))),
         Seq("doc_id"))
       .withColumn("h",
         pmod(NearDup.md5Hash60(col("doc_id").cast("string")), lit(100)))
