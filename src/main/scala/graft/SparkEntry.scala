@@ -140,6 +140,7 @@ object SparkEntry {
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
+    "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
     "q_ivf_search_filtered" -> ((s, d) =>
       Similarity.ivfSearchFiltered(embeddings(s, d), 20, 10,
@@ -845,6 +846,10 @@ object SparkEntry {
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
+    // the saved-index round-trip must reproduce the inline search bit
+    // for bit (parquet round-trips doubles exactly) — strongest possible
+    // persistence check, so it shares the oracle verbatim
+    "q_ivfpq_saved" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),

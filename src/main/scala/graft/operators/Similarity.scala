@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorMath._
@@ -789,6 +789,113 @@ object Similarity {
            count(lit(1)).as("n_chunk_hits"))
       .withColumn("doc_rank", row_number().over(w).cast("long"))
       .orderBy("q_doc_id", "q_chunk_id", "doc_rank")
+  }
+
+  /** PERSISTED-INDEX build — the missing half of the serving lifecycle:
+    * a production ANN system trains its index OFFLINE, writes the
+    * artifacts, and the serving tier reads them — it never re-derives
+    * codebooks per query. Writes the four artifacts of the composed
+    * IVF-PQ index as parquet under `dir`:
+    *
+    *   cents/  trained coarse codebook (clabel, cvec, cnorm2)
+    *   cells/  vec_id → coarse cell (the inverted lists)
+    *   cb1|cb2/ PQ sub-codebooks per vector half
+    *   codes/  vec_id → (code1, code2)
+    *
+    * Artifact sizes: cents/cb1/cb2 are codebook-sized; cells/codes are
+    * one skinny row per vector (two/three longs) — the 4-byte-per-code
+    * scale economics that make PQ indexes deployable. Doubles
+    * round-trip parquet bit-exactly, so [[searchIvfPqIndex]] over these
+    * files is value-identical to the inline [[ivfPqSearch]] and the
+    * round-trip query shares its oracle.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame, dir: String,
+                      trainIters: Int = 2): Unit = {
+    val cents = trainedCodebook(embeddings, trainIters)
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    assignedVectors(embeddings, cents).select("vec_id", "assigned")
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val base = pqBase(embeddings)
+    val cb1 = subCodebook(base, "e1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb2 = subCodebook(base, "e2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    cb1.write.mode("overwrite").parquet(s"$dir/cb1")
+    cb2.write.mode("overwrite").parquet(s"$dir/cb2")
+    assignHalf(base, "e1", cb1, "code1")
+      .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Serve top-k from a [[buildIvfPqIndex]] directory: probe the saved
+    * coarse codebook, build the per-query ADC tables from the saved
+    * sub-codebooks, and score ONLY the probed cells' members from the
+    * saved codes — the exact candidate/lookup joins of [[ivfPqSearch]],
+    * reading artifacts instead of deriving them. `queries` carries raw
+    * (query_id, embedding) vectors; a query whose id exists in the index
+    * is excluded from its own candidates (self-match guard).
+    */
+  def searchIvfPqIndex(spark: SparkSession, dir: String,
+                       queries: DataFrame, k: Int,
+                       nprobe: Int = 2): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/cents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val cb1 = spark.read.parquet(s"$dir/cb1")
+    val cb2 = spark.read.parquet(s"$dir/cb2")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val d = queries.select(size(col("embedding"))).head().getInt(0)
+    val h = d / 2
+    val q = queries.select(col("query_id"),
+        asDouble(col("embedding")).as("q_emb"),
+        asDouble(slice(col("embedding"), 1, h)).as("q1h"),
+        asDouble(slice(col("embedding"), h + 1, d - h)).as("q2h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val probes = nearestCells(q.select(col("query_id"), col("q_emb")),
+        cents, nprobe)
+      .select(col("query_id"), col("clabel").as("assigned"))
+    def lookup(half: String, cb: DataFrame, qCol: String, cCol: String,
+               out: String): DataFrame =
+      q.select(col("query_id").as(qCol), col(half).as("qh"))
+        .crossJoin(broadcast(cb))
+        .select(col(qCol), col("clabel").as(cCol),
+          (dot(col("qh"), col("qh")) + cellScore(col("qh"))).as(out))
+    val d1 = lookup("q1h", cb1, "q1", "c1", "d1")
+    val d2 = lookup("q2h", cb2, "q2", "c2", "d2")
+    val scored = cells.join(broadcast(probes), Seq("assigned"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("query_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(d1),
+        col("code1") === col("c1") && col("query_id") === col("q1"))
+      .join(broadcast(d2),
+        col("code2") === col("c2") && col("query_id") === col("q2"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-(col("d1") + col("d2"))).as("s"))
+    rankedTopK(scored, k, "est_d2", sc => -sc)
+  }
+
+  /** Oracle-facing lifecycle round-trip: build the index from the
+    * embeddings table into a fresh directory, then serve the standard
+    * query set FROM THE FILES — value-identical to [[ivfPqSearch]], so
+    * it shares q_ivfpq_search's oracle (the strongest possible check
+    * that nothing was lost in the persist/load round-trip).
+    */
+  def ivfPqSavedRoundtrip(spark: SparkSession, sfDir: String,
+                          nQueries: Int = 20, k: Int = 10,
+                          nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb, dir, trainIters)
+    searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
   }
 
   /** Chunk corpus → embeddings-shaped frame (vec_id, label, embedding):

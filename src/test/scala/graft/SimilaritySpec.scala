@@ -398,6 +398,16 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.nonEmpty && sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("saved IVF-PQ index serves results identical to the inline search") {
+    val saved = Similarity.ivfPqSavedRoundtrip(spark, sf0001).collect().toSeq
+    CacheRegistry.release()
+    val inline_ = SparkEntry.queries("q_ivfpq_search")(spark, sf0001)
+      .collect().toSeq
+    CacheRegistry.release()
+    assert(saved.nonEmpty && saved === inline_,
+      s"saved-index search diverged from inline: ${saved.size} vs ${inline_.size} rows")
+  }
+
   test("filtered search: every hit satisfies the predicate, ranks stay dense (filter-then-rank)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
