@@ -141,6 +141,7 @@ object SparkEntry {
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
+    "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
     "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
     "q_ivf_search_filtered" -> ((s, d) =>
       Similarity.ivfSearchFiltered(embeddings(s, d), 20, 10,
@@ -850,6 +851,7 @@ object SparkEntry {
     // for bit (parquet round-trips doubles exactly) — strongest possible
     // persistence check, so it shares the oracle verbatim
     "q_ivfpq_saved" -> ivfPqOracleSql(2, 2),
+    "q_ivfpq_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
@@ -2839,6 +2841,102 @@ object SparkEntry {
 
   private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int): String =
     ivfPqRankedSql(iters, nprobe) + rerankSuffixSql(m)
+
+  /** q_ivfpq_append: frozen-codebook incremental semantics — the coarse
+    * codebook chain and both PQ sub-codebooks train on the vec_id >=
+    * splitId slice ONLY (emb_old / spo), while cells, codes, probes, and
+    * candidates cover the full corpus. Everything else is the
+    * ivfPqRankedFrag chain verbatim.
+    */
+  private def ivfPqAppendOracleSql(iters: Int, nprobe: Int, splitId: Long,
+                                   nq: Long, k: Int): String =
+    s"""WITH emb_old AS (SELECT * FROM embeddings WHERE vec_id >= $splitId),
+       |""".stripMargin +
+      kmeansCentChainFrag(iters, "emb_old", "") +
+      s""",
+         |sp AS (
+         |  SELECT vec_id, label,
+         |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+         |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+         |  FROM embeddings),
+         |spo AS (SELECT sp.* FROM sp WHERE sp.vec_id >= $splitId),
+         |ex1 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+         |           recursive := true)
+         |  FROM spo),
+         |cb1 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex1 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |ex2 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+         |           recursive := true)
+         |  FROM spo),
+         |cb2 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex2 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |a1 AS (
+         |  SELECT vec_id, clabel AS code1 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+         |a2 AS (
+         |  SELECT vec_id, clabel AS code2 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+         |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS pcell
+         |  FROM assignrk WHERE vec_id < $nq AND rk <= $nprobe),
+         |d1 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+         |         list_dot_product(sp.e1, sp.e1)
+         |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < $nq),
+         |d2 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+         |         list_dot_product(sp.e2, sp.e2)
+         |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < $nq),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id
+         |  FROM cells c JOIN probes p ON c.cell = p.pcell
+         |  WHERE c.vec_id <> p.query_id),
+         |est AS (
+         |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+         |  FROM cand
+         |    JOIN codes ON codes.vec_id = cand.vec_id
+         |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
+         |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, est,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+         |  FROM est)
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+         |       round(est, 6) AS est_d2
+         |FROM ranked WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
 
   /** q_rag_e2e: the chunking CTEs (chunkOverlapOracleSql's chain,
     * parameterized), a hash-derived per-chunk embedding (md5-of-

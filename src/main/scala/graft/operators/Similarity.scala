@@ -879,6 +879,55 @@ object Similarity {
     rankedTopK(scored, k, "est_d2", sc => -sc)
   }
 
+  /** INCREMENTAL index update — append WITHOUT retrain, the standard
+    * maintenance mode of a deployed ANN index (retraining quantizers on
+    * every arrival would invalidate all existing codes; systems freeze
+    * the codebooks and re-train offline on drift): new vectors are
+    * assigned to the SAVED coarse codebook and encoded against the SAVED
+    * sub-codebooks, and only the two per-vector artifacts (cells, codes)
+    * grow — codebook artifacts are read, never written.
+    *
+    * Scale shape: one broadcast-argmin pass per quantizer over the new
+    * vectors only; the appends are blind parquet writes. Cost is
+    * new-data-linear and touches nothing existing.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/cents")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    assignedVectors(newVectors, cents).select("vec_id", "assigned")
+      .write.mode("append").parquet(s"$dir/cells")
+    val base = pqBase(newVectors)
+    val cb1 = spark.read.parquet(s"$dir/cb1")
+    val cb2 = spark.read.parquet(s"$dir/cb2")
+    assignHalf(base, "e1", cb1, "code1")
+      .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Oracle-facing incremental round-trip: TRAIN the index on the
+    * vec_id >= `splitId` slice only, APPEND the rest against the frozen
+    * codebooks, then serve the standard query set (which lives entirely
+    * in the appended slice — retrieving it proves the append is live).
+    * The oracle rebuilds the same frozen-codebook semantics: quantizers
+    * from the old slice, cells/codes for everyone.
+    */
+  def ivfPqAppendRoundtrip(spark: SparkSession, sfDir: String,
+                           splitId: Long = 100, nQueries: Int = 20,
+                           k: Int = 10, nprobe: Int = 2,
+                           trainIters: Int = 2): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dir, trainIters)
+    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir)
+    searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+  }
+
   /** Oracle-facing lifecycle round-trip: build the index from the
     * embeddings table into a fresh directory, then serve the standard
     * query set FROM THE FILES — value-identical to [[ivfPqSearch]], so

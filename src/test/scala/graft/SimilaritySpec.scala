@@ -398,6 +398,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.nonEmpty && sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("incremental append freezes the codebooks and serves the appended vectors") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_append_${java.util.UUID.randomUUID().toString.take(8)}"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") >= 100), dir)
+    def cb(): Seq[String] = spark.read.parquet(s"$dir/cb1")
+      .unionByName(spark.read.parquet(s"$dir/cb2"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = cb()
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") < 100), dir)
+    // append must never touch a quantizer — retraining would invalidate
+    // every existing code
+    assert(cb() === before, "append mutated a codebook artifact")
+    // the appended slice is live: its vectors appear in the cells/codes
+    // artifacts and are retrievable (queries live entirely in it)
+    assert(spark.read.parquet(s"$dir/cells")
+      .filter(col("vec_id") < 100).count() === 100)
+    val hits = Similarity.searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding")), 10)
+      .collect()
+    CacheRegistry.release()
+    assert(hits.nonEmpty)
+    hits.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+    }
+  }
+
   test("saved IVF-PQ index serves results identical to the inline search") {
     val saved = Similarity.ivfPqSavedRoundtrip(spark, sf0001).collect().toSeq
     CacheRegistry.release()
