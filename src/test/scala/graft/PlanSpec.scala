@@ -112,6 +112,22 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("saved-index serve plan keeps broadcasts + partial TopK, no cartesian") {
+    // serving from artifacts must not lose the serving-plan economics:
+    // ADC tables and probe lists broadcast, candidates stream, the
+    // TopKAgg keeps its map-side partial — and nothing degenerates into
+    // a cartesian product when the codebooks come from files
+    val p = planText(SparkEntry.queries("q_ivfpq_saved")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      "saved-index serve lost its broadcasts")
+    assert(!p.contains("CartesianProduct"),
+      "saved-index serve degenerated to a cartesian product")
+    val partials = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(partials >= 2,
+      s"$partials ObjectHashAggregate nodes — TopKAgg lost partial aggregation")
+    CacheRegistry.release()
+  }
+
   test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {
     val p = planText(SparkEntry.queries("q_window_topk")(spark, sf0001))
     val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
