@@ -356,32 +356,54 @@ object Warehouse {
   /** The remaining rank-function family (§2.5 completeness next to
     * row_number/lag/frames): dense_rank, percent_rank, cume_dist, and
     * ntile quartiles of order value within each priority class. The
-    * window orders by a total order (price desc, key) so every rank is
-    * deterministic; output restricted to the per-priority top-5 so the
-    * result stays small while every function still exercises real ties
-    * and partition boundaries.
+    * ordering key (price desc, orderkey) is a TOTAL order, so every
+    * rank is deterministic; output restricted to the per-priority top-5
+    * so the result stays small while every function still exercises
+    * real partition boundaries.
     *
-    * Scale note: this query is deliberately the NATIVE-window-surface
-    * demonstration, and its five-class partition key funnels each class
-    * through one window task. At warehouse scale the same values have a
-    * scale-safe derivation: under a total order, dense_rank equals
-    * row_number, percent_rank = (rk−1)/(n−1), cume_dist = rk/n, and
-    * ntile is floor arithmetic over (rk, n) — i.e. everything reduces
-    * to TextAnalysis.withGroupedPrefix's grouped rank plus a group
-    * count, which is how [[topOrdersPerPriority]] now computes its
-    * plain rank.
+    * Scale shape: NO priority-partitioned window — five priority
+    * classes would funnel a fifth of the orders table through one task
+    * (the shape [[topOrdersPerPriority]] cleared in round 8). Under the
+    * total order every rank function is arithmetic over (rk, n): the
+    * row number rk comes from TextAnalysis.withGroupedPrefix (range
+    * exchange + (_pid, group)-local window + census offsets), the group
+    * size n from a 5-row broadcast count join, and then dense_rank = rk
+    * (no order ties exist), percent_rank = (rk−1)/(n−1), cume_dist =
+    * rk/n (rows ≤ current = rk under a total order), and ntile(b) is
+    * the standard first-(n%b)-buckets-get-one-extra floor arithmetic —
+    * exactly the values the native window functions define, computed
+    * without their partition funnel.
     */
   def orderValueRanks(orders: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders
+    val base = orders
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("dense_rk", dense_rank().over(w))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val counts = base.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("_n"))
+    // ntile(4): q = n DIV 4, r = n % 4; the first r buckets hold q+1
+    // rows. greatest(q, 1) guards the (never-taken when q = 0) else
+    // branch against ANSI division-by-zero.
+    base
+      .transform(TextAnalysis.withGroupedPrefix(Seq("o_orderpriority"),
+        "rk", "_cum", lit(0L), col("o_totalprice").desc, col("o_orderkey")))
+      .drop("_cum")
       .filter(col("rk") <= k)
+      .join(broadcast(counts), "o_orderpriority")
+      .withColumn("dense_rk", col("rk"))
+      .withColumn("pct_rank",
+        when(col("_n") === 1, lit(0.0)).otherwise(
+          round((col("rk").cast("double") - lit(1.0)) /
+                (col("_n").cast("double") - lit(1.0)), 6)))
+      .withColumn("cume",
+        round(col("rk").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("quartile", expr(
+        """CASE WHEN rk <= (_n % 4) * (_n DIV 4 + 1)
+          |  THEN (rk - 1) DIV (_n DIV 4 + 1) + 1
+          |  ELSE (_n % 4) + (rk - 1 - (_n % 4) * (_n DIV 4 + 1))
+          |         DIV greatest(_n DIV 4, 1) + 1
+          |END""".stripMargin).cast("long"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rk"), col("dense_rk"), col("pct_rank"), col("cume"),
+        col("quartile"))
       .orderBy("o_orderpriority", "rk")
   }
 

@@ -129,11 +129,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {
-    val p = planText(SparkEntry.queries("q_window_topk")(spark, sf0001))
-    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
-    assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
-      s"q_window_topk: expected only _pid-led windows, got $specs")
-    CacheRegistry.release()
+    // same lock for the full rank-function family: q_window_ranks derives
+    // dense_rank/percent_rank/cume_dist/ntile from (rk, n) arithmetic, so
+    // its plan too must contain only _pid-led window specs — the native
+    // Window.partitionBy(o_orderpriority) funnel must never return
+    for (name <- Seq("q_window_topk", "q_window_ranks")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
+        s"$name: expected only _pid-led windows, got $specs")
+      CacheRegistry.release()
+    }
   }
 
   test("q7 dual-role geography joins broadcast both sides, no cartesian product") {
