@@ -97,7 +97,10 @@ object Bench {
     // a subset, or a non-sf0.1 dir) must NOT clobber the repo's durable
     // 3-rep sf0.1 anchor — a round-8 sf0.001 probe did exactly that —
     // so they divert to a .smoke file unless the caller overrides.
-    val isAnchorRun = reps >= 2 && only.isEmpty && sfDir.endsWith("sf0.1")
+    // normalized path, not a raw suffix check: a trailing slash or an
+    // "xsf0.1"-style sibling dir must not misroute the durable write
+    val isAnchorRun = reps >= 2 && only.isEmpty &&
+      new java.io.File(sfDir).getCanonicalFile.getName == "sf0.1"
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
       val cwd = new java.io.File(".").getCanonicalFile
       val base =

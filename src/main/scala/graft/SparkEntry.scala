@@ -142,6 +142,9 @@ object SparkEntry {
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
+    "q_ivfpq_delete" -> ((s, d) => Similarity.ivfPqDeleteRoundtrip(s, d)),
+    "q_ivfpq_saved_rerank" -> ((s, d) => Similarity.ivfPqSavedRerankRoundtrip(s, d)),
+    "q_ivfpq_saved_filtered" -> ((s, d) => Similarity.ivfPqSavedFilteredRoundtrip(s, d)),
     "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
     "q_ivf_search_filtered" -> ((s, d) =>
       Similarity.ivfSearchFiltered(embeddings(s, d), 20, 10,
@@ -852,7 +855,10 @@ object SparkEntry {
     // persistence check, so it shares the oracle verbatim
     "q_ivfpq_saved" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
+    "q_ivfpq_delete" -> ivfPqDeleteOracleSql(2, 2),
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
+    "q_ivfpq_saved_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
+    "q_ivfpq_saved_filtered" -> ivfPqFilteredRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     "q_rag_docs" -> ragDocsOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
@@ -2810,12 +2816,32 @@ object SparkEntry {
   private def annRerankOracleSql(m: Int): String =
     pqAdcRankedSql + rerankSuffixSql(m)
 
-  private def ivfPqOracleSql(iters: Int, nprobe: Int): String =
-    ivfPqRankedSql(iters, nprobe) +
+  private def ivfPqOracleSql(iters: Int, nprobe: Int,
+                             candPred: String = ""): String =
+    ivfPqRankedSql(iters, nprobe, candPred) +
       """
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(est, 6) AS est_d2
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q_ivfpq_delete: the inline chain over embeddings-minus-deleted —
+    * the SQL twin of the serve path's tombstone anti-join (the deleted
+    * slice is Similarity.ivfPqDeleteRoundtrip's vec_id % 10 = 3 outside
+    * the query set).
+    */
+  private def ivfPqDeleteOracleSql(iters: Int, nprobe: Int): String =
+    ivfPqOracleSql(iters, nprobe,
+      " AND NOT (c.vec_id % 10 = 3 AND c.vec_id >= 20)")
+
+  /** q_ivfpq_saved_filtered: the re-rank chain with the metadata
+    * predicate (even labels) bounding the candidate set — the SQL twin
+    * of the serve path's allowed-id semi-join.
+    */
+  private def ivfPqFilteredRerankOracleSql(iters: Int, nprobe: Int,
+                                           m: Int): String =
+    ivfPqRerankOracleSql(iters, nprobe, m,
+      " AND EXISTS (SELECT 1 FROM embeddings me" +
+        " WHERE me.vec_id = c.vec_id AND me.label % 2 = 0)")
 
   /** Exact re-rank tail shared by q_ann_rerank and q_ivfpq_rerank: the
     * top-m of a `ranked` CTE re-ordered by true squared L2 from the raw
@@ -2839,8 +2865,9 @@ object SparkEntry {
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
        |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
 
-  private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int): String =
-    ivfPqRankedSql(iters, nprobe) + rerankSuffixSql(m)
+  private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int,
+                                   candPred: String = ""): String =
+    ivfPqRankedSql(iters, nprobe, candPred) + rerankSuffixSql(m)
 
   /** q_ivfpq_append: frozen-codebook incremental semantics — the coarse
     * codebook chain and both PQ sub-codebooks train on the vec_id >=
@@ -3060,9 +3087,12 @@ object SparkEntry {
 
   /** The q_ivfpq_search WITH-chain through its (est, neighbor_id)
     * ranking — shared by the emission and the re-rank shortlist.
+    * `candPred` injects an extra candidate-set predicate (the SQL twin
+    * of the serve path's tombstone anti-join / metadata semi-join).
     */
-  private def ivfPqRankedSql(iters: Int, nprobe: Int): String =
-    "WITH " + ivfPqRankedFrag(iters, nprobe, "embeddings", 20L)
+  private def ivfPqRankedSql(iters: Int, nprobe: Int,
+                             candPred: String = ""): String =
+    "WITH " + ivfPqRankedFrag(iters, nprobe, "embeddings", 20L, candPred)
 
   /** [[ivfPqRankedSql]]'s chain with the source relation and the
     * query-id bound as parameters — reused verbatim by q_rag_e2e over
@@ -3070,7 +3100,7 @@ object SparkEntry {
     * can never drift.
     */
   private def ivfPqRankedFrag(iters: Int, nprobe: Int, src: String,
-                              nq: Long): String =
+                              nq: Long, candPred: String = ""): String =
     kmeansCentChainFrag(iters, src, "") +
       s""",
          |sp AS (
@@ -3141,7 +3171,7 @@ object SparkEntry {
          |cand AS (
          |  SELECT p.query_id, c.vec_id
          |  FROM cells c JOIN probes p ON c.cell = p.pcell
-         |  WHERE c.vec_id <> p.query_id),
+         |  WHERE c.vec_id <> p.query_id$candPred),
          |est AS (
          |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
          |  FROM cand

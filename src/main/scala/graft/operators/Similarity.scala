@@ -797,23 +797,39 @@ object Similarity {
     * codebooks per query. Writes the four artifacts of the composed
     * IVF-PQ index as parquet under `dir`:
     *
+    *   meta/   index metadata (vector dimensionality d)
     *   cents/  trained coarse codebook (clabel, cvec, cnorm2)
-    *   cells/  vec_id → coarse cell (the inverted lists)
+    *   cells/  vec_id → (coarse cell, gen) — the inverted lists
     *   cb1|cb2/ PQ sub-codebooks per vector half
-    *   codes/  vec_id → (code1, code2)
+    *   codes/  vec_id → (code1, code2, gen)
     *
-    * Artifact sizes: cents/cb1/cb2 are codebook-sized; cells/codes are
-    * one skinny row per vector (two/three longs) — the 4-byte-per-code
-    * scale economics that make PQ indexes deployable. Doubles
-    * round-trip parquet bit-exactly, so [[searchIvfPqIndex]] over these
-    * files is value-identical to the inline [[ivfPqSearch]] and the
-    * round-trip query shares its oracle.
+    * `gen` is the write generation: 0 at build, the caller's generation
+    * for [[appendToIvfPqIndex]] appends. [[deleteFromIvfPqIndex]]
+    * tombstones are (vec_id, upto_gen) pairs — a tombstone kills every
+    * generation of the id up to and including upto_gen, so an upsert
+    * (tombstone at gen−1 + append at gen) replaces without a rewrite.
+    *
+    * Artifact sizes: meta is one row; cents/cb1/cb2 are codebook-sized;
+    * cells/codes are one skinny row per vector (three/four longs) — the
+    * bytes-per-code scale economics that make PQ indexes deployable.
+    * Doubles round-trip parquet bit-exactly, so [[searchIvfPqIndex]]
+    * over these files is value-identical to the inline [[ivfPqSearch]]
+    * and the round-trip query shares its oracle.
     */
   def buildIvfPqIndex(embeddings: DataFrame, dir: String,
                       trainIters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    // dimensionality is INDEX metadata, fixed at build time — the serve
+    // path must never infer the codebook half-split from whatever query
+    // frame it is handed (an empty one has no head row; a differently-
+    // sized one would silently mis-split the saved sub-codebooks)
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    spark.range(1).select(lit(d).as("d"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
     val cents = trainedCodebook(embeddings, trainIters)
     cents.write.mode("overwrite").parquet(s"$dir/cents")
     assignedVectors(embeddings, cents).select("vec_id", "assigned")
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/cells")
     val base = pqBase(embeddings)
     val cb1 = subCodebook(base, "e1")
@@ -826,6 +842,7 @@ object Similarity {
     cb2.write.mode("overwrite").parquet(s"$dir/cb2")
     assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+      .withColumn("gen", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/codes")
   }
 
@@ -835,19 +852,66 @@ object Similarity {
     * saved codes — the exact candidate/lookup joins of [[ivfPqSearch]],
     * reading artifacts instead of deriving them. `queries` carries raw
     * (query_id, embedding) vectors; a query whose id exists in the index
-    * is excluded from its own candidates (self-match guard).
+    * is excluded from its own candidates (self-match guard). The
+    * half-split comes from the meta artifact, never the query frame.
+    * [[deleteFromIvfPqIndex]] tombstones, when present, are anti-joined
+    * out of the candidate set before any code is scored.
     */
   def searchIvfPqIndex(spark: SparkSession, dir: String,
                        queries: DataFrame, k: Int,
-                       nprobe: Int = 2): DataFrame = {
+                       nprobe: Int = 2): DataFrame =
+    rankedTopK(savedIndexScored(spark, dir, queries, nprobe, None),
+      k, "est_d2", sc => -sc)
+
+  /** The deployed serve plan: [[searchIvfPqIndex]]'s from-files ADC
+    * scoring kept to the top `m` candidates per query, refined by
+    * [[exactRerank]]'s raw-vector fetch against the serving system's
+    * vector store (`vectors`: the raw (vec_id, embedding) table the
+    * index was built from), with an optional metadata predicate
+    * bounding the CANDIDATE set between cell assignment and scoring
+    * (the [[ivfSearchFiltered]] filter-then-rank device — dropping
+    * after the top-k would under-fill k). Queries are the standard
+    * `query_id < nQueries` slice of the vector store.
+    *
+    * Scale shape: everything [[searchIvfPqIndex]] guarantees, plus the
+    * filter is a skinny semi-join on vec_id BEFORE any code is scored
+    * (filtered queries scan strictly fewer rows), and the re-rank
+    * touches |Q|·m raw vectors — the same bounded random-access read as
+    * the inline [[ivfPqRerankSearch]].
+    */
+  def searchIvfPqIndexRerank(spark: SparkSession, dir: String,
+                             vectors: DataFrame, nQueries: Int, k: Int,
+                             m: Int = 30, nprobe: Int = 2,
+                             candidateFilter: Option[Column] = None)
+      : DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val queries = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val allowed = candidateFilter.map(pred =>
+      vectors.filter(pred).select(col("vec_id")))
+    val shortlist =
+      rankedTopK(savedIndexScored(spark, dir, queries, nprobe, allowed),
+        m, "est_d2", sc => -sc)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(shortlist, vectors, nQueries, k)
+  }
+
+  /** From-files ADC scorer shared by the saved-index serves: candidates
+    * from the saved cells (probed cells only, minus tombstones, minus
+    * self-matches, optionally semi-joined to an `allowed` id set),
+    * scored from the saved codes via broadcast per-query lookup tables.
+    */
+  private def savedIndexScored(spark: SparkSession, dir: String,
+                               queries: DataFrame, nprobe: Int,
+                               allowed: Option[DataFrame]): DataFrame = {
     val cents = spark.read.parquet(s"$dir/cents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     val cb1 = spark.read.parquet(s"$dir/cb1")
     val cb2 = spark.read.parquet(s"$dir/cb2")
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = liveRows(spark, dir, s"$dir/cells")
     val codes = spark.read.parquet(s"$dir/codes")
-    val d = queries.select(size(col("embedding"))).head().getInt(0)
+    val d = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val h = d / 2
     val q = queries.select(col("query_id"),
         asDouble(col("embedding")).as("q_emb"),
@@ -866,17 +930,70 @@ object Similarity {
           (dot(col("qh"), col("qh")) + cellScore(col("qh"))).as(out))
     val d1 = lookup("q1h", cb1, "q1", "c1", "d1")
     val d2 = lookup("q2h", cb2, "q2", "c2", "d2")
-    val scored = cells.join(broadcast(probes), Seq("assigned"))
+    val candBase = cells.join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("vec_id"), col("query_id"))
-      .join(codes, "vec_id")
+    val cand = allowed.fold(candBase)(ok =>
+      candBase.join(ok, Seq("vec_id"), "left_semi"))
+    cand
+      .select(col("vec_id"), col("gen"), col("query_id"))
+      .join(codes, Seq("vec_id", "gen"))
       .join(broadcast(d1),
         col("code1") === col("c1") && col("query_id") === col("q1"))
       .join(broadcast(d2),
         col("code2") === col("c2") && col("query_id") === col("q2"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (-(col("d1") + col("d2"))).as("s"))
-    rankedTopK(scored, k, "est_d2", sc => -sc)
+  }
+
+  /** The saved rows of `path` minus any [[deleteFromIvfPqIndex]]
+    * tombstones: a row dies when a tombstone names its vec_id with
+    * upto_gen at or past the row's generation. The tombstone set is
+    * delete-sized, so the anti-join broadcasts.
+    */
+  private def liveRows(spark: SparkSession, dir: String,
+                       path: String): DataFrame = {
+    val rows = spark.read.parquet(path)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombPath)) rows
+    else {
+      val tombs = broadcast(spark.read.parquet(s"$dir/tombstones")
+        .select(col("vec_id").as("_tvid"), col("upto_gen")))
+      rows.join(tombs,
+        col("vec_id") === col("_tvid") && col("gen") <= col("upto_gen"),
+        "left_anti")
+    }
+  }
+
+  /** Index DELETE — the takedown/re-crawl path a production store runs
+    * without rebuilding: append (vec_id, upto_gen) tombstones next to
+    * the per-vector artifacts. The serve path anti-joins them before
+    * scoring; [[compactIvfPqIndex]] folds them into a physical rewrite.
+    * `upto_gen` defaults to killing every existing generation; an
+    * upsert passes gen−1 so its own subsequent append survives.
+    * Cost: one delete-set-sized parquet append, nothing else touched.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, dir: String,
+                           uptoGen: Long = Long.MaxValue): Unit =
+    ids.select(col("vec_id"), lit(uptoGen).as("upto_gen"))
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Index COMPACTION: physically rewrite cells/codes minus the
+    * accumulated tombstones, then drop the tombstone file — the
+    * periodic maintenance that keeps the serve-path anti-join set
+    * bounded. The localCheckpoint materializes the survivor set before
+    * the overwrite reads the files it replaces (the chunk-store upsert
+    * discipline). Serve results are identical before and after.
+    */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit = {
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombPath)) return
+    for (name <- Seq("cells", "codes")) {
+      val kept = liveRows(spark, dir, s"$dir/$name").localCheckpoint()
+      kept.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    fs.delete(tombPath, true)
   }
 
   /** INCREMENTAL index update — append WITHOUT retrain, the standard
@@ -889,21 +1006,42 @@ object Similarity {
     *
     * Scale shape: one broadcast-argmin pass per quantizer over the new
     * vectors only; the appends are blind parquet writes. Cost is
-    * new-data-linear and touches nothing existing.
+    * new-data-linear and touches nothing existing. `gen` stamps the
+    * write generation (pass the batch/epoch number): an upsert is a
+    * [[deleteFromIvfPqIndex]] tombstone at gen−1 plus this append.
     */
-  def appendToIvfPqIndex(newVectors: DataFrame, dir: String): Unit = {
+  def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
+                         gen: Long = 1L): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/cents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     assignedVectors(newVectors, cents).select("vec_id", "assigned")
+      .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$dir/cells")
     val base = pqBase(newVectors)
     val cb1 = spark.read.parquet(s"$dir/cb1")
     val cb2 = spark.read.parquet(s"$dir/cb2")
     assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+      .withColumn("gen", lit(gen))
       .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** A fresh per-run index directory under java.io.tmpdir, registered
+    * for recursive deletion at JVM exit so repeated roundtrip/bench
+    * runs do not leak artifact directories; the full UUID removes the
+    * collision window an 8-char prefix left open.
+    */
+  private def newIndexDir(): String = {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
+        java.util.UUID.randomUUID().toString)
+    val hook = new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Runtime.getRuntime.addShutdownHook(hook)
+    dir.toString
   }
 
   /** Oracle-facing incremental round-trip: TRAIN the index on the
@@ -917,11 +1055,10 @@ object Similarity {
                            splitId: Long = 100, nQueries: Int = 20,
                            k: Int = 10, nprobe: Int = 2,
                            trainIters: Int = 2): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val dir = newIndexDir()
     val emb = graft.Tables.embeddings(spark, sfDir)
     buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dir, trainIters)
-    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir)
+    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir, gen = 1L)
     searchIvfPqIndex(spark, dir,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
@@ -937,14 +1074,69 @@ object Similarity {
   def ivfPqSavedRoundtrip(spark: SparkSession, sfDir: String,
                           nQueries: Int = 20, k: Int = 10,
                           nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val dir = newIndexDir()
     val emb = graft.Tables.embeddings(spark, sfDir)
     buildIvfPqIndex(emb, dir, trainIters)
     searchIvfPqIndex(spark, dir,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")),
       k, nprobe)
+  }
+
+  /** Oracle-facing DELETE round-trip: build from the full embeddings
+    * table, tombstone a deterministic slice (`vec_id % 10 = 3` outside
+    * the query set), and serve — results must equal the inline search
+    * over embeddings-minus-deleted, which is what the oracle computes.
+    * `compact` folds the tombstones into a physical rewrite first; the
+    * result is identical either way (SimilaritySpec asserts both).
+    */
+  def ivfPqDeleteRoundtrip(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 20, k: Int = 10,
+                           nprobe: Int = 2, trainIters: Int = 2,
+                           compact: Boolean = false): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb, dir, trainIters)
+    deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 10 === 3 && col("vec_id") >= nQueries)
+        .select(col("vec_id")),
+      dir)
+    if (compact) compactIvfPqIndex(spark, dir)
+    searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+  }
+
+  /** Oracle-facing serve-parity round-trip: build, then run the
+    * DEPLOYED serve plan from files — ADC shortlist + exact re-rank —
+    * sharing q_ivfpq_rerank's oracle (the from-files chain must lose
+    * nothing vs the inline serving stack).
+    */
+  def ivfPqSavedRerankRoundtrip(spark: SparkSession, sfDir: String,
+                                nQueries: Int = 20, k: Int = 10,
+                                m: Int = 30, nprobe: Int = 2,
+                                trainIters: Int = 2): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb, dir, trainIters)
+    searchIvfPqIndexRerank(spark, dir, emb, nQueries, k, m, nprobe)
+  }
+
+  /** Oracle-facing filtered serve round-trip: the deployed plan with a
+    * metadata predicate (even labels) bounding the candidates between
+    * cell assignment and scoring, then the exact re-rank — the
+    * [[ivfSearchFiltered]] device composed onto the from-files path.
+    */
+  def ivfPqSavedFilteredRoundtrip(spark: SparkSession, sfDir: String,
+                                  nQueries: Int = 20, k: Int = 10,
+                                  m: Int = 30, nprobe: Int = 2,
+                                  trainIters: Int = 2): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb, dir, trainIters)
+    searchIvfPqIndexRerank(spark, dir, emb, nQueries, k, m, nprobe,
+      candidateFilter = Some(col("label") % 2 === 0))
   }
 
   /** Chunk corpus → embeddings-shaped frame (vec_id, label, embedding):

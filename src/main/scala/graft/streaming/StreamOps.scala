@@ -1100,8 +1100,13 @@ object StreamOps {
     * rewritten (survivors = bucket members anti-joined on the batch's
     * doc_ids), dynamic partition overwrite leaves other buckets alone,
     * and the localCheckpoint materializes the merge before the write
-    * reads the files it replaces. Idempotent on crash-replay (the
-    * re-run anti-joins its own chunks out and rewrites the same rows).
+    * reads the files it replaces. The STORAGE merge is idempotent on
+    * crash-replay (the re-run anti-joins its own chunks out and
+    * rewrites the same (doc_id, chunk_id) rows); the dup_store flags are
+    * at-least-once, not exactly-once — they reflect whatever store state
+    * the attempt observed, so a replay that finds the crashed attempt's
+    * same-batch sibling docs already landed can flag a shared-hash chunk
+    * the uninterrupted run would not have.
     *
     * 100 TB shape: rewrite cost scales with the touched buckets, not the
     * store; the dup-flag join is a hash shuffle on the 16-byte

@@ -117,15 +117,19 @@ class PlanSpec extends SparkSpec {
     // ADC tables and probe lists broadcast, candidates stream, the
     // TopKAgg keeps its map-side partial — and nothing degenerates into
     // a cartesian product when the codebooks come from files
-    val p = planText(SparkEntry.queries("q_ivfpq_saved")(spark, sf0001))
-    assert(p.contains("BroadcastExchange"),
-      "saved-index serve lost its broadcasts")
-    assert(!p.contains("CartesianProduct"),
-      "saved-index serve degenerated to a cartesian product")
-    val partials = "ObjectHashAggregate".r.findAllIn(p).size
-    assert(partials >= 2,
-      s"$partials ObjectHashAggregate nodes — TopKAgg lost partial aggregation")
-    CacheRegistry.release()
+    // q_ivfpq_saved_rerank is the DEPLOYED serve plan (shortlist + exact
+    // re-rank from files) — it must keep the same economics
+    for (name <- Seq("q_ivfpq_saved", "q_ivfpq_saved_rerank")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(p.contains("BroadcastExchange"),
+        s"$name: saved-index serve lost its broadcasts")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: saved-index serve degenerated to a cartesian product")
+      val partials = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(partials >= 2,
+        s"$name: $partials ObjectHashAggregate nodes — TopKAgg lost partial aggregation")
+      CacheRegistry.release()
+    }
   }
 
   test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {

@@ -437,6 +437,67 @@ class SimilaritySpec extends SparkSpec {
       s"saved-index search diverged from inline: ${saved.size} vs ${inline_.size} rows")
   }
 
+  test("index delete: tombstoned ids never surface, results survive compaction") {
+    // two independent round-trips (training is deterministic, so the
+    // rebuilt artifacts are identical): one served through the tombstone
+    // anti-join, one after the physical compaction — same results
+    val served = Similarity.ivfPqDeleteRoundtrip(spark, sf0001).collect().toSeq
+    CacheRegistry.release()
+    val compacted = Similarity.ivfPqDeleteRoundtrip(spark, sf0001, compact = true)
+      .collect().toSeq
+    CacheRegistry.release()
+    assert(served.nonEmpty && served === compacted,
+      "tombstone-served and compacted results diverged")
+    served.foreach { r =>
+      val nid = r.getAs[Long]("neighbor_id")
+      assert(!(nid % 10 == 3 && nid >= 20),
+        s"deleted id $nid surfaced in the serve results")
+    }
+  }
+
+  test("compaction physically drops tombstoned rows and clears the tombstone set") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_delete_${java.util.UUID.randomUUID()}"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfPqIndex(emb, dir)
+    val total = spark.read.parquet(s"$dir/cells").count()
+    val del = emb.filter(col("vec_id") % 10 === 3 && col("vec_id") >= 20)
+      .select(col("vec_id"))
+    val nDel = del.count()
+    Similarity.deleteFromIvfPqIndex(del, dir)
+    assert(new java.io.File(s"$dir/tombstones").exists(),
+      "delete wrote no tombstone artifact")
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction left the tombstone set behind")
+    for (name <- Seq("cells", "codes")) {
+      val kept = spark.read.parquet(s"$dir/$name")
+      assert(kept.count() === total - nDel, s"$name not physically compacted")
+      assert(kept.filter(col("vec_id") % 10 === 3 && col("vec_id") >= 20).count() === 0,
+        s"$name still holds deleted rows after compaction")
+    }
+    CacheRegistry.release()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("saved-index re-rank serve equals the inline serving stack; filtered serve honors the predicate") {
+    val saved = Similarity.ivfPqSavedRerankRoundtrip(spark, sf0001).collect().toSeq
+    CacheRegistry.release()
+    val inline_ = SparkEntry.queries("q_ivfpq_rerank")(spark, sf0001).collect().toSeq
+    CacheRegistry.release()
+    assert(saved.nonEmpty && saved === inline_,
+      s"from-files re-rank diverged from inline: ${saved.size} vs ${inline_.size} rows")
+    val filtered = Similarity.ivfPqSavedFilteredRoundtrip(spark, sf0001).collect()
+    CacheRegistry.release()
+    val labelOf = Tables.embeddings(spark, sf0001).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filtered.nonEmpty)
+    filtered.foreach { r =>
+      assert(labelOf(r.getAs[Long]("neighbor_id")) % 2 === 0,
+        s"odd-labeled neighbor leaked through the from-files filtered serve")
+    }
+  }
+
   test("filtered search: every hit satisfies the predicate, ranks stay dense (filter-then-rank)") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf0001)
