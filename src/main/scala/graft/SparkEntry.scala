@@ -218,6 +218,7 @@ object SparkEntry {
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
     "q_stream_chunk_upsert" -> ((s, d) => streaming.StreamOps.streamChunkUpsert(s, d)),
     "q_stream_chunk_embed" -> ((s, d) => streaming.StreamOps.streamChunkEmbed(s, d)),
+    "q_stream_index_append" -> ((s, d) => streaming.StreamOps.streamIndexUpsert(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -935,6 +936,9 @@ object SparkEntry {
     // range-staged batches "earlier batch" is (doc_id - lo) // span, and
     // the revision batch (last) saw every original
     "q_stream_chunk_upsert" -> chunkUpsertOracleSql(3, 64, 48),
+    // streamed maintenance must equal the one-shot batch append: same
+    // frozen-codebook oracle as q_ivfpq_append
+    "q_stream_index_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
     // streaming chunk→embed→assign ingest is stateless per document, so
     // the drained census is bit-identical to the batch chunk-embedding
     // assignment the standalone SQL rebuilds

@@ -830,7 +830,7 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/cents")
     assignedVectors(embeddings, cents).select("vec_id", "assigned")
       .withColumn("gen", lit(0L))
-      .write.mode("overwrite").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$dir/cells")
     val base = pqBase(embeddings)
     val cb1 = subCodebook(base, "e1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -843,7 +843,7 @@ object Similarity {
     assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
       .withColumn("gen", lit(0L))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$dir/codes")
   }
 
   /** Serve top-k from a [[buildIvfPqIndex]] directory: probe the saved
@@ -991,7 +991,7 @@ object Similarity {
     if (!fs.exists(tombPath)) return
     for (name <- Seq("cells", "codes")) {
       val kept = liveRows(spark, dir, s"$dir/$name").localCheckpoint()
-      kept.write.mode("overwrite").parquet(s"$dir/$name")
+      kept.write.mode("overwrite").partitionBy("gen").parquet(s"$dir/$name")
     }
     fs.delete(tombPath, true)
   }
@@ -1008,7 +1008,11 @@ object Similarity {
     * vectors only; the appends are blind parquet writes. Cost is
     * new-data-linear and touches nothing existing. `gen` stamps the
     * write generation (pass the batch/epoch number): an upsert is a
-    * [[deleteFromIvfPqIndex]] tombstone at gen−1 plus this append.
+    * [[deleteFromIvfPqIndex]] tombstone at gen−1 plus this append. The
+    * write lands in the gen=N partition directory via dynamic partition
+    * overwrite, so a crash-replayed append of the same generation
+    * rewrites the same rows instead of duplicating them — the same
+    * idempotent-sink discipline as the streaming batch=N dirs.
     */
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
                          gen: Long = 1L): Unit = {
@@ -1018,14 +1022,16 @@ object Similarity {
       .transform(graft.CacheRegistry.track)
     assignedVectors(newVectors, cents).select("vec_id", "assigned")
       .withColumn("gen", lit(gen))
-      .write.mode("append").parquet(s"$dir/cells")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen").parquet(s"$dir/cells")
     val base = pqBase(newVectors)
     val cb1 = spark.read.parquet(s"$dir/cb1")
     val cb2 = spark.read.parquet(s"$dir/cb2")
     assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
       .withColumn("gen", lit(gen))
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen").parquet(s"$dir/codes")
   }
 
   /** A fresh per-run index directory under java.io.tmpdir, registered

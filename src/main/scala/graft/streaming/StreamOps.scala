@@ -1208,6 +1208,71 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** STREAMING INDEX MAINTENANCE — the loop that keeps a persisted
+    * IVF-PQ index fresh as vectors arrive: the index is built OFFLINE on
+    * the historical slice (vec_id >= splitId), then each micro-batch of
+    * new vectors is UPSERTED against the frozen saved codebooks — a
+    * [[graft.operators.Similarity.deleteFromIvfPqIndex]] tombstone at
+    * gen−1 (kills any earlier delivery of the same ids, a no-op for
+    * first deliveries) plus a
+    * [[graft.operators.Similarity.appendToIvfPqIndex]] at gen = batch+1.
+    * A final staged batch RE-DELIVERS every third streamed id (the
+    * re-crawl), so replace-not-duplicate is exercised, not just claimed.
+    *
+    * Served census after the drain = the frozen-codebook search over the
+    * full corpus — exactly q_ivfpq_append's semantics, so the two share
+    * an oracle: the streamed maintenance path must lose nothing vs the
+    * one-shot batch append.
+    *
+    * 100 TB shape: per batch, one broadcast-argmin pass per quantizer
+    * over the BATCH only, a batch-sized tombstone append, and a gen=N
+    * dynamic-partition write (idempotent on crash replay — a re-run
+    * rewrites its own generation directory; re-appended tombstone rows
+    * are harmless duplicates). Codebook-sized driver state only; the
+    * serve-side tombstone set is bounded by delivered-twice ids until
+    * [[graft.operators.Similarity.compactIvfPqIndex]] folds it away.
+    */
+  def streamIndexUpsert(spark: SparkSession, sfDir: String,
+                        splitId: Long = 100, nBatches: Int = 3,
+                        nQueries: Int = 20, k: Int = 10,
+                        nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // offline build on the historical slice; the stream maintains the rest
+    val fresh = emb.filter(col("vec_id") < splitId)
+    val root = stageRanges(fresh, "vec_id", nBatches)
+    val indexDir = s"$root/index"
+    graft.operators.Similarity.buildIvfPqIndex(
+      emb.filter(col("vec_id") >= splitId), indexDir, trainIters)
+    // stage the re-delivery batch after the ranges (mtime order = replay
+    // order): every third streamed id arrives again, same embedding
+    val stagedir = s"$root/redeliver"
+    fresh.filter(col("vec_id") % 3 === 0).coalesce(1).write.parquet(stagedir)
+    val listing = Files.list(Paths.get(stagedir))
+    val part =
+      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      finally listing.close()
+    val target = Paths.get(s"$root/src/range$nBatches.parquet")
+    Files.move(Paths.get(part), target)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1000000000000L + nBatches * 60000L))
+    runStagedBatches(spark, emb.schema, s"$root/src", s"$root/ck") {
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val gen = batchId + 1
+          graft.operators.Similarity.deleteFromIvfPqIndex(
+            batch.select("vec_id"), indexDir, uptoGen = gen - 1)
+          graft.operators.Similarity.appendToIvfPqIndex(batch, indexDir, gen)
+        }
+    }
+    graft.operators.Similarity.searchIvfPqIndex(spark, indexDir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

@@ -148,6 +148,44 @@ class StreamingSpec extends SparkSpec {
     assert(after2.filter(col("doc_id") === 2L && col("dup_store") === 0).count() === 2)
   }
 
+  test("streaming index upsert freezes codebooks and replaces re-delivered ids (one live row each)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = tempDir("idx_upsert")
+    operators.Similarity.buildIvfPqIndex(emb.filter(col("vec_id") >= 100), dir)
+    def cb(): Seq[String] = spark.read.parquet(s"$dir/cb1")
+      .unionByName(spark.read.parquet(s"$dir/cb2"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = cb()
+    // the streamIndexUpsert loop body, driven directly: two range batches
+    // then a re-delivery of every third streamed id
+    val batches = Seq(
+      emb.filter(col("vec_id") < 50),
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100),
+      emb.filter(col("vec_id") < 100 && col("vec_id") % 3 === 0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val gen = i + 1L
+      operators.Similarity.deleteFromIvfPqIndex(b.select("vec_id"), dir,
+        uptoGen = gen - 1)
+      operators.Similarity.appendToIvfPqIndex(b, dir, gen)
+    }
+    assert(cb() === before, "stream upsert mutated a codebook artifact")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val tombs = spark.read.parquet(s"$dir/tombstones")
+      .select(col("vec_id").as("tv"), col("upto_gen"))
+    val live = cells.join(tombs,
+      col("vec_id") === col("tv") && col("gen") <= col("upto_gen"),
+      "left_anti").filter(col("vec_id") < 100)
+    // replace, not append: every streamed id has exactly one live row
+    assert(live.count() === 100)
+    assert(live.groupBy("vec_id").count().filter(col("count") =!= 1).count() === 0,
+      "a streamed id has more than one live cells row")
+    // the re-delivered ids live at the re-delivery generation
+    assert(live.filter(col("vec_id") % 3 === 0 && col("gen") =!= 3).count() === 0,
+      "a re-delivered id still serves an earlier generation")
+    CacheRegistry.release()
+  }
+
   test("streaming chunk-embed census is invariant to the batch slicing") {
     // chunk → embed → assign is stateless per document, so slicing the
     // corpus into 2 vs 5 micro-batches cannot change the drained census
