@@ -17,6 +17,24 @@ object Bench {
     // plan, so per-query numbers stay honest.
     spark.range(1 << 20).selectExpr("sum(id) as s", "count(distinct id % 1000) as d")
       .write.format("noop").mode("overwrite").save()
+    // table warm-up, also untimed: scan every benchmark table once plus
+    // one trivial real query, so parquet-footer reads, OS page-cache
+    // population, and first-scan codegen land OUTSIDE the measurements.
+    // Driver-side 1-rep captures have twice mis-priced whole rounds
+    // (r7 +8%, r8 +89% phantom) purely on cold-start cost; after this
+    // pass even a REPS=1 run measures warm scans, like the medians do.
+    for (t <- Seq(Tables.region _, Tables.nation _, Tables.customer _,
+                  Tables.supplier _, Tables.part _, Tables.orders _,
+                  Tables.lineitem _, Tables.events _, Tables.documents _,
+                  Tables.embeddings _))
+      try t(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup scan failed: ${e.getMessage}")
+      }
+    try SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case scala.util.control.NonFatal(_) => () }
+    spark.catalog.clearCache()
     // noop sink materializes every projected column through the whole plan
     // (a bare count() would let Catalyst prune expression work). Cache is
     // cleared between queries so each timing is isolated: persisted

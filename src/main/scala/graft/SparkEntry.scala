@@ -112,6 +112,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(documents(s, d), 0.08)),
     "q_pipeline_pretrain" -> ((s, d) => Pipeline.pretrain(documents(s, d))),
+    "q_pretrain_manifest" -> ((s, d) => Pipeline.pretrainManifest(documents(s, d))),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
@@ -786,6 +787,7 @@ object SparkEntry {
           |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
           |FROM final GROUP BY 1 ORDER BY lang""".stripMargin),
     "q_pipeline_pretrain" -> pretrainOracleSql(2048L),
+    "q_pretrain_manifest" -> pretrainManifestOracleSql(2048L),
     // PQ code census: two independent argmin assignments on the vector
     // halves against each half's label-centroid sub-codebook
     "q_pq_encode" ->
@@ -2583,6 +2585,29 @@ object SparkEntry {
     * per (split, lang) → per-(split, lang) sequence/doc/token census.
     */
   private def pretrainOracleSql(budget: Long): String =
+    pretrainPackedFrag +
+      s"""
+         |SELECT split, lang, count(DISTINCT cb // $budget) AS n_bins,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens
+         |FROM packed GROUP BY 1,2 ORDER BY split, lang""".stripMargin
+
+  /** q_pretrain_manifest: the packed chain projected to the training-
+    * consumable rows — (split, lang, bin, bin_offset, doc_id, n_tok).
+    */
+  private def pretrainManifestOracleSql(budget: Long): String =
+    pretrainPackedFrag +
+      s"""
+         |SELECT split, lang, CAST(cb // $budget AS BIGINT) AS bin,
+         |       CAST(cb % $budget AS BIGINT) AS bin_offset, doc_id, n_tok
+         |FROM packed ORDER BY doc_id""".stripMargin
+
+  /** The pretrain chain through packing — curate, mixture selection,
+    * split, and the per-(split, lang) exclusive token prefix `cb` —
+    * shared by the census (q_pipeline_pretrain) and the manifest
+    * (q_pretrain_manifest) so the two can never drift.
+    */
+  private def pretrainPackedFrag: String =
     "WITH RECURSIVE " + curateChainFrag + ",\n" +
       mixtureChainFrag("final") +
       s""",
@@ -2597,13 +2622,10 @@ object SparkEntry {
          |         ELSE 'test' END AS split
          |  FROM pd),
          |packed AS (
-         |  SELECT split, lang, n_tok,
+         |  SELECT split, lang, doc_id, n_tok,
          |    coalesce(sum(n_tok) OVER (PARTITION BY split, lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $budget AS bin
-         |  FROM spl)
-         |SELECT split, lang, count(DISTINCT bin) AS n_bins, count(*) AS n_docs,
-         |       CAST(sum(n_tok) AS BIGINT) AS tokens
-         |FROM packed GROUP BY 1,2 ORDER BY split, lang""".stripMargin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM spl)""".stripMargin
 
   /** CTEs base..final of the curation chain (q_pipeline_curate stages
     * 1-3: Gopher gates → repetition cutoff → best-copy-per-cluster) over

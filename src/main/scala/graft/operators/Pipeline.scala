@@ -164,7 +164,40 @@ object Pipeline {
     * sort is the final ORDER BY (PlanSpec-locked).
     */
   def pretrain(documents: DataFrame, budget: Long = 2048L,
-               repTau: Double = 0.08, buckets: Int = 1024): DataFrame = {
+               repTau: Double = 0.08, buckets: Int = 1024): DataFrame =
+    pretrainPacked(documents, budget, repTau, buckets)
+      .groupBy("split", "lang")
+      .agg(countDistinct(col("bin")).as("n_bins"),
+           count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("tokens"))
+      .orderBy("split", "lang")
+
+  /** The PACKED-SEQUENCE MANIFEST — what a training run actually
+    * consumes: one row per selected document giving its bin (packed
+    * sequence id) and token offset within the bin, per (split, lang).
+    * A pure projection of [[pretrainPacked]]: the grouped-prefix output
+    * already carries cum_before, so bin = cum_before DIV budget and
+    * bin_offset = cum_before % budget — no new machinery, no extra
+    * pass. Conservation (every selected doc in exactly one bin, census
+    * = manifest roll-up) is spec-locked against [[pretrain]].
+    */
+  def pretrainManifest(documents: DataFrame, budget: Long = 2048L,
+                       repTau: Double = 0.08,
+                       buckets: Int = 1024): DataFrame =
+    pretrainPacked(documents, budget, repTau, buckets)
+      .select(col("split"), col("lang"),
+        col("bin").cast("long").as("bin"),
+        expr(s"cum_before % $budget").cast("long").as("bin_offset"),
+        col("doc_id"), col("n_tok"))
+      .orderBy("doc_id")
+
+  /** Stages 1-4 of [[pretrain]] through packing, one row per SELECTED
+    * document with (split, lang, doc_id, n_tok, cum_before, bin) —
+    * shared by the census ([[pretrain]]) and the training-consumable
+    * manifest ([[pretrainManifest]]).
+    */
+  private def pretrainPacked(documents: DataFrame, budget: Long,
+                             repTau: Double, buckets: Int): DataFrame = {
     val (curated, gates) = curatedDocsWithGates(documents, repTau)
     val perDoc = curated
       .select(col("doc_id"), col("source"), col("lang"),
@@ -185,10 +218,5 @@ object Pipeline {
       .transform(TextAnalysis.withGroupedPrefix(Seq("split", "lang"),
         "_rk", "cum_before", col("n_tok"), col("doc_id")))
       .withColumn("bin", expr(s"cum_before DIV $budget"))
-      .groupBy("split", "lang")
-      .agg(countDistinct(col("bin")).as("n_bins"),
-           count(lit(1)).as("n_docs"),
-           sum(col("n_tok")).as("tokens"))
-      .orderBy("split", "lang")
   }
 }

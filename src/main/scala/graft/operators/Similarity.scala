@@ -733,22 +733,35 @@ object Similarity {
                   nprobe: Int = 2, trainIters: Int = 2,
                   size: Int = 64, stride: Int = 48,
                   dims: Int = 8, nLabels: Int = 8,
-                  nQueryDocs: Int = 10): DataFrame =
+                  nQueryDocs: Int = 10,
+                  encoder: Option[DataFrame => DataFrame] = None): DataFrame =
     ragRetrieveUnordered(documents, k, m, nprobe, trainIters, size, stride,
-      dims, nLabels, nQueryDocs)
+      dims, nLabels, nQueryDocs, encoder)
       .orderBy("q_doc_id", "q_chunk_id", "rank")
 
-  /** Unordered form for composition ([[ragDocRetrieve]]). */
+  /** Unordered form for composition ([[ragDocRetrieve]]).
+    *
+    * `encoder` is the EMBEDDING SEAM: a chunks-frame → (vec_id, label,
+    * embedding) transform (the same injection pattern as the Kinesis
+    * source seam). None means the hash-derived stand-in
+    * ([[chunkEmbeddingsFrom]]); a real learned encoder drops in here
+    * without touching anything downstream — the index build, the
+    * serving chain, and the provenance join never see which encoder
+    * produced the vectors.
+    */
   private[graft] def ragRetrieveUnordered(documents: DataFrame, k: Int,
       m: Int, nprobe: Int, trainIters: Int, size: Int, stride: Int,
-      dims: Int, nLabels: Int, nQueryDocs: Int): DataFrame = {
+      dims: Int, nLabels: Int, nQueryDocs: Int,
+      encoder: Option[DataFrame => DataFrame] = None): DataFrame = {
     val chunks = graft.operators.TextAnalysis
       .chunkDocumentsUnordered(documents, size, stride)
       .withColumn("vec_id",
         col("doc_id") * lit(1000000L) + col("chunk_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    val emb = chunkEmbeddingsFrom(chunks, dims, nLabels)
+    val emb = encoder
+      .getOrElse((c: DataFrame) => chunkEmbeddingsFrom(c, dims, nLabels))
+      .apply(chunks)
     val hits = ivfPqRerankSearch(emb, nQueries = nQueryDocs * 1000000,
       k = k, m = m, nprobe = nprobe, trainIters = trainIters)
     val prov = chunks.select(col("vec_id").as("nid"), col("doc_id"),

@@ -519,6 +519,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("RAG encoder seam: a swapped deterministic encoder flows end-to-end") {
+    import org.apache.spark.sql.{DataFrame => DF}
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val default = Similarity.ragRetrieve(docs).collect().toSeq
+    CacheRegistry.release()
+    // a genuinely different encoder — component-wise negation of the
+    // stand-in. Negation cancels in every pairwise dot product, so the
+    // retrieval must be BIT-identical: a strong check that the seam
+    // carries the whole serving chain and nothing is hardwired to the
+    // default encoder
+    val negated: DF => DF = chunks =>
+      Similarity.chunkEmbeddingsFrom(chunks, 8, 8)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+    val viaSeam = Similarity.ragRetrieve(docs, encoder = Some(negated))
+      .collect().toSeq
+    CacheRegistry.release()
+    assert(viaSeam.nonEmpty && viaSeam === default,
+      s"negated-encoder retrieval diverged: ${viaSeam.size} vs ${default.size} rows")
+  }
+
   test("ragDocRetrieve collapses chunk hits to parent docs consistently") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)

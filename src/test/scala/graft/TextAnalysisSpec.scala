@@ -230,6 +230,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("pretrain manifest conserves the census: every selected doc in exactly one bin") {
+    import graft.operators.Pipeline
+    val docs = Tables.documents(spark, sf0001)
+    val manifest = Pipeline.pretrainManifest(docs).collect()
+    CacheRegistry.release()
+    val census = Pipeline.pretrain(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_bins"), r.getAs[Long]("n_docs"), r.getAs[Long]("tokens")))
+      .toMap
+    CacheRegistry.release()
+    assert(manifest.nonEmpty)
+    // exactly one manifest row per selected doc
+    val ids = manifest.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length, "a doc appears in two bins")
+    // offsets stay inside the budget and the census is the manifest's
+    // roll-up — same bins, same docs, same tokens
+    manifest.foreach { r =>
+      val off = r.getAs[Long]("bin_offset")
+      assert(off >= 0 && off < 2048L, s"bin_offset $off outside the budget")
+    }
+    val rolled = manifest.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> (rs.map(_.getAs[Long]("bin")).distinct.length.toLong,
+              rs.length.toLong, rs.map(_.getAs[Long]("n_tok")).sum)
+      }
+    assert(rolled === census, "manifest roll-up diverged from the census")
+  }
+
   test("chunkDocuments: count law, overlap law, and tail-chunk length") {
     val sp = spark
     import sp.implicits._
