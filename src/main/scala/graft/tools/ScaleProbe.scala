@@ -128,6 +128,43 @@ object ScaleProbe {
     // faster than it
     time("ann_rerank")(graft.operators.Similarity
       .pqRerankSearch(ampEmb, 20, 10, m = 30).count())
+    // round-9 persisted-index lifecycle at N× vectors: build once, then
+    // every serve variant over the same artifacts. Serve cost is bounded
+    // by nprobe × cell occupancy (linear in corpus); the tombstone
+    // anti-join is delete-set-sized; the FILTERED serve must not exceed
+    // the unfiltered one (it scans strictly fewer candidate rows);
+    // compaction is one linear rewrite; append is new-data-linear.
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_probe_idx_" +
+      java.util.UUID.randomUUID().toString
+    val queries = ampEmb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    time("idx_build") {
+      graft.operators.Similarity.buildIvfPqIndex(ampEmb, idxDir); 0L
+    }
+    time("idx_serve")(graft.operators.Similarity
+      .searchIvfPqIndex(spark, idxDir, queries, 10).count())
+    time("idx_serve_rerank")(graft.operators.Similarity
+      .searchIvfPqIndexRerank(spark, idxDir, ampEmb, 20, 10).count())
+    time("idx_serve_filtered")(graft.operators.Similarity
+      .searchIvfPqIndexRerank(spark, idxDir, ampEmb, 20, 10,
+        candidateFilter = Some(col("label") % 2 === 0)).count())
+    time("idx_delete_serve") {
+      graft.operators.Similarity.deleteFromIvfPqIndex(
+        ampEmb.filter(col("vec_id") % 10 === 3 && col("vec_id") >= 20)
+          .select("vec_id"), idxDir)
+      graft.operators.Similarity.searchIvfPqIndex(spark, idxDir, queries, 10)
+        .count()
+    }
+    time("idx_compact") {
+      graft.operators.Similarity.compactIvfPqIndex(spark, idxDir); 0L
+    }
+    time("idx_append") {
+      graft.operators.Similarity.appendToIvfPqIndex(
+        emb.select((col("vec_id") + lit(factor.toLong * m)).as("vec_id"),
+          col("embedding"), col("label")),
+        idxDir, gen = 2L); 0L
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }
 }
