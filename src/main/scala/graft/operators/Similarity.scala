@@ -812,7 +812,12 @@ object Similarity {
     *
     *   meta/   index metadata (vector dimensionality d)
     *   cents/  trained coarse codebook (clabel, cvec, cnorm2)
-    *   cells/  vec_id → (coarse cell, gen) — the inverted lists
+    *   cells/  vec_id → (coarse cell, label, gen) — the inverted lists,
+    *           carrying the vector's filterable metadata (label) the way
+    *           production vector stores inline filter attributes next to
+    *           the postings: a metadata predicate then prunes candidates
+    *           as a pushed-down scan filter, no join against an external
+    *           metadata table at serve time
     *   cb1|cb2/ PQ sub-codebooks per vector half
     *   codes/  vec_id → (code1, code2, gen)
     *
@@ -841,7 +846,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/meta")
     val cents = trainedCodebook(embeddings, trainIters)
     cents.write.mode("overwrite").parquet(s"$dir/cents")
-    assignedVectors(embeddings, cents).select("vec_id", "assigned")
+    assignedVectors(embeddings, cents).select("vec_id", "assigned", "label")
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$dir/cells")
     val base = pqBase(embeddings)
@@ -886,11 +891,18 @@ object Similarity {
     * after the top-k would under-fill k). Queries are the standard
     * `query_id < nQueries` slice of the vector store.
     *
+    * The predicate evaluates against the CELLS artifact, which carries
+    * the vector's filterable metadata (label) inline — so the filter is
+    * a pushed-down scan predicate on the inverted lists, not a join
+    * against an external metadata table: filtered serves scan strictly
+    * fewer rows AND add zero shuffles (the 16× ScaleProbe caught the
+    * earlier semi-join formulation costing more than the rows it
+    * removed at small scale).
+    *
     * Scale shape: everything [[searchIvfPqIndex]] guarantees, plus the
-    * filter is a skinny semi-join on vec_id BEFORE any code is scored
-    * (filtered queries scan strictly fewer rows), and the re-rank
-    * touches |Q|·m raw vectors — the same bounded random-access read as
-    * the inline [[ivfPqRerankSearch]].
+    * per-row candidate predicate, and the re-rank touches |Q|·m raw
+    * vectors — the same bounded random-access read as the inline
+    * [[ivfPqRerankSearch]].
     */
   def searchIvfPqIndexRerank(spark: SparkSession, dir: String,
                              vectors: DataFrame, nQueries: Int, k: Int,
@@ -900,10 +912,9 @@ object Similarity {
     require(m >= k, s"shortlist m=$m must be >= k=$k")
     val queries = vectors.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    val allowed = candidateFilter.map(pred =>
-      vectors.filter(pred).select(col("vec_id")))
     val shortlist =
-      rankedTopK(savedIndexScored(spark, dir, queries, nprobe, allowed),
+      rankedTopK(
+        savedIndexScored(spark, dir, queries, nprobe, candidateFilter),
         m, "est_d2", sc => -sc)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(shortlist, vectors, nQueries, k)
@@ -911,12 +922,13 @@ object Similarity {
 
   /** From-files ADC scorer shared by the saved-index serves: candidates
     * from the saved cells (probed cells only, minus tombstones, minus
-    * self-matches, optionally semi-joined to an `allowed` id set),
-    * scored from the saved codes via broadcast per-query lookup tables.
+    * self-matches, minus rows failing the optional metadata predicate —
+    * evaluated per-row on the cells scan), scored from the saved codes
+    * via broadcast per-query lookup tables.
     */
   private def savedIndexScored(spark: SparkSession, dir: String,
                                queries: DataFrame, nprobe: Int,
-                               allowed: Option[DataFrame]): DataFrame = {
+                               candFilter: Option[Column]): DataFrame = {
     val cents = spark.read.parquet(s"$dir/cents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
@@ -943,11 +955,10 @@ object Similarity {
           (dot(col("qh"), col("qh")) + cellScore(col("qh"))).as(out))
     val d1 = lookup("q1h", cb1, "q1", "c1", "d1")
     val d2 = lookup("q2h", cb2, "q2", "c2", "d2")
-    val candBase = cells.join(broadcast(probes), Seq("assigned"))
+    val candBase = candFilter.fold(cells)(cells.filter)
+      .join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
-    val cand = allowed.fold(candBase)(ok =>
-      candBase.join(ok, Seq("vec_id"), "left_semi"))
-    cand
+    candBase
       .select(col("vec_id"), col("gen"), col("query_id"))
       .join(codes, Seq("vec_id", "gen"))
       .join(broadcast(d1),
@@ -1033,7 +1044,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/cents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    assignedVectors(newVectors, cents).select("vec_id", "assigned")
+    assignedVectors(newVectors, cents).select("vec_id", "assigned", "label")
       .withColumn("gen", lit(gen))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen").parquet(s"$dir/cells")
