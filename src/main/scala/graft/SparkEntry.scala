@@ -141,6 +141,7 @@ object SparkEntry {
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
+    "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
     "q_ivfpq_delete" -> ((s, d) => Similarity.ivfPqDeleteRoundtrip(s, d)),
@@ -864,6 +865,9 @@ object SparkEntry {
     "q_ivfpq_saved_filtered" -> ivfPqFilteredRerankOracleSql(2, 2, 30),
     "q_ivfpq_residual" -> ivfPqResidualOracleSql(2, 2),
     "q_rag_e2e" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
+    // the from-artifacts RAG serve is value-identical to the inline
+    // chain — the strongest round-trip check, same oracle verbatim
+    "q_rag_saved" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     "q_rag_docs" -> ragDocsOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     // filtered search: candidates restricted to even labels BEFORE the
     // top-k (filter-then-rank); queries unfiltered

@@ -764,6 +764,15 @@ object Similarity {
       .apply(chunks)
     val hits = ivfPqRerankSearch(emb, nQueries = nQueryDocs * 1000000,
       k = k, m = m, nprobe = nprobe, trainIters = trainIters)
+    ragProvenance(hits, chunks)
+  }
+
+  /** The provenance tail shared by the inline and from-artifacts RAG
+    * serves: hits joined back to the chunk table for (doc_id, chunk_id,
+    * start_tok, n_tok) spans, query ids split into (q_doc_id,
+    * q_chunk_id). A skinny broadcast-sized (|Q|·k) hash join.
+    */
+  private def ragProvenance(hits: DataFrame, chunks: DataFrame): DataFrame = {
     val prov = chunks.select(col("vec_id").as("nid"), col("doc_id"),
       col("chunk_id"), col("start_tok"), col("n_tok"))
     hits.join(prov, col("neighbor_id") === col("nid"))
@@ -772,6 +781,40 @@ object Similarity {
         pmod(col("query_id"), lit(1000000L)).as("q_chunk_id"),
         col("rank"), col("doc_id"), col("chunk_id"),
         col("start_tok"), col("n_tok"), col("d2"))
+  }
+
+  /** The DEPLOYED RAG stack end-to-end FROM ARTIFACTS — the composition
+    * a retrieval deployment actually runs, chaining every lifecycle
+    * piece this library provides: chunk the corpus, embed (the
+    * [[ragRetrieve]] encoder stand-in), build the persisted IVF-PQ
+    * index to files ([[buildIvfPqIndex]]), then serve the query chunks
+    * through the from-files shortlist + exact re-rank
+    * ([[searchIvfPqIndexRerank]]) and attach provenance. Shares
+    * q_rag_e2e's oracle verbatim: the from-artifacts RAG serve must
+    * lose nothing vs the inline chain — the q_ivfpq_saved_rerank
+    * round-trip statement lifted to the whole RAG plan.
+    */
+  def ragSavedRoundtrip(documents: DataFrame, k: Int = 5, m: Int = 15,
+                        nprobe: Int = 2, trainIters: Int = 2,
+                        size: Int = 64, stride: Int = 48,
+                        dims: Int = 8, nLabels: Int = 8,
+                        nQueryDocs: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocumentsUnordered(documents, size, stride)
+      .withColumn("vec_id",
+        col("doc_id") * lit(1000000L) + col("chunk_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val emb = chunkEmbeddingsFrom(chunks, dims, nLabels)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val dir = newIndexDir()
+    buildIvfPqIndex(emb, dir, trainIters)
+    val hits = searchIvfPqIndexRerank(spark, dir, emb,
+      nQueries = nQueryDocs * 1000000, k = k, m = m, nprobe = nprobe)
+    ragProvenance(hits, chunks)
+      .orderBy("q_doc_id", "q_chunk_id", "rank")
   }
 
   /** PARENT-DOCUMENT retrieval — the standard RAG post-step over chunk

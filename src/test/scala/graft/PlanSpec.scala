@@ -102,14 +102,20 @@ class PlanSpec extends SparkSpec {
   test("rag retrieval keeps the serving-plan shape: broadcasts + partial TopK") {
     // the chunk-level RAG stack must inherit ivfPqRerankSearch's plan:
     // codebooks/probes/queries broadcast, both TopKAgg stages (ADC
-    // shortlist m, exact top-k) keeping their map-side partials
-    val p = planText(SparkEntry.queries("q_rag_e2e")(spark, sf0001))
-    assert(p.contains("BroadcastExchange"),
-      "rag plan lost its broadcasts (codebooks / probe lists / query vectors)")
-    val partials = "ObjectHashAggregate".r.findAllIn(p).size
-    assert(partials >= 4,
-      s"$partials ObjectHashAggregate nodes — a TopKAgg stage lost partial aggregation")
-    CacheRegistry.release()
+    // shortlist m, exact top-k) keeping their map-side partials — and
+    // the from-artifacts serve (q_rag_saved) must keep the same shape
+    // reading files instead of deriving codebooks
+    for (name <- Seq("q_rag_e2e", "q_rag_saved")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(p.contains("BroadcastExchange"),
+        s"$name: rag plan lost its broadcasts (codebooks / probe lists / query vectors)")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: rag plan degenerated to a cartesian product")
+      val partials = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(partials >= 4,
+        s"$name: $partials ObjectHashAggregate nodes — a TopKAgg stage lost partial aggregation")
+      CacheRegistry.release()
+    }
   }
 
   test("saved-index serve plan keeps broadcasts + partial TopK, no cartesian") {
