@@ -916,12 +916,16 @@ object Similarity {
     * is excluded from its own candidates (self-match guard). The
     * half-split comes from the meta artifact, never the query frame.
     * [[deleteFromIvfPqIndex]] tombstones, when present, are anti-joined
-    * out of the candidate set before any code is scored.
+    * out of the candidate set before any code is scored, and an
+    * optional `candidateFilter` predicate over the cells artifact's
+    * inline metadata prunes candidates on the scan (same device as
+    * [[searchIvfPqIndexRerank]], for serves that skip the re-rank).
     */
   def searchIvfPqIndex(spark: SparkSession, dir: String,
                        queries: DataFrame, k: Int,
-                       nprobe: Int = 2): DataFrame =
-    rankedTopK(savedIndexScored(spark, dir, queries, nprobe, None),
+                       nprobe: Int = 2,
+                       candidateFilter: Option[Column] = None): DataFrame =
+    rankedTopK(savedIndexScored(spark, dir, queries, nprobe, candidateFilter),
       k, "est_d2", sc => -sc)
 
   /** The deployed serve plan: [[searchIvfPqIndex]]'s from-files ADC
