@@ -221,6 +221,7 @@ object SparkEntry {
     "q_stream_chunk_upsert" -> ((s, d) => streaming.StreamOps.streamChunkUpsert(s, d)),
     "q_stream_chunk_embed" -> ((s, d) => streaming.StreamOps.streamChunkEmbed(s, d)),
     "q_stream_index_append" -> ((s, d) => streaming.StreamOps.streamIndexUpsert(s, d)),
+    "q_stream_rag_fresh" -> ((s, d) => streaming.StreamOps.streamRagFresh(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -945,6 +946,8 @@ object SparkEntry {
     // streamed maintenance must equal the one-shot batch append: same
     // frozen-codebook oracle as q_ivfpq_append
     "q_stream_index_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
+    "q_stream_rag_fresh" ->
+      ragFrozenOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10, 100L),
     // streaming chunk→embed→assign ingest is stateless per document, so
     // the drained census is bit-identical to the batch chunk-embedding
     // assignment the standalone SQL rebuilds
@@ -3114,6 +3117,125 @@ object SparkEntry {
          |       CAST(row_number() OVER (PARTITION BY q_doc_id, q_chunk_id
          |         ORDER BY best_d2, doc_id) AS BIGINT) AS doc_rank
          |FROM byd ORDER BY q_doc_id, q_chunk_id, doc_rank""".stripMargin
+
+  /** q_stream_rag_fresh: the RAG chain with FROZEN-codebook semantics —
+    * coarse codebook and both PQ sub-codebooks trained ONLY on the
+    * historical chunk slice (vec_id >= splitDoc·10⁶), while codes,
+    * cells, probes, and candidates cover every chunk (the streamed docs
+    * included). The q_ivfpq_append device lifted to the chunk corpus,
+    * with q_rag_e2e's re-rank + provenance tail.
+    */
+  private def ragFrozenOracleSql(iters: Int, nprobe: Int, m: Int, k: Int,
+                                 size: Int, stride: Int, dims: Int,
+                                 nLabels: Int, nQueryDocs: Int,
+                                 splitDoc: Long): String = {
+    val nq = nQueryDocs * 1000000L
+    val splitVec = splitDoc * 1000000L
+    "WITH " + chunkEmbFrag(size, stride, dims, nLabels) +
+      s""",
+         |cembold AS (SELECT * FROM cemb WHERE vec_id >= $splitVec),
+         |""".stripMargin +
+      kmeansCentChainFrag(iters, "cembold", "") +
+      s""",
+         |sp AS (
+         |  SELECT vec_id, label,
+         |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
+         |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
+         |  FROM cemb),
+         |spo AS (SELECT sp.* FROM sp WHERE sp.vec_id >= $splitVec),
+         |ex1 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e1[i]} for i in range(1, len(e1)+1)],
+         |           recursive := true)
+         |  FROM spo),
+         |cb1 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex1 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |ex2 AS (
+         |  SELECT label,
+         |    unnest([{'dim': i-1, 'val': e2[i]} for i in range(1, len(e2)+1)],
+         |           recursive := true)
+         |  FROM spo),
+         |cb2 AS (
+         |  SELECT label AS clabel, list(mean_val ORDER BY dim) AS c
+         |  FROM (SELECT label, dim,
+         |          CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
+         |        FROM ex2 GROUP BY 1,2)
+         |  GROUP BY 1),
+         |a1 AS (
+         |  SELECT vec_id, clabel AS code1 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb1 c) WHERE rk = 1),
+         |a2 AS (
+         |  SELECT vec_id, clabel AS code2 FROM (
+         |    SELECT sp.vec_id, c.clabel,
+         |           row_number() OVER (PARTITION BY sp.vec_id ORDER BY
+         |             -2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c),
+         |             c.clabel) AS rk
+         |    FROM sp CROSS JOIN cb2 c) WHERE rk = 1),
+         |codes AS (SELECT vec_id, code1, code2 FROM a1 JOIN a2 USING (vec_id)),
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM cemb e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, clabel AS pcell
+         |  FROM assignrk WHERE vec_id < $nq AND rk <= $nprobe),
+         |d1 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+         |         list_dot_product(sp.e1, sp.e1)
+         |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < $nq),
+         |d2 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+         |         list_dot_product(sp.e2, sp.e2)
+         |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < $nq),
+         |cand AS (
+         |  SELECT p.query_id, c.vec_id
+         |  FROM cells c JOIN probes p ON c.cell = p.pcell
+         |  WHERE c.vec_id <> p.query_id),
+         |est AS (
+         |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+         |  FROM cand
+         |    JOIN codes ON codes.vec_id = cand.vec_id
+         |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
+         |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, est,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+         |  FROM est),
+         |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
+         |rexact AS (
+         |  SELECT rcand.query_id, rcand.neighbor_id,
+         |         (list_dot_product(q.embedding, q.embedding)
+         |            - 2.0 * list_dot_product(q.embedding, v.embedding))
+         |           + list_dot_product(v.embedding, v.embedding) AS d2
+         |  FROM rcand
+         |    JOIN cemb q ON q.vec_id = rcand.query_id
+         |    JOIN cemb v ON v.vec_id = rcand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM rexact)
+         |SELECT rr.query_id // 1000000 AS q_doc_id, rr.query_id % 1000000 AS q_chunk_id,
+         |       CAST(rr.rk AS BIGINT) AS rank, c.doc_id, c.chunk_id,
+         |       c.start_tok, c.n_tok, round(rr.d2, 6) AS d2
+         |FROM rr JOIN cemb c ON c.vec_id = rr.neighbor_id
+         |WHERE rr.rk <= $k ORDER BY q_doc_id, q_chunk_id, rank""".stripMargin
+  }
 
   /** The q_ivfpq_search WITH-chain through its (est, neighbor_id)
     * ranking — shared by the emission and the re-rank shortlist.

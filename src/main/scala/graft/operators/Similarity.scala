@@ -772,7 +772,8 @@ object Similarity {
     * start_tok, n_tok) spans, query ids split into (q_doc_id,
     * q_chunk_id). A skinny broadcast-sized (|Q|·k) hash join.
     */
-  private def ragProvenance(hits: DataFrame, chunks: DataFrame): DataFrame = {
+  private[graft] def ragProvenance(hits: DataFrame,
+                                   chunks: DataFrame): DataFrame = {
     val prov = chunks.select(col("vec_id").as("nid"), col("doc_id"),
       col("chunk_id"), col("start_tok"), col("n_tok"))
     hits.join(prov, col("neighbor_id") === col("nid"))

@@ -1273,6 +1273,73 @@ object StreamOps {
       k, nprobe)
   }
 
+  /** STREAMING RAG FRESHNESS end-to-end at CHUNK granularity — the loop
+    * a live retrieval deployment runs: the persisted IVF-PQ index is
+    * built OFFLINE over the chunk embeddings of the historical corpus
+    * (doc_id >= splitDoc); then documents arrive in micro-batches and
+    * each batch is chunked at ingest, embedded (the shared
+    * [[graft.operators.Similarity.chunkEmbeddingsFrom]] law), and
+    * UPSERTED into the index against the frozen saved codebooks
+    * (tombstone at gen−1 + append at gen — [[streamIndexUpsert]]'s
+    * discipline at chunk granularity). After the drain, RAG queries
+    * (the chunks of the first nQueryDocs documents — which themselves
+    * ARRIVED VIA THE STREAM) are served from the updated artifacts
+    * through the from-files shortlist + exact re-rank, with provenance.
+    *
+    * The oracle rebuilds the same frozen-codebook semantics in SQL:
+    * quantizers trained on the historical chunk slice only, cells/codes
+    * over every chunk — retrieving the streamed docs' chunks proves the
+    * index is fresh; hash-matching proves the streamed maintenance path
+    * equals a one-shot frozen-codebook batch build.
+    *
+    * 100 TB shape: per batch, chunking/embedding are map-only over the
+    * batch, the upsert is batch-sized (broadcast-argmin + gen=N
+    * dynamic-partition write), and the serve is the bounded
+    * nprobe × cell scan — nothing in the loop touches the accumulated
+    * corpus except the delete-set-sized tombstone anti-join.
+    */
+  def streamRagFresh(spark: SparkSession, sfDir: String,
+                     splitDoc: Long = 100, nBatches: Int = 3,
+                     k: Int = 5, m: Int = 15, nprobe: Int = 2,
+                     trainIters: Int = 2, size: Int = 64, stride: Int = 48,
+                     dims: Int = 8, nLabels: Int = 8,
+                     nQueryDocs: Int = 10): DataFrame = {
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sfDir)
+    def embOf(d: DataFrame): DataFrame =
+      Similarity.chunkEmbeddingsFrom(
+        TextAnalysis.chunkDocumentsUnordered(d, size, stride)
+          .withColumn("vec_id",
+            col("doc_id") * lit(1000000L) + col("chunk_id")),
+        dims, nLabels)
+    val root = stageRanges(
+      docs.filter(col("doc_id") < splitDoc).select("doc_id", "text"),
+      "doc_id", nBatches)
+    val indexDir = s"$root/index"
+    Similarity.buildIvfPqIndex(
+      embOf(docs.filter(col("doc_id") >= splitDoc)), indexDir, trainIters)
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val emb = embOf(batch).persist()
+        val gen = batchId + 1
+        Similarity.deleteFromIvfPqIndex(emb.select("vec_id"), indexDir,
+          uptoGen = gen - 1)
+        Similarity.appendToIvfPqIndex(emb, indexDir, gen)
+        emb.unpersist()
+        ()
+      }
+    }
+    val allChunks = TextAnalysis.chunkDocumentsUnordered(docs, size, stride)
+      .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val vectors = Similarity.chunkEmbeddingsFrom(allChunks, dims, nLabels)
+    val hits = Similarity.searchIvfPqIndexRerank(spark, indexDir, vectors,
+      nQueries = nQueryDocs * 1000000, k = k, m = m, nprobe = nprobe)
+    Similarity.ragProvenance(hits, allChunks)
+      .orderBy("q_doc_id", "q_chunk_id", "rank")
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

@@ -186,6 +186,25 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("streaming RAG freshness: streamed docs are retrievable from the updated index") {
+    val hits = StreamOps.streamRagFresh(spark, sf0001).collect()
+    CacheRegistry.release()
+    assert(hits.nonEmpty)
+    // the query docs themselves arrived via the stream (doc_id < splitDoc)
+    assert(hits.forall(_.getAs[Long]("q_doc_id") < 100))
+    // freshness: the serve must surface STREAMED chunks, not just the
+    // offline-built slice — at least one retrieved neighbor is a
+    // streamed document's chunk
+    assert(hits.exists(_.getAs[Long]("doc_id") < 100),
+      "no streamed doc retrievable — the upsert loop left the index stale")
+    hits.groupBy(r =>
+      (r.getAs[Long]("q_doc_id"), r.getAs[Long]("q_chunk_id"))).foreach {
+      case (q, rs) =>
+        val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+        assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+    }
+  }
+
   test("streaming chunk-embed census is invariant to the batch slicing") {
     // chunk → embed → assign is stateless per document, so slicing the
     // corpus into 2 vs 5 micro-batches cannot change the drained census
