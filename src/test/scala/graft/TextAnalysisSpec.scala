@@ -358,6 +358,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("orderValueRanks' (rk, n) arithmetic equals the native rank functions (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // the oracle only exercises the top-5 slice of five groups; this
+    // locks the dense_rank/percent_rank/cume_dist/ntile derivations
+    // against the native window functions for ARBITRARY group sizes —
+    // including n = 1 (percent_rank guard), n < 4 (ntile remainder
+    // buckets), and heavy price ties (orderkey is the tie-break)
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      rows <- Gen.listOfN(n, for {
+        p <- Gen.choose(1, 5)
+        price <- Gen.choose(0, 12) // few distinct prices → real ties
+      } yield (s"$p-PRIO", price.toDouble))
+    } yield rows.zipWithIndex.map { case ((p, pr), id) => (p, id.toLong, pr) }
+    val prop = Prop.forAll(gen) { rows =>
+      val df = rows.toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+      val got = operators.Warehouse.orderValueRanks(df, k = 1000)
+        .collect()
+        .map(r => r.getAs[Long]("o_orderkey") ->
+          ((r.getAs[Long]("rk"), r.getAs[Long]("dense_rk"),
+            r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"),
+            r.getAs[Long]("quartile")))).toMap
+      CacheRegistry.release()
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val ref = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("dense_rk", dense_rank().over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .collect()
+        .map(r => r.getAs[Long]("o_orderkey") ->
+          ((r.getAs[Long]("rk"), r.getAs[Long]("dense_rk"),
+            r.getAs[Double]("pct_rank"), r.getAs[Double]("cume"),
+            r.getAs[Long]("quartile")))).toMap
+      got == ref
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("chunkDocuments at stride == size produces disjoint cover; bad params rejected") {
     val sp = spark
     import sp.implicits._
