@@ -1306,37 +1306,57 @@ object StreamOps {
                      nQueryDocs: Int = 10): DataFrame = {
     import graft.operators.{Similarity, TextAnalysis}
     val docs = graft.Tables.documents(spark, sfDir)
-    def embOf(d: DataFrame): DataFrame =
-      Similarity.chunkEmbeddingsFrom(
-        TextAnalysis.chunkDocumentsUnordered(d, size, stride)
-          .withColumn("vec_id",
-            col("doc_id") * lit(1000000L) + col("chunk_id")),
-        dims, nLabels)
+    // chunk rows WITH their embedding — the chunk-VECTOR-store row a
+    // serving tier owns: raw vector for exact re-rank, span for
+    // provenance. The serve below reads THIS store, it never re-chunks
+    // or re-encodes the corpus (with a real encoder that would be a
+    // full inference pass per query batch).
+    def storeRowsOf(d: DataFrame): DataFrame = {
+      val chunks = TextAnalysis.chunkDocumentsUnordered(d, size, stride)
+        .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id"))
+      Similarity.chunkEmbeddingsFrom(chunks, dims, nLabels)
+        .join(chunks.select("vec_id", "doc_id", "chunk_id",
+          "start_tok", "n_tok"), "vec_id")
+    }
     val root = stageRanges(
       docs.filter(col("doc_id") < splitDoc).select("doc_id", "text"),
       "doc_id", nBatches)
     val indexDir = s"$root/index"
-    Similarity.buildIvfPqIndex(
-      embOf(docs.filter(col("doc_id") >= splitDoc)), indexDir, trainIters)
+    val storeDir = s"$root/vecstore"
+    // offline: historical slice → index artifacts + its vector-store rows
+    val init = storeRowsOf(docs.filter(col("doc_id") >= splitDoc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    Similarity.buildIvfPqIndex(init, indexDir, trainIters)
+    init.write.mode("overwrite").parquet(s"$storeDir/batch=init")
+    // each arriving batch: chunk + embed at ingest, upsert the INDEX
+    // (frozen codebooks, tombstone at gen−1 + append at gen) and land
+    // the batch's store rows in an idempotent batch=N dir. Batches here
+    // are disjoint doc ranges; a re-crawl world would rewrite the
+    // touched store buckets instead — chunkUpsertBatch's device, owned
+    // by q_stream_chunk_upsert.
     runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
       if (!batch.isEmpty) {
-        val emb = embOf(batch).persist()
+        val rows = storeRowsOf(batch).persist()
         val gen = batchId + 1
-        Similarity.deleteFromIvfPqIndex(emb.select("vec_id"), indexDir,
+        Similarity.deleteFromIvfPqIndex(rows.select("vec_id"), indexDir,
           uptoGen = gen - 1)
-        Similarity.appendToIvfPqIndex(emb, indexDir, gen)
-        emb.unpersist()
+        Similarity.appendToIvfPqIndex(rows, indexDir, gen)
+        rows.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+        rows.unpersist()
         ()
       }
     }
-    val allChunks = TextAnalysis.chunkDocumentsUnordered(docs, size, stride)
-      .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id"))
+    // serve FROM THE ARTIFACTS: queries, re-rank vectors, and
+    // provenance all come from the accumulated store + saved index
+    val store = spark.read.parquet(storeDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    val vectors = Similarity.chunkEmbeddingsFrom(allChunks, dims, nLabels)
-    val hits = Similarity.searchIvfPqIndexRerank(spark, indexDir, vectors,
+    val hits = Similarity.searchIvfPqIndexRerank(spark, indexDir,
+      store.select("vec_id", "label", "embedding"),
       nQueries = nQueryDocs * 1000000, k = k, m = m, nprobe = nprobe)
-    Similarity.ragProvenance(hits, allChunks)
+    Similarity.ragProvenance(hits,
+        store.select("vec_id", "doc_id", "chunk_id", "start_tok", "n_tok"))
       .orderBy("q_doc_id", "q_chunk_id", "rank")
   }
 
