@@ -156,6 +156,7 @@ object SparkEntry {
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
+    "q_xml_roundtrip" -> ((s, d) => sources.Formats.xmlRoundtrip(events(s, d))),
     "q_orc_roundtrip" -> ((s, d) => sources.Formats.orcRoundtrip(events(s, d))),
     "q_schema_evolution" -> ((s, d) => sources.Formats.schemaEvolutionCensus(events(s, d))),
     "q_stream_quarantine" -> ((s, d) => streaming.StreamOps.streamQuarantine(s, d)),
@@ -1523,6 +1524,14 @@ object SparkEntry {
         |FROM iv JOIN b ON b.us >= iv.start_us AND b.us < iv.end_us
         |GROUP BY 1 ORDER BY interval_id""".stripMargin,
     "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // lossless round-trip ⇒ the XML census equals the CSV census —
+    // both oracles read the ORIGINAL events table
+    "q_xml_roundtrip" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,

@@ -70,6 +70,32 @@ object Formats {
       .orderBy("event_type")
   }
 
+  /** XML round-trip (Spark 4's BUILT-IN xml source — the spark-xml
+    * donation): events → <event> row elements under one root → typed
+    * read with rowTag → the same per-type census as [[csvRoundtrip]],
+    * so the two share an oracle. Doubles cross as shortest-form text
+    * and parse back exactly (the CSV device); ts crosses as unix
+    * micros because XML, like CSV, has no timestamp type.
+    */
+  def xmlRoundtrip(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val dir = freshDir("xml")
+    val out = events.select(
+      col("event_id"), unix_micros(col("ts")).as("us"),
+      col("user_id"), col("event_type"), col("value"))
+    out.repartition(col("event_id")).write.format("xml")
+      .option("rootTag", "events").option("rowTag", "event").save(dir)
+    val schema = StructType(out.schema.fields)
+    spark.read.format("xml").option("rowTag", "event").schema(schema)
+      .load(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("event_id")).as("n_ids"),
+           min(col("us")).as("first_us"), max(col("us")).as("last_us"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** ORC round-trip: native types survive, partitioned by event_type so
     * the read-back scan prunes like any columnar warehouse table.
     */
