@@ -124,8 +124,12 @@ class PlanSpec extends SparkSpec {
     // TopKAgg keeps its map-side partial — and nothing degenerates into
     // a cartesian product when the codebooks come from files
     // q_ivfpq_saved_rerank is the DEPLOYED serve plan (shortlist + exact
-    // re-rank from files) — it must keep the same economics
-    for (name <- Seq("q_ivfpq_saved", "q_ivfpq_saved_rerank")) {
+    // re-rank from files); the delete-served and filtered variants must
+    // keep the same economics — in particular the tombstone anti-join
+    // (broadcast nested-loop, delete-set-sized) and the pushed-down
+    // metadata predicate must not degenerate into a cartesian product
+    for (name <- Seq("q_ivfpq_saved", "q_ivfpq_saved_rerank",
+                     "q_ivfpq_delete", "q_ivfpq_saved_filtered")) {
       val p = planText(SparkEntry.queries(name)(spark, sf0001))
       assert(p.contains("BroadcastExchange"),
         s"$name: saved-index serve lost its broadcasts")
