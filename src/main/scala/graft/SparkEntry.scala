@@ -148,6 +148,7 @@ object SparkEntry {
     "q_ivfpq_saved_rerank" -> ((s, d) => Similarity.ivfPqSavedRerankRoundtrip(s, d)),
     "q_ivfpq_saved_filtered" -> ((s, d) => Similarity.ivfPqSavedFilteredRoundtrip(s, d)),
     "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
+    "q_rag_saved_docs" -> ((s, d) => Similarity.ragSavedDocRetrieve(documents(s, d))),
     "q_ivf_search_filtered" -> ((s, d) =>
       Similarity.ivfSearchFiltered(embeddings(s, d), 20, 10,
         org.apache.spark.sql.functions.col("label") % 2 === 0)),
@@ -871,6 +872,9 @@ object SparkEntry {
     // chain — the strongest round-trip check, same oracle verbatim
     "q_rag_saved" -> ragOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     "q_rag_docs" -> ragDocsOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
+    // from-artifacts chunk hits are value-identical to inline, so the
+    // parent-document collapse shares q_rag_docs' oracle
+    "q_rag_saved_docs" -> ragDocsOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10),
     // filtered search: candidates restricted to even labels BEFORE the
     // top-k (filter-then-rank); queries unfiltered
     "q_ivf_search_filtered" ->

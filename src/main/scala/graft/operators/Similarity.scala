@@ -799,7 +799,15 @@ object Similarity {
                         nprobe: Int = 2, trainIters: Int = 2,
                         size: Int = 64, stride: Int = 48,
                         dims: Int = 8, nLabels: Int = 8,
-                        nQueryDocs: Int = 10): DataFrame = {
+                        nQueryDocs: Int = 10): DataFrame =
+    ragSavedUnordered(documents, k, m, nprobe, trainIters, size, stride,
+      dims, nLabels, nQueryDocs)
+      .orderBy("q_doc_id", "q_chunk_id", "rank")
+
+  /** Unordered form for composition ([[ragSavedDocRetrieve]]). */
+  private def ragSavedUnordered(documents: DataFrame, k: Int, m: Int,
+      nprobe: Int, trainIters: Int, size: Int, stride: Int,
+      dims: Int, nLabels: Int, nQueryDocs: Int): DataFrame = {
     val spark = documents.sparkSession
     val chunks = graft.operators.TextAnalysis
       .chunkDocumentsUnordered(documents, size, stride)
@@ -815,7 +823,28 @@ object Similarity {
     val hits = searchIvfPqIndexRerank(spark, dir, emb,
       nQueries = nQueryDocs * 1000000, k = k, m = m, nprobe = nprobe)
     ragProvenance(hits, chunks)
-      .orderBy("q_doc_id", "q_chunk_id", "rank")
+  }
+
+  /** Parent-document retrieval over the FROM-ARTIFACTS serve — the
+    * [[ragDocRetrieve]] collapse composed onto [[ragSavedRoundtrip]]'s
+    * chain, completing the from-artifacts family: shares q_rag_docs'
+    * oracle (the from-files chunk hits are value-identical to inline,
+    * so their collapse is too).
+    */
+  def ragSavedDocRetrieve(documents: DataFrame, k: Int = 5, m: Int = 15,
+                          nprobe: Int = 2, trainIters: Int = 2,
+                          size: Int = 64, stride: Int = 48,
+                          dims: Int = 8, nLabels: Int = 8,
+                          nQueryDocs: Int = 10): DataFrame = {
+    val w = Window.partitionBy("q_doc_id", "q_chunk_id")
+      .orderBy(col("best_d2"), col("doc_id"))
+    ragSavedUnordered(documents, k, m, nprobe, trainIters, size, stride,
+        dims, nLabels, nQueryDocs)
+      .groupBy("q_doc_id", "q_chunk_id", "doc_id")
+      .agg(min(col("d2")).as("best_d2"),
+           count(lit(1)).as("n_chunk_hits"))
+      .withColumn("doc_rank", row_number().over(w).cast("long"))
+      .orderBy("q_doc_id", "q_chunk_id", "doc_rank")
   }
 
   /** PARENT-DOCUMENT retrieval — the standard RAG post-step over chunk
@@ -1022,8 +1051,8 @@ object Similarity {
     * upto_gen at or past the row's generation. The tombstone set is
     * delete-sized, so the anti-join broadcasts.
     */
-  private def liveRows(spark: SparkSession, dir: String,
-                       path: String): DataFrame = {
+  private[graft] def liveRows(spark: SparkSession, dir: String,
+                              path: String): DataFrame = {
     val rows = spark.read.parquet(path)
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

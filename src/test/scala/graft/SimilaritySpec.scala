@@ -480,6 +480,56 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("tombstone algebra: live rows equal the reference under random append/delete sequences (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // 12 deterministic vectors; each case builds gen-0 artifacts, then
+    // applies a random interleaving of appends (rising gens, arbitrary
+    // id subsets — including re-appends, the upsert shape) and deletes
+    // (arbitrary ids, arbitrary upto_gen). The live set must equal the
+    // reference: (id, gen) written minus any (id, gen <= upto_gen)
+    val base = (0L until 12L).map(i =>
+      (i, (i % 3).toInt, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toDouble / 10.0)))
+      .toDF("vec_id", "label", "embedding")
+    val opGen = Gen.listOfN(4, for {
+      isDelete <- Gen.prob(0.4)
+      ids <- Gen.nonEmptyListOf(Gen.choose(0L, 11L)).map(_.distinct)
+      upto <- Gen.choose(0L, 4L)
+    } yield (isDelete, ids, upto))
+    val prop = Prop.forAll(opGen) { ops =>
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_tombprop_${java.util.UUID.randomUUID()}"
+      Similarity.buildIvfPqIndex(base, dir, trainIters = 1)
+      var written = (0L until 12L).map(i => (i, 0L)).toSet
+      var tombs = Set.empty[(Long, Long)]
+      var gen = 0L
+      ops.foreach { case (isDelete, ids, upto) =>
+        if (isDelete) {
+          Similarity.deleteFromIvfPqIndex(ids.toDF("vec_id"), dir, upto)
+          tombs ++= ids.map(i => (i, upto))
+        } else {
+          gen += 1
+          Similarity.appendToIvfPqIndex(
+            base.filter(col("vec_id").isin(ids: _*)), dir, gen)
+          written ++= ids.map(i => (i, gen))
+        }
+      }
+      val expected = written.filterNot { case (id, g) =>
+        tombs.exists { case (tid, u) => tid == id && g <= u }
+      }
+      val got = Similarity.liveRows(spark, dir, s"$dir/cells")
+        .select(col("vec_id"), col("gen").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      CacheRegistry.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("saved-index re-rank serve equals the inline serving stack; filtered serve honors the predicate") {
     val saved = Similarity.ivfPqSavedRerankRoundtrip(spark, sf0001).collect().toSeq
     CacheRegistry.release()
