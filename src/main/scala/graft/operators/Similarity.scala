@@ -880,7 +880,7 @@ object Similarity {
   /** PERSISTED-INDEX build — the missing half of the serving lifecycle:
     * a production ANN system trains its index OFFLINE, writes the
     * artifacts, and the serving tier reads them — it never re-derives
-    * codebooks per query. Writes the four artifacts of the composed
+    * codebooks per query. Writes the artifacts of the composed
     * IVF-PQ index as parquet under `dir`:
     *
     *   meta/   index metadata (vector dimensionality d)
@@ -901,7 +901,7 @@ object Similarity {
     * (tombstone at gen−1 + append at gen) replaces without a rewrite.
     *
     * Artifact sizes: meta is one row; cents/cb1/cb2 are codebook-sized;
-    * cells/codes are one skinny row per vector (three/four longs) — the
+    * cells/codes are one skinny row per vector (a few ints/longs) — the
     * bytes-per-code scale economics that make PQ indexes deployable.
     * Doubles round-trip parquet bit-exactly, so [[searchIvfPqIndex]]
     * over these files is value-identical to the inline [[ivfPqSearch]]
