@@ -164,6 +164,24 @@ object ScaleProbe {
           col("embedding"), col("label")),
         idxDir, gen = 2L); 0L
     }
+    // streaming-maintenance economics: per-batch upsert cost must stay
+    // FLAT as the index accumulates — four fixed-size batches upserted
+    // in sequence (tombstone at gen−1 + append at gen, the
+    // streamIndexUpsert loop body); batch 4 lands on the largest index
+    // and its wall should match batch 1
+    time("idx_upsert_flat") {
+      (1 to 4).foreach { b =>
+        val t0 = System.nanoTime()
+        val batch = emb.select(
+          (col("vec_id") + lit((factor + b).toLong * m)).as("vec_id"),
+          col("embedding"), col("label"))
+        graft.operators.Similarity.deleteFromIvfPqIndex(
+          batch.select("vec_id"), idxDir, uptoGen = 2L + b - 1)
+        graft.operators.Similarity.appendToIvfPqIndex(batch, idxDir, 2L + b)
+        println(f"  upsert batch $b: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      0L
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }
