@@ -62,6 +62,8 @@ object SparkEntry {
     "q_retention" -> ((s, d) => Events.retentionCohorts(events(s, d))),
     "q14_promo_revenue" -> ((s, d) => Warehouse.promoRevenue(lineitem(s, d), part(s, d))),
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
+    "q_bucketed_join" -> ((s, d) =>
+      Warehouse.bucketedOrderRevenue(s, orders(s, d), lineitem(s, d))),
     "q4_priority_exists" -> ((s, d) =>
       Warehouse.priorityExistsCheck(orders(s, d), lineitem(s, d))),
     "q6_forecast_revenue" -> ((s, d) => Warehouse.forecastRevenue(lineitem(s, d))),
@@ -136,6 +138,8 @@ object SparkEntry {
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ivfpq_search" -> ((s, d) =>
       Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankSearch(embeddings(s, d), 20, 10, m = 30, nprobe = 2, trainIters = 2)),
     "q_ivfpq_residual" -> ((s, d) =>
@@ -236,6 +240,8 @@ object SparkEntry {
     "q_stream_sliding_distinct" -> ((s, d) =>
       streaming.StreamOps.streamSlidingDistinct(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
+    "q_stream_ssjoin_outer" -> ((s, d) =>
+      streaming.StreamOps.streamIntervalJoinOuter(s, d)),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
@@ -487,6 +493,13 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    // bucketing changes the plan (co-located, shuffle-free join), not the
+    // values — the oracle is the ordinary join over the raw tables
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))*(1-CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q12_urgent_lines" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -857,6 +870,7 @@ object SparkEntry {
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
+    "q_ann_recall" -> annRecallOracleSql(2, 2),
     // the saved-index round-trip must reproduce the inline search bit
     // for bit (parquet round-trips doubles exactly) — strongest possible
     // persistence check, so it shares the oracle verbatim
@@ -1328,6 +1342,19 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |ORDER BY p_id, v_id""".stripMargin,
+    // unmatched purchases surface with v_id = −1 (the watermark-flushed
+    // outer rows); the batch left join is the drained stream's twin
+    "q_stream_ssjoin_outer" ->
+      """SELECT p.event_id AS p_id,
+        |       CAST(coalesce(v.event_id, -1) AS BIGINT) AS v_id,
+        |       CAST(coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT) AS lag_us
+        |FROM events p LEFT JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
         |ORDER BY p_id, v_id""".stripMargin,
     // session_window treats an event at exactly start+gap as a NEW session
     // (half-open interval), hence >= in the gap predicate below — the batch
@@ -2875,6 +2902,37 @@ object SparkEntry {
     * slice is Similarity.ivfPqDeleteRoundtrip's vec_id % 10 = 3 outside
     * the query set).
     */
+  /** q_ann_recall: recall@10 of the ADC chain against brute-force exact
+    * L2 ground truth — `ranked` is the ivfPqRankedFrag chain verbatim
+    * (the indexed search under evaluation), `truth` the full pairwise d2
+    * ranking with the suite's (d2, neighbor_id) tie-break, `hits` the
+    * per-query overlap.
+    */
+  private def annRecallOracleSql(iters: Int, nprobe: Int): String =
+    ivfPqRankedSql(iters, nprobe) +
+      """,
+        |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 10),
+        |exd AS (
+        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+        |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
+        |  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |exr AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+        |  FROM exd),
+        |truth AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= 10),
+        |hits AS (
+        |  SELECT t.query_id, count(a.neighbor_id) AS n_hit
+        |  FROM truth t LEFT JOIN ann a
+        |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+        |       round(n_hit / 10.0, 6) AS recall
+        |FROM hits ORDER BY query_id""".stripMargin
+
   private def ivfPqDeleteOracleSql(iters: Int, nprobe: Int): String =
     ivfPqOracleSql(iters, nprobe,
       " AND NOT (c.vec_id % 10 = 3 AND c.vec_id >= 20)")

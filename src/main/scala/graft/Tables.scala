@@ -24,17 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and truncate to the
-    * engine-native microsecond TimestampType. DuckDB applies the same
-    * ns→µs truncation on read, so both engines see identical instants.
-    * Integer DIV keeps the arithmetic exact (a double division would lose
-    * precision above 2^53 ns).
+  /** events.ts arrives as TIMESTAMP(µs, isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ; cast to the engine-native session-TZ
+    * TimestampType (the session is pinned UTC everywhere, so the instant
+    * is unchanged and unix_micros/window arithmetic downstream behaves
+    * identically). Earlier driver generations carried TIMESTAMP(NANOS),
+    * readable only as ns-longs via the legacy conf + exact integer DIV —
+    * the match keeps both generations loadable.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -96,6 +96,50 @@ object Similarity {
     rankedTopK(scored, k, "sim")
   }
 
+  /** Exact squared-L2 ground truth for ANN evaluation: brute-force d2
+    * top-k per query with the same (|q|² − 2 q·v) + |v|² grouping as
+    * [[exactRerank]], emitted through the shared [[rankedTopK]]
+    * rank/tie-break contract. Same scale shape as [[bruteForceTopK]]:
+    * broadcast queries, one candidate scan, bounded partial top-k.
+    */
+  def exactL2TopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val scored = vecs.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (-((dot(col("q_emb"), col("q_emb"))
+            - lit(2.0) * dot(col("q_emb"), col("emb")))
+           + dot(col("emb"), col("emb")))).as("s"))
+    rankedTopK(scored, k, "d2", sc => -sc)
+  }
+
+  /** Recall@k of the IVF-PQ ADC search against the exact-L2 ground truth
+    * — the evaluation every production ANN deployment runs before (and
+    * while) trusting an index. Per query: how many of the true k nearest
+    * survive cell probing + product quantization. Both sides share the
+    * suite's rank/tie-break contract, so the measurement is of the
+    * INDEX, not of rank-order noise. Scale: the expensive inputs are the
+    * two searches themselves (each bounded as documented on its
+    * operator); the comparison joins two k·|Q|-row frames — negligible
+    * at any corpus size, so recall evaluation costs one extra exact scan
+    * over the corpus, which is exactly the price of ground truth.
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+                nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val ann = ivfPqSearch(embeddings, nQueries, k, nprobe, trainIters)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val truth = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Deterministic random hyperplanes: L tables × bits planes × dim
     * components from one seeded PRNG. Plain Scala on the driver — tiny,
     * broadcast as literals into the plan.

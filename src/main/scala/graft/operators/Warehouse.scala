@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -745,5 +745,69 @@ object Warehouse {
       .agg(count(lit(1)).as("numcust"),
            dsum(col("c_acctbal")).cast("double").as("totacctbal"))
       .orderBy("c_mktsegment")
+  }
+
+  /** One per-JVM root for the bucketed-layout tables, removed at exit so
+    * repeated verify/bench runs never leak table directories.
+    */
+  private lazy val bucketedRoot: String = {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_bucketed/" +
+        java.util.UUID.randomUUID().toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case scala.util.control.NonFatal(_) => () }))
+    dir.toString
+  }
+
+  /** Write orders and lineitem ONCE as co-bucketed tables: both hashed
+    * into the same number of buckets on the join key, one file per
+    * bucket (the repartition), sortBy so the merge join reads presorted
+    * runs. This is the 100-TB layout decision the plain parquet scan
+    * can't express: every subsequent join on orderkey reads bucket i
+    * against bucket i with NO shuffle on either side — the shuffle is
+    * paid once at write time and amortized across every downstream join
+    * on the key, and a point lookup prunes to a single bucket
+    * (SelectedBucketsCount). PlanSpec locks the zero-Exchange join.
+    */
+  def writeBucketedLayout(spark: SparkSession, orders: DataFrame,
+                          lineitem: DataFrame, buckets: Int = 8): Unit = {
+    orders.select("o_orderkey", "o_orderpriority")
+      .repartition(buckets, col("o_orderkey"))
+      .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$bucketedRoot/orders").mode("overwrite")
+      .saveAsTable("graft_bkt_orders")
+    lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(buckets, col("l_orderkey"))
+      .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$bucketedRoot/lineitem").mode("overwrite")
+      .saveAsTable("graft_bkt_lineitem")
+  }
+
+  /** The co-located join over [[writeBucketedLayout]]'s tables, exposed
+    * separately so PlanSpec can assert the join subtree shuffle-free.
+    * The merge hint keeps the demonstration honest at test scale: at
+    * warehouse scale both sides exceed the broadcast threshold and SMJ
+    * is exactly the join the bucketing must co-locate.
+    */
+  def bucketedJoinFrame(spark: SparkSession): DataFrame =
+    spark.table("graft_bkt_orders").hint("merge")
+      .join(spark.table("graft_bkt_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+
+  /** q_bucketed_join: layout write + co-located join + per-priority
+    * revenue. Bucketing changes the PLAN, not the values, so the oracle
+    * is the ordinary join SQL over the raw tables — the strongest check
+    * that the layout path loses nothing.
+    */
+  def bucketedOrderRevenue(spark: SparkSession, orders: DataFrame,
+                           lineitem: DataFrame, buckets: Int = 8): DataFrame = {
+    writeBucketedLayout(spark, orders, lineitem, buckets)
+    bucketedJoinFrame(spark)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+           sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+             .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
   }
 }

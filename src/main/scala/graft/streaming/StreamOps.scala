@@ -62,16 +62,31 @@ object StreamOps {
         s"unknown state-store provider '$other' — expected rocksdb or hdfs")
     }
 
-  /** Flat events schema as stored (ts = parquet TIMESTAMP(NANOS) read as
-    * long via the legacy conf; converted to native micros immediately).
+  /** Flat events schema as stored: ts = parquet TIMESTAMP(µs,
+    * isAdjustedToUTC=false) = Spark TIMESTAMP_NTZ; [[withEnvelope]]
+    * converts to the engine-native session-TZ TimestampType immediately
+    * (session pinned UTC, so the instant is unchanged).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** rawSchema with ts as a µs-long — the shape tests synthesize rows in
+    * before [[encodeRawTs]] restores the stored NTZ representation.
+    */
+  val rawUsSchema: StructType = StructType(rawSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** Encode a µs-long ts column back to the stored representation
+    * (TIMESTAMP_NTZ µs, what the driver's events.parquet carries) so
+    * test-staged stream files are indistinguishable from warehouse ones.
+    */
+  def encodeRawTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
 
   /** The file stream source lists a DIRECTORY; the warehouse ships
     * events as a single parquet file. Stage it: a per-sf temp dir holding
@@ -118,7 +133,7 @@ object StreamOps {
     * can never drift from the write path.
     */
   def withEnvelope(df: DataFrame, nShards: Int = 8): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("sequence_number", col("event_id"))
       .withColumn("shard_id", pmod(col("user_id"), lit(nShards)))
 
@@ -505,6 +520,81 @@ object StreamOps {
     spark.table(table)
       .select(col("p_id"), col("v_id"),
               (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .orderBy("p_id", "v_id")
+  }
+
+  /** Stream-stream LEFT OUTER interval join: every purchase emits exactly
+    * once — paired with each same-user view from the preceding hour, or
+    * alone (v_id = −1) once the watermark PROVES no such view can still
+    * arrive. The subtlety outer stream joins add over inner
+    * ([[streamIntervalJoin]]): an unmatched row can only be emitted when
+    * its join state expires, and state expiry is driven by the GLOBAL
+    * watermark (the min across both sources) — at the end of a finite
+    * replay the watermark stops advancing and rows buffered near the end
+    * would wait forever. The production answer is staged here
+    * deterministically: far-future sentinel rows on BOTH sides (two
+    * files, +30d and +60d, each its own micro-batch) push both source
+    * watermarks past every real event, and the second sentinel batch
+    * flushes the state the first one unlocked. Sentinels carry user −1
+    * (joinable only to each other) and are filtered from the drained
+    * output, so the result equals the batch left join — which is the
+    * oracle.
+    */
+  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val table = s"graft_stream_ssjo_${UUID.randomUUID().toString.take(8)}"
+    val runId = UUID.randomUUID().toString.take(8)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_ssjo/$runId"
+    Files.createDirectories(Paths.get(root))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stagedir = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(stagedir)
+      val listing = Files.list(Paths.get(stagedir))
+      val part =
+        try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+        finally listing.close()
+      val target = Paths.get(s"$root/$name.parquet")
+      Files.move(Paths.get(part), target)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def sentinels(days: Int): DataFrame = raw.agg(max(col("ts")).as("m"))
+      .select(explode(array(lit("view"), lit("purchase"))).as("event_type"),
+              expr(s"timestampadd(DAY, $days, m)").as("ts"))
+      .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+              col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+    stageFile(raw, "range0", 1000000000000L)
+    stageFile(sentinels(30), "range1", 1000000060000L)
+    stageFile(sentinels(60), "range2", 1000000120000L)
+
+    val purchases = eventsStreamFromDir(spark, root, maxFilesPerTrigger = Some(1))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventsStreamFromDir(spark, root, maxFilesPerTrigger = Some(1))
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val q = purchases.join(views,
+        expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
+        "leftOuter")
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .filter(col("p_user") >= 0L)
+      .select(col("p_id"),
+              coalesce(col("v_id"), lit(-1L)).as("v_id"),
+              coalesce(unix_micros(col("p_ts")) - unix_micros(col("v_ts")),
+                lit(-1L)).as("lag_us"))
       .orderBy("p_id", "v_id")
   }
 

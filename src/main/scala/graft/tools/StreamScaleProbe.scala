@@ -33,16 +33,15 @@ object StreamScaleProbe {
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val tmp = sys.props("java.io.tmpdir")
     val runId = java.util.UUID.randomUUID().toString.take(8)
     val src = s"$tmp/graft_sprobe_src_$runId"
     Files.createDirectories(Paths.get(src))
-    val raw = spark.read.parquet(s"$sfDir/events.parquet") // ts = raw nanos
-    val dayNs = 86400L * 1000000000L
+    // ts = stored TIMESTAMP_NTZ µs; shift each replica one day forward
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until factor).foreach { k =>
-      raw.withColumn("ts", col("ts") + lit(k * dayNs))
+      raw.withColumn("ts", expr(s"timestampadd(DAY, $k, ts)"))
         .withColumn("event_id", col("event_id") + lit(k * 100000000L))
         .coalesce(1).write.parquet(s"$src/rep_$k")
       // the file source lists files, not subdirs — promote the part file

@@ -385,4 +385,62 @@ class PlanSpec extends SparkSpec {
     assert(bucketed.orderBy("k").collect().toSeq ===
       plain.orderBy("k").collect().toSeq)
   }
+
+  test("q_bucketed_join product path: the layout join subtree is shuffle-free") {
+    val sp = spark
+    // materialize the layout exactly as the query does, then lock the
+    // join-only frame: SortMergeJoin over bucketed scans, ZERO Exchange —
+    // the write-once shuffle amortized across every join on the key
+    operators.Warehouse.writeBucketedLayout(sp,
+      Tables.orders(sp, sf0001), Tables.lineitem(sp, sf0001))
+    val joinFrame = operators.Warehouse.bucketedJoinFrame(sp)
+    val p = planText(joinFrame)
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Exchange"),
+      "bucketed product join still shuffles:\n" + p.take(2000))
+    // bucket pruning: a point predicate on the bucket key reads 1 of 8
+    // buckets — the file-skipping half of the layout win. autoBucketedScan
+    // turns bucketing off when no join/agg needs the partitioning, which
+    // also forfeits pruning — pin it on for the probe
+    val saved = sp.conf.getOption("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      sp.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = planText(
+        sp.table("graft_bkt_orders").filter(col("o_orderkey") === 42L))
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 8"),
+        "no bucket pruning on a point lookup:\n" + pruned.take(2000))
+    } finally saved match {
+      case Some(v) => sp.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", v)
+      case None => sp.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
+  }
+
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan at runtime") {
+    val sp = spark
+    val root = s"${sys.props("java.io.tmpdir")}/graft_dpp_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // the landing layout: fact partitioned by day on disk
+      Tables.events(sp, sf0001)
+        .withColumn("day", dayofmonth(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(root)
+      val fact = sp.read.parquet(root)
+      // the selective predicate lives on a DIM attribute (tag), not on the
+      // partition column — static pruning cannot see it; only the runtime
+      // subquery built from the broadcast dim can prune the fact scan
+      val dim = sp.range(1, 32)
+        .select(col("id").cast("int").as("day"),
+          when(col("id") % 7 === 0, "keep").otherwise("drop").as("tag"))
+      val joined = fact
+        .join(broadcast(dim.filter(col("tag") === "keep")), "day")
+        .groupBy("day").agg(count(lit(1)).as("n"))
+      val p = planText(joined)
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        "no dynamic partition pruning in plan:\n" + p.take(3000))
+      // and it actually runs: only the kept days survive
+      val days = joined.collect().map(_.getInt(0)).toSet
+      assert(days.nonEmpty && days.forall(_ % 7 == 0))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
 }

@@ -651,4 +651,31 @@ class SimilaritySpec extends SparkSpec {
         assert(ranks === (1L to ranks.length).toSeq, s"$q: ranks not dense")
       }
   }
+
+  test("annRecall: one row per query, n_hit is the true overlap of the two searches") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (nq, k) = (10, 5)
+    val r = Similarity.annRecall(emb, nq, k, nprobe = 2, trainIters = 1)
+      .collect()
+    assert(r.length === nq, s"expected $nq rows, got ${r.length}")
+    r.foreach { row =>
+      val (nHit, recall) = (row.getLong(1), row.getDouble(2))
+      assert(nHit >= 0 && nHit <= k, s"n_hit $nHit outside [0, $k]")
+      assert(math.abs(recall - nHit.toDouble / k) < 1e-9,
+        s"recall $recall != n_hit/$k")
+    }
+    // cross-check the overlap count independently via an inner join of
+    // the two searches' id sets
+    val ann = Similarity.ivfPqSearch(emb, nq, k, nprobe = 2, trainIters = 1)
+      .select("query_id", "neighbor_id")
+    val truth = Similarity.exactL2TopK(emb, nq, k)
+      .select("query_id", "neighbor_id")
+    val overlap = truth.join(ann, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      assert(row.getLong(1) === overlap.getOrElse(row.getLong(0), 0L),
+        s"query ${row.getLong(0)}: n_hit disagrees with the direct overlap")
+    }
+  }
 }

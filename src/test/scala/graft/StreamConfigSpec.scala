@@ -55,15 +55,16 @@ class StreamConfigSpec extends SparkSpec {
     // micro-batches, each landing under its own batch= dir
     // time-ordered so each later file is newer — no batch's rows fall
     // behind the watermark advanced by an earlier one
-    val ev = Tables.events(spark, sf0001).orderBy("ts").limit(300).collect()
+    val ev = Tables.events(spark, sf0001).orderBy("ts").limit(300)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .collect()
     ev.grouped(100).zipWithIndex.foreach { case (rows, i) =>
-      val df = spark.createDataFrame(
+      val df = StreamOps.encodeRawTs(spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq.map(r =>
-          org.apache.spark.sql.Row(r.getLong(0),
-            // Tables.events converts ns→µs ts; re-encode as ns for rawSchema
-            r.getTimestamp(1).getTime * 1000000L + r.getTimestamp(1).getNanos % 1000000,
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
             r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5)))),
-        StreamOps.rawSchema)
+        StreamOps.rawUsSchema))
       df.coalesce(1).write.parquet(s"$src/part$i")
       val f = Files.list(Paths.get(s"$src/part$i")).toArray.map(_.toString)
         .find(_.endsWith(".parquet")).get

@@ -39,9 +39,9 @@ class StreamingSpec extends SparkSpec {
 
     def writeBatch(rows: Array[org.apache.spark.sql.Row], name: String): Unit = {
       val rdd = spark.sparkContext.parallelize(rows.toSeq.map(r =>
-        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1) * 1000L, // back to ns
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), // µs long
           r.getLong(2), r.getString(3), r.getDouble(4), r.getString(5))))
-      spark.createDataFrame(rdd, StreamOps.rawSchema)
+      StreamOps.encodeRawTs(spark.createDataFrame(rdd, StreamOps.rawUsSchema))
         .coalesce(1).write.parquet(s"$src/$name")
       // the file source lists files, not subdirs — promote the part file
       val part = Files.list(Paths.get(s"$src/$name")).toArray
@@ -359,5 +359,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch,
         s"streamed chunks at $n batches diverged from the batch chunker")
     }
+  }
+
+  test("outer interval join: watermark flush emits unmatched purchases exactly once (= batch twin)") {
+    val got = StreamOps.streamIntervalJoinOuter(spark, sf0001).collect()
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+              col("ts").as("v_ts"))
+    val want = p.join(v,
+        expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
+        "left")
+      .select(col("p_id"), coalesce(col("v_id"), lit(-1L)).as("v_id"),
+              coalesce(unix_micros(col("p_ts")) - unix_micros(col("v_ts")),
+                lit(-1L)).as("lag_us"))
+      .orderBy("p_id", "v_id").collect()
+    assert(got.toSeq === want.toSeq,
+      s"streamed outer join (${got.length} rows) diverged from the batch twin (${want.length})")
+    // the outer path must actually exercise the flush: at least one
+    // purchase with no preceding-hour view
+    assert(got.exists(_.getLong(1) == -1L),
+      "no unmatched purchase emitted — the outer flush proved nothing")
   }
 }
