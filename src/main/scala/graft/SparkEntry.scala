@@ -64,6 +64,7 @@ object SparkEntry {
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
     "q_bucketed_join" -> ((s, d) =>
       Warehouse.bucketedOrderRevenue(s, orders(s, d), lineitem(s, d))),
+    "q_zorder_scan" -> ((s, d) => Events.zorderScan(s, events(s, d))),
     "q4_priority_exists" -> ((s, d) =>
       Warehouse.priorityExistsCheck(orders(s, d), lineitem(s, d))),
     "q6_forecast_revenue" -> ((s, d) => Warehouse.forecastRevenue(lineitem(s, d))),
@@ -493,6 +494,14 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    // the z-ordered layout changes which row-groups a scan touches,
+    // never the values — plain filtered aggregate over the raw table
+    "q_zorder_scan" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id <= 7 AND extract(day FROM ts) BETWEEN 8 AND 14
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // bucketing changes the plan (co-located, shuffle-free join), not the
     // values — the oracle is the ordinary join over the raw tables
     "q_bucketed_join" ->

@@ -570,4 +570,54 @@ object Events {
       .unionByName(stage(s3, "3_purchase"))
       .orderBy("stage")
   }
+
+  /** One per-JVM root for the z-ordered layout, removed at exit so
+    * repeated verify/bench runs never leak table directories.
+    */
+  private lazy val zorderRoot: String = {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_zorder/" +
+        java.util.UUID.randomUUID().toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case scala.util.control.NonFatal(_) => () }))
+    dir.toString
+  }
+
+  /** Z-ordered two-dimensional layout + selective scan (q_zorder_scan):
+    * events written clustered by the Morton key of (user_id, day) —
+    * range-repartitioned and sorted within partitions on the interleaved
+    * bits ([[graft.functions.ZOrder]]) — then read back through a
+    * predicate on BOTH dimensions. A user_id-sorted layout would skip
+    * nothing for the day band and vice versa; under the z-key every
+    * row-group is a rectangle in (user, day) space, so parquet min/max
+    * stats prune on both predicates at once. The clustering shuffle is
+    * the same range exchange a single-column sort pays, and it is paid
+    * ONCE at write time — at 100 TB this (like the bucketed layout) is a
+    * property of the table, amortized over every selective scan after.
+    * Layout never changes values, so the oracle is the plain filtered
+    * aggregate over the raw table.
+    */
+  def zorderScan(spark: org.apache.spark.sql.SparkSession,
+                 events: DataFrame): DataFrame = {
+    import graft.functions.ZOrder
+    val keyed = events.withColumn("day", dayofmonth(col("ts")))
+    val stats = keyed.agg(
+      min("user_id").as("ulo"), max("user_id").as("uhi"),
+      min("day").as("dlo"), max("day").as("dhi"))
+    keyed.crossJoin(broadcast(stats))
+      .withColumn("zk", ZOrder.interleave16(
+        ZOrder.scale16(col("user_id"), col("ulo"), col("uhi")),
+        ZOrder.scale16(col("day"), col("dlo"), col("dhi"))))
+      .drop("ulo", "uhi", "dlo", "dhi")
+      .repartitionByRange(8, col("zk"))
+      .sortWithinPartitions("zk")
+      .write.mode("overwrite").parquet(zorderRoot)
+    spark.read.parquet(zorderRoot)
+      .filter(col("user_id") <= 7 && col("day").between(8, 14))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
 }

@@ -183,6 +183,72 @@ object ScaleProbe {
       0L
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+
+    // z-order layout economics: the same selective two-dimensional scan
+    // against three layouts of the same amplified events table — random
+    // (write order), single-column sorted (user_id), and Morton-clustered
+    // (user_id × day). Small row-groups make stats-skipping visible at
+    // probe scale (at 100 TB the default 128 MB groups play this role).
+    // Expectation: user-sorted wins on the user predicate alone but does
+    // nothing for the day band; the z-layout is near-best on BOTH.
+    time("zorder_layout") {
+      import graft.functions.ZOrder
+      val ev = graft.Tables.events(spark, sfDir)
+      val nev = ev.count()
+      val amp = (0 until factor).map { k =>
+        ev.select((col("event_id") + lit(k * nev)).as("event_id"), col("ts"),
+          (pmod(col("user_id") * lit(2654435761L) + lit(k.toLong),
+            lit(1500L))).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
+        .withColumn("day", dayofmonth(col("ts")))
+      val stats = amp.agg(
+        min("user_id").as("ulo"), max("user_id").as("uhi"),
+        min("day").as("dlo"), max("day").as("dhi"))
+      val root = s"${sys.props("java.io.tmpdir")}/graft_zprobe_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val rg = Map("parquet.block.size" -> (256 * 1024).toString)
+      amp.repartition(16).write.options(rg).parquet(s"$root/random")
+      amp.repartitionByRange(16, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.options(rg).parquet(s"$root/bysort")
+      amp.crossJoin(broadcast(stats))
+        .withColumn("zk", ZOrder.interleave16(
+          ZOrder.scale16(col("user_id"), col("ulo"), col("uhi")),
+          ZOrder.scale16(col("day"), col("dlo"), col("dhi"))))
+        .drop("ulo", "uhi", "dlo", "dhi")
+        .repartitionByRange(16, col("zk")).sortWithinPartitions("zk")
+        .write.options(rg).parquet(s"$root/zorder")
+      // rows DECODED by the scan (post row-group skipping, pre Filter) is
+      // the deterministic measure of the layout's worth — wall time at
+      // probe scale is page-cache noise. AQE off so the executed plan's
+      // scan metrics are directly reachable.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def scan(layout: String, pred: org.apache.spark.sql.Column): (Double, Long) = {
+        val df = spark.read.parquet(s"$root/$layout").filter(pred)
+          .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")))
+        val t0 = System.nanoTime()
+        df.collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val decoded = df.queryExecution.executedPlan.collectLeaves().collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+        (dt, decoded)
+      }
+      val total = spark.read.parquet(s"$root/random").count()
+      val predU = col("user_id") <= 75
+      val predD = col("day").between(8, 14)
+      for (p <- Seq(("user", predU), ("day", predD), ("both", predU && predD));
+           l <- Seq("random", "bysort", "zorder")) {
+        val (dt, decoded) = scan(l, p._2)
+        println(f"  zscan ${p._1}%-4s on $l%-6s: $dt%5.2f s, " +
+          f"decoded $decoded%9d / $total rows (${100.0 * decoded / total}%5.1f%%)")
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      0L
+    }
     spark.stop()
   }
 }
