@@ -243,6 +243,8 @@ object SparkEntry {
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
     "q_stream_ssjoin_outer" -> ((s, d) =>
       streaming.StreamOps.streamIntervalJoinOuter(s, d)),
+    "q_stream_ssjoin_full" -> ((s, d) =>
+      streaming.StreamOps.streamIntervalJoinOuter(s, d, "fullOuter")),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
@@ -1349,6 +1351,18 @@ object SparkEntry {
         |FROM events p JOIN events v
         |  ON p.user_id = v.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |ORDER BY p_id, v_id""".stripMargin,
+    // both sides' unmatched rows surface with −1 ids; the batch full
+    // join is the drained stream's twin
+    "q_stream_ssjoin_full" ->
+      """SELECT CAST(coalesce(p.event_id, -1) AS BIGINT) AS p_id,
+        |       CAST(coalesce(v.event_id, -1) AS BIGINT) AS v_id,
+        |       CAST(coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(v.ts) <= epoch_us(p.ts)
         |ORDER BY p_id, v_id""".stripMargin,

@@ -538,9 +538,12 @@ object StreamOps {
     * flushes the state the first one unlocked. Sentinels carry user −1
     * (joinable only to each other) and are filtered from the drained
     * output, so the result equals the batch left join — which is the
-    * oracle.
+    * oracle. `joinType = "fullOuter"` additionally emits each view no
+    * purchase followed within the hour (p_id = −1), state-expired by the
+    * same watermark machinery — the batch full join twin.
     */
-  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIntervalJoinOuter(spark: SparkSession, sfDir: String,
+                              joinType: String = "leftOuter"): DataFrame = {
     import java.nio.file.{Files, Paths}
     val table = s"graft_stream_ssjo_${UUID.randomUUID().toString.take(8)}"
     val runId = UUID.randomUUID().toString.take(8)
@@ -581,7 +584,7 @@ object StreamOps {
       .withWatermark("v_ts", "2 hours")
     val q = purchases.join(views,
         expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
-        "leftOuter")
+        joinType)
       .writeStream
       .format("memory")
       .queryName(table)
@@ -589,9 +592,12 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // sentinels (user −1 on either side) out; unmatched sides surface as
+    // −1 ids. fullOuter adds the view-only rows leftOuter suppresses.
     spark.table(table)
-      .filter(col("p_user") >= 0L)
-      .select(col("p_id"),
+      .filter(coalesce(col("p_user"), lit(0L)) >= 0L &&
+              coalesce(col("v_user"), lit(0L)) >= 0L)
+      .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
               coalesce(col("v_id"), lit(-1L)).as("v_id"),
               coalesce(unix_micros(col("p_ts")) - unix_micros(col("v_ts")),
                 lit(-1L)).as("lag_us"))

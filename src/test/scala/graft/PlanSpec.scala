@@ -415,6 +415,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE TABLE column statistics drive CBO selectivity estimates") {
+    val sp = spark
+    val saved = sp.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      sp.conf.set("spark.sql.cbo.enabled", "true")
+      sp.sql("DROP TABLE IF EXISTS graft_stats_orders")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_warehouse/graft_stats_orders"))
+      Tables.orders(sp, sf0001).write.saveAsTable("graft_stats_orders")
+      sp.sql("ANALYZE TABLE graft_stats_orders COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderpriority")
+      val total = sp.table("graft_stats_orders").count()
+      val actual = sp.table("graft_stats_orders")
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      val est = sp.table("graft_stats_orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .queryExecution.optimizedPlan.stats.rowCount
+      // with column stats the optimizer knows ~1/5 of orders are URGENT —
+      // the estimate that makes join-side and broadcast decisions right at
+      // scale; without stats it can only assume no filtering
+      assert(est.isDefined, "no CBO row-count estimate after ANALYZE")
+      val e = est.get.toLong
+      assert(e < total && e >= actual / 3 && e <= actual * 3,
+        s"estimate $e implausible (actual $actual of $total)")
+    } finally {
+      saved match {
+        case Some(v) => sp.conf.set("spark.sql.cbo.enabled", v)
+        case None => sp.conf.unset("spark.sql.cbo.enabled")
+      }
+      sp.sql("DROP TABLE IF EXISTS graft_stats_orders")
+    }
+  }
+
   test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan at runtime") {
     val sp = spark
     val root = s"${sys.props("java.io.tmpdir")}/graft_dpp_" +
