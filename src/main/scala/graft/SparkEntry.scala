@@ -246,6 +246,8 @@ object SparkEntry {
     "q_stream_ssjoin_full" -> ((s, d) =>
       streaming.StreamOps.streamIntervalJoinOuter(s, d, "fullOuter")),
     "q_stream_session" -> ((s, d) => streaming.StreamOps.streamSessionize(s, d, 30)),
+    "q_stream_session_dyn" -> ((s, d) =>
+      streaming.StreamOps.streamSessionizeDynamic(s, d)),
     "q_stream_state" -> ((s, d) => streaming.StreamOps.streamUserState(s, d)),
     "q_stream_flatstate" -> ((s, d) => streaming.StreamOps.streamTypeCounts(s, d)),
     "q_stream_segjoin" -> ((s, d) => streaming.StreamOps.streamSegmentRevenue(s, d)),
@@ -1394,6 +1396,31 @@ object SparkEntry {
         |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged)
         |SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // dynamic gap = per-event interval [ts, ts+gap(type)); sessions are
+    // the MERGED intervals, so the twin is a running-max (cummax)
+    // gaps-and-islands, not a lag() check — a later short-gap event can
+    // sit inside an earlier purchase's 60-minute extension
+    "q_stream_session_dyn" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |         epoch_us(ts) + CASE WHEN event_type = 'purchase'
+        |                             THEN 3600000000 ELSE 1800000000 END AS en
+        |  FROM events),
+        |o AS (
+        |  SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+        |  FROM e),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_max_en IS NULL OR us >= prev_max_en
+        |                 THEN 1 ELSE 0 END AS new_session FROM o),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM flagged)
+        |SELECT user_id, min(us) AS session_start_us, max(en) AS session_end_us,
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, session_no

@@ -1484,4 +1484,40 @@ object StreamOps {
               col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
   }
+
+  /** DYNAMIC-gap sessionization: the gap is a per-event expression (a
+    * purchase holds the session open 60 minutes, anything else 30) —
+    * the form real engagement analytics needs, since "how long before
+    * the visit is over" depends on what the user just did. Each event
+    * contributes the interval [ts, ts+gap(event)); overlapping
+    * intervals merge, so a session's end is the MAX extension among its
+    * events, not the last event's — which is why the batch twin (the
+    * oracle) is a running-max interval merge (cummax gaps-and-islands),
+    * not a lag() gap check. Same complete-mode drain as
+    * [[streamSessionize]]; session_end_us here is the merged window end
+    * (start of the silence that closed the session).
+    */
+  def streamSessionizeDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = s"graft_stream_sessd_${UUID.randomUUID().toString.take(8)}"
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val q = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .select(col("user_id"),
+              unix_micros(col("w.start")).as("session_start_us"),
+              unix_micros(col("w.end")).as("session_end_us"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+  }
 }

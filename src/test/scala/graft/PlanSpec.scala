@@ -415,6 +415,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("nested schema pruning: selecting one struct field narrows the parquet ReadSchema") {
+    val sp = spark
+    val root = s"${sys.props("java.io.tmpdir")}/graft_nested_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // events in the nested shape the landing JSON carries
+      Tables.events(sp, sf0001)
+        .select(col("event_id"),
+          struct(col("user_id"), col("event_type"), col("value")).as("info"))
+        .write.parquet(root)
+      val p = planText(sp.read.parquet(root).select(col("info.event_type")))
+      // the scan must read ONLY the selected leaf — at 100 TB a wide
+      // metadata struct read whole for one field is the scan budget
+      assert(p.contains("info:struct<event_type:string>"),
+        "nested ReadSchema not pruned to the selected leaf:\n" + p.take(2000))
+      assert(!p.contains("user_id"), "pruned scan still reads info.user_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root))
+  }
+
   test("ANALYZE TABLE column statistics drive CBO selectivity estimates") {
     val sp = spark
     val saved = sp.conf.getOption("spark.sql.cbo.enabled")
