@@ -108,6 +108,8 @@ object SparkEntry {
     "q_text_terms" -> ((s, d) => TextAnalysis.termStats(documents(s, d), 5)),
     "q_text_tfidf" -> ((s, d) => TextAnalysis.tfidf(documents(s, d), 5)),
     "q_text_quality" -> ((s, d) => TextAnalysis.qualityScore(documents(s, d))),
+    "q_quality_topfrac" -> ((s, d) =>
+      TextAnalysis.qualityTopFraction(documents(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
@@ -1148,6 +1150,32 @@ object SparkEntry {
         |      + 0.3*(CASE WHEN n_chars_txt > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END)
         |      + 0.3*(CAST(least(n_tokens, 100) AS DOUBLE)/100.0), 6) AS quality_score
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // per-lang top fifth by the composite score; keep = 5·rk ≤ n+4
+    // (exact ⌈n/5⌉ in integer arithmetic, shared with the Spark plan)
+    "q_quality_topfrac" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+        |    length(text) AS n_chars_txt,
+        |    length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_alnum
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens, n_chars_txt, n_alnum,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS n_stop
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    round(0.4*(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)
+        |        + 0.3*(CASE WHEN n_chars_txt > 0 THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END)
+        |        + 0.3*(CAST(least(n_tokens, 100) AS DOUBLE)/100.0), 6) AS quality_score
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q)
+        |SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, quality_score
+        |FROM r WHERE rk * 5 <= n + 4
+        |ORDER BY lang, rank""".stripMargin,
     "q_text_langid" ->
       """WITH base AS (
         |  SELECT lang,

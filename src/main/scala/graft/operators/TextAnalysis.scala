@@ -102,6 +102,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-domain top-fraction quality selection (q_quality_topfrac): keep
+    * each language's best fifth by the composite [[qualityScore]] — the
+    * percentile-threshold curation gate a pretraining corpus applies PER
+    * DOMAIN (one global threshold would empty low-resource languages).
+    * Scale shape: the per-lang rank rides [[withGroupedPrefix]] (range
+    * exchange + (_pid, lang)-local windows + census offsets — no
+    * lang-partitioned window funnel), the per-lang count joins as a
+    * domains-sized broadcast, and the keep predicate is exact integer
+    * arithmetic (rk ≤ ⌈n/5⌉ written shuffle-free as 5·rk ≤ n+4).
+    */
+  def qualityTopFraction(documents: DataFrame): DataFrame = {
+    val scored = qualityScore(documents)
+      .select("doc_id", "quality_score")
+      .join(documents.select("doc_id", "lang"), Seq("doc_id"))
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("_n"))
+    scored
+      .transform(withGroupedPrefix(Seq("lang"), "rank", "_cum", lit(0L),
+        col("quality_score").desc, col("doc_id")))
+      .drop("_cum")
+      .join(broadcast(counts), "lang")
+      .filter(col("rank") * lit(5L) <= col("_n") + lit(4L))
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality_score"))
+      .orderBy("lang", "rank")
+  }
+
   /** Marker stopword sets for the language-ID heuristic. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und", "zu", "ist", "nicht"),

@@ -147,7 +147,7 @@ class PlanSpec extends SparkSpec {
     // dense_rank/percent_rank/cume_dist/ntile from (rk, n) arithmetic, so
     // its plan too must contain only _pid-led window specs — the native
     // Window.partitionBy(o_orderpriority) funnel must never return
-    for (name <- Seq("q_window_topk", "q_window_ranks")) {
+    for (name <- Seq("q_window_topk", "q_window_ranks", "q_quality_topfrac")) {
       val p = planText(SparkEntry.queries(name)(spark, sf0001))
       val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
       assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
