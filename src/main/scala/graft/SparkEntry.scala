@@ -202,6 +202,8 @@ object SparkEntry {
     "q_nb_quality" -> ((s, d) => TextAnalysis.nbQuality(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
+    "q_mixture_temp" -> ((s, d) =>
+      TextAnalysis.mixtureTemperature(documents(s, d))),
     // the SQL surface of the custom codegen'd expressions (§2.10): the
     // simhash fingerprint query written in spark.sql against the
     // registered simhash60 function — same result (and oracle) as the
@@ -2016,6 +2018,15 @@ object SparkEntry {
           |       CAST(budget AS BIGINT) AS budget,
           |       CAST(cum_before < budget AS INT) AS selected
           |FROM rnk ORDER BY doc_id""".stripMargin),
+    // α = 0.5 temperature resampling: same chain, budgets ∝ ⌊√n_d⌋ of a
+    // global total DIV 2 — integer-exact, see temperatureBudSql
+    "q_mixture_temp" ->
+      ("WITH " + mixtureChainFrag("documents", temperatureBudSql) +
+        """
+          |SELECT doc_id, source, n_tok, log_ratio, dom_rank,
+          |       CAST(budget AS BIGINT) AS budget,
+          |       CAST(cum_before < budget AS INT) AS selected
+          |FROM rnk ORDER BY doc_id""".stripMargin),
     // intra-doc repetition signals: top-bigram mass fraction, duplicated-
     // trigram mass fraction, distinct-token ratio (exact rationals)
     "q_repetition" ->
@@ -2651,7 +2662,26 @@ object SparkEntry {
     * the raw distribution; membership and budgets are the curated
     * corpus's). Shared so the two selections can never drift.
     */
-  private def mixtureChainFrag(memberSrc: String): String =
+  /** q_mixture_temp's budget tail: α = 0.5 temperature resampling in
+    * integer-exact arithmetic — w_d = ⌊√n_d⌋, T = total DIV 2,
+    * budget_d = (T·w_d) DIV Σw (mirrors mixtureTemperature verbatim).
+    */
+  private val temperatureBudSql: String =
+    """srct AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tok FROM mix GROUP BY 1),
+      |srcw AS (SELECT source, src_tok,
+      |         CAST(floor(sqrt(CAST(src_tok AS DOUBLE))) AS BIGINT) AS w FROM srct),
+      |grand AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot,
+      |          CAST(sum(w) AS BIGINT) AS wsum FROM srcw),
+      |bud AS (
+      |  SELECT m.*, ((grand.tot // 2) * srcw.w) // grand.wsum AS budget
+      |  FROM mix m JOIN srcw USING (source) CROSS JOIN grand),""".stripMargin
+
+  private def mixtureChainFrag(memberSrc: String,
+                               budOverride: String = ""): String = {
+    val bud = if (budOverride.nonEmpty) budOverride else
+      """bud AS (
+        |  SELECT *, sum(n_tok) OVER (PARTITION BY source) * rate_pm // 1000 AS budget
+        |  FROM mix),""".stripMargin
     s"""mxbase AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
@@ -2694,15 +2724,14 @@ object SparkEntry {
        |    CASE WHEN d.source = 'src0' THEN 500
        |         WHEN d.source = 'src1' THEN 200 ELSE 300 END AS rate_pm
        |  FROM mxbase b JOIN $memberSrc d USING (doc_id) JOIN agg a USING (doc_id)),
-       |bud AS (
-       |  SELECT *, sum(n_tok) OVER (PARTITION BY source) * rate_pm // 1000 AS budget
-       |  FROM mix),
+       |$bud
        |rnk AS (
        |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS dom_rank,
        |    coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY log_ratio DESC, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM bud
        |  WINDOW w AS (PARTITION BY source ORDER BY log_ratio DESC, doc_id))""".stripMargin
+  }
 
   /** q_pipeline_pretrain: the full corpus build — curate (stages 1-3) →
     * mixture selection within the curated membership (scores from the

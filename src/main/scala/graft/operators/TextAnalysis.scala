@@ -1143,6 +1143,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE-scaled mixture (q_mixture_temp): instead of hand-set
+    * per-mille rates, each source's token budget is its share of a
+    * global budget under α = 0.5 resampling — budget_d ∝ √n_d, the
+    * standard temperature knob that upsamples low-resource domains
+    * relative to proportional sampling (α = 1 reproduces the corpus,
+    * α = 0 gives uniform-per-domain). Budgets are INTEGER-EXACT:
+    * w_d = ⌊√n_d⌋ (IEEE sqrt is correctly rounded, so the long cast
+    * agrees across engines), global budget T = total DIV 2, budget_d =
+    * (T · w_d) DIV Σw — no cross-engine float summation anywhere.
+    * Selection is the same grouped-prefix first-fit as [[mixtureSample]];
+    * the per-source weights are a |sources|-row broadcast.
+    */
+  def mixtureTemperature(documents: DataFrame, buckets: Int = 1024): DataFrame = {
+    val perDoc = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(dsirScores(documents, buckets).select("doc_id", "log_ratio"),
+        Seq("doc_id"))
+    val prefixed = perDoc
+      .transform(withGroupedPrefix(Seq("source"), "dom_rank", "_cum_before",
+        col("n_tok"), col("log_ratio").desc, col("doc_id")))
+    val srcw = prefixed.groupBy("source")
+      .agg(sum(col("n_tok")).as("_src_tok"))
+      .withColumn("_w", sqrt(col("_src_tok").cast("double")).cast("long"))
+    val grand = srcw.agg(sum(col("_src_tok")).as("_tot"),
+      sum(col("_w")).as("_wsum"))
+    prefixed.join(broadcast(srcw.select("source", "_w")), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("budget", expr("((_tot DIV 2) * _w) DIV _wsum").cast("long"))
+      .withColumn("selected", (col("_cum_before") < col("budget")).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("log_ratio"),
+        col("dom_rank"), col("budget"), col("selected"))
+      .orderBy("doc_id")
+  }
+
   /** The SELECTION core behind [[mixtureSample]], reusable over any
     * scored membership (Pipeline.pretrain selects within the CURATED
     * corpus using scores from the raw corpus): input rows carry

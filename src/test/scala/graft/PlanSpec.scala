@@ -229,7 +229,7 @@ class PlanSpec extends SparkSpec {
     // through one task. Every window in these plans must be the grouped
     // device's (_pid, group)-partitioned local pass (same contract as the
     // dsirWeights lock above).
-    for (name <- Seq("q_mixture", "q_seq_packing")) {
+    for (name <- Seq("q_mixture", "q_mixture_temp", "q_seq_packing")) {
       val p = planText(SparkEntry.queries(name)(spark, sf0001))
       val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
       assert(specs.nonEmpty, s"$name: expected window specs in the plan")
