@@ -542,35 +542,48 @@ object StreamOps {
     * purchase followed within the hour (p_id = −1), state-expired by the
     * same watermark machinery — the batch full join twin.
     */
+  /** Staged (events + two sentinel batches) dir per sfDir — the content
+    * is a pure function of the input table, so one staging serves every
+    * outer-join variant and every bench rep in the JVM.
+    */
+  private val ssjoStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageOuterJoinDir(spark: SparkSession, sfDir: String): String =
+    ssjoStaged.computeIfAbsent(sfDir, { _ =>
+      import java.nio.file.{Files, Paths}
+      val runId = UUID.randomUUID().toString.take(8)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_ssjo/$runId"
+      Files.createDirectories(Paths.get(root))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stagedir = s"$root/stage_$name"
+        df.coalesce(1).write.parquet(stagedir)
+        val listing = Files.list(Paths.get(stagedir))
+        val part =
+          try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+          finally listing.close()
+        val target = Paths.get(s"$root/$name.parquet")
+        Files.move(Paths.get(part), target)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      def sentinels(days: Int): DataFrame = raw.agg(max(col("ts")).as("m"))
+        .select(explode(array(lit("view"), lit("purchase"))).as("event_type"),
+                expr(s"timestampadd(DAY, $days, m)").as("ts"))
+        .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+                col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      stageFile(raw, "range0", 1000000000000L)
+      stageFile(sentinels(30), "range1", 1000000060000L)
+      stageFile(sentinels(60), "range2", 1000000120000L)
+      root
+    })
+
   def streamIntervalJoinOuter(spark: SparkSession, sfDir: String,
                               joinType: String = "leftOuter"): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val table = s"graft_stream_ssjo_${UUID.randomUUID().toString.take(8)}"
-    val runId = UUID.randomUUID().toString.take(8)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_ssjo/$runId"
-    Files.createDirectories(Paths.get(root))
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stagedir = s"$root/stage_$name"
-      df.coalesce(1).write.parquet(stagedir)
-      val listing = Files.list(Paths.get(stagedir))
-      val part =
-        try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
-        finally listing.close()
-      val target = Paths.get(s"$root/$name.parquet")
-      Files.move(Paths.get(part), target)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
-      Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
-    def sentinels(days: Int): DataFrame = raw.agg(max(col("ts")).as("m"))
-      .select(explode(array(lit("view"), lit("purchase"))).as("event_type"),
-              expr(s"timestampadd(DAY, $days, m)").as("ts"))
-      .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
-              col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
-    stageFile(raw, "range0", 1000000000000L)
-    stageFile(sentinels(30), "range1", 1000000060000L)
-    stageFile(sentinels(60), "range2", 1000000120000L)
+    val root = stageOuterJoinDir(spark, sfDir)
 
     val purchases = eventsStreamFromDir(spark, root, maxFilesPerTrigger = Some(1))
       .filter(col("event_type") === "purchase")
