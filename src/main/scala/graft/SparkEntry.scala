@@ -148,6 +148,7 @@ object SparkEntry {
     "q_ivfpq_residual" -> ((s, d) =>
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
+    "q_doc_embed" -> ((s, d) => Similarity.docEmbeddings(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -988,6 +989,20 @@ object SparkEntry {
     // the drained census is bit-identical to the batch chunk-embedding
     // assignment the standalone SQL rebuilds
     "q_stream_chunk_embed" -> chunkAssignOracleSql(64, 48, 8, 8),
+    // mean-pooled doc embedding, one row per (doc, dim); DECIMAL-exact
+    // per-dimension sums so pooling is order-independent cross-engine
+    "q_doc_embed" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) +
+        """,
+          |px AS (
+          |  SELECT vec_id // 1000000 AS pdoc,
+          |    unnest([{'dim': i-1, 'v': embedding[i]}
+          |            for i in range(1, len(embedding)+1)], recursive := true)
+          |  FROM cemb)
+          |SELECT pdoc AS doc_id, CAST(dim AS INT) AS dim,
+          |       count(*) AS n_chunks,
+          |       floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_v
+          |FROM px GROUP BY 1,2 ORDER BY doc_id, dim""".stripMargin),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->

@@ -1304,6 +1304,31 @@ object Similarity {
         .withColumn("vec_id", col("doc_id") * lit(1000000L) + col("chunk_id")),
       dims, nLabels)
 
+  /** Doc-level embeddings by MEAN-POOLING chunk embeddings
+    * (q_doc_embed): the standard coarse-retrieval / clustering
+    * representation when the encoder works at chunk granularity —
+    * retrieve documents by the pooled vector, then refine within the
+    * winner's chunks (the q_rag_docs coarse-to-fine pattern, pushed one
+    * level up). Emitted one row per (doc, dim) so the oracle hashes
+    * scalars. Scale shape: posexplode → (doc, dim) hash aggregation
+    * with map-side partials — no window, no collect; the per-dimension
+    * sums are DECIMAL(18,6)-exact (chunk components are 6-decimal
+    * rationals by the embedding law), so summation order cannot perturb
+    * the pooled value across engines.
+    */
+  def docEmbeddings(documents: DataFrame, size: Int = 64, stride: Int = 48,
+                    dims: Int = 8, nLabels: Int = 8): DataFrame =
+    chunkEmbeddings(documents, size, stride, dims, nLabels)
+      .select(expr("vec_id DIV 1000000").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("n_chunks"),
+           quant6(sum(col("v").cast("decimal(18,6)")).cast("double")
+             / count(lit(1))).as("mean_v"))
+      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+              col("n_chunks"), col("mean_v"))
+      .orderBy("doc_id", "dim")
+
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
                                          nLabels: Int): DataFrame =
     chunks.select(
