@@ -99,8 +99,15 @@ object StreamScaleProbe {
         .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
                 col("ts").as("v_ts"))
         .withWatermark("v_ts", "2 hours")
+      // joinType leftOuter additionally buffers unmatched purchases until
+      // the watermark proves no view can still arrive — the eviction
+      // column must show the SAME watermark-bounded behavior (outer state
+      // is not retained any longer than inner state; only emission
+      // differs), which is what makes the outer join runnable forever
+      val joinType = if (label.contains("outer")) "leftOuter" else "inner"
       val q = purchases.join(views,
-          expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"))
+          expr("p_user = v_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
+          joinType)
         .writeStream.format("noop")
         .option("checkpointLocation", ck)
         .outputMode("append")
@@ -116,6 +123,7 @@ object StreamScaleProbe {
       }
     }
     runJoin("ssjoin")
+    runJoin("ssjoin_outer")
 
     // STATE-STORE PROVIDER comparison: the same bounded-watermark session
     // workload under the default heap-backed provider vs RocksDB (the
