@@ -149,6 +149,7 @@ object SparkEntry {
       Similarity.ivfPqResidualSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
     "q_doc_embed" -> ((s, d) => Similarity.docEmbeddings(documents(s, d))),
+    "q_doc_search" -> ((s, d) => Similarity.docSearch(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1003,6 +1004,40 @@ object SparkEntry {
           |       count(*) AS n_chunks,
           |       floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_v
           |FROM px GROUP BY 1,2 ORDER BY doc_id, dim""".stripMargin),
+    // doc-level cosine retrieval over the pooled vectors: dot products
+    // and norms in exact DECIMAL, division/sqrt as single IEEE ops
+    "q_doc_search" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) +
+        """,
+          |px AS (
+          |  SELECT vec_id // 1000000 AS pdoc,
+          |    unnest([{'dim': i-1, 'v': embedding[i]}
+          |            for i in range(1, len(embedding)+1)], recursive := true)
+          |  FROM cemb),
+          |dm AS (
+          |  SELECT pdoc AS doc_id, dim,
+          |    CAST(floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+          |         AS DECIMAL(18,6)) AS v
+          |  FROM px GROUP BY 1,2),
+          |nr AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS nrm FROM dm GROUP BY 1),
+          |dots AS (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+          |         CAST(sum(c.v * q.v) AS DOUBLE) AS dot
+          |  FROM dm c JOIN dm q ON c.dim = q.dim
+          |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
+          |  GROUP BY 1,2),
+          |sc AS (
+          |  SELECT d.query_id, d.cand_id, d.dot / (n1.nrm * n2.nrm) AS sim
+          |  FROM dots d JOIN nr n1 ON n1.doc_id = d.query_id
+          |              JOIN nr n2 ON n2.doc_id = d.cand_id
+          |  WHERE n1.nrm > 0 AND n2.nrm > 0),
+          |drk AS (
+          |  SELECT query_id, cand_id, sim,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+          |  FROM sc)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(sim, 6) AS sim
+          |FROM drk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->

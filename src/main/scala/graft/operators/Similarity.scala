@@ -1329,6 +1329,43 @@ object Similarity {
               col("n_chunks"), col("mean_v"))
       .orderBy("doc_id", "dim")
 
+  /** DOC-level cosine retrieval over the pooled embeddings
+    * (q_doc_search): which documents are closest to each query document
+    * by their mean-pooled chunk vectors — the coarse first stage of a
+    * coarse-to-fine pipeline ([[docEmbeddings]] supplies the vectors,
+    * [[ragRetrieve]]'s chunk stack is the fine stage). Dot products and
+    * norms accumulate in exact DECIMAL (the pooled components are
+    * 6-decimal rationals), so no cross-engine float summation exists;
+    * the division and sqrt are then single IEEE ops on identical
+    * inputs. The per-dim join against a broadcast query side is the
+    * brute-force baseline shape — |Q|·dims rows broadcast, candidates
+    * stream, TopKAgg bounds the shuffle to k rows per partition per
+    * query.
+    */
+  def docSearch(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                size: Int = 64, stride: Int = 48, dims: Int = 8,
+                nLabels: Int = 8): DataFrame = {
+    val dm = docEmbeddings(documents, size, stride, dims, nLabels)
+      .select(col("doc_id"), col("dim"),
+        col("mean_v").cast("decimal(18,6)").as("v"))
+    val norms = dm.groupBy("doc_id")
+      .agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nrm"))
+    val q = dm.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("dim"), col("v").as("qv"))
+    val dots = dm.join(broadcast(q), Seq("dim"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("v") * col("qv")).cast("double").as("dot"))
+    val scored = dots
+      .join(broadcast(norms.select(col("doc_id").as("q_id"),
+        col("nrm").as("q_nrm"))), "q_id")
+      .join(norms, "doc_id")
+      .filter(col("nrm") > 0 && col("q_nrm") > 0)
+      .select(col("q_id").as("query_id"), col("doc_id").as("cand_id"),
+        (col("dot") / (col("nrm") * col("q_nrm"))).as("s"))
+    rankedTopK(scored, k, "sim")
+  }
+
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
                                          nLabels: Int): DataFrame =
     chunks.select(
