@@ -118,6 +118,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("doc-level retrieval plan: broadcast query side, partial TopK, no cartesian") {
+    // q_doc_search is the coarse retrieval stage: |Q|·dims rows and the
+    // norm table broadcast, candidates stream through one hash agg, and
+    // the TopKAgg keeps its map-side partial
+    val p = planText(SparkEntry.queries("q_doc_search")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"),
+      "doc search lost its query-side broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "doc search degenerated to a cartesian product")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "TopKAgg lost its partial aggregation stage")
+    CacheRegistry.release()
+  }
+
   test("saved-index serve plan keeps broadcasts + partial TopK, no cartesian") {
     // serving from artifacts must not lose the serving-plan economics:
     // ADC tables and probe lists broadcast, candidates stream, the
