@@ -56,6 +56,12 @@ object ScaleProbe {
       .decontaminationFraction(amplified, 5, 100).count())
     // substring dedup: posting-list work per gram, never pairs — cost
     // should track total positions (linear), like decontam
+    // doc-embedding pooling + pooled retrieval: pooling is one hash agg
+    // over the chunk fan-out (corpus-linear); search cost is the
+    // brute-force baseline (broadcast queries × streamed candidates) —
+    // both should track corpus size, never blow past it
+    time("doc_embed")(graft.operators.Similarity.docEmbeddings(amplified).count())
+    time("doc_search")(graft.operators.Similarity.docSearch(amplified).count())
     time("substr_dedup")(graft.operators.NearDup
       .substringDedup(amplified, 5).count())
     // model-based curation tier: the LM join fan-out (perplexity), the
