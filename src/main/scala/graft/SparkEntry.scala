@@ -202,6 +202,7 @@ object SparkEntry {
     // model-based curation: train-on-corpus, score-corpus filters
     "q_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(documents(s, d))),
     "q_nb_quality" -> ((s, d) => TextAnalysis.nbQuality(documents(s, d))),
+    "q_nb_eval" -> ((s, d) => TextAnalysis.nbQualityEval(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
     "q_mixture_temp" -> ((s, d) =>
@@ -1966,52 +1967,26 @@ object SparkEntry {
         |FROM sc GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // Naive Bayes quality classifier: Gopher-gate labels on the train
     // split, token-count model, eval docs classified by smaller NLL
-    "q_nb_quality" ->
-      """WITH base AS MATERIALIZED (
-        |  SELECT doc_id, text,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
-        |  FROM documents),
-        |lab AS MATERIALIZED (
-        |  SELECT doc_id, h, toks,
-        |    CAST(len(toks) >= 20 AND len(toks) <= 100000
-        |      AND (CASE WHEN len(toks) > 0
-        |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
-        |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
-        |      AND len(toks) > 0
-        |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-        |          / len(toks) <= 0.1
-        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
-        |      AS INT) AS pass
-        |  FROM base),
-        |tok AS MATERIALIZED (SELECT doc_id, h, pass, unnest(toks) AS t FROM lab),
-        |model AS (
-        |  SELECT t, CAST(sum(pass) AS BIGINT) AS n_pass,
-        |         CAST(sum(1 - pass) AS BIGINT) AS n_fail
-        |  FROM tok WHERE h < 80 GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n_pass) AS BIGINT) AS tot_pass,
-        |               CAST(sum(n_fail) AS BIGINT) AS tot_fail, count(*) AS v FROM model),
-        |pri AS (SELECT
-        |    CAST(round(-ln(sum(pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_pass,
-        |    CAST(round(-ln(sum(1 - pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_fail
-        |  FROM lab WHERE h < 80),
-        |sc AS (
-        |  SELECT e.doc_id,
-        |    CAST(round(-ln((coalesce(m.n_pass, 0) + 1)::DOUBLE /
-        |                   (tot.tot_pass + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_pass,
-        |    CAST(round(-ln((coalesce(m.n_fail, 0) + 1)::DOUBLE /
-        |                   (tot.tot_fail + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_fail
-        |  FROM tok e LEFT JOIN model m ON e.t = m.t CROSS JOIN tot
-        |  WHERE e.h >= 80),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_tokens, sum(s_pass) AS lp, sum(s_fail) AS lf
-        |  FROM sc GROUP BY 1)
+    "q_nb_quality" -> (nbChainSql +
+      """
         |SELECT doc_id, n_tokens,
         |  round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6) AS nll_pass,
         |  round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS nll_fail,
         |  CAST(round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6)
         |    <= round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS INT) AS predicted_pass
-        |FROM agg CROSS JOIN pri ORDER BY doc_id""".stripMargin,
+        |FROM agg CROSS JOIN pri ORDER BY doc_id""".stripMargin),
+    // held-out confusion census: the classifier's predictions vs the
+    // Gopher-rule labels on the h >= 80 slice the model never saw
+    "q_nb_eval" -> (nbChainSql +
+      """,
+        |pred AS (
+        |  SELECT agg.doc_id,
+        |    CAST(round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6)
+        |      <= round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS INT) AS predicted_pass
+        |  FROM agg CROSS JOIN pri)
+        |SELECT l.pass AS rule_pass, p.predicted_pass, count(*) AS n_docs
+        |FROM pred p JOIN lab l USING (doc_id)
+        |GROUP BY 1,2 ORDER BY rule_pass, predicted_pass""".stripMargin),
     // DSIR importance weights: hashed unigram+bigram features, target =
     // Gopher-pass train docs, raw = all train docs; weight = sum of
     // surprisal differences; top-100 by (weight, doc_id) selected
@@ -3059,6 +3034,52 @@ object SparkEntry {
     * slice is Similarity.ivfPqDeleteRoundtrip's vec_id % 10 = 3 outside
     * the query set).
     */
+  /** The NB quality-classifier chain through the per-doc held-out score
+    * CTE `agg` (+ `lab` with the rule labels and `pri` priors in scope)
+    * — shared by q_nb_quality's per-doc emission and q_nb_eval's
+    * confusion census so the two can never drift.
+    */
+  private val nbChainSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS h,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |lab AS MATERIALIZED (
+      |  SELECT doc_id, h, toks,
+      |    CAST(len(toks) >= 20 AND len(toks) <= 100000
+      |      AND (CASE WHEN len(toks) > 0
+      |             THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+      |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+      |      AND len(toks) > 0
+      |      AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / len(toks) <= 0.1
+      |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) >= 2
+      |      AS INT) AS pass
+      |  FROM base),
+      |tok AS MATERIALIZED (SELECT doc_id, h, pass, unnest(toks) AS t FROM lab),
+      |model AS (
+      |  SELECT t, CAST(sum(pass) AS BIGINT) AS n_pass,
+      |         CAST(sum(1 - pass) AS BIGINT) AS n_fail
+      |  FROM tok WHERE h < 80 GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_pass) AS BIGINT) AS tot_pass,
+      |               CAST(sum(n_fail) AS BIGINT) AS tot_fail, count(*) AS v FROM model),
+      |pri AS (SELECT
+      |    CAST(round(-ln(sum(pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_pass,
+      |    CAST(round(-ln(sum(1 - pass)::DOUBLE / count(*)), 6) AS DECIMAL(18,6)) AS prior_fail
+      |  FROM lab WHERE h < 80),
+      |sc AS (
+      |  SELECT e.doc_id,
+      |    CAST(round(-ln((coalesce(m.n_pass, 0) + 1)::DOUBLE /
+      |                   (tot.tot_pass + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_pass,
+      |    CAST(round(-ln((coalesce(m.n_fail, 0) + 1)::DOUBLE /
+      |                   (tot.tot_fail + tot.v)::DOUBLE), 6) AS DECIMAL(18,6)) AS s_fail
+      |  FROM tok e LEFT JOIN model m ON e.t = m.t CROSS JOIN tot
+      |  WHERE e.h >= 80),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens, sum(s_pass) AS lp, sum(s_fail) AS lf
+      |  FROM sc GROUP BY 1)""".stripMargin
+
   /** q_ann_recall: recall@10 of the ADC chain against brute-force exact
     * L2 ground truth — `ranked` is the ivfPqRankedFrag chain verbatim
     * (the indexed search under evaluation), `truth` the full pairwise d2

@@ -1143,6 +1143,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Held-out evaluation of the NB quality classifier (q_nb_eval): the
+    * validation a model-based curation pipeline runs before trusting the
+    * cheap classifier as a stand-in for the expensive rule — the
+    * confusion census of predictions vs Gopher-rule labels on the
+    * h ≥ 80 slice the model never trained on. Composes [[nbQuality]]'s
+    * per-doc scores with the rule labels; output is a ≤4-row census, so
+    * the eval costs one small join over work the scorer already does.
+    */
+  def nbQualityEval(documents: DataFrame): DataFrame =
+    nbQuality(documents)
+      .select(col("doc_id"), col("predicted_pass"))
+      .join(gopherRulesUnordered(documents)
+        .select(col("doc_id"), col("pass").as("rule_pass")), Seq("doc_id"))
+      .groupBy("rule_pass", "predicted_pass")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("rule_pass", "predicted_pass")
+
   /** TEMPERATURE-scaled mixture (q_mixture_temp): instead of hand-set
     * per-mille rates, each source's token budget is its share of a
     * global budget under α = 0.5 resampling — budget_d ∝ √n_d, the
