@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same pin as Verify: NTZ→timestamp casts are session-TZ-dependent,
+      // so an unpinned bench on a non-UTC host would measure a different
+      // row set than the verified one
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classload warmup on a synthetic range — otherwise whichever

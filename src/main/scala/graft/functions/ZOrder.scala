@@ -40,12 +40,16 @@ object ZOrder {
     shiftleft(spread16(a), 1).bitwiseOR(spread16(b))
 
   /** Scale a numeric column to [0, 65535] given its closed [lo, hi]
-    * range (integer arithmetic; hi == lo degrades to 0 rather than
-    * dividing by zero).
+    * range (true integral division via SQL `div` = IntegralDivide, so
+    * the scaling stays exact; hi == lo degrades to 0 rather than
+    * dividing by zero). Caveat: (c - lo) * 65535 overflows long for
+    * ranges wider than ~2^47 — far beyond any id/day dimension here,
+    * but a caller with such a range should pre-shift the dimension.
     */
   def scale16(c: Column, lo: Column, hi: Column): Column =
     when(hi > lo,
-      ((c.cast("long") - lo.cast("long")) * lit(65535L) /
-        (hi.cast("long") - lo.cast("long"))).cast("long"))
+      call_function("div",
+        (c.cast("long") - lo.cast("long")) * lit(65535L),
+        hi.cast("long") - lo.cast("long")))
       .otherwise(lit(0L))
 }

@@ -601,6 +601,8 @@ object Events {
   def zorderScan(spark: org.apache.spark.sql.SparkSession,
                  events: DataFrame): DataFrame = {
     import graft.functions.ZOrder
+    val layoutDir =
+      s"$zorderRoot/${java.util.UUID.randomUUID().toString.take(8)}"
     val keyed = events.withColumn("day", dayofmonth(col("ts")))
     val stats = keyed.agg(
       min("user_id").as("ulo"), max("user_id").as("uhi"),
@@ -612,8 +614,12 @@ object Events {
       .drop("ulo", "uhi", "dlo", "dhi")
       .repartitionByRange(8, col("zk"))
       .sortWithinPartitions("zk")
-      .write.mode("overwrite").parquet(zorderRoot)
-    spark.read.parquet(zorderRoot)
+      // fresh subdir per invocation: the returned DataFrame reads lazily,
+      // so overwriting one shared dir from a second call (concurrent bench
+      // rep) could delete files under a still-pending scan. The shutdown
+      // hook removes the whole root, subdirs included.
+      .write.mode("overwrite").parquet(layoutDir)
+    spark.read.parquet(layoutDir)
       .filter(col("user_id") <= 7 && col("day").between(8, 14))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

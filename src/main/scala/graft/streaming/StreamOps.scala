@@ -66,6 +66,14 @@ object StreamOps {
     * isAdjustedToUTC=false) = Spark TIMESTAMP_NTZ; [[withEnvelope]]
     * converts to the engine-native session-TZ TimestampType immediately
     * (session pinned UTC, so the instant is unchanged).
+    *
+    * NOTE: streaming requires the µs-generation driver output
+    * (2026-08-13+). A file stream source needs its schema fixed up
+    * front, so unlike [[graft.Tables.events]] — which branches on the
+    * footer type at read time and still loads the legacy
+    * TIMESTAMP(NANOS) generation — this schema is pinned to the current
+    * generation; pointing a stream at a legacy nanos file fails on a
+    * parquet type mismatch by design rather than silently mis-scaling.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -541,6 +549,16 @@ object StreamOps {
     * oracle. `joinType = "fullOuter"` additionally emits each view no
     * purchase followed within the hour (p_id = −1), state-expired by the
     * same watermark machinery — the batch full join twin.
+    *
+    * IMPORTANT — replay flush vs production semantics: the sentinels are
+    * FINITE-REPLAY flush machinery only, not part of the operator. On a
+    * live unbounded stream the watermark advances on its own as new
+    * events arrive, unmatched rows expire and emit continuously, and no
+    * sentinel staging is needed (or wanted) — deploy the bare
+    * join+watermark pipeline exactly as built here, minus
+    * [[stageOuterJoinDir]]. Outer-join state stays bounded either way:
+    * the EXPLAINS state-boundedness probe measures outer state equal to
+    * the inner twin's.
     */
   /** Staged (events + two sentinel batches) dir per sfDir — the content
     * is a pure function of the input table, so one staging serves every
@@ -549,11 +567,25 @@ object StreamOps {
   private val ssjoStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One per-JVM parent for the staged outer-join dirs, removed at exit —
+    * same discipline as Events.zorderRoot / Warehouse.bucketedRoot, so
+    * repeated verify/bench runs never leak staged event copies.
+    */
+  private lazy val ssjoRoot: String = {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_ssjo/" +
+        UUID.randomUUID().toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case scala.util.control.NonFatal(_) => () }))
+    dir.toString
+  }
+
   private def stageOuterJoinDir(spark: SparkSession, sfDir: String): String =
     ssjoStaged.computeIfAbsent(sfDir, { _ =>
       import java.nio.file.{Files, Paths}
       val runId = UUID.randomUUID().toString.take(8)
-      val root = s"${sys.props("java.io.tmpdir")}/graft_ssjo/$runId"
+      val root = s"$ssjoRoot/$runId"
       Files.createDirectories(Paths.get(root))
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {

@@ -14,7 +14,8 @@ object ProbeCB {
     val iters = if (args.length > 2) args(2).toInt else 2
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.embeddings(spark, sfDir)
     val rows = graft.operators.Similarity.kmeansTrain(emb, iters).collect()

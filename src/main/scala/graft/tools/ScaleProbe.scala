@@ -15,7 +15,8 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.documents(spark, sfDir)
     val n = docs.count()
@@ -62,6 +63,26 @@ object ScaleProbe {
     // both should track corpus size, never blow past it
     time("doc_embed")(graft.operators.Similarity.docEmbeddings(amplified).count())
     time("doc_search")(graft.operators.Similarity.docSearch(amplified).count())
+    // doc-tier graduation: the same pooled vectors through the IVF-PQ
+    // lifecycle — the build is paid once (corpus-linear), and the serve
+    // must beat the brute-force doc_search above as the corpus grows
+    // (candidates are nprobe-cell-bounded, scored from codes)
+    time("doc_idx") {
+      val dv = graft.operators.Similarity.docVectors(amplified)
+        .localCheckpoint()
+      val ddir = s"${sys.props("java.io.tmpdir")}/graft_probe_docidx_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.buildIvfPqIndex(dv, ddir)
+      println(f"  doc idx build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = System.nanoTime()
+      val n = graft.operators.Similarity.searchIvfPqIndex(spark, ddir,
+        dv.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")), 5).count()
+      println(f"  doc idx serve: ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ddir))
+      n
+    }
     time("substr_dedup")(graft.operators.NearDup
       .substringDedup(amplified, 5).count())
     // model-based curation tier: the LM join fan-out (perplexity), the

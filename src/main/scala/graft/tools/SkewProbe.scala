@@ -18,6 +18,7 @@ object SkewProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")

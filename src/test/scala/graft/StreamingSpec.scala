@@ -362,6 +362,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("outer interval join: watermark flush emits unmatched purchases exactly once (= batch twin)") {
+    // The far-future sentinels inside streamIntervalJoinOuter are
+    // finite-replay flush machinery only — a live unbounded stream's
+    // watermark advances by itself and needs none (see the scaladoc, and
+    // EXPLAINS' state-boundedness probe: outer join state == inner's).
     val got = StreamOps.streamIntervalJoinOuter(spark, sf0001).collect()
     val ev = Tables.events(spark, sf0001)
     val p = ev.filter(col("event_type") === "purchase")
