@@ -150,6 +150,7 @@ object SparkEntry {
     "q_rag_e2e" -> ((s, d) => Similarity.ragRetrieve(documents(s, d))),
     "q_doc_embed" -> ((s, d) => Similarity.docEmbeddings(documents(s, d))),
     "q_doc_search" -> ((s, d) => Similarity.docSearch(documents(s, d))),
+    "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1039,6 +1040,13 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(sim, 6) AS sim
           |FROM drk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // doc-tier ANN graduation: the q_doc_embed pooled vectors served
+    // through the SHARED ivfPqRankedFrag chain — brute force and index
+    // retrieve over the same vectors, so the tiers can never drift
+    "q_doc_ivfpq" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
+        ivfPqRankedFrag(2, 2, "demb", 10L) +
+        rerankSuffixSql(15, "demb", 5)),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->
@@ -3125,11 +3133,13 @@ object SparkEntry {
       " AND EXISTS (SELECT 1 FROM embeddings me" +
         " WHERE me.vec_id = c.vec_id AND me.label % 2 = 0)")
 
-  /** Exact re-rank tail shared by q_ann_rerank and q_ivfpq_rerank: the
-    * top-m of a `ranked` CTE re-ordered by true squared L2 from the raw
-    * vectors, grouping (|q|² − 2 q·v) + |v|² mirroring exactRerank.
+  /** Exact re-rank tail shared by q_ann_rerank, q_ivfpq_rerank and the
+    * doc-tier graduation: the top-m of a `ranked` CTE re-ordered by true
+    * squared L2 from the raw vectors in `src`, grouping
+    * (|q|² − 2 q·v) + |v|² mirroring exactRerank.
     */
-  private def rerankSuffixSql(m: Int): String =
+  private def rerankSuffixSql(m: Int, src: String = "embeddings",
+                              k: Int = 10): String =
     s""",
        |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
        |rexact AS (
@@ -3138,14 +3148,14 @@ object SparkEntry {
        |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
        |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
        |  FROM rcand
-       |    JOIN embeddings q ON q.vec_id = rcand.query_id
-       |    JOIN embeddings v ON v.vec_id = rcand.neighbor_id),
+       |    JOIN $src q ON q.vec_id = rcand.query_id
+       |    JOIN $src v ON v.vec_id = rcand.neighbor_id),
        |rr AS (
        |  SELECT query_id, neighbor_id, d2,
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
        |  FROM rexact)
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
-       |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+       |FROM rr WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
 
   private def ivfPqRerankOracleSql(iters: Int, nprobe: Int, m: Int,
                                    candPred: String = ""): String =
@@ -3281,6 +3291,26 @@ object SparkEntry {
        |     for j in range(0, $dims)] AS embedding,
        |    doc_id, chunk_id, start_tok, n_tok
        |  FROM chunks)""".stripMargin
+
+  /** CTEs dpx..demb: q_doc_embed's DECIMAL-exact mean pooling over the
+    * `cemb` chunk embeddings, re-assembled into the (vec_id, label,
+    * embedding) shape [[ivfPqRankedFrag]] consumes — the SQL twin of
+    * Similarity.docVectors. Requires chunkEmbFrag's CTEs in scope.
+    */
+  private def docVecFrag(nLabels: Int): String =
+    s"""dpx AS (
+       |  SELECT vec_id // 1000000 AS pdoc,
+       |    unnest([{'dim': i-1, 'v': embedding[i]}
+       |            for i in range(1, len(embedding)+1)], recursive := true)
+       |  FROM cemb),
+       |dpm AS (
+       |  SELECT pdoc AS doc_id, dim,
+       |    floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+       |  FROM dpx GROUP BY 1,2),
+       |demb AS (
+       |  SELECT doc_id AS vec_id, CAST(doc_id % $nLabels AS INT) AS label,
+       |         list(v ORDER BY dim) AS embedding
+       |  FROM dpm GROUP BY doc_id)""".stripMargin
 
   /** q_stream_chunk_embed: the ingest-side census rebuilt standalone —
     * chunk embeddings, their label-centroid coarse codebook (the same

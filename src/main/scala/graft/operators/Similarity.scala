@@ -1366,6 +1366,52 @@ object Similarity {
     rankedTopK(scored, k, "sim")
   }
 
+  /** [[docEmbeddings]]'s pooled vectors re-assembled into the
+    * embeddings-table shape (vec_id, label, embedding) the IVF-PQ
+    * lifecycle consumes — vec_id = doc_id, a doc_id-derived coarse
+    * seed label, components in dim order. The pooled values are the
+    * quant6 DECIMAL-exact means, so the frame is cross-engine
+    * deterministic by construction. One hash aggregation over the
+    * (doc, dim) rows; array_sort on the (dim, v) structs makes the
+    * collect order-independent.
+    */
+  def docVectors(documents: DataFrame, size: Int = 64, stride: Int = 48,
+                 dims: Int = 8, nLabels: Int = 8): DataFrame =
+    docEmbeddings(documents, size, stride, dims, nLabels)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("a"))
+      .select(col("doc_id").as("vec_id"),
+        (col("doc_id") % nLabels).cast("int").as("label"),
+        expr("transform(a, x -> x.mean_v)").as("embedding"))
+
+  /** Doc-tier ANN graduation (q_doc_ivfpq): the brute-force
+    * [[docSearch]] baseline's pooled vectors pushed through the SAME
+    * persisted IVF-PQ lifecycle the chunk tier serves from —
+    * [[buildIvfPqIndex]] over [[docVectors]], then the DEPLOYED serve
+    * plan ([[searchIvfPqIndexRerank]]: from-files ADC shortlist +
+    * exact re-rank against the pooled-vector store — the re-rank
+    * matters here because mean-pooled vectors concentrate near the
+    * origin, where pure ADC distortion swamps true distances). This is
+    * the "corpus outgrows brute force" path as a query: nothing
+    * doc-specific exists in the index machinery; the doc tier is just
+    * another embeddings-shaped frame. Scale shape: index build is
+    * corpus-linear (one broadcast-argmin pass per quantizer); the
+    * serve probes nprobe cells, reads codes not vectors, and touches
+    * |Q|·m raw vectors in the re-rank — the |Q|·|D| dot-product join
+    * of [[docSearch]] becomes nprobe-cell-bounded candidate scoring.
+    * The pooled vectors are localCheckpoint-materialized once: build
+    * and serve otherwise each recompute the full chunk fan-out.
+    */
+  def docIvfPqRoundtrip(spark: SparkSession, sfDir: String,
+                        nQueries: Int = 10, k: Int = 5, m: Int = 15,
+                        nprobe: Int = 2, trainIters: Int = 2): DataFrame = {
+    val dir = newIndexDir()
+    val dv = docVectors(graft.Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    buildIvfPqIndex(dv, dir, trainIters)
+    searchIvfPqIndexRerank(spark, dir, dv, nQueries, k, m, nprobe)
+  }
+
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
                                          nLabels: Int): DataFrame =
     chunks.select(
