@@ -151,6 +151,8 @@ object SparkEntry {
     "q_doc_embed" -> ((s, d) => Similarity.docEmbeddings(documents(s, d))),
     "q_doc_search" -> ((s, d) => Similarity.docSearch(documents(s, d))),
     "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
+    "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
+    "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1009,37 +1011,26 @@ object SparkEntry {
     // doc-level cosine retrieval over the pooled vectors: dot products
     // and norms in exact DECIMAL, division/sqrt as single IEEE ops
     "q_doc_search" ->
-      ("WITH " + chunkEmbFrag(64, 48, 8, 8) +
-        """,
-          |px AS (
-          |  SELECT vec_id // 1000000 AS pdoc,
-          |    unnest([{'dim': i-1, 'v': embedding[i]}
-          |            for i in range(1, len(embedding)+1)], recursive := true)
-          |  FROM cemb),
-          |dm AS (
-          |  SELECT pdoc AS doc_id, dim,
-          |    CAST(floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
-          |         AS DECIMAL(18,6)) AS v
-          |  FROM px GROUP BY 1,2),
-          |nr AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS nrm FROM dm GROUP BY 1),
-          |dots AS (
-          |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
-          |         CAST(sum(c.v * q.v) AS DOUBLE) AS dot
-          |  FROM dm c JOIN dm q ON c.dim = q.dim
-          |  WHERE q.doc_id < 10 AND c.doc_id <> q.doc_id
-          |  GROUP BY 1,2),
-          |sc AS (
-          |  SELECT d.query_id, d.cand_id, d.dot / (n1.nrm * n2.nrm) AS sim
-          |  FROM dots d JOIN nr n1 ON n1.doc_id = d.query_id
-          |              JOIN nr n2 ON n2.doc_id = d.cand_id
-          |  WHERE n1.nrm > 0 AND n2.nrm > 0),
-          |drk AS (
-          |  SELECT query_id, cand_id, sim,
-          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
-          |  FROM sc)
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        """
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(sim, 6) AS sim
           |FROM drk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // BM25 lexical retrieval: idf through the quant6 ln law, per-term
+    // weights quantized and DECIMAL-summed so accumulation order cannot
+    // perturb scores cross-engine
+    "q_bm25_topk" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(bm25, 6) AS bm25
+          |FROM brk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-10 and the pooled-vector cosine top-10 — both ranked chains
+    // shared verbatim with their standalone queries
+    "q_hybrid_rrf" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + rrfSuffixSql(10, 5, "60.0")),
     // doc-tier ANN graduation: the q_doc_embed pooled vectors served
     // through the SHARED ivfPqRankedFrag chain — brute force and index
     // retrieve over the same vectors, so the tiers can never drift
@@ -3311,6 +3302,108 @@ object SparkEntry {
        |  SELECT doc_id AS vec_id, CAST(doc_id % $nLabels AS INT) AS label,
        |         list(v ORDER BY dim) AS embedding
        |  FROM dpm GROUP BY doc_id)""".stripMargin
+
+  /** CTEs px..drk: the pooled-vector cosine retrieval chain (q_doc_
+    * search), ranked in `drk` — the SQL twin of Similarity.docSearch,
+    * shared verbatim by q_doc_search and q_hybrid_rrf's vector side.
+    * Requires chunkEmbFrag's CTEs in scope.
+    */
+  private def docSearchFrag(nq: Long): String =
+    s"""px AS (
+       |  SELECT vec_id // 1000000 AS pdoc,
+       |    unnest([{'dim': i-1, 'v': embedding[i]}
+       |            for i in range(1, len(embedding)+1)], recursive := true)
+       |  FROM cemb),
+       |dm AS (
+       |  SELECT pdoc AS doc_id, dim,
+       |    CAST(floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0
+       |         AS DECIMAL(18,6)) AS v
+       |  FROM px GROUP BY 1,2),
+       |nr AS (SELECT doc_id, sqrt(CAST(sum(v*v) AS DOUBLE)) AS nrm FROM dm GROUP BY 1),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+       |         CAST(sum(c.v * q.v) AS DOUBLE) AS dot
+       |  FROM dm c JOIN dm q ON c.dim = q.dim
+       |  WHERE q.doc_id < $nq AND c.doc_id <> q.doc_id
+       |  GROUP BY 1,2),
+       |dsc AS (
+       |  SELECT d.query_id, d.cand_id, d.dot / (n1.nrm * n2.nrm) AS sim
+       |  FROM dots d JOIN nr n1 ON n1.doc_id = d.query_id
+       |              JOIN nr n2 ON n2.doc_id = d.cand_id
+       |  WHERE n1.nrm > 0 AND n2.nrm > 0),
+       |drk AS (
+       |  SELECT query_id, cand_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+       |  FROM dsc)""".stripMargin
+
+  /** CTEs btok..brk: the Okapi BM25 lexical retrieval chain
+    * (q_bm25_topk), ranked in `brk` — the SQL twin of
+    * TextAnalysis.bm25TopK, shared verbatim by q_bm25_topk and
+    * q_hybrid_rrf's lexical side. idf goes through the quant6 law
+    * right after ln; each per-term weight is a fixed-order IEEE chain
+    * on quantized inputs, quantized again, then DECIMAL-summed.
+    */
+  private def bm25Frag(nq: Long, k1: Double, b: Double): String =
+    s"""btok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |           t -> t <> '')) AS term
+       |  FROM documents),
+       |btf AS (SELECT doc_id, term, count(*) AS tf FROM btok GROUP BY 1,2),
+       |bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY 1),
+       |bst AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |        FROM bdl),
+       |bdfr AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+       |bqt AS (
+       |  SELECT btf.doc_id AS q_id, btf.term,
+       |         floor(ln((bst.n_docs - CAST(bdfr.df AS DOUBLE) + 0.5)
+       |                  / (CAST(bdfr.df AS DOUBLE) + 0.5) + 1.0)
+       |               * 1000000.0 + 0.5) / 1000000.0 AS idf
+       |  FROM btf JOIN bdfr USING (term) CROSS JOIN bst
+       |  WHERE btf.doc_id < $nq),
+       |bw AS (
+       |  SELECT bqt.q_id, btf.doc_id,
+       |         floor(bqt.idf * (CAST(btf.tf AS DOUBLE) * ($k1 + 1.0))
+       |               / (CAST(btf.tf AS DOUBLE) + $k1 * ((1.0 - $b) + $b
+       |                  * (CAST(bdl.dl AS DOUBLE) / bst.avgdl)))
+       |               * 1000000.0 + 0.5) / 1000000.0 AS w
+       |  FROM btf JOIN bdl USING (doc_id) CROSS JOIN bst
+       |       JOIN bqt ON bqt.term = btf.term
+       |  WHERE btf.doc_id <> bqt.q_id),
+       |bsc AS (SELECT q_id AS query_id, doc_id AS cand_id,
+       |               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+       |        FROM bw GROUP BY 1,2),
+       |brk AS (
+       |  SELECT query_id, cand_id, bm25,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, cand_id) AS rk
+       |  FROM bsc)""".stripMargin
+
+  /** Reciprocal-rank fusion tail over `brk` (lexical) and `drk`
+    * (vector): Σ 1/(c + rank) across the two top-m lists, re-ranked —
+    * the SQL twin of Similarity.hybridRrf. `c` is passed as SQL text
+    * so the literal parses identically in both engines.
+    */
+  private def rrfSuffixSql(m: Int, k: Int, c: String): String =
+    s""",
+       |lexm AS (SELECT query_id, cand_id, rk FROM brk WHERE rk <= $m),
+       |vecm AS (SELECT query_id, cand_id, rk FROM drk WHERE rk <= $m),
+       |fus AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+       |         (CASE WHEN l.rk IS NULL THEN 0.0
+       |               ELSE 1.0 / ($c + CAST(l.rk AS DOUBLE)) END)
+       |         + (CASE WHEN v.rk IS NULL THEN 0.0
+       |                 ELSE 1.0 / ($c + CAST(v.rk AS DOUBLE)) END) AS s
+       |  FROM lexm l FULL OUTER JOIN vecm v
+       |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+       |frk AS (
+       |  SELECT query_id, cand_id, s,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |  FROM fus)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+       |       round(s, 6) AS rrf
+       |FROM frk WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
 
   /** q_stream_chunk_embed: the ingest-side census rebuilt standalone —
     * chunk embeddings, their label-centroid coarse codebook (the same

@@ -59,8 +59,8 @@ object Similarity {
     * rank/tie-break/rounding contract can never drift between the exact,
     * LSH, IVF, PQ, and composed searches.
     */
-  private def rankedTopK(scored: DataFrame, k: Int, out: String,
-                         emit: Column => Column = identity): DataFrame = {
+  private[operators] def rankedTopK(scored: DataFrame, k: Int, out: String,
+                                    emit: Column => Column = identity): DataFrame = {
     val topk = topK(k)
     scored.groupBy("query_id")
       .agg(topk(col("s"), col("cand_id")).as("nbrs"))
@@ -1410,6 +1410,39 @@ object Similarity {
       .localCheckpoint()
     buildIvfPqIndex(dv, dir, trainIters)
     searchIvfPqIndexRerank(spark, dir, dv, nQueries, k, m, nprobe)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (q_hybrid_rrf): the
+    * BM25 lexical top-m ([[TextAnalysis.bm25TopK]]) and the
+    * pooled-vector cosine top-m ([[docSearch]]) fused per (query,
+    * candidate) as Σ 1/(c + rank) over the lists the candidate appears
+    * in (Cormack et al.'s RRF, c = 60) — the deployment pattern every
+    * production RAG stack runs: lexical catches exact-term matches the
+    * embedding misses, the vector side catches paraphrases the lexicon
+    * misses, and rank fusion needs no score calibration between the
+    * two systems.
+    *
+    * Scale shape: both input lists are already k-bounded per query
+    * (|Q|·m rows each), so the fusion full-outer join and re-rank are
+    * list-sized — the expensive retrieval work happens inside the two
+    * tiers, each with its own bounded plan. Determinism: 1/(60+rank)
+    * is a single IEEE division on integers, the two-term sum has a
+    * fixed (lexical + vector) order, and ties (same-rank singletons)
+    * break on cand_id in the shared TopKAgg law.
+    */
+  def hybridRrf(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                m: Int = 10, c: Double = 60.0): DataFrame = {
+    val lex = graft.operators.TextAnalysis
+      .bm25TopK(documents, nQueries, m)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("lrk"))
+    val vec = docSearch(documents, nQueries, m)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("vrk"))
+    val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        (coalesce(lit(1.0) / (lit(c) + col("lrk").cast("double")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(c) + col("vrk").cast("double")), lit(0.0)))
+          .as("s"))
+    rankedTopK(fused, k, "rrf")
   }
 
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,

@@ -201,6 +201,64 @@ object TextAnalysis {
       .orderBy("lang", "term")
   }
 
+  /** BM25 lexical retrieval (q_bm25_topk): each query document's
+    * distinct terms score every other document by the Okapi BM25
+    * weighting — idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) —
+    * the lexical half of the hybrid retrieval every deployed RAG
+    * system runs next to the vector index ([[Similarity.hybridRrf]]
+    * fuses the two).
+    *
+    * Scale shape: the corpus side is the (doc, term, tf) posting table
+    * — one tokenize + hash-agg pass; the query side (|Q| docs × their
+    * distinct terms, with idf attached) broadcasts; candidates stream
+    * through the posting join and TopKAgg bounds the shuffle to k rows
+    * per partition per query. No |Q|·|D| pair space, no window over
+    * the corpus.
+    *
+    * Cross-engine determinism: idf goes through ln() — the one
+    * transcendental — then is immediately quantized (quant6, the
+    * [[Similarity.quant6]] law; libm vs JVM log differ only below the
+    * quantum except within half an ulp of a rounding boundary, the
+    * same accepted exposure as the NB chain's ln). Each per-term
+    * weight is a fixed-order chain of IEEE ops on quantized inputs,
+    * quantized again, and summed as DECIMAL(18,6) so accumulation
+    * order cannot perturb the score.
+    */
+  def bm25TopK(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import Similarity.quant6
+    val tok = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+      .join(dfr, "term")
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("q_id"), col("term"),
+        quant6(log((col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))).as("idf"))
+    val scored = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        quant6(col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            ((lit(1.0) - lit(b)) + lit(b) *
+              (col("dl").cast("double") / col("avgdl"))))).as("w"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("s"))
+      .select(col("q_id").as("query_id"), col("doc_id").as("cand_id"),
+        col("s"))
+    Similarity.rankedTopK(scored, k, "bm25")
+  }
+
   /** Deterministic train/valid/test split (80/10/10) by content-stable
     * hash of the document key: the split a training-data pipeline needs
     * to be reproducible across engines, runs, and repartitionings —

@@ -55,6 +55,37 @@ class SimilaritySpec extends SparkSpec {
       f"doc-tier index recall $recall%.3f collapsed — graduation lost the neighbors")
   }
 
+  test("hybrid RRF fuses only the two tiers' candidates and respects double-appearance dominance") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = 10
+    val lex = graft.operators.TextAnalysis.bm25TopK(docs, 10, m).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rank")).toMap
+    val vec = Similarity.docSearch(docs, 10, k = m).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rank")).toMap
+    val fused = Similarity.hybridRrf(docs).collect()
+    // every fused candidate came from one of the two tiers
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      assert(lex.contains(key) || vec.contains(key),
+        s"fused candidate $key appears in neither tier's top-$m")
+    }
+    // the fused score is exactly the RRF of the tiers' ranks
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      val want = lex.get(key).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0) +
+        vec.get(key).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0)
+      // emitted rrf is display-rounded to 6 decimals
+      assert(math.abs(r.getAs[Double]("rrf") - want) <= 5.1e-7,
+        s"fused score for $key diverged from 1/(60+rank) law")
+    }
+    // a doc ranked top-1 by BOTH tiers can never lose to a single-tier doc
+    val both1 = lex.filter(_._2 == 1L).keySet & vec.filter(_._2 == 1L).keySet
+    val rank1 = fused.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))).toSet
+    both1.foreach(k => assert(rank1.contains(k),
+      s"double-top-1 candidate $k not fused at rank 1"))
+  }
+
   /** Planted clusters: 20 centers × 10 members, members = center + small
     * noise — data with real neighbor structure, the regime ANN indexes
     * are built for (the warehouse embeddings are near-random, which is

@@ -449,4 +449,32 @@ class TextAnalysisSpec extends SparkSpec {
       "within-doc repetition must not count as cross-doc duplication")
     CacheRegistry.release()
   }
+
+  test("BM25 ranks exact-term matches first and scores descend within a query") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "quantum flux capacitor alignment procedure"),
+      // doc 10 repeats the query's rare terms: must outrank doc 11,
+      // which shares only common filler
+      (10L, "the quantum flux capacitor needs alignment the quantum flux"),
+      (11L, "the procedure is the procedure and the manual covers the procedure"),
+      (12L, "unrelated text about gardening and soil quality"),
+      (13L, "flux alignment"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+    val got = TextAnalysis.bm25TopK(docs, nQueries = 1, k = 4).collect()
+    val ranked = got.sortBy(_.getAs[Long]("rank"))
+      .map(r => r.getAs[Long]("neighbor_id"))
+    assert(ranked.head === 10L,
+      s"rare-term-dense doc must rank first, got ${ranked.toSeq}")
+    assert(!ranked.contains(12L) || ranked.indexOf(12L) == ranked.length - 1,
+      "no-shared-term doc ranked above sharing docs")
+    val scores = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))),
+      "bm25 scores must be non-increasing in rank")
+    // doc 12 shares no query term at all -> must be absent entirely
+    assert(!ranked.contains(12L), "zero-overlap doc must not be retrieved")
+  }
 }
