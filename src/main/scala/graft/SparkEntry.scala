@@ -157,6 +157,8 @@ object SparkEntry {
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
     "q_ivfpq_delete" -> ((s, d) => Similarity.ivfPqDeleteRoundtrip(s, d)),
+    "q_ivfpq_drift" -> ((s, d) => Similarity.ivfPqDriftRoundtrip(s, d)),
+    "q_ivfpq_retrain" -> ((s, d) => Similarity.ivfPqRetrainRoundtrip(s, d)),
     "q_ivfpq_saved_rerank" -> ((s, d) => Similarity.ivfPqSavedRerankRoundtrip(s, d)),
     "q_ivfpq_saved_filtered" -> ((s, d) => Similarity.ivfPqSavedFilteredRoundtrip(s, d)),
     "q_rag_docs" -> ((s, d) => Similarity.ragDocRetrieve(documents(s, d))),
@@ -900,6 +902,12 @@ object SparkEntry {
     "q_ivfpq_saved" -> ivfPqOracleSql(2, 2),
     "q_ivfpq_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
     "q_ivfpq_delete" -> ivfPqDeleteOracleSql(2, 2),
+    // drift census: frozen codebooks from the old slice, per-generation
+    // quant6 distortion means in exact DECIMAL
+    "q_ivfpq_drift" -> ivfPqDriftOracleSql(2, 100L),
+    // retrain = fresh quantizers over exactly the live corpus: the
+    // shared ranked chain with emb_live as BOTH training and serving set
+    "q_ivfpq_retrain" -> ivfPqRetrainOracleSql(2, 2),
     "q_ivfpq_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_saved_rerank" -> ivfPqRerankOracleSql(2, 2, 30),
     "q_ivfpq_saved_filtered" -> ivfPqFilteredRerankOracleSql(2, 2, 30),
@@ -3113,6 +3121,56 @@ object SparkEntry {
   private def ivfPqDeleteOracleSql(iters: Int, nprobe: Int): String =
     ivfPqOracleSql(iters, nprobe,
       " AND NOT (c.vec_id % 10 = 3 AND c.vec_id >= 20)")
+
+  /** q_ivfpq_drift: the per-generation assignment-distortion census —
+    * codebooks from the old (vec_id >= splitId) slice, every vector
+    * assigned by the frozen-codebook argmin, per-row d² quantized and
+    * averaged in exact DECIMAL per generation (gen 1 = the appended
+    * slice). The SQL twin of Similarity.indexDrift over the
+    * build-then-append index.
+    */
+  private def ivfPqDriftOracleSql(iters: Int, splitId: Long): String =
+    s"""WITH emb_old AS (SELECT * FROM embeddings WHERE vec_id >= $splitId),
+       |""".stripMargin +
+      kmeansCentChainFrag(iters, "emb_old", "") +
+      s""",
+         |dsq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |dasg AS (
+         |  SELECT vec_id, clabel FROM (
+         |    SELECT vec_id, clabel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |    FROM dsq) WHERE rk = 1),
+         |dd AS (
+         |  SELECT CAST(CASE WHEN e.vec_id < $splitId THEN 1 ELSE 0 END AS BIGINT) AS gen,
+         |         floor((list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |                + (-2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |                   + list_dot_product(c.c, c.c))) * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |  FROM embeddings e
+         |    JOIN dasg a ON a.vec_id = e.vec_id
+         |    JOIN cent$iters c ON c.clabel = a.clabel)
+         |SELECT gen, count(*) AS n_vecs,
+         |       floor(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_d2
+         |FROM dd GROUP BY 1 ORDER BY gen""".stripMargin
+
+  /** q_ivfpq_retrain: after the full lifecycle (build on the old slice,
+    * frozen append, tombstone delete, retrain over the live corpus) the
+    * serve must equal the inline chain trained on exactly the live
+    * corpus — emb_live is both the training and the serving set.
+    */
+  private def ivfPqRetrainOracleSql(iters: Int, nprobe: Int): String =
+    s"""WITH emb_live AS (
+       |  SELECT * FROM embeddings
+       |  WHERE NOT (vec_id % 10 = 3 AND vec_id >= 20)),
+       |""".stripMargin +
+      ivfPqRankedFrag(iters, nprobe, "emb_live", 20L) +
+      """
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(est, 6) AS est_d2
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** q_ivfpq_saved_filtered: the re-rank chain with the metadata
     * predicate (even labels) bounding the candidate set — the SQL twin

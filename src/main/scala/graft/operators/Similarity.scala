@@ -1179,6 +1179,102 @@ object Similarity {
       .partitionBy("gen").parquet(s"$dir/codes")
   }
 
+  /** Per-generation assignment distortion of a saved index — the DRIFT
+    * SIGNAL a production store monitors to decide when to retrain:
+    * vectors appended against frozen codebooks ([[appendToIvfPqIndex]])
+    * land in whatever cell is least bad, and as the corpus distribution
+    * moves, their mean distance-to-assigned-centroid rises above the
+    * build generation's. One broadcast join of the live cells against
+    * the raw vector store and the codebook; per-row d² is quantized
+    * (quant6) and averaged in exact DECIMAL per generation, so the
+    * census cross-engine hash-matches. Cost: one corpus-linear pass.
+    */
+  def indexDrift(spark: SparkSession, dir: String,
+                 vectors: DataFrame): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/cents")
+    liveRows(spark, dir, s"$dir/cells").select("vec_id", "assigned", "gen")
+      .join(vectors.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb")), "vec_id")
+      .join(broadcast(cents), col("assigned") === col("clabel"))
+      .select(col("gen").cast("long").as("gen"),
+        quant6(dot(col("emb"), col("emb")) +
+          (lit(-2.0) * dot(col("emb"), col("cvec")) + col("cnorm2"))).as("d2"))
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n_vecs"),
+           quant6(sum(col("d2").cast("decimal(18,6)")).cast("double")
+             / count(lit(1))).as("mean_d2"))
+      .orderBy("gen")
+  }
+
+  /** Index RETRAIN — the last lifecycle stage: fresh quantizers over
+    * the full LIVE corpus (surviving rows of the cells artifact, minus
+    * tombstones), then a complete re-encode. Appending against frozen
+    * codebooks ([[appendToIvfPqIndex]]) is the cheap steady-state;
+    * once [[indexDrift]] shows appended generations drifting, retrain
+    * restores codebook fit at the cost of one full rebuild — exactly
+    * [[buildIvfPqIndex]] over the live slice of the caller's vector
+    * store (the raw vectors never live in the index; production keeps
+    * them in the serving store the re-rank already reads). The
+    * generation counter RESETS to 0: every surviving vector is
+    * re-encoded into the new build generation, accumulated tombstones
+    * are folded in and dropped (retrain subsumes [[compactIvfPqIndex]]).
+    * The live set is localCheckpoint-materialized before the rebuild
+    * overwrites the artifacts it was derived from (the established
+    * self-overwrite discipline).
+    */
+  def retrainIvfPqIndex(spark: SparkSession, dir: String,
+                        vectors: DataFrame, trainIters: Int = 2): Unit = {
+    val liveIds = liveRows(spark, dir, s"$dir/cells").select("vec_id")
+    val corpus = vectors.join(liveIds, Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    buildIvfPqIndex(corpus, dir, trainIters)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
+  }
+
+  /** Oracle-facing drift census: build on the vec_id >= `splitId`
+    * slice, append the rest against the frozen codebooks, then measure
+    * [[indexDrift]] — generation 1's mean distortion exceeding
+    * generation 0's is the retrain trigger in numbers.
+    */
+  def ivfPqDriftRoundtrip(spark: SparkSession, sfDir: String,
+                          splitId: Long = 100, trainIters: Int = 2)
+      : DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dir, trainIters)
+    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir, gen = 1L)
+    indexDrift(spark, dir, emb)
+  }
+
+  /** Oracle-facing retrain round-trip: the FULL lifecycle — build on
+    * the old slice, append the rest frozen, tombstone a deleted slice,
+    * then retrain over the live corpus and serve. The served results
+    * must equal the inline chain over embeddings-minus-deleted (fresh
+    * quantizers trained on exactly the live corpus), which is what the
+    * oracle computes — proving retrain leaves zero trace of the frozen
+    * generations, the tombstones, or the pre-drift codebooks.
+    */
+  def ivfPqRetrainRoundtrip(spark: SparkSession, sfDir: String,
+                            splitId: Long = 100, nQueries: Int = 20,
+                            k: Int = 10, nprobe: Int = 2,
+                            trainIters: Int = 2): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dir, trainIters)
+    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir, gen = 1L)
+    deleteFromIvfPqIndex(
+      emb.filter(col("vec_id") % 10 === 3 && col("vec_id") >= nQueries)
+        .select(col("vec_id")),
+      dir)
+    retrainIvfPqIndex(spark, dir, emb, trainIters)
+    searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+  }
+
   /** A fresh per-run index directory under java.io.tmpdir, registered
     * for recursive deletion at JVM exit so repeated roundtrip/bench
     * runs do not leak artifact directories; the full UUID removes the

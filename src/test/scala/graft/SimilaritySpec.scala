@@ -86,6 +86,62 @@ class SimilaritySpec extends SparkSpec {
       s"double-top-1 candidate $k not fused at rank 1"))
   }
 
+  test("retrain restores recall and drift signals the need on a drifted corpus") {
+    import org.apache.spark.sql.functions._
+    // old corpus = the planted clusters; drifted arrivals = the same
+    // clusters translated +3.0 on every dim — a region the frozen
+    // codebooks never saw (appended ids 200..399)
+    val shifted = clustered.select((col("vec_id") + lit(200L)).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"),
+      col("label"))
+    val all = clustered.unionByName(shifted)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_retrain_spec_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      Similarity.buildIvfPqIndex(clustered, dir)
+      Similarity.appendToIvfPqIndex(shifted, dir, gen = 1L)
+      // drift census: the appended generation must read as drifted
+      val drift = Similarity.indexDrift(spark, dir, all).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("mean_d2")).toMap
+      info(f"drift mean d2: gen0 ${drift(0L)}%.3f, gen1 ${drift(1L)}%.3f")
+      assert(drift(1L) > 2.0 * drift(0L),
+        "appended shifted cluster did not register as drifted")
+      // the old generation ages out (the replacement-drift scenario a
+      // production store actually retrains for: the live distribution IS
+      // the drifted one)
+      Similarity.deleteFromIvfPqIndex(clustered.select("vec_id"), dir)
+      val queries = shifted.filter(col("vec_id") < 220)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val livev = shifted.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .toMap
+      val exact = livev.keys.filter(_ < 220).flatMap { q =>
+        livev.toSeq.filter(_._1 != q).map { case (id, v) =>
+          (v.zip(livev(q)).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }.sorted.take(10).map { case (_, id) => (q, id) }
+      }.toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = pairs(df)
+        (exact & got).size.toDouble / exact.size
+      }
+      val pre = recallOf(Similarity.searchIvfPqIndex(spark, dir, queries, 10))
+      // retrain refits quantizers on the LIVE corpus (the shifted region
+      // the frozen codebooks never covered) and folds the tombstones in
+      Similarity.retrainIvfPqIndex(spark, dir, all)
+      val post = recallOf(Similarity.searchIvfPqIndex(spark, dir, queries, 10))
+      info(f"recall@10 on drifted queries: pre-retrain $pre%.3f, post-retrain $post%.3f")
+      assert(post >= pre,
+        f"retrain degraded recall: $pre%.3f -> $post%.3f")
+      assert(post > 0.3,
+        f"post-retrain recall $post%.3f — fresh codebooks failed to cover the drifted region")
+      // generation counter reset: every live row re-encoded at gen 0
+      val gens = spark.read.parquet(s"$dir/cells")
+        .select(col("gen").cast("long")).distinct().collect().map(_.getLong(0))
+      assert(gens.toSeq == Seq(0L), s"retrain must reset generations, saw ${gens.toSeq}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   /** Planted clusters: 20 centers × 10 members, members = center + small
     * noise — data with real neighbor structure, the regime ANN indexes
     * are built for (the warehouse embeddings are near-random, which is
