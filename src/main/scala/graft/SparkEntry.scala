@@ -141,6 +141,7 @@ object SparkEntry {
       Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 1, trainIters = 2)),
     "q_ivfpq_search" -> ((s, d) =>
       Similarity.ivfPqSearch(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_ann_recall_lifecycle" -> ((s, d) => Similarity.annRecallLifecycle(s, d)),
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
     "q_ivfpq_rerank" -> ((s, d) =>
@@ -896,6 +897,9 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ann_recall" -> annRecallOracleSql(2, 2),
+    // recall graded AFTER append+delete+compact, truth over the live
+    // corpus — the lifecycle-bug detector
+    "q_ann_recall_lifecycle" -> annRecallLifecycleOracleSql(2, 2, 100L),
     // the saved-index round-trip must reproduce the inline search bit
     // for bit (parquet round-trips doubles exactly) — strongest possible
     // persistence check, so it shares the oracle verbatim
@@ -3218,6 +3222,20 @@ object SparkEntry {
     */
   private def ivfPqAppendOracleSql(iters: Int, nprobe: Int, splitId: Long,
                                    nq: Long, k: Int): String =
+    ivfPqFrozenChainSql(iters, nprobe, splitId, nq) +
+      s"""
+         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+         |       round(est, 6) AS est_d2
+         |FROM ranked WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The frozen-codebook WITH-chain through `ranked` — quantizers from
+    * the vec_id >= splitId slice only, cells/codes/probes/candidates
+    * over the full corpus; `candPred` injects the tombstone predicate
+    * for the lifecycle queries. Shared by q_ivfpq_append,
+    * q_stream_index_append and q_ann_recall_lifecycle.
+    */
+  private def ivfPqFrozenChainSql(iters: Int, nprobe: Int, splitId: Long,
+                                  nq: Long, candPred: String = ""): String =
     s"""WITH emb_old AS (SELECT * FROM embeddings WHERE vec_id >= $splitId),
        |""".stripMargin +
       kmeansCentChainFrag(iters, "emb_old", "") +
@@ -3291,7 +3309,7 @@ object SparkEntry {
          |cand AS (
          |  SELECT p.query_id, c.vec_id
          |  FROM cells c JOIN probes p ON c.cell = p.pcell
-         |  WHERE c.vec_id <> p.query_id),
+         |  WHERE c.vec_id <> p.query_id$candPred),
          |est AS (
          |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
          |  FROM cand
@@ -3301,10 +3319,42 @@ object SparkEntry {
          |ranked AS (
          |  SELECT query_id, neighbor_id, est,
          |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
-         |  FROM est)
-         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
-         |       round(est, 6) AS est_d2
-         |FROM ranked WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
+         |  FROM est)""".stripMargin
+
+  /** q_ann_recall_lifecycle: the frozen-codebook chain with the
+    * tombstone predicate, served to rank 10, graded against exact-L2
+    * ground truth over the LIVE corpus — annRecallOracleSql's census
+    * with `live` in place of `embeddings` on the truth side.
+    */
+  private def annRecallLifecycleOracleSql(iters: Int, nprobe: Int,
+                                          splitId: Long): String =
+    ivfPqFrozenChainSql(iters, nprobe, splitId, 20L,
+      s" AND NOT (c.vec_id % 10 = 3 AND c.vec_id >= 20 AND c.vec_id < $splitId)") +
+      s""",
+         |live AS (
+         |  SELECT * FROM embeddings
+         |  WHERE NOT (vec_id % 10 = 3 AND vec_id >= 20 AND vec_id < $splitId)),
+         |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 10),
+         |exd AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+         |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+         |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
+         |  FROM live q JOIN live v ON v.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20),
+         |exr AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM exd),
+         |truth AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= 10),
+         |hits AS (
+         |  SELECT t.query_id, count(a.neighbor_id) AS n_hit
+         |  FROM truth t LEFT JOIN ann a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+         |       round(n_hit / 10.0, 6) AS recall
+         |FROM hits ORDER BY query_id""".stripMargin
 
   /** q_rag_e2e: the chunking CTEs (chunkOverlapOracleSql's chain,
     * parameterized), a hash-derived per-chunk embedding (md5-of-

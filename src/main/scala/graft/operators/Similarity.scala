@@ -1179,6 +1179,48 @@ object Similarity {
       .partitionBy("gen").parquet(s"$dir/codes")
   }
 
+  /** Recall@k measured over the FULL index lifecycle (q_ann_recall_
+    * lifecycle): build on the old slice, frozen-append the rest,
+    * tombstone-delete a slice of the appended generation, compact, then
+    * serve FROM THE FILES and grade against exact-L2 ground truth over
+    * the live corpus — the measurement that catches the lifecycle bugs
+    * production actually hits (a tombstone not honored, a compaction
+    * dropping the wrong rows, an append generation lost: each shows up
+    * as recall moving when it must not). The deleted slice lives
+    * entirely inside the appended generation, so the lifecycle index is
+    * value-identical to one where those vectors were never appended —
+    * SimilaritySpec asserts exactly that equality; here the recall
+    * census is the cross-engine artifact. Cost shape: the lifecycle
+    * stages as documented on each operator, plus the one exact scan
+    * that is the price of ground truth.
+    */
+  def annRecallLifecycle(spark: SparkSession, sfDir: String,
+                         splitId: Long = 100, nQueries: Int = 20,
+                         k: Int = 10, nprobe: Int = 2,
+                         trainIters: Int = 2): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val delPred = col("vec_id") % 10 === 3 &&
+      col("vec_id") >= nQueries && col("vec_id") < splitId
+    buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dir, trainIters)
+    appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dir, gen = 1L)
+    deleteFromIvfPqIndex(emb.filter(delPred).select(col("vec_id")), dir)
+    compactIvfPqIndex(spark, dir)
+    val served = searchIvfPqIndex(spark, dir,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val truth = exactL2TopK(emb.filter(!delPred), nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    truth.join(served, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Per-generation assignment distortion of a saved index — the DRIFT
     * SIGNAL a production store monitors to decide when to retrain:
     * vectors appended against frozen codebooks ([[appendToIvfPqIndex]])

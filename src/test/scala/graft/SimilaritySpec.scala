@@ -86,6 +86,48 @@ class SimilaritySpec extends SparkSpec {
       s"double-top-1 candidate $k not fused at rank 1"))
   }
 
+  test("lifecycle index (append+delete+compact) serves identically to the never-appended twin") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val splitId = 100L
+    val delPred = col("vec_id") % 10 === 3 &&
+      col("vec_id") >= 20 && col("vec_id") < splitId
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serve(dir: String) =
+      Similarity.searchIvfPqIndex(spark, dir, queries, 10).collect().toSeq
+    val dirA = s"${sys.props("java.io.tmpdir")}/graft_lc_spec_a_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val dirB = s"${sys.props("java.io.tmpdir")}/graft_lc_spec_b_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      // A: the full lifecycle — append everything, tombstone the slice,
+      // compact the tombstones into a physical rewrite
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dirA)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") < splitId), dirA, gen = 1L)
+      Similarity.deleteFromIvfPqIndex(emb.filter(delPred).select("vec_id"), dirA)
+      val preCompact = serve(dirA)
+      Similarity.compactIvfPqIndex(spark, dirA)
+      val postCompact = serve(dirA)
+      // B: the twin where the deleted vectors were never appended at all
+      // (same codebooks: the deleted slice is outside the training slice)
+      Similarity.buildIvfPqIndex(emb.filter(col("vec_id") >= splitId), dirB)
+      Similarity.appendToIvfPqIndex(
+        emb.filter(col("vec_id") < splitId && !delPred), dirB, gen = 1L)
+      val twin = serve(dirB)
+      assert(postCompact === preCompact,
+        "compaction changed served results — the physical rewrite lost or resurrected rows")
+      assert(postCompact === twin,
+        "lifecycle index diverged from the never-appended twin — a tombstone or compaction bug")
+      // and the tombstone set is actually gone after compaction
+      assert(!new java.io.File(s"$dirA/tombstones").exists(),
+        "compaction left the tombstone artifact behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("retrain restores recall and drift signals the need on a drifted corpus") {
     import org.apache.spark.sql.functions._
     // old corpus = the planted clusters; drifted arrivals = the same
