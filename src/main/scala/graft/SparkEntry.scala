@@ -116,8 +116,12 @@ object SparkEntry {
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
     "q_pipeline_curate" -> ((s, d) => Pipeline.curate(documents(s, d), 0.08)),
-    "q_pipeline_pretrain" -> ((s, d) => Pipeline.pretrain(documents(s, d))),
-    "q_pretrain_manifest" -> ((s, d) => Pipeline.pretrainManifest(documents(s, d))),
+    // census and manifest share one memoized pretrainPacked chain per
+    // process (pretrainEmit's device) — whichever runs first pays it
+    "q_pipeline_pretrain" -> ((s, d) => Pipeline.censusFromPacked(
+      Pipeline.pretrainPackedCached(documents(s, d), d))),
+    "q_pretrain_manifest" -> ((s, d) => Pipeline.manifestFromPacked(
+      Pipeline.pretrainPackedCached(documents(s, d), d), 2048L)),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---

@@ -256,6 +256,15 @@ class TextAnalysisSpec extends SparkSpec {
               rs.length.toLong, rs.map(_.getAs[Long]("n_tok")).sum)
       }
     assert(rolled === census, "manifest roll-up diverged from the census")
+    // the one-pass emitter must agree with both standalone queries
+    val (eCensus, eManifest) = Pipeline.pretrainEmit(docs)
+    assert(eCensus.collect().toSeq ===
+      Pipeline.pretrain(docs).collect().toSeq,
+      "pretrainEmit census diverged from the standalone census")
+    CacheRegistry.release()
+    assert(eManifest.collect().toSeq === manifest.toSeq,
+      "pretrainEmit manifest diverged from the standalone manifest")
+    CacheRegistry.release()
   }
 
   test("chunkDocuments: count law, overlap law, and tail-chunk length") {
