@@ -246,6 +246,7 @@ object SparkEntry {
     "q_stream_chunk_embed" -> ((s, d) => streaming.StreamOps.streamChunkEmbed(s, d)),
     "q_stream_index_append" -> ((s, d) => streaming.StreamOps.streamIndexUpsert(s, d)),
     "q_stream_rag_fresh" -> ((s, d) => streaming.StreamOps.streamRagFresh(s, d)),
+    "q_stream_doc_fresh" -> ((s, d) => streaming.StreamOps.streamDocFresh(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
@@ -1004,6 +1005,16 @@ object SparkEntry {
     // streamed maintenance must equal the one-shot batch append: same
     // frozen-codebook oracle as q_ivfpq_append
     "q_stream_index_append" -> ivfPqAppendOracleSql(2, 2, 100L, 20L, 10),
+    // doc-tier freshness: the frozen-codebook chain over the pooled
+    // doc-vector CTE — the drained stream equals a one-shot frozen
+    // build over every pooled vector
+    "q_stream_doc_fresh" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
+        ivfPqFrozenChainFrag(2, 2, 100L, 10L, "", "demb") +
+        """
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+          |       round(est, 6) AS est_d2
+          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     "q_stream_rag_fresh" ->
       ragFrozenOracleSql(2, 2, 15, 5, 64, 48, 8, 8, 10, 100L),
     // streaming chunk→embed→assign ingest is stateless per document, so
@@ -3240,7 +3251,17 @@ object SparkEntry {
     */
   private def ivfPqFrozenChainSql(iters: Int, nprobe: Int, splitId: Long,
                                   nq: Long, candPred: String = ""): String =
-    s"""WITH emb_old AS (SELECT * FROM embeddings WHERE vec_id >= $splitId),
+    "WITH " + ivfPqFrozenChainFrag(iters, nprobe, splitId, nq, candPred,
+      "embeddings")
+
+  /** [[ivfPqFrozenChainSql]] with the source relation as a parameter —
+    * q_stream_doc_fresh reuses the chain verbatim over the pooled
+    * doc-vector CTE (`demb`), the frozen-codebook device one tier up.
+    */
+  private def ivfPqFrozenChainFrag(iters: Int, nprobe: Int, splitId: Long,
+                                   nq: Long, candPred: String,
+                                   src: String): String =
+    s"""emb_old AS (SELECT * FROM $src WHERE vec_id >= $splitId),
        |""".stripMargin +
       kmeansCentChainFrag(iters, "emb_old", "") +
       s""",
@@ -3248,7 +3269,7 @@ object SparkEntry {
          |  SELECT vec_id, label,
          |    (embedding::DOUBLE[])[1:len(embedding)//2] AS e1,
          |    (embedding::DOUBLE[])[len(embedding)//2+1:len(embedding)] AS e2
-         |  FROM embeddings),
+         |  FROM $src),
          |spo AS (SELECT sp.* FROM sp WHERE sp.vec_id >= $splitId),
          |ex1 AS (
          |  SELECT label,
@@ -3291,7 +3312,7 @@ object SparkEntry {
          |  SELECT e.vec_id, c.clabel,
          |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
          |           + list_dot_product(c.c, c.c) AS s
-         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |  FROM $src e CROSS JOIN cent$iters c),
          |assignrk AS (
          |  SELECT vec_id, clabel,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk

@@ -1501,6 +1501,71 @@ object StreamOps {
       .orderBy("q_doc_id", "q_chunk_id", "rank")
   }
 
+  /** STREAMING DOC-TIER FRESHNESS — [[streamIndexUpsert]]'s device one
+    * level up ([[streamRagFresh]] keeps the CHUNK index fresh; this
+    * keeps the DOC-level retrieval tier of q_doc_ivfpq fresh): the
+    * doc-tier IVF-PQ index is built OFFLINE over the POOLED vectors
+    * ([[graft.operators.Similarity.docVectors]]) of the historical
+    * corpus (doc_id >= splitDoc); documents then arrive in
+    * micro-batches and each batch is chunked → embedded → MEAN-POOLED
+    * at ingest (pooling is doc-local, so a batch pools identically to
+    * the batch-free corpus) and upserted against the frozen saved
+    * codebooks — tombstone at gen−1 + append at gen. A final staged
+    * batch RE-DELIVERS every third streamed doc unchanged (the
+    * re-crawl), exercising replace-not-duplicate at the pooled tier.
+    * After the drain, doc queries are served from the artifacts; the
+    * drained serve equals a one-shot frozen-codebook build over every
+    * pooled vector, which is what the oracle computes.
+    *
+    * 100 TB shape: per batch, chunk/embed/pool are map + one
+    * batch-sized hash agg; the upsert is batch-sized; the serve is the
+    * bounded nprobe × cell scan. Nothing reprocesses the accumulated
+    * corpus.
+    */
+  def streamDocFresh(spark: SparkSession, sfDir: String,
+                     splitDoc: Long = 100, nBatches: Int = 3,
+                     nQueryDocs: Long = 10, k: Int = 5, nprobe: Int = 2,
+                     trainIters: Int = 2): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Similarity
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fresh = docs.filter(col("doc_id") < splitDoc).select("doc_id", "text")
+    val root = stageRanges(fresh, "doc_id", nBatches)
+    val indexDir = s"$root/index"
+    Similarity.buildIvfPqIndex(
+      Similarity.docVectors(docs.filter(col("doc_id") >= splitDoc)),
+      indexDir, trainIters)
+    // re-delivery batch staged after the ranges: same text, so the
+    // upsert must REPLACE (tombstone + re-append), never duplicate
+    val stagedir = s"$root/redeliver"
+    fresh.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(stagedir)
+    val listing = Files.list(Paths.get(stagedir))
+    val part =
+      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      finally listing.close()
+    val target = Paths.get(s"$root/src/range$nBatches.parquet")
+    Files.move(Paths.get(part), target)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1000000000000L + nBatches * 60000L))
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val rows = Similarity.docVectors(batch).persist()
+        val gen = batchId + 1
+        Similarity.deleteFromIvfPqIndex(rows.select("vec_id"), indexDir,
+          uptoGen = gen - 1)
+        Similarity.appendToIvfPqIndex(rows, indexDir, gen)
+        rows.unpersist()
+        ()
+      }
+    }
+    Similarity.searchIvfPqIndex(spark, indexDir,
+      Similarity.docVectors(docs.filter(col("doc_id") < nQueryDocs))
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k, nprobe)
+  }
+
   /** Streaming gap-based sessionization via session_window (T8): start is
     * the first event time, end is last + gap — emitted as (start, last
     * event) micros to match the batch sessionize contract.

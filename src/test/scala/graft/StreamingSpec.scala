@@ -186,6 +186,45 @@ class StreamingSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("streaming doc-tier upsert freezes codebooks and replaces re-delivered docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val dir = tempDir("doc_upsert")
+    operators.Similarity.buildIvfPqIndex(
+      operators.Similarity.docVectors(docs.filter(col("doc_id") >= 100)), dir)
+    def cb(): Seq[String] = spark.read.parquet(s"$dir/cb1")
+      .unionByName(spark.read.parquet(s"$dir/cb2"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = cb()
+    // the streamDocFresh loop body at pooled granularity: two doc-range
+    // batches then a re-delivery of every third streamed doc (same text)
+    val batches = Seq(
+      docs.filter(col("doc_id") < 50),
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      docs.filter(col("doc_id") < 100 && col("doc_id") % 3 === 0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val rows = operators.Similarity.docVectors(b)
+      val gen = i + 1L
+      operators.Similarity.deleteFromIvfPqIndex(rows.select("vec_id"), dir,
+        uptoGen = gen - 1)
+      operators.Similarity.appendToIvfPqIndex(rows, dir, gen)
+    }
+    assert(cb() === before, "doc-tier stream upsert mutated a codebook artifact")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val tombs = spark.read.parquet(s"$dir/tombstones")
+      .select(col("vec_id").as("tv"), col("upto_gen"))
+    val live = cells.join(tombs,
+      col("vec_id") === col("tv") && col("gen") <= col("upto_gen"),
+      "left_anti").filter(col("vec_id") < 100)
+    // replace, not append: every streamed doc has exactly one live row
+    assert(live.count() === 100)
+    assert(live.groupBy("vec_id").count().filter(col("count") =!= 1).count() === 0,
+      "a streamed doc has more than one live pooled-cells row")
+    assert(live.filter(col("vec_id") % 3 === 0 && col("gen") =!= 3).count() === 0,
+      "a re-delivered doc still serves an earlier generation")
+    CacheRegistry.release()
+  }
+
   test("streaming RAG freshness: streamed docs are retrievable from the updated index") {
     val hits = StreamOps.streamRagFresh(spark, sf0001).collect()
     CacheRegistry.release()
