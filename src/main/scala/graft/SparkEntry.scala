@@ -42,6 +42,8 @@ object SparkEntry {
     "q_asof_tolerance" -> ((s, d) => Events.asofPurchaseViewTolerance(events(s, d), 30)),
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
+    "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
+    "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -432,6 +434,38 @@ object SparkEntry {
         |       max(us) AS session_end_us, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY 1,2 ORDER BY user_id, session_no""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |ch AS (SELECT * FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version_no,
+        |         us AS valid_from_us,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |  FROM ch)
+        |SELECT user_id, state, version_no, valid_from_us, valid_to_us,
+        |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM v ORDER BY user_id, version_no""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |obs AS (
+        |  SELECT user_id, slot, value AS v FROM (
+        |    SELECT user_id, us // 3600000000 AS slot, value,
+        |           row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |                              ORDER BY us DESC, event_id DESC) AS rk
+        |    FROM e) WHERE rk = 1),
+        |sp AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM sp),
+        |j AS (SELECT g.user_id, g.slot, o.v FROM grid g
+        |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot)
+        |SELECT user_id, slot * 3600000000 AS slot_us,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |                                        ROWS UNBOUNDED PRECEDING) AS value_ffill,
+        |       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
+        |FROM j ORDER BY user_id, slot_us""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,

@@ -626,4 +626,77 @@ object Events {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("event_type")
   }
+
+  /** Type-2 slowly-changing-dimension history (q_scd2): the events log
+    * read as a change stream of each user's `event_type` state, collapsed
+    * into versioned validity intervals — the warehouse operation every
+    * dimension-table pipeline runs on top of a landed event feed (the
+    * reference lands the raw feed, SURVEY §2.2; this is the modeled layer
+    * above it). A version begins at the first event of each consecutive
+    * same-state run (change-point = lag(state) differs), ends where the
+    * next version begins (`valid_to_us` = lead of the next change-point's
+    * timestamp, NULL while current).
+    *
+    * Scale shape: both windows partition on `user_id` — the dimension's
+    * natural key, cardinality = |users| — so state per task is one
+    * entity's history and the whole build is a single shuffle on the key
+    * it would be bucketed by in a warehouse. No global window, no
+    * collect; change-points shrink the second window's input to the
+    * version rows only.
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wv = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    changes
+      .withColumn("version_no", row_number().over(wv).cast("long"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(wv))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("version_no"), col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version_no")
+  }
+
+  /** Time-series resampling with forward fill (q_resample_ffill): each
+    * user's event values re-gridded onto a regular hourly lattice —
+    * per-(user, hour) last observation wins, missing hours are
+    * carried forward from the most recent observed hour — the gap-fill
+    * every metrics/feature pipeline applies before joining series of
+    * different densities.
+    *
+    * Determinism: the per-slot "last" observation is a max over
+    * (us, event_id, value) structs — a total order, no window needed for
+    * the collapse. The grid is each user's [min, max] observed slot via
+    * `sequence`, so the first grid row is always observed (no leading
+    * NULL to define away). The fill is last-non-null over slot order.
+    *
+    * Scale shape: one hash agg on (user, slot), one per-user min/max agg
+    * fanned back out by `sequence` (output is exactly the resampled grid
+    * — the size any resample must produce), one shuffle-shared
+    * forward-fill window on the series key `user_id` (cardinality =
+    * |series|; at warehouse scale that is millions of tasks' worth of
+    * parallelism, and the per-task state is one row — the running last).
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val slotUs = 3600L * 1000000L
+    val obs = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("slot", expr(s"unix_micros(ts) DIV $slotUs"))
+      .groupBy("user_id", "slot")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("o"))
+      .select(col("user_id"), col("slot"), col("o.value").as("v"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "slot"), "left")
+      .withColumn("value_ffill", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), (col("slot") * slotUs).as("slot_us"),
+        col("value_ffill"), col("v").isNotNull.cast("int").as("is_observed"))
+      .orderBy("user_id", "slot_us")
+  }
 }
