@@ -160,6 +160,7 @@ object SparkEntry {
     "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
+    "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1077,6 +1078,22 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(sim, 6) AS sim
           |FROM drk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // diversified retrieval: the vector top-20 pool capped at 2 per
+    // candidate language, re-ranked by original similarity order — the
+    // pool chain is docSearchFrag verbatim, diversity is list-sized
+    "q_diverse_topk" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        """,
+          |dpool AS (SELECT query_id, cand_id, sim, rk FROM drk WHERE rk <= 20),
+          |dpl AS (SELECT p.query_id, p.cand_id, p.sim, p.rk, d.lang
+          |        FROM dpool p JOIN documents d ON d.doc_id = p.cand_id),
+          |dlr AS (SELECT *, row_number() OVER (PARTITION BY query_id, lang ORDER BY rk) AS lang_rk
+          |        FROM dpl),
+          |dfr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rk) AS frk
+          |        FROM dlr WHERE lang_rk <= 2)
+          |SELECT query_id, CAST(frk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       lang, round(sim, 6) AS sim
+          |FROM dfr WHERE frk <= 5 ORDER BY query_id, rank""".stripMargin),
     // BM25 lexical retrieval: idf through the quant6 ln law, per-term
     // weights quantized and DECIMAL-summed so accumulation order cannot
     // perturb scores cross-engine

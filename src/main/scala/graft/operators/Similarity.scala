@@ -1583,6 +1583,38 @@ object Similarity {
     rankedTopK(fused, k, "rrf")
   }
 
+  /** Diversified retrieval (q_diverse_topk): the pooled-vector top-m
+    * pool re-ranked under a per-language cap — at most `perLang`
+    * results from any one candidate language survive, then the best k
+    * by original similarity order. The cheap deterministic form of
+    * result diversification (the MMR family's fixed-attribute special
+    * case): a retrieval serving layer uses it to stop one dominant
+    * slice of the corpus from filling the whole page.
+    *
+    * Scale shape: the expensive work is [[docSearch]]'s bounded plan;
+    * everything here is list-sized — the |Q|·m pool BROADCASTS into
+    * one streamed pass over the documents table for the lang
+    * attribute (no shuffle of the corpus), and both cap/re-rank
+    * windows partition on query_id over ≤m rows each.
+    */
+  def diverseTopK(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                  m: Int = 20, perLang: Int = 2): DataFrame = {
+    val pool = docSearch(documents, nQueries, m)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rk0"),
+        col("sim"))
+    val wl = Window.partitionBy("query_id", "lang").orderBy("rk0")
+    val wq = Window.partitionBy("query_id").orderBy("rk0")
+    documents.select(col("doc_id").as("neighbor_id"), col("lang"))
+      .join(broadcast(pool), "neighbor_id")
+      .withColumn("lang_rk", row_number().over(wl))
+      .filter(col("lang_rk") <= perLang)
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("lang"),
+        col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
                                          nLabels: Int): DataFrame =
     chunks.select(
