@@ -161,6 +161,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
+    "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1109,6 +1110,37 @@ object SparkEntry {
     "q_hybrid_rrf" ->
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
         ",\n" + bm25Frag(10L, 1.2, 0.75) + rrfSuffixSql(10, 5, "60.0")),
+    // retrieval eval: recall@10 / MRR@10 per tier vs exact-cosine
+    // truth — the three ranked chains shared verbatim with their
+    // standalone queries; per-query metrics quantized then
+    // DECIMAL-summed so the across-queries mean is order-independent
+    "q_retrieval_eval" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
+        """,
+          |etruth AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
+          |eret AS (
+          |  SELECT 'bm25' AS system, query_id, cand_id, rk FROM brk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'vector' AS system, query_id, cand_id, rk FROM drk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'hybrid' AS system, query_id, cand_id, rk FROM frk WHERE rk <= 10),
+          |epq AS (
+          |  SELECT r.system, r.query_id,
+          |         sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+          |         min(CASE WHEN t.cand_id IS NOT NULL THEN r.rk END) AS first_rank
+          |  FROM eret r LEFT JOIN etruth t
+          |    ON t.query_id = r.query_id AND t.cand_id = r.cand_id
+          |  GROUP BY 1,2),
+          |epm AS (
+          |  SELECT system,
+          |         round(CAST(hits AS DOUBLE) / 5.0, 6) AS recall,
+          |         round(COALESCE(1.0 / CAST(first_rank AS DOUBLE), 0.0), 6) AS rr
+          |  FROM epq)
+          |SELECT system, count(*) AS n_queries,
+          |       round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall,
+          |       round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr
+          |FROM epm GROUP BY 1 ORDER BY system""".stripMargin),
     // doc-tier ANN graduation: the q_doc_embed pooled vectors served
     // through the SHARED ivfPqRankedFrag chain — brute force and index
     // retrieve over the same vectors, so the tiers can never drift
@@ -3563,14 +3595,15 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, cand_id) AS rk
        |  FROM bsc)""".stripMargin
 
-  /** Reciprocal-rank fusion tail over `brk` (lexical) and `drk`
-    * (vector): Σ 1/(c + rank) across the two top-m lists, re-ranked —
-    * the SQL twin of Similarity.hybridRrf. `c` is passed as SQL text
-    * so the literal parses identically in both engines.
+  /** CTEs lexm..frk: reciprocal-rank fusion over `brk` (lexical) and
+    * `drk` (vector): Σ 1/(c + rank) across the two top-m lists,
+    * re-ranked in `frk` — the SQL twin of Similarity.hybridRrf,
+    * shared by q_hybrid_rrf and q_retrieval_eval's hybrid arm. `c` is
+    * passed as SQL text so the literal parses identically in both
+    * engines.
     */
-  private def rrfSuffixSql(m: Int, k: Int, c: String): String =
-    s""",
-       |lexm AS (SELECT query_id, cand_id, rk FROM brk WHERE rk <= $m),
+  private def rrfChainFrag(m: Int, c: String): String =
+    s"""lexm AS (SELECT query_id, cand_id, rk FROM brk WHERE rk <= $m),
        |vecm AS (SELECT query_id, cand_id, rk FROM drk WHERE rk <= $m),
        |fus AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
@@ -3584,7 +3617,11 @@ object SparkEntry {
        |frk AS (
        |  SELECT query_id, cand_id, s,
        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
-       |  FROM fus)
+       |  FROM fus)""".stripMargin
+
+  private def rrfSuffixSql(m: Int, k: Int, c: String): String =
+    ",\n" + rrfChainFrag(m, c) +
+    s"""
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
        |       round(s, 6) AS rrf
        |FROM frk WHERE rk <= $k ORDER BY query_id, rank""".stripMargin

@@ -1615,6 +1615,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
+    * MRR@k for each retrieval tier — BM25 lexical, pooled-vector
+    * cosine, hybrid RRF — against exact-cosine ground truth (the
+    * vector tier's own top-t, so its row reads 1.0/1.0 by construction
+    * and anchors the scale; the informative rows are how much of the
+    * semantic truth the lexical tier recovers and whether fusion
+    * closes the gap). The same grading loop [[annRecall]] runs for the
+    * ANN index, one level up: a retrieval deployment tunes k1/b/c
+    * against exactly this census.
+    *
+    * Determinism: per-query recall = hits/t and reciprocal rank =
+    * 1/first_rank are single IEEE divisions on integers, rounded to
+    * the quantum; the across-queries mean accumulates as
+    * DECIMAL(18,6) so order cannot perturb it. Scale shape: all three
+    * lists are k-bounded per query, the truth join is broadcast
+    * list-vs-list, and the census is |systems| rows.
+    */
+  def retrievalEval(documents: DataFrame, nQueries: Long = 10, k: Int = 10,
+                    t: Int = 5): DataFrame = {
+    val truth = docSearch(documents, nQueries, t)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val ret = graft.operators.TextAnalysis.bm25TopK(documents, nQueries, k)
+        .select(lit("bm25").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank"))
+      .unionByName(docSearch(documents, nQueries, k)
+        .select(lit("vector").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(hybridRrf(documents, nQueries, k, k)
+        .select(lit("hybrid").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+    ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("system", "query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"),
+           min(when(col("hit") === 1, col("rank"))).as("first_rank"))
+      .select(col("system"),
+        round(col("hits").cast("double") / lit(t.toDouble), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0)),
+          6).as("rr"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("recall").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_recall"),
+        round(sum(col("rr").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mrr"))
+      .orderBy("system")
+  }
+
   private[graft] def chunkEmbeddingsFrom(chunks: DataFrame, dims: Int,
                                          nLabels: Int): DataFrame =
     chunks.select(
