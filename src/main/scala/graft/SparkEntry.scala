@@ -162,6 +162,10 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
+    "q_bm25_saved" -> ((s, d) =>
+      TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
+    "q_hybrid_saved" -> ((s, d) =>
+      Similarity.hybridSavedRoundtrip(s, documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1108,6 +1112,19 @@ object SparkEntry {
     // top-10 and the pooled-vector cosine top-10 — both ranked chains
     // shared verbatim with their standalone queries
     "q_hybrid_rrf" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + rrfSuffixSql(10, 5, "60.0")),
+    // deployed serves: build-then-serve-from-artifacts must be
+    // value-identical to inline, so each shares its inline twin's
+    // oracle VERBATIM — any drift (a duplicated posting, a re-pooled
+    // vector) breaks the hash
+    "q_bm25_saved" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(bm25, 6) AS bm25
+          |FROM brk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q_hybrid_saved" ->
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
         ",\n" + bm25Frag(10L, 1.2, 0.75) + rrfSuffixSql(10, 5, "60.0")),
     // retrieval eval: recall@10 / MRR@10 per tier vs exact-cosine

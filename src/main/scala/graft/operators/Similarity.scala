@@ -1482,10 +1482,21 @@ object Similarity {
     */
   def docSearch(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
                 size: Int = 64, stride: Int = 48, dims: Int = 8,
-                nLabels: Int = 8): DataFrame = {
-    val dm = docEmbeddings(documents, size, stride, dims, nLabels)
-      .select(col("doc_id"), col("dim"),
-        col("mean_v").cast("decimal(18,6)").as("v"))
+                nLabels: Int = 8): DataFrame =
+    docSearchFrom(
+      docEmbeddings(documents, size, stride, dims, nLabels)
+        .select(col("doc_id"), col("dim"),
+          col("mean_v").cast("decimal(18,6)").as("v")),
+      nQueries, k)
+
+  /** The cosine-retrieval core over a pooled (doc_id, dim, v) vector
+    * frame — the serve path shared by the inline [[docSearch]] and the
+    * from-files doc-vector store (q_hybrid_saved's vector side): a
+    * persisted pooled-vector table IS the brute-force tier's whole
+    * state, so serve-from-store is value-identical to inline.
+    */
+  def docSearchFrom(dm: DataFrame, nQueries: Long = 10,
+                    k: Int = 5): DataFrame = {
     val norms = dm.groupBy("doc_id")
       .agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nrm"))
     val q = dm.filter(col("doc_id") < nQueries)
@@ -1569,18 +1580,62 @@ object Similarity {
     * break on cand_id in the shared TopKAgg law.
     */
   def hybridRrf(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
-                m: Int = 10, c: Double = 60.0): DataFrame = {
-    val lex = graft.operators.TextAnalysis
-      .bm25TopK(documents, nQueries, m)
-      .select(col("query_id"), col("neighbor_id"), col("rank").as("lrk"))
-    val vec = docSearch(documents, nQueries, m)
-      .select(col("query_id"), col("neighbor_id"), col("rank").as("vrk"))
-    val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+                m: Int = 10, c: Double = 60.0): DataFrame =
+    rrfFuse(
+      graft.operators.TextAnalysis.bm25TopK(documents, nQueries, m),
+      docSearch(documents, nQueries, m), k, c)
+
+  /** The RRF fusion core over two ranked lists — shared by the inline
+    * [[hybridRrf]] and the from-artifacts [[hybridSavedRoundtrip]].
+    */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+                      c: Double): DataFrame = {
+    val l = lex.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("lrk"))
+    val v = vec.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("vrk"))
+    val fused = l.join(v, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id"), col("neighbor_id").as("cand_id"),
         (coalesce(lit(1.0) / (lit(c) + col("lrk").cast("double")), lit(0.0)) +
          coalesce(lit(1.0) / (lit(c) + col("vrk").cast("double")), lit(0.0)))
           .as("s"))
     rankedTopK(fused, k, "rrf")
+  }
+
+  /** Persist the doc-tier vector store: the pooled (doc_id, dim, v)
+    * frame as parquet — the brute-force tier's whole state (the
+    * IVF-PQ artifacts are the graduated tier's, q_doc_ivfpq).
+    */
+  def buildDocVectorStore(documents: DataFrame, dir: String,
+                          size: Int = 64, stride: Int = 48, dims: Int = 8,
+                          nLabels: Int = 8): Unit =
+    docEmbeddings(documents, size, stride, dims, nLabels)
+      .select(col("doc_id"), col("dim"),
+        col("mean_v").cast("decimal(18,6)").as("v"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** DEPLOYED hybrid retrieval (q_hybrid_saved): both tiers serve from
+    * persisted artifacts — BM25 from the posting store, cosine from
+    * the pooled doc-vector store — and fuse with the same RRF law as
+    * the inline [[hybridRrf]]. Neither serve touches raw text or
+    * re-pools a vector; both stores recompute their global stats in
+    * the same aggregations the inline plans run, so the deployed
+    * result is value-identical to inline and shares q_hybrid_rrf's
+    * oracle verbatim.
+    */
+  def hybridSavedRoundtrip(spark: SparkSession, documents: DataFrame,
+                           nQueries: Long = 10, k: Int = 5, m: Int = 10,
+                           c: Double = 60.0): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lexDir = TextAnalysis.newLexDir()
+    val vecDir = TextAnalysis.newLexDir()
+    TextAnalysis.buildLexicalIndex(documents, lexDir)
+    buildDocVectorStore(documents, vecDir)
+    rrfFuse(
+      TextAnalysis.searchLexicalIndex(spark, lexDir, nQueries, m),
+      docSearchFrom(spark.read.parquet(vecDir).select("doc_id", "dim", "v"),
+        nQueries, m),
+      k, c)
   }
 
   /** Diversified retrieval (q_diverse_topk): the pooled-vector top-m

@@ -225,13 +225,31 @@ object TextAnalysis {
     * order cannot perturb the score.
     */
   def bm25TopK(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import Similarity.quant6
-    val tok = documents
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromPostings(docPostings(documents), nQueries, k, k1, b)
+
+  /** The (doc_id, term, tf) posting table — the ENTIRE lexical index:
+    * document length is Σ tf, document frequency is the per-term row
+    * count, corpus stats fall out of one aggregation. One tokenize +
+    * hash-agg pass; [[buildLexicalIndex]] persists exactly this frame.
+    */
+  def docPostings(documents: DataFrame): DataFrame =
+    documents
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** BM25 scoring core over a posting table — the serve path shared by
+    * the inline [[bm25TopK]], the from-files [[searchLexicalIndex]],
+    * and the streaming-maintained store (q_stream_bm25_fresh): all
+    * global statistics (dl, df, n_docs, avgdl) derive from the
+    * postings themselves, so a posting store IS the whole index and
+    * every serve surface is value-identical by construction.
+    */
+  def bm25FromPostings(tf: DataFrame, nQueries: Long = 10, k: Int = 5,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import Similarity.quant6
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
@@ -257,6 +275,57 @@ object TextAnalysis {
       .select(col("q_id").as("query_id"), col("doc_id").as("cand_id"),
         col("s"))
     Similarity.rankedTopK(scored, k, "bm25")
+  }
+
+  /** Persist the lexical index (q_bm25_saved): the posting table
+    * written doc_id-bucketed — the SAME store layout the streaming
+    * maintenance path upserts into, so offline build and live upsert
+    * are interchangeable producers of one artifact. The index is one
+    * skinny (doc_id, term, tf) table: ~|distinct terms per doc| rows
+    * per document, no raw text retained.
+    */
+  def buildLexicalIndex(documents: DataFrame, dir: String,
+                        nBuckets: Int = 16): Unit =
+    docPostings(documents)
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Serve BM25 from the saved posting artifacts — the deployed form
+    * of [[bm25TopK]]: no tokenization, no corpus scan; global stats
+    * recompute from the store in the same aggregation the inline plan
+    * runs, so the serve is value-identical to inline by construction
+    * (q_bm25_saved shares q_bm25_topk's oracle verbatim).
+    */
+  def searchLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, nQueries: Long = 10, k: Int = 5,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromPostings(
+      spark.read.parquet(dir).select("doc_id", "term", "tf"),
+      nQueries, k, k1, b)
+
+  /** Build + serve round-trip for the oracle harness. */
+  def bm25SavedRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                         documents: DataFrame, nQueries: Long = 10,
+                         k: Int = 5): DataFrame = {
+    val dir = newLexDir()
+    buildLexicalIndex(documents, dir)
+    searchLexicalIndex(spark, dir, nQueries, k)
+  }
+
+  /** A fresh per-run lexical-index directory under java.io.tmpdir,
+    * registered for recursive deletion at JVM exit (the same hygiene
+    * as Similarity's index dirs).
+    */
+  private[graft] def newLexDir(): String = {
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_lex_index/" +
+        java.util.UUID.randomUUID().toString)
+    val hook = new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      catch { case scala.util.control.NonFatal(_) => () })
+    Runtime.getRuntime.addShutdownHook(hook)
+    dir.toString
   }
 
   /** Deterministic train/valid/test split (80/10/10) by content-stable
