@@ -166,6 +166,8 @@ object SparkEntry {
       TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
     "q_hybrid_saved" -> ((s, d) =>
       Similarity.hybridSavedRoundtrip(s, documents(s, d))),
+    "q_stream_bm25_fresh" -> ((s, d) =>
+      graft.streaming.StreamOps.streamBm25Fresh(s, d)),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1119,6 +1121,15 @@ object SparkEntry {
     // oracle VERBATIM — any drift (a duplicated posting, a re-pooled
     // vector) breaks the hash
     "q_bm25_saved" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(bm25, 6) AS bm25
+          |FROM brk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // streamed posting-store maintenance must equal the one-shot inline
+    // BM25 — re-delivered docs REPLACE their postings, so the drained
+    // serve shares q_bm25_topk's oracle verbatim
+    "q_stream_bm25_fresh" ->
       ("WITH " + bm25Frag(10L, 1.2, 0.75) +
         """
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,

@@ -937,6 +937,27 @@ object StreamOps {
     root
   }
 
+  /** Stage one more micro-batch AFTER a [[stageRanges]] run: written as
+    * `range<idx>.parquet` with the next mtime in the sequence, so the
+    * file source replays it LAST — the staging device every
+    * re-delivery / revision scenario shares.
+    */
+  private def stageLateBatch(df: DataFrame, root: String, idx: Int): Unit = {
+    import java.nio.file.{Files, Paths}
+    val stagedir = s"$root/latestage"
+    df.coalesce(1).write.parquet(stagedir)
+    val listing = Files.list(Paths.get(stagedir))
+    val part =
+      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+      finally listing.close()
+    val target = Paths.get(s"$root/src/range$idx.parquet")
+    Files.move(Paths.get(part), target)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        1000000000000L + idx * 60000L))
+  }
+
   /** Oracle-facing form: stage the documents table as contiguous
     * doc_id-range batches (range order ⇒ the global survivor set is the
     * min-doc_id-per-fingerprint the batch oracle computes), run the
@@ -1317,26 +1338,14 @@ object StreamOps {
   def streamChunkUpsert(spark: SparkSession, sfDir: String,
                         nBatches: Int = 3, size: Int = 64,
                         stride: Int = 48): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val root = stageDocRanges(spark, sfDir, nBatches)
     // stage the revision batch AFTER the ranges (mtime order = replay
     // order): every 10th doc re-delivered with doubled text
-    val rev = graft.Tables.documents(spark, sfDir)
+    stageLateBatch(graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"),
-        concat(col("text"), lit(" "), col("text")).as("text"))
-    val stagedir = s"$root/revstage"
-    rev.coalesce(1).write.parquet(stagedir)
-    val listing = Files.list(Paths.get(stagedir))
-    val part =
-      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
-      finally listing.close()
-    val target = Paths.get(s"$root/src/range$nBatches.parquet")
-    Files.move(Paths.get(part), target)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
-    Files.setLastModifiedTime(target,
-      java.nio.file.attribute.FileTime.fromMillis(
-        1000000000000L + nBatches * 60000L))
+        concat(col("text"), lit(" "), col("text")).as("text")),
+      root, nBatches)
     runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, _) =>
       chunkUpsertBatch(batch, s"$root/store", size, stride)
     }
@@ -1347,6 +1356,78 @@ object StreamOps {
            sum(col("dup_store")).cast("long").as("n_dup_store"))
       .withColumn("revised", (col("doc_id") % 10 === 0).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** One micro-batch of lexical-index maintenance: the batch's
+    * documents are tokenized to postings and REPLACE their own prior
+    * rows in the doc_id-bucketed store (anti-join by doc_id over the
+    * touched buckets only, then a dynamic-partition overwrite — the
+    * [[chunkUpsertBatch]] storage discipline on the BM25 posting
+    * table). Re-delivery therefore cannot duplicate a document's
+    * postings, which the serve hash would expose instantly (a doubled
+    * tf changes every score the document participates in).
+    */
+  def lexicalUpsertBatch(batch: DataFrame, storeDir: String,
+                         nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val postingSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("term", StringType),
+      StructField("tf", LongType), StructField("bucket", IntegerType)))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(storePath))
+        spark.read.schema(postingSchema).parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], postingSchema)
+    val fresh = graft.operators.TextAnalysis.docPostings(batch)
+      .withColumn("bucket",
+        pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+    val ids = batch.select("doc_id").distinct()
+    val touched = fresh.select("bucket").distinct()
+    val kept = store
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val merged = kept.unionByName(fresh.select(kept.columns.map(col): _*))
+      .repartition(col("bucket"))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+  }
+
+  /** STREAMING LEXICAL FRESHNESS (q_stream_bm25_fresh): the BM25
+    * posting store maintained live — documents arrive in micro-batches
+    * and each batch's postings replace that document's rows in the
+    * store ([[lexicalUpsertBatch]]); a final staged batch RE-DELIVERS
+    * every third document unchanged, so replace-not-duplicate is
+    * exercised, not just claimed. The drained serve
+    * ([[graft.operators.TextAnalysis.searchLexicalIndex]] over the
+    * accumulated store) must equal the one-shot inline BM25 — the
+    * query shares q_bm25_topk's oracle verbatim, the lexical twin of
+    * [[streamDocFresh]]'s vector loop: both halves of the hybrid tier
+    * now stay fresh under streaming ingest.
+    *
+    * 100 TB shape: per batch one tokenize + hash-agg over the BATCH,
+    * a touched-buckets-only anti-join against the store, and a
+    * dynamic-partition overwrite of those buckets — cost scales with
+    * the batch and the touched slice, never the accumulated corpus.
+    * Global stats (n_docs, avgdl, df) are not maintained state; they
+    * recompute from the store at serve time in one aggregation.
+    */
+  def streamBm25Fresh(spark: SparkSession, sfDir: String,
+                      nBatches: Int = 3, nQueries: Long = 10,
+                      k: Int = 5): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val root = stageRanges(docs, "doc_id", nBatches)
+    stageLateBatch(docs.filter(col("doc_id") % 3 === 0), root, nBatches)
+    runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, _) =>
+      lexicalUpsertBatch(batch, s"$root/store")
+    }
+    graft.operators.TextAnalysis.searchLexicalIndex(
+      spark, s"$root/store", nQueries, k)
   }
 
   /** STREAMING INDEX MAINTENANCE — the loop that keeps a persisted
@@ -1387,18 +1468,7 @@ object StreamOps {
       emb.filter(col("vec_id") >= splitId), indexDir, trainIters)
     // stage the re-delivery batch after the ranges (mtime order = replay
     // order): every third streamed id arrives again, same embedding
-    val stagedir = s"$root/redeliver"
-    fresh.filter(col("vec_id") % 3 === 0).coalesce(1).write.parquet(stagedir)
-    val listing = Files.list(Paths.get(stagedir))
-    val part =
-      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
-      finally listing.close()
-    val target = Paths.get(s"$root/src/range$nBatches.parquet")
-    Files.move(Paths.get(part), target)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
-    Files.setLastModifiedTime(target,
-      java.nio.file.attribute.FileTime.fromMillis(
-        1000000000000L + nBatches * 60000L))
+    stageLateBatch(fresh.filter(col("vec_id") % 3 === 0), root, nBatches)
     runStagedBatches(spark, emb.schema, s"$root/src", s"$root/ck") {
       (batch, batchId) =>
         if (!batch.isEmpty) {
@@ -1537,18 +1607,7 @@ object StreamOps {
       indexDir, trainIters)
     // re-delivery batch staged after the ranges: same text, so the
     // upsert must REPLACE (tombstone + re-append), never duplicate
-    val stagedir = s"$root/redeliver"
-    fresh.filter(col("doc_id") % 3 === 0).coalesce(1).write.parquet(stagedir)
-    val listing = Files.list(Paths.get(stagedir))
-    val part =
-      try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
-      finally listing.close()
-    val target = Paths.get(s"$root/src/range$nBatches.parquet")
-    Files.move(Paths.get(part), target)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
-    Files.setLastModifiedTime(target,
-      java.nio.file.attribute.FileTime.fromMillis(
-        1000000000000L + nBatches * 60000L))
+    stageLateBatch(fresh.filter(col("doc_id") % 3 === 0), root, nBatches)
     runDocBatches(spark, s"$root/src", s"$root/ck") { (batch, batchId) =>
       if (!batch.isEmpty) {
         val rows = Similarity.docVectors(batch).persist()
