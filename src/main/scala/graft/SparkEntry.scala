@@ -43,7 +43,9 @@ object SparkEntry {
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
+    "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
+    "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -457,6 +459,33 @@ object SparkEntry {
         |SELECT user_id, state, version_no, valid_from_us, valid_to_us,
         |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM v ORDER BY user_id, version_no""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |ch AS (SELECT * FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS state,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version_no,
+        |         us AS valid_from_us,
+        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+        |  FROM ch),
+        |f AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_ts_us,
+        |         epoch_us(ts) - 3600000000 AS asof_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, f.purchase_ts_us,
+        |       v.state AS prior_state, v.version_no AS prior_version_no
+        |FROM f LEFT JOIN v
+        |  ON f.user_id = v.user_id AND v.valid_from_us <= f.asof_us
+        |     AND (v.valid_to_us IS NULL OR v.valid_to_us > f.asof_us)
+        |ORDER BY purchase_id""".stripMargin,
+    "q_mv_merge" ->
+      """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
     "q_resample_ffill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
         |obs AS (

@@ -699,4 +699,96 @@ object Events {
         col("value_ffill"), col("v").isNotNull.cast("int").as("is_observed"))
       .orderBy("user_id", "slot_us")
   }
+
+  /** Point-in-time dimension lookup (q_scd2_lookup): each purchase
+    * joined to the [[scd2]] version valid ONE HOUR BEFORE it — "what
+    * was the user doing an hour before buying", the temporal join a
+    * type-2 dimension exists to answer (a same-instant lookup would be
+    * trivial here, since the purchase event itself opens a version).
+    * Purchases earlier than an hour into the user's history keep a
+    * NULL prior state (left join — facts are never dropped by a
+    * dimension gap).
+    *
+    * Scale shape: an equi join on the dimension's natural key
+    * `user_id` with the interval containment as a post-join predicate
+    * — at warehouse scale both sides shuffle (or are bucketed) on
+    * user_id and each fact meets only its own user's handful of
+    * versions, never a time-range cross product.
+    */
+  def scd2Lookup(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val dim = scd2(events).select(col("user_id"),
+      col("state").as("prior_state"),
+      col("version_no").as("prior_version_no"),
+      col("valid_from_us"), col("valid_to_us"))
+    val facts = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"))
+      .withColumn("asof_us", col("purchase_ts_us") - hourUs)
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+        col("valid_from_us") <= col("asof_us") &&
+        (col("valid_to_us").isNull || col("valid_to_us") > col("asof_us")),
+        "left")
+      .select(col("purchase_id"), facts("user_id"), col("purchase_ts_us"),
+        col("prior_state"), col("prior_version_no"))
+      .orderBy("purchase_id")
+  }
+
+  /** One refresh of an incrementally-maintained aggregate view
+    * (q_mv_merge): the batch's partial aggregates merged into the
+    * persisted MV store by the count/sum merge law (union + re-agg —
+    * sums of sums, counts of counts; the value sum stays DECIMAL(18,2)
+    * in the store so merge order can never perturb it). Refresh cost
+    * is |batch| + |view|, never the accumulated fact history — the
+    * point of maintaining a view incrementally. At warehouse scale the
+    * store would be bucketed on the group key with touched-buckets
+    * dynamic overwrite (the [[graft.streaming.StreamOps]] upsert
+    * discipline); this view is group-cardinality-sized, so a plain
+    * overwrite IS the bucketed write.
+    */
+  def mvMergeBatch(batch: DataFrame, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    val mvSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("day", IntegerType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DecimalType(18, 2))))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(storePath))
+        spark.read.schema(mvSchema).parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvSchema)
+    val partial = batch
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+    val merged = store.unionByName(partial)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+      .localCheckpoint() // materialize before overwriting what it reads
+    merged.write.mode("overwrite").parquet(storeDir)
+  }
+
+  /** Oracle-facing incremental-view cycle: the events table arrives as
+    * three day-range batches, each merged into the MV store; the served
+    * view must equal the one-shot GROUP BY over all of history — the
+    * invariant that catches a broken merge law (double-counted batch,
+    * lost group, non-associative sum).
+    */
+  def mvIncremental(spark: org.apache.spark.sql.SparkSession,
+                    events: DataFrame): DataFrame = {
+    val dir = TextAnalysis.newStoreDir()
+    Seq((1, 10), (11, 20), (21, 31)).foreach { case (lo, hi) =>
+      mvMergeBatch(events.filter(dayofmonth(col("ts")).between(lo, hi)), dir)
+    }
+    spark.read.parquet(dir)
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -1627,8 +1627,8 @@ object Similarity {
                            nQueries: Long = 10, k: Int = 5, m: Int = 10,
                            c: Double = 60.0): DataFrame = {
     import graft.operators.TextAnalysis
-    val lexDir = TextAnalysis.newLexDir()
-    val vecDir = TextAnalysis.newLexDir()
+    val lexDir = TextAnalysis.newStoreDir()
+    val vecDir = TextAnalysis.newStoreDir()
     TextAnalysis.buildLexicalIndex(documents, lexDir)
     buildDocVectorStore(documents, vecDir)
     rrfFuse(

@@ -308,18 +308,19 @@ object TextAnalysis {
   def bm25SavedRoundtrip(spark: org.apache.spark.sql.SparkSession,
                          documents: DataFrame, nQueries: Long = 10,
                          k: Int = 5): DataFrame = {
-    val dir = newLexDir()
+    val dir = newStoreDir()
     buildLexicalIndex(documents, dir)
     searchLexicalIndex(spark, dir, nQueries, k)
   }
 
-  /** A fresh per-run lexical-index directory under java.io.tmpdir,
-    * registered for recursive deletion at JVM exit (the same hygiene
-    * as Similarity's index dirs).
+  /** A fresh per-run artifact-store directory under java.io.tmpdir
+    * (posting stores, vector stores, MV stores), registered for
+    * recursive deletion at JVM exit (the same hygiene as Similarity's
+    * index dirs).
     */
-  private[graft] def newLexDir(): String = {
+  private[graft] def newStoreDir(): String = {
     val dir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_lex_index/" +
+      s"${sys.props("java.io.tmpdir")}/graft_store/" +
         java.util.UUID.randomUUID().toString)
     val hook = new Thread(() =>
       try org.apache.commons.io.FileUtils.deleteDirectory(dir)
