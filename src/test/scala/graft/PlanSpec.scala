@@ -253,6 +253,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("diversified retrieval: broadcast pool, no cartesian, query-led windows only") {
+    // the |Q|·m pool must broadcast into the documents scan (never
+    // shuffle the corpus for a lang attribute), and every window in the
+    // diversity re-rank must lead with query_id — list-sized state per
+    // task, like the other serve plans
+    val p = planText(SparkEntry.queries("q_diverse_topk")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"), "pool-side broadcast lost")
+    assert(!p.contains("CartesianProduct"), "diversity degenerated to a cartesian")
+    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("query_id")),
+      s"window not query_id-led: $specs")
+    CacheRegistry.release()
+  }
+
+  test("scd2 lookup: interval containment rides the user_id equi join, no nested loop") {
+    // the point-in-time join must hash/merge on the dimension key with
+    // the validity range as a post-join predicate — a nested-loop or
+    // cartesian here would scan |facts|·|versions| at warehouse scale
+    val p = planText(SparkEntry.queries("q_scd2_lookup")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), "lookup degenerated to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "lookup planned as a nested loop — the user_id equi key was lost")
+    CacheRegistry.release()
+  }
+
+  test("resample/forward-fill windows partition on the series key only") {
+    // the fill must shard by user_id (cardinality = |series|); any other
+    // leading key would serialize the grid through few tasks
+    val p = planText(SparkEntry.queries("q_resample_ffill")(spark, sf0001))
+    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      s"fill window not user_id-led: $specs")
+    CacheRegistry.release()
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

@@ -833,4 +833,50 @@ class SimilaritySpec extends SparkSpec {
         s"query ${row.getLong(0)}: n_hit disagrees with the direct overlap")
     }
   }
+
+  test("retrievalEval: vector tier scores perfect against its own truth, metrics bounded") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Similarity.retrievalEval(docs).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("bm25", "hybrid", "vector"))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 10L, "n_queries drifted")
+      val (rec, mrr) = (r.getDouble(2), r.getDouble(3))
+      assert(rec >= 0.0 && rec <= 1.0 && mrr >= 0.0 && mrr <= 1.0,
+        s"${r.getString(0)}: metric outside [0,1]")
+    }
+    val vec = rows.find(_.getString(0) == "vector").get
+    // the truth IS the vector tier's top-5, so recall@10 and MRR@10 are
+    // exactly 1 — the eval harness's self-consistency anchor
+    assert(vec.getDouble(2) === 1.0 && vec.getDouble(3) === 1.0,
+      "vector tier not perfect against its own truth — the eval join is broken")
+  }
+
+  test("diverseTopK: per-language cap holds, ranks dense, results from the pool") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Similarity.diverseTopK(docs).collect()
+    got.groupBy(r => (r.getAs[Long]("query_id"), r.getAs[String]("lang")))
+      .foreach { case (ql, rs) =>
+        assert(rs.length <= 2, s"$ql: per-language cap violated")
+      }
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+      assert(ranks.length <= 5, s"query $q: more than k results")
+    }
+    val pool = pairs(Similarity.docSearch(docs, 10, 20))
+    assert(got.forall(r => pool.contains(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))),
+      "diversified result not drawn from the vector top-20 pool")
+  }
+
+  test("hybrid serve from artifacts is value-identical to the inline fusion") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("rrf"))).toSet
+    assert(rows(Similarity.hybridSavedRoundtrip(spark, docs)) ===
+      rows(Similarity.hybridRrf(docs)),
+      "deployed hybrid (posting store + vector store) drifted from inline")
+  }
 }

@@ -427,4 +427,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_.getLong(1) == -1L),
       "no unmatched purchase emitted — the outer flush proved nothing")
   }
+
+  test("lexical upsert REPLACES a re-delivered document's postings, never duplicates") {
+    val store = tempDir("lexstore")
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    StreamOps.lexicalUpsertBatch(docs, store)
+    // re-deliver half the documents unchanged — the store must be
+    // byte-for-byte the single-pass posting table afterwards
+    StreamOps.lexicalUpsertBatch(docs.filter(col("doc_id") < 20), store)
+    def posting(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "term", "tf").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"))).toSet
+    val got = posting(spark.read.parquet(store))
+    val want = posting(graft.operators.TextAnalysis.docPostings(docs))
+    assert(got === want,
+      "re-delivered postings duplicated or dropped in the store")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the temporal-modeling operators — SCD2
+  * interval algebra, point-in-time lookup, resample/forward-fill, and
+  * the incremental-view merge law — on hand oracles where the shape
+  * matters and on the real tables where the algebra must hold
+  * everywhere.
+  */
+class TemporalSpec extends SparkSpec {
+
+  private def syntheticEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+  }
+
+  test("scd2 versions tile each user's history: contiguous, alternating, one current") {
+    val hist = Events.scd2(Tables.events(spark, sf0001)).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(hist.nonEmpty)
+    hist.foreach { case (u, rows) =>
+      val vs = rows.sortBy(_.getAs[Long]("version_no"))
+      // version numbers are dense from 1
+      assert(vs.map(_.getAs[Long]("version_no")).toSeq ===
+        (1L to vs.length).toSeq, s"user $u: version_no not dense")
+      // consecutive versions abut exactly and never repeat a state
+      vs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"),
+          s"user $u: gap or overlap between versions")
+        assert(a.getAs[String]("state") !== b.getAs[String]("state"),
+          s"user $u: consecutive versions share a state (change-point missed)")
+      }
+      // exactly the last version is current (NULL valid_to)
+      assert(vs.init.forall(!_.isNullAt(vs.head.fieldIndex("valid_to_us"))),
+        s"user $u: non-final version has NULL valid_to")
+      assert(vs.last.isNullAt(vs.last.fieldIndex("valid_to_us")),
+        s"user $u: final version is not open-ended")
+      assert(vs.map(_.getAs[Int]("is_current")).sum === 1,
+        s"user $u: is_current count != 1")
+    }
+  }
+
+  test("scd2Lookup returns the state valid one hour before each purchase (hand oracle)") {
+    val h = 3600L * 1000000L
+    val ev = syntheticEvents(Seq(
+      // user 1: view at 0h, purchase at 2h -> an hour before = 'view'
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 2 * h, 1L, "purchase", 1.0),
+      // user 2: purchase at 0h -> an hour before predates history -> NULL
+      (3L, 0L, 2L, "purchase", 1.0),
+      // user 3: view 0h, cart 30m, purchase 90m -> an hour before = 30m,
+      // exactly on the cart version's valid_from (boundary is inclusive)
+      (4L, 0L, 3L, "view", 1.0),
+      (5L, h / 2, 3L, "cart", 1.0),
+      (6L, h / 2 + h, 3L, "purchase", 1.0)))
+    val got = Events.scd2Lookup(ev).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[String]("prior_state"))).toMap
+    assert(got === Map(2L -> Some("view"), 3L -> None, 6L -> Some("cart")))
+  }
+
+  test("resampleFfill: last observation per slot wins, gaps carry forward (hand oracle)") {
+    val m = 60L * 1000000L
+    val ev = syntheticEvents(Seq(
+      (1L, 10 * m, 7L, "view", 1.0),   // hour 0, early
+      (2L, 50 * m, 7L, "view", 5.0),   // hour 0, later -> wins the slot
+      (3L, 185 * m, 7L, "view", 2.0))) // hour 3
+    val got = Events.resampleFfill(ev).collect()
+      .map(r => (r.getAs[Long]("slot_us") / (60 * m),
+        r.getAs[Double]("value_ffill"), r.getAs[Int]("is_observed")))
+    assert(got.toSeq === Seq((0L, 5.0, 1), (1L, 5.0, 0), (2L, 5.0, 0),
+      (3L, 2.0, 1)))
+  }
+
+  test("incremental MV merge equals the one-shot aggregate (merge law)") {
+    val ev = Tables.events(spark, sf0001)
+    val direct = ev.withColumn("day", dayofmonth(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val merged = Events.mvIncremental(spark, ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(merged === direct)
+  }
+}

@@ -486,4 +486,14 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 12 shares no query term at all -> must be absent entirely
     assert(!ranked.contains(12L), "zero-overlap doc must not be retrieved")
   }
+
+  test("lexical index round-trip: serve from the posting store equals inline BM25") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("bm25"))).toSet
+    assert(rows(TextAnalysis.bm25SavedRoundtrip(spark, docs)) ===
+      rows(TextAnalysis.bm25TopK(docs)),
+      "from-files BM25 drifted from inline — the posting store is not the whole index")
+  }
 }
