@@ -170,6 +170,7 @@ object SparkEntry {
       Similarity.hybridSavedRoundtrip(s, documents(s, d))),
     "q_stream_bm25_fresh" -> ((s, d) =>
       graft.streaming.StreamOps.streamBm25Fresh(s, d)),
+    "q_stream_scd2" -> ((s, d) => graft.streaming.StreamOps.streamScd2(s, d)),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -444,21 +445,10 @@ object SparkEntry {
         |       max(us) AS session_end_us, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY 1,2 ORDER BY user_id, session_no""".stripMargin,
-    "q_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-        |  FROM events),
-        |ch AS (SELECT * FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
-        |v AS (
-        |  SELECT user_id, event_type AS state,
-        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version_no,
-        |         us AS valid_from_us,
-        |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
-        |  FROM ch)
-        |SELECT user_id, state, version_no, valid_from_us, valid_to_us,
-        |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
-        |FROM v ORDER BY user_id, version_no""".stripMargin,
+    "q_scd2" -> scd2OracleSql,
+    // incremental CDC maintenance must equal the one-shot batch build —
+    // the drained store shares q_scd2's oracle verbatim
+    "q_stream_scd2" -> scd2OracleSql,
     "q_scd2_lookup" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -3608,6 +3598,26 @@ object SparkEntry {
        |  SELECT query_id, cand_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
        |  FROM dsc)""".stripMargin
+
+  /** The SCD2 build in SQL — shared verbatim by q_scd2 (one-shot
+    * batch) and q_stream_scd2 (incremental CDC maintenance): the
+    * streamed store must equal the batch build exactly.
+    */
+  private def scd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |ch AS (SELECT * FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (
+      |  SELECT user_id, event_type AS state,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS version_no,
+      |         us AS valid_from_us,
+      |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, state, version_no, valid_from_us, valid_to_us,
+      |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM v ORDER BY user_id, version_no""".stripMargin
 
   /** CTEs btok..brk: the Okapi BM25 lexical retrieval chain
     * (q_bm25_topk), ranked in `brk` — the SQL twin of

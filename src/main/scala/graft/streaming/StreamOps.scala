@@ -1398,6 +1398,134 @@ object StreamOps {
       .parquet(storeDir)
   }
 
+  /** One micro-batch of incremental SCD2 maintenance — the CDC loop
+    * that keeps a type-2 dimension current as its change stream lands.
+    * Batches must arrive in event-time order (the staging law here;
+    * a production feed gets this from watermarked reordering): within
+    * that contract, the merge is
+    *
+    *   1. REWIND: drop any version a user gained at-or-after this
+    *      batch's first event for them, and re-open the version such a
+    *      drop truncated — which makes a crash-replay of the same
+    *      batch a no-op (rewind-and-reapply idempotence, spec-locked)
+    *      while being a no-op itself on first delivery;
+    *   2. CHANGE-POINTS: the batch's state runs, with each user's
+    *      FIRST batch event compared against their open version's
+    *      state, so an unchanged state extends silently;
+    *   3. MERGE: close the open version at the user's first change
+    *      point, append the batch's versions (last one open-ended).
+    *
+    * Store discipline is [[lexicalUpsertBatch]]'s: user_id-bucketed,
+    * touched-buckets-only anti-join + dynamic-partition overwrite.
+    * Per-batch cost scales with the batch and the touched users'
+    * version rows, never the accumulated dimension.
+    */
+  def scd2UpsertBatch(batch: DataFrame, storeDir: String,
+                      nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val verSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("state", StringType),
+      StructField("valid_from_us", LongType),
+      StructField("valid_to_us", LongType),
+      StructField("bucket", IntegerType)))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store0 =
+      if (fs.exists(storePath)) spark.read.schema(verSchema).parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], verSchema)
+    val ev = batch.select(col("user_id"), col("event_id"),
+      col("event_type"), col("us"))
+    val bounds = ev.groupBy("user_id").agg(min(col("us")).as("m"))
+    // rewind: versions from a replayed attempt of THIS batch start
+    // at-or-after m and are dropped; the version such an attempt closed
+    // had valid_to >= m and re-opens. First deliveries rewind nothing.
+    val store = store0.join(broadcast(bounds), Seq("user_id"), "left")
+      .filter(col("m").isNull || col("valid_from_us") < col("m"))
+      .withColumn("valid_to_us",
+        when(col("m").isNotNull && col("valid_to_us") >= col("m"),
+          lit(null).cast("long")).otherwise(col("valid_to_us")))
+      .drop("m")
+    val open = store.filter(col("valid_to_us").isNull)
+      .select(col("user_id"), col("state").as("open_state"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("us", "event_id")
+    val flagged = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .join(open, Seq("user_id"), "left")
+      .filter(when(col("prev_type").isNull,
+          col("open_state").isNull || col("open_state") =!= col("event_type"))
+        .otherwise(col("prev_type") =!= col("event_type")))
+    val newVers = flagged
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+    val firstChg = flagged.groupBy("user_id").agg(min(col("us")).as("close_us"))
+    val closedOpen = store.filter(col("valid_to_us").isNull)
+      .join(broadcast(firstChg), Seq("user_id"))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("close_us").as("valid_to_us"))
+    val batchUsers = ev.select("user_id").distinct()
+    val withBucket = (df: DataFrame) => df.withColumn("bucket",
+      pmod(col("user_id"), lit(nBuckets.toLong)).cast("int"))
+    val touched = withBucket(batchUsers).select("bucket").distinct()
+    val chgUsers = firstChg.select("user_id")
+    // keep: rows of touched buckets, minus the open rows the merge
+    // replaces (users with a change point); the store frame already
+    // carries `bucket` from the partitioned read
+    val kept = store
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(chgUsers.withColumn("c", lit(1))), Seq("user_id"), "left")
+      .filter(col("valid_to_us").isNotNull || col("c").isNull)
+      .drop("c")
+    val merged = kept
+      .unionByName(withBucket(closedOpen).select(kept.columns.map(col): _*))
+      .unionByName(withBucket(newVers).select(kept.columns.map(col): _*))
+      .repartition(col("bucket"))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+  }
+
+  /** Serve the maintained dimension: version numbers and the current
+    * flag derive from the stored intervals (a change-point store never
+    * persists ordinals — renumbering under merge would be a write
+    * amplifier), so the serve is one user_id-partitioned window over
+    * version-count-sized groups.
+    */
+  def scd2FromStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("valid_from_us")
+    spark.read.parquet(storeDir)
+      .withColumn("version_no", row_number().over(wv).cast("long"))
+      .select(col("user_id"), col("state"), col("version_no"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "version_no")
+  }
+
+  /** STREAMING SCD2 (q_stream_scd2): the events change stream arrives
+    * in event-time-ordered micro-batches and the type-2 dimension is
+    * maintained incrementally ([[scd2UpsertBatch]]); the drained store
+    * must equal the one-shot batch [[graft.operators.Events.scd2]] —
+    * the query shares q_scd2's oracle verbatim, which catches a
+    * version duplicated by a bad merge, a run split across a batch
+    * boundary, or an open version closed at the wrong instant.
+    */
+  def streamScd2(spark: SparkSession, sfDir: String,
+                 nBatches: Int = 3): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+    // time-range staging: contiguous us ranges ARE the in-order contract
+    val root = stageRanges(ev, "us", nBatches)
+    runStagedBatches(spark, ev.schema, s"$root/src", s"$root/ck") {
+      (batch, _) => scd2UpsertBatch(batch, s"$root/store")
+    }
+    scd2FromStore(spark, s"$root/store")
+  }
+
   /** STREAMING LEXICAL FRESHNESS (q_stream_bm25_fresh): the BM25
     * posting store maintained live — documents arrive in micro-batches
     * and each batch's postings replace that document's rows in the

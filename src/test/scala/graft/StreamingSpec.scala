@@ -445,4 +445,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === want,
       "re-delivered postings duplicated or dropped in the store")
   }
+
+  test("scd2 upsert replays idempotently: rewind-and-reapply makes a crashed batch a no-op") {
+    val store = tempDir("scd2store")
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+    val mid = ev.agg(expr("min(us) + (max(us) - min(us)) DIV 2"))
+      .head().getLong(0)
+    def versions() = spark.read.parquet(store)
+      .select("user_id", "state", "valid_from_us", "valid_to_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val (b1, b2) = (ev.filter(col("us") < mid), ev.filter(col("us") >= mid))
+    StreamOps.scd2UpsertBatch(b1, store)
+    StreamOps.scd2UpsertBatch(b2, store)
+    val once = versions()
+    // a crash after the store write but before the offset commit replays
+    // the batch — the rewind must make the second application a no-op
+    StreamOps.scd2UpsertBatch(b2, store)
+    assert(versions() === once,
+      "replaying the final batch changed the store — rewind is broken")
+    // and the two-batch store equals the one-shot batch build
+    val batchScd2 = graft.operators.Events.scd2(Tables.events(spark, sf0001))
+      .select("user_id", "state", "valid_from_us", "valid_to_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(once === batchScd2,
+      "incrementally-maintained dimension diverged from the batch build")
+  }
 }
