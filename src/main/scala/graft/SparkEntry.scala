@@ -45,6 +45,7 @@ object SparkEntry {
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
+    "q_resample_interp" -> ((s, d) => Events.resampleInterp(events(s, d))),
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
+    "q_hybrid_wsum" -> ((s, d) => Similarity.hybridWeighted(documents(s, d))),
     "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
     "q_bm25_saved" -> ((s, d) =>
       TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
@@ -493,6 +495,38 @@ object SparkEntry {
         |                                        ROWS UNBOUNDED PRECEDING) AS value_ffill,
         |       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
         |FROM j ORDER BY user_id, slot_us""".stripMargin,
+    "q_resample_interp" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |obs AS (
+        |  SELECT user_id, slot, value AS v FROM (
+        |    SELECT user_id, us // 3600000000 AS slot, value,
+        |           row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |                              ORDER BY us DESC, event_id DESC) AS rk
+        |    FROM e) WHERE rk = 1),
+        |sp AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM sp),
+        |j AS (SELECT g.user_id, g.slot, o.v FROM grid g
+        |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+        |wn AS (
+        |  SELECT user_id, slot, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |      ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY slot
+        |            ROWS UNBOUNDED PRECEDING) AS ps,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY slot
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ns
+        |  FROM j)
+        |SELECT user_id, slot * 3600000000 AS slot_us,
+        |       floor((CASE WHEN v IS NOT NULL THEN v
+        |              ELSE pv + (nv - pv) * (CAST(slot - ps AS DOUBLE)
+        |                                     / CAST(ns - ps AS DOUBLE)) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS value_interp,
+        |       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
+        |FROM wn ORDER BY user_id, slot_us""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,
@@ -1157,6 +1191,37 @@ object SparkEntry {
     "q_hybrid_saved" ->
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
         ",\n" + bm25Frag(10L, 1.2, 0.75) + rrfSuffixSql(10, 5, "60.0")),
+    // weighted-sum hybrid: per-query min-max normalization of each
+    // tier's quantized top-10 scores, convex fusion 0.3·lex + 0.7·vec
+    "q_hybrid_wsum" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |wlx AS (SELECT query_id, cand_id, round(bm25, 6) AS s FROM brk WHERE rk <= 10),
+          |wvx AS (SELECT query_id, cand_id, round(sim, 6) AS s FROM drk WHERE rk <= 10),
+          |wlm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wlx GROUP BY 1),
+          |wvm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wvx GROUP BY 1),
+          |wln AS (SELECT l.query_id, l.cand_id,
+          |               CASE WHEN m.hi = m.lo THEN 1.0
+          |                    ELSE (l.s - m.lo) / (m.hi - m.lo) END AS lnorm
+          |        FROM wlx l JOIN wlm m USING (query_id)),
+          |wvn AS (SELECT v.query_id, v.cand_id,
+          |               CASE WHEN m.hi = m.lo THEN 1.0
+          |                    ELSE (v.s - m.lo) / (m.hi - m.lo) END AS vnorm
+          |        FROM wvx v JOIN wvm m USING (query_id)),
+          |wfus AS (
+          |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+          |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+          |         0.3 * COALESCE(l.lnorm, 0.0) + 0.7 * COALESCE(v.vnorm, 0.0) AS s
+          |  FROM wln l FULL OUTER JOIN wvn v
+          |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+          |wrk AS (
+          |  SELECT query_id, cand_id, s,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+          |  FROM wfus)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(s, 6) AS wsum
+          |FROM wrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // retrieval eval: recall@10 / MRR@10 per tier vs exact-cosine
     // truth — the three ranked chains shared verbatim with their
     // standalone queries; per-query metrics quantized then

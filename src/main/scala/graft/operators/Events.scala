@@ -700,6 +700,58 @@ object Events {
       .orderBy("user_id", "slot_us")
   }
 
+  /** Time-series resampling with LINEAR INTERPOLATION
+    * (q_resample_interp): the [[resampleFfill]] grid, but gap slots
+    * take the straight line between the surrounding observations —
+    * v = prev + (next − prev) · (slot − prev_slot)/(next_slot −
+    * prev_slot) — the fill a numeric sensor/metric series wants where
+    * a categorical-ish series wants carry-forward. Every gap slot has
+    * both neighbors because the grid spans exactly the observed
+    * [min, max] slots. The arithmetic is a fixed-order IEEE chain on
+    * exactly-represented integers and stored doubles, quantized at
+    * output.
+    *
+    * Scale shape: identical to [[resampleFfill]] plus one mirrored
+    * window (first-non-null over the following frame) — still two
+    * passes over the grid, sharded on the series key.
+    */
+  def resampleInterp(events: DataFrame): DataFrame = {
+    val slotUs = 3600L * 1000000L
+    val obs = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("slot", expr(s"unix_micros(ts) DIV $slotUs"))
+      .groupBy("user_id", "slot")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("o"))
+      .select(col("user_id"), col("slot"), col("o.value").as("v"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("slot").as("lo"), max("slot").as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val wPrev = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("slot")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq("user_id", "slot"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ps",
+        last(when(col("v").isNotNull, col("slot")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("ns",
+        first(when(col("v").isNotNull, col("slot")), ignoreNulls = true)
+          .over(wNext))
+      // quant6 (floor(x·1e6 + 0.5)/1e6), not round(): interpolated
+      // midpoints of 2-decimal values land exactly on the half-quantum
+      // boundary, where engine round() conventions differ
+      .withColumn("value_interp", Similarity.quant6(
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("slot") - col("ps")).cast("double") /
+             (col("ns") - col("ps")).cast("double")))))
+      .select(col("user_id"), (col("slot") * slotUs).as("slot_us"),
+        col("value_interp"), col("v").isNotNull.cast("int").as("is_observed"))
+      .orderBy("user_id", "slot_us")
+  }
+
   /** Point-in-time dimension lookup (q_scd2_lookup): each purchase
     * joined to the [[scd2]] version valid ONE HOUR BEFORE it — "what
     * was the user doing an hour before buying", the temporal join a

@@ -1602,6 +1602,42 @@ object Similarity {
     rankedTopK(fused, k, "rrf")
   }
 
+  /** Hybrid retrieval by WEIGHTED-SUM score fusion (q_hybrid_wsum):
+    * each tier's top-m scores min-max normalized within the query's
+    * own list, then fused as w_lex·lex + w_vec·vec — the
+    * calibration-based alternative to [[hybridRrf]]'s rank fusion
+    * (weights express a tuned trust split; RRF needs no calibration
+    * but cannot express one). A candidate absent from one list
+    * contributes 0 from that tier — the standard convex-combination
+    * convention. Degenerate lists (max = min) normalize to 1.0.
+    *
+    * Determinism: both input scores are already quantized ranked
+    * outputs; min/max are exact selections; the normalize-and-fuse is
+    * a fixed-order IEEE chain, quantized again at output. Scale
+    * shape: list-sized throughout — per-query min/max aggregates
+    * broadcast back onto their own k-bounded lists.
+    */
+  def hybridWeighted(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                     m: Int = 10, wLex: Double = 0.3,
+                     wVec: Double = 0.7): DataFrame = {
+    def normed(df: DataFrame, score: String, out: String): DataFrame = {
+      val mm = df.groupBy("query_id")
+        .agg(min(col(score)).as("lo"), max(col(score)).as("hi"))
+      df.join(broadcast(mm), "query_id")
+        .withColumn(out, when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col(score) - col("lo")) / (col("hi") - col("lo"))))
+        .select(col("query_id"), col("neighbor_id"), col(out))
+    }
+    val lex = normed(graft.operators.TextAnalysis
+      .bm25TopK(documents, nQueries, m), "bm25", "ln")
+    val vec = normed(docSearch(documents, nQueries, m), "sim", "vn")
+    val fused = lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        (lit(wLex) * coalesce(col("ln"), lit(0.0)) +
+         lit(wVec) * coalesce(col("vn"), lit(0.0))).as("s"))
+    rankedTopK(fused, k, "wsum")
+  }
+
   /** Persist the doc-tier vector store: the pooled (doc_id, dim, v)
     * frame as parquet — the brute-force tier's whole state (the
     * IVF-PQ artifacts are the graduated tier's, q_doc_ivfpq).

@@ -870,6 +870,22 @@ class SimilaritySpec extends SparkSpec {
       "diversified result not drawn from the vector top-20 pool")
   }
 
+  test("hybridWeighted: scores are convex combinations, a both-list topper ranks first") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Similarity.hybridWeighted(docs).collect()
+    got.foreach { r =>
+      val s = r.getAs[Double]("wsum")
+      assert(s >= 0.0 && s <= 1.0 + 1e-9,
+        s"fused score $s outside the convex range")
+    }
+    // per query, scores are non-increasing in rank
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ss = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("wsum"))
+      assert(ss.sameElements(ss.sortBy(-(_: Double))),
+        s"query $q: fused scores not monotone in rank")
+    }
+  }
+
   test("hybrid serve from artifacts is value-identical to the inline fusion") {
     val docs = Tables.documents(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -77,6 +77,18 @@ class TemporalSpec extends SparkSpec {
       (3L, 2.0, 1)))
   }
 
+  test("resampleInterp draws the straight line across a gap (hand oracle)") {
+    val m = 60L * 1000000L
+    val ev = syntheticEvents(Seq(
+      (1L, 10 * m, 7L, "view", 1.0),   // hour 0
+      (2L, 185 * m, 7L, "view", 4.0))) // hour 3: gap slots 1,2 interpolate
+    val got = Events.resampleInterp(ev).collect()
+      .map(r => (r.getAs[Long]("slot_us") / (60 * m),
+        r.getAs[Double]("value_interp"), r.getAs[Int]("is_observed")))
+    assert(got.toSeq === Seq((0L, 1.0, 1), (1L, 2.0, 0), (2L, 3.0, 0),
+      (3L, 4.0, 1)))
+  }
+
   test("incremental MV merge equals the one-shot aggregate (merge law)") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.withColumn("day", dayofmonth(col("ts")))
