@@ -46,6 +46,8 @@ object SparkEntry {
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
     "q_resample_interp" -> ((s, d) => Events.resampleInterp(events(s, d))),
+    "q_rolling_features" -> ((s, d) => Events.rollingFeatures(events(s, d))),
+    "q_winsorize" -> ((s, d) => Events.winsorize(events(s, d))),
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
@@ -527,6 +529,56 @@ object SparkEntry {
         |             * 1000000.0 + 0.5) / 1000000.0 AS value_interp,
         |       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
         |FROM wn ORDER BY user_id, slot_us""".stripMargin,
+    "q_rolling_features" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |obs AS (
+        |  SELECT user_id, slot, value AS v FROM (
+        |    SELECT user_id, us // 3600000000 AS slot, value,
+        |           row_number() OVER (PARTITION BY user_id, us // 3600000000
+        |                              ORDER BY us DESC, event_id DESC) AS rk
+        |    FROM e) WHERE rk = 1),
+        |sp AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM sp),
+        |j AS (SELECT g.user_id, g.slot, o.v FROM grid g
+        |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+        |g2 AS (
+        |  SELECT user_id, slot * 3600000000 AS slot_us,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+        |      ROWS UNBOUNDED PRECEDING) AS value_ffill,
+        |    CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS is_observed
+        |  FROM j),
+        |b AS (SELECT user_id, slot_us,
+        |        CAST(floor(value_ffill * 1000000.0 + 0.5) AS BIGINT) AS v_us,
+        |        is_observed
+        |      FROM g2)
+        |SELECT user_id, slot_us,
+        |  floor(CAST(sum(v_us) OVER w AS DOUBLE)
+        |        / (count(*) OVER w * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ma,
+        |  CAST(min(v_us) OVER w AS DOUBLE) / 1000000.0 AS min_v,
+        |  CAST(max(v_us) OVER w AS DOUBLE) / 1000000.0 AS max_v,
+        |  CAST(sum(is_observed) OVER w AS BIGINT) AS n_obs
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY slot_us
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, slot_us""".stripMargin,
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value, p.p05, p.p95,
+        |         CASE WHEN e.value < p.p05 THEN p.p05
+        |              WHEN e.value > p.p95 THEN p.p95
+        |              ELSE e.value END AS clipped
+        |  FROM events e JOIN pct p USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(sum(CAST(floor(clipped * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 AS sum_clipped,
+        |       min(p05) AS p05, min(p95) AS p95
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,

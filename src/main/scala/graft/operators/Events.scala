@@ -680,7 +680,15 @@ object Events {
     * |series|; at warehouse scale that is millions of tasks' worth of
     * parallelism, and the per-task state is one row — the running last).
     */
-  def resampleFfill(events: DataFrame): DataFrame = {
+  def resampleFfill(events: DataFrame): DataFrame =
+    resampledGrid(events).orderBy("user_id", "slot_us")
+
+  /** The un-ordered forward-filled grid — shared by [[resampleFfill]]
+    * (which only adds the oracle-determinism sort) and
+    * [[rollingFeatures]] (which layers trailing windows on top without
+    * inheriting a mid-plan range exchange).
+    */
+  private def resampledGrid(events: DataFrame): DataFrame = {
     val slotUs = 3600L * 1000000L
     val obs = events
       .withColumn("us", unix_micros(col("ts")))
@@ -697,7 +705,68 @@ object Events {
       .withColumn("value_ffill", last(col("v"), ignoreNulls = true).over(w))
       .select(col("user_id"), (col("slot") * slotUs).as("slot_us"),
         col("value_ffill"), col("v").isNotNull.cast("int").as("is_observed"))
+  }
+
+  /** Trailing-window features over the resampled series
+    * (q_rolling_features): 7-slot moving average, min, max, and
+    * observed-count per (user, hour) — the feature block a
+    * training-data pipeline derives from every regularized series.
+    * Values enter the windows as exact integer micros (the quant6
+    * law applied once, then long arithmetic), so the trailing sums
+    * are order-exact and the mean is one division at the end.
+    *
+    * Scale shape: the [[resampledGrid]] passes plus one more window,
+    * all sharded on the series key; trailing ROWS frames keep state
+    * bounded at `win` rows per task.
+    */
+  def rollingFeatures(events: DataFrame, win: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("slot_us")
+      .rowsBetween(-(win - 1), Window.currentRow)
+    resampledGrid(events)
+      .withColumn("v_us",
+        expr("CAST(floor(value_ffill * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("ma", Similarity.quant6(
+        sum(col("v_us")).over(w).cast("double") /
+          (count(lit(1)).over(w) * lit(1000000.0))))
+      .withColumn("min_v", min(col("v_us")).over(w).cast("double") / lit(1e6))
+      .withColumn("max_v", max(col("v_us")).over(w).cast("double") / lit(1e6))
+      .withColumn("n_obs", sum(col("is_observed").cast("long")).over(w))
+      .select(col("user_id"), col("slot_us"), col("ma"), col("min_v"),
+        col("max_v"), col("n_obs"))
       .orderBy("user_id", "slot_us")
+  }
+
+  /** Percentile winsorization census (q_winsorize): per event_type,
+    * values clipped into [p05, p95] (exact interpolated percentiles —
+    * the [[Warehouse.pricePercentiles]] cross-engine law) with the
+    * clip counts and the clipped sum — the outlier treatment a
+    * feature/reward pipeline applies before normalization. The
+    * clipped sum accumulates as exact integer micros so the clipped
+    * percentile values' long decimal tails cannot make the sum
+    * order- or engine-dependent.
+    *
+    * Scale shape: one percentile pass per group (exact sorts per
+    * group — the documented swap at 100 TB is approx_percentile),
+    * then the 5-row percentile frame broadcasts back onto one
+    * streamed clip-and-aggregate pass.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val pct = events.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    events.join(broadcast(pct), "event_type")
+      .withColumn("clipped",
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") < col("p05")).cast("long")).as("n_clip_lo"),
+        sum((col("value") > col("p95")).cast("long")).as("n_clip_hi"),
+        (sum(expr("CAST(floor(clipped * 1000000.0 + 0.5) AS BIGINT)"))
+          .cast("double") / lit(1e6)).as("sum_clipped"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"))
+      .orderBy("event_type")
   }
 
   /** Time-series resampling with LINEAR INTERPOLATION

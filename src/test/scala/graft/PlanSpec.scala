@@ -278,14 +278,18 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
-  test("resample/forward-fill windows partition on the series key only") {
-    // the fill must shard by user_id (cardinality = |series|); any other
-    // leading key would serialize the grid through few tasks
-    val p = planText(SparkEntry.queries("q_resample_ffill")(spark, sf0001))
-    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
-    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
-      s"fill window not user_id-led: $specs")
-    CacheRegistry.release()
+  test("resample/fill/rolling windows partition on the series key only") {
+    // the fill and every trailing feature window must shard by user_id
+    // (cardinality = |series|); any other leading key would serialize
+    // the grid through few tasks
+    for (name <- Seq("q_resample_ffill", "q_resample_interp",
+        "q_rolling_features")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+        s"$name: window not user_id-led: $specs")
+      CacheRegistry.release()
+    }
   }
 
   test("q1 aggregation runs partial (map-side) before the shuffle") {

@@ -89,6 +89,37 @@ class TemporalSpec extends SparkSpec {
       (3L, 4.0, 1)))
   }
 
+  test("rollingFeatures: trailing mean/min/max over the filled grid (hand oracle)") {
+    val m = 60L * 1000000L
+    val ev = syntheticEvents(Seq(
+      (1L, 50 * m, 7L, "view", 5.0),   // hour 0
+      (2L, 185 * m, 7L, "view", 2.0))) // hour 3; hours 1-2 fill with 5.0
+    val got = Events.rollingFeatures(ev, win = 4).collect()
+      .map(r => (r.getAs[Long]("slot_us") / (60 * m), r.getAs[Double]("ma"),
+        r.getAs[Double]("min_v"), r.getAs[Double]("max_v"),
+        r.getAs[Long]("n_obs")))
+    assert(got.toSeq === Seq(
+      (0L, 5.0, 5.0, 5.0, 1L), (1L, 5.0, 5.0, 5.0, 1L),
+      (2L, 5.0, 5.0, 5.0, 1L), (3L, 4.25, 2.0, 5.0, 2L)))
+  }
+
+  test("winsorize: clip counts track the 5% tails, clipped sum never exceeds raw") {
+    val ev = Tables.events(spark, sf0001)
+    val raw = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Events.winsorize(ev).collect().foreach { r =>
+      val (t, n) = (r.getString(0), r.getAs[Long]("n_events"))
+      assert(n === raw(t))
+      val (lo, hi) = (r.getAs[Long]("n_clip_lo"), r.getAs[Long]("n_clip_hi"))
+      // strictly-below-p05 (resp. above-p95) counts are bounded by the
+      // exact-percentile definition
+      assert(lo <= n * 5 / 100 + 1, s"$t: lower clip count $lo above the tail")
+      assert(hi <= n * 5 / 100 + 1, s"$t: upper clip count $hi above the tail")
+      assert(r.getAs[Double]("p05") <= r.getAs[Double]("p95"))
+    }
+  }
+
   test("incremental MV merge equals the one-shot aggregate (merge law)") {
     val ev = Tables.events(spark, sf0001)
     val direct = ev.withColumn("day", dayofmonth(col("ts")))
