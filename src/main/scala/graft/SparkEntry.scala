@@ -175,6 +175,7 @@ object SparkEntry {
     "q_stream_bm25_fresh" -> ((s, d) =>
       graft.streaming.StreamOps.streamBm25Fresh(s, d)),
     "q_stream_scd2" -> ((s, d) => graft.streaming.StreamOps.streamScd2(s, d)),
+    "q_hybrid_ivfpq" -> ((s, d) => Similarity.hybridIvfPq(s, d)),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1312,6 +1313,14 @@ object SparkEntry {
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
         ivfPqRankedFrag(2, 2, "demb", 10L) +
         rerankSuffixSql(15, "demb", 5)),
+    // hybrid at index scale: BM25 fused with the doc-tier IVF-PQ
+    // rerank serve — the ADC chain, the exact re-rank, and the BM25
+    // chain all shared verbatim with their standalone queries
+    "q_hybrid_ivfpq" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
+        ivfPqRankedFrag(2, 2, "demb", 10L) + ",\n" +
+        rerankChainFrag(15, "demb") + ",\n" + bm25Frag(10L, 1.2, 0.75) +
+        rrfSuffixSqlFrom(10, 5, "60.0", "rr", "neighbor_id")),
     // chunk-level dedup: a chunk is duplicated iff its hash spans >= 2
     // distinct documents; per-doc census of shared-chunk mass
     "q_chunk_dedup" ->
@@ -3453,10 +3462,11 @@ object SparkEntry {
     * squared L2 from the raw vectors in `src`, grouping
     * (|q|² − 2 q·v) + |v|² mirroring exactRerank.
     */
-  private def rerankSuffixSql(m: Int, src: String = "embeddings",
-                              k: Int = 10): String =
-    s""",
-       |rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
+  /** CTEs rcand..rr: exact re-rank of the ADC shortlist `ranked` —
+    * shared by the rerank serves and q_hybrid_ivfpq's vector side.
+    */
+  private def rerankChainFrag(m: Int, src: String): String =
+    s"""rcand AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= $m),
        |rexact AS (
        |  SELECT rcand.query_id, rcand.neighbor_id,
        |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
@@ -3468,7 +3478,12 @@ object SparkEntry {
        |rr AS (
        |  SELECT query_id, neighbor_id, d2,
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
-       |  FROM rexact)
+       |  FROM rexact)""".stripMargin
+
+  private def rerankSuffixSql(m: Int, src: String = "embeddings",
+                              k: Int = 10): String =
+    ",\n" + rerankChainFrag(m, src) +
+    s"""
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(d2, 6) AS d2
        |FROM rr WHERE rk <= $k ORDER BY query_id, rank""".stripMargin
 
@@ -3786,9 +3801,10 @@ object SparkEntry {
     * passed as SQL text so the literal parses identically in both
     * engines.
     */
-  private def rrfChainFrag(m: Int, c: String): String =
+  private def rrfChainFrag(m: Int, c: String, vecSrc: String = "drk",
+                           vecId: String = "cand_id"): String =
     s"""lexm AS (SELECT query_id, cand_id, rk FROM brk WHERE rk <= $m),
-       |vecm AS (SELECT query_id, cand_id, rk FROM drk WHERE rk <= $m),
+       |vecm AS (SELECT query_id, $vecId AS cand_id, rk FROM $vecSrc WHERE rk <= $m),
        |fus AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
        |         coalesce(l.cand_id, v.cand_id) AS cand_id,
@@ -3804,7 +3820,11 @@ object SparkEntry {
        |  FROM fus)""".stripMargin
 
   private def rrfSuffixSql(m: Int, k: Int, c: String): String =
-    ",\n" + rrfChainFrag(m, c) +
+    rrfSuffixSqlFrom(m, k, c, "drk", "cand_id")
+
+  private def rrfSuffixSqlFrom(m: Int, k: Int, c: String, vecSrc: String,
+                               vecId: String): String =
+    ",\n" + rrfChainFrag(m, c, vecSrc, vecId) +
     s"""
        |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
        |       round(s, 6) AS rrf

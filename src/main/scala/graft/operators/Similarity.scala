@@ -1638,6 +1638,31 @@ object Similarity {
     rankedTopK(fused, k, "wsum")
   }
 
+  /** Hybrid retrieval AT INDEX SCALE (q_hybrid_ivfpq): the fusion a
+    * 100-TB deployment actually serves — the lexical side is BM25 over
+    * the posting table, the vector side is the GRADUATED doc tier
+    * ([[docIvfPqRoundtrip]]'s lifecycle: pooled vectors → persisted
+    * IVF-PQ index → from-files ADC shortlist → exact re-rank), fused
+    * with the same RRF law as the brute-force [[hybridRrf]]. The
+    * brute-force |Q|·|D| cosine pass is replaced by the
+    * nprobe-cell-bounded candidate scorer; everything downstream of
+    * the two ranked lists is list-sized.
+    */
+  def hybridIvfPq(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+                  k: Int = 5, m: Int = 10, shortlist: Int = 15,
+                  nprobe: Int = 2, trainIters: Int = 2,
+                  c: Double = 60.0): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val dir = newIndexDir()
+    val dv = docVectors(docs).localCheckpoint()
+    buildIvfPqIndex(dv, dir, trainIters)
+    val vec = searchIvfPqIndexRerank(spark, dir, dv, nQueries, m,
+      shortlist, nprobe)
+    rrfFuse(
+      graft.operators.TextAnalysis.bm25TopK(docs, nQueries.toLong, m),
+      vec, k, c)
+  }
+
   /** Persist the doc-tier vector store: the pooled (doc_id, dim, v)
     * frame as parquet — the brute-force tier's whole state (the
     * IVF-PQ artifacts are the graduated tier's, q_doc_ivfpq).
