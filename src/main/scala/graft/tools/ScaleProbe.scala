@@ -123,6 +123,33 @@ object ScaleProbe {
     // above — both should track the corpus, with the components stage
     // dominating pretrain
     time("rag_e2e")(graft.operators.Similarity.ragRetrieve(amplified).count())
+    // lexical tier: the posting table is tokenize+hash-agg (corpus-
+    // linear); the broadcast query-terms side is |Q|-bounded, so BM25
+    // serve cost must track the corpus like doc_search does — and the
+    // posting-store build is the same one pass made durable
+    time("bm25")(graft.operators.TextAnalysis.bm25TopK(amplified).count())
+    // temporal family at user-amplified events: every window shards on
+    // user_id, so cost must track total events while per-task state
+    // stays one user's slice
+    time("temporal") {
+      val ev = graft.Tables.events(spark, sfDir)
+      val nev = ev.count()
+      val amp = (0 until factor).map { k =>
+        ev.select((col("event_id") + lit(k * nev)).as("event_id"), col("ts"),
+          (col("user_id") + lit(k * 10000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val a = graft.operators.Events.scd2(amp).count()
+      println(f"  scd2:     ${(System.nanoTime() - t0) / 1e9}%.1f s ($a rows)")
+      val t1 = System.nanoTime()
+      val b = graft.operators.Events.resampleFfill(amp).count()
+      println(f"  resample: ${(System.nanoTime() - t1) / 1e9}%.1f s ($b rows)")
+      val t2 = System.nanoTime()
+      val c = graft.operators.Events.rollingFeatures(amp).count()
+      println(f"  rolling:  ${(System.nanoTime() - t2) / 1e9}%.1f s ($c rows)")
+      a + b + c
+    }
     time("curate_docs")(graft.operators.Pipeline.curatedDocs(amplified).count())
     time("pretrain")(graft.operators.Pipeline.pretrain(amplified).count())
 
