@@ -176,6 +176,7 @@ object SparkEntry {
       graft.streaming.StreamOps.streamBm25Fresh(s, d)),
     "q_stream_scd2" -> ((s, d) => graft.streaming.StreamOps.streamScd2(s, d)),
     "q_hybrid_ivfpq" -> ((s, d) => Similarity.hybridIvfPq(s, d)),
+    "q_bm25_prf" -> ((s, d) => TextAnalysis.bm25Prf(documents(s, d))),
     "q_rag_saved" -> ((s, d) => Similarity.ragSavedRoundtrip(documents(s, d))),
     "q_ivfpq_saved" -> ((s, d) => Similarity.ivfPqSavedRoundtrip(s, d)),
     "q_ivfpq_append" -> ((s, d) => Similarity.ivfPqAppendRoundtrip(s, d)),
@@ -1232,6 +1233,53 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(bm25, 6) AS bm25
           |FROM brk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // pseudo-relevance feedback: first-pass top-3 docs donate their two
+    // strongest unseen terms (Σtf·idf) at weight 0.5, second pass
+    // rescores — the bm25Frag chain shared verbatim as the first pass
+    "q_bm25_prf" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |pfb AS (SELECT query_id, cand_id AS fb_doc FROM brk WHERE rk <= 3),
+          |pgidf AS (SELECT term,
+          |    floor(ln((bst.n_docs - CAST(bdfr.df AS DOUBLE) + 0.5)
+          |             / (CAST(bdfr.df AS DOUBLE) + 0.5) + 1.0)
+          |          * 1000000.0 + 0.5) / 1000000.0 AS idf
+          |  FROM bdfr CROSS JOIN bst),
+          |pexq AS (
+          |  SELECT e.query_id, e.term, e.fbtf, e.idf FROM (
+          |    SELECT f.query_id, t.term, sum(t.tf) AS fbtf, max(g.idf) AS idf
+          |    FROM pfb f JOIN btf t ON t.doc_id = f.fb_doc
+          |         JOIN pgidf g ON g.term = t.term
+          |    GROUP BY 1,2) e
+          |  LEFT JOIN (SELECT doc_id AS query_id, term FROM btf WHERE doc_id < 10) q
+          |    ON q.query_id = e.query_id AND q.term = e.term
+          |  WHERE q.term IS NULL),
+          |pexp AS (SELECT query_id, term, idf, 0.5 AS wq FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY fbtf * idf DESC, term) AS trk
+          |    FROM pexq) WHERE trk <= 2),
+          |pqall AS (
+          |  SELECT q.doc_id AS query_id, q.term, g.idf, 1.0 AS wq
+          |  FROM btf q JOIN pgidf g ON g.term = q.term WHERE q.doc_id < 10
+          |  UNION ALL SELECT query_id, term, idf, wq FROM pexp),
+          |ppw AS (
+          |  SELECT qa.query_id, btf.doc_id,
+          |    floor(qa.wq * qa.idf * (CAST(btf.tf AS DOUBLE) * (1.2 + 1.0))
+          |          / (CAST(btf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+          |             * (CAST(bdl.dl AS DOUBLE) / bst.avgdl)))
+          |          * 1000000.0 + 0.5) / 1000000.0 AS w
+          |  FROM btf JOIN bdl USING (doc_id) CROSS JOIN bst
+          |       JOIN pqall qa ON qa.term = btf.term
+          |  WHERE btf.doc_id <> qa.query_id),
+          |psc AS (SELECT query_id, doc_id AS cand_id,
+          |               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS s
+          |        FROM ppw GROUP BY 1,2),
+          |prk AS (SELECT query_id, cand_id, s,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+          |        FROM psc)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(s, 6) AS prf
+          |FROM prk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // streamed posting-store maintenance must equal the one-shot inline
     // BM25 — re-delivered docs REPLACE their postings, so the drained
     // serve shares q_bm25_topk's oracle verbatim

@@ -797,16 +797,21 @@ object Events {
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
     val wPrev = Window.partitionBy("user_id").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("user_id").orderBy("slot")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next observation" as a RUNNING frame over the reversed sort:
+    // first_value over [current, unbounded following] makes Spark
+    // re-scan the tail per row (quadratic per partition — measured 51 s
+    // on the sf0.1 grid); last_value over the descending running frame
+    // is the same value in O(n)
+    val wNext = Window.partitionBy("user_id").orderBy(col("slot").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("user_id", "slot"), "left")
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
       .withColumn("ps",
         last(when(col("v").isNotNull, col("slot")), ignoreNulls = true)
           .over(wPrev))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
       .withColumn("ns",
-        first(when(col("v").isNotNull, col("slot")), ignoreNulls = true)
+        last(when(col("v").isNotNull, col("slot")), ignoreNulls = true)
           .over(wNext))
       // quant6 (floor(x·1e6 + 0.5)/1e6), not round(): interpolated
       // midpoints of 2-decimal values land exactly on the half-quantum

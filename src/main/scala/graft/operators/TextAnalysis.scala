@@ -277,6 +277,75 @@ object TextAnalysis {
     Similarity.rankedTopK(scored, k, "bm25")
   }
 
+  /** Pseudo-relevance-feedback query expansion (q_bm25_prf, RM3-lite):
+    * a first BM25 pass retrieves each query's top `fbDocs` documents;
+    * the `fbTerms` strongest terms of that feedback set (by Σtf · idf,
+    * excluding terms the query already has) join the query at weight
+    * `expWeight`; a second pass rescores with the expanded term set —
+    * the classic lexical fix for vocabulary mismatch, deployed
+    * wherever BM25 is.
+    *
+    * Scale shape: both passes are the [[bm25FromPostings]] plan
+    * (broadcast query side, posting join, TopKAgg); the expansion
+    * stage is feedback-sized — |Q|·fbDocs docs fan out to their
+    * posting rows once, and the term-pick window partitions on
+    * query_id over that bounded set. Determinism: idf through the
+    * quant6 ln law, the per-term weight quantized with the expansion
+    * weight INSIDE the quantum, DECIMAL accumulation — and for
+    * original terms wq = 1.0 is an exact IEEE no-op, so the unexpanded
+    * part of the score is bit-identical to the plain chain.
+    */
+  def bm25Prf(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+              fbDocs: Int = 3, fbTerms: Int = 2, expWeight: Double = 0.5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import Similarity.quant6
+    val tf = docPostings(documents)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val gidf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats.select("n_docs")))
+      .select(col("term"),
+        quant6(log((col("n_docs") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))).as("idf"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val fb = bm25FromPostings(tf, nQueries, fbDocs, k1, b)
+      .select(col("query_id"), col("neighbor_id").as("fb_doc"))
+    val exq = fb
+      .join(tf.select(col("doc_id").as("fb_doc"), col("term"), col("tf")),
+        "fb_doc")
+      .join(gidf, "term")
+      .groupBy("query_id", "term")
+      .agg(sum("tf").as("fbtf"), max("idf").as("idf"))
+      .join(qterms.withColumn("own", lit(1)), Seq("query_id", "term"), "left")
+      .filter(col("own").isNull)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy((col("fbtf") * col("idf")).desc, col("term"))
+    val expt = exq.withColumn("trk", row_number().over(wt))
+      .filter(col("trk") <= fbTerms)
+      .select(col("query_id"), col("term"), col("idf"),
+        lit(expWeight).as("wq"))
+    val qall = qterms.join(gidf, "term")
+      .select(col("query_id"), col("term"), col("idf"), lit(1.0).as("wq"))
+      .unionByName(expt)
+    val scored = tf.join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .join(broadcast(qall), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        quant6(col("wq") * col("idf") *
+          (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            ((lit(1.0) - lit(b)) + lit(b) *
+              (col("dl").cast("double") / col("avgdl"))))).as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("s"))
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("s"))
+    Similarity.rankedTopK(scored, k, "prf")
+  }
+
   /** Persist the lexical index (q_bm25_saved): the posting table
     * written doc_id-bucketed — the SAME store layout the streaming
     * maintenance path upserts into, so offline build and live upsert
