@@ -1237,46 +1237,8 @@ object SparkEntry {
     // strongest unseen terms (Σtf·idf) at weight 0.5, second pass
     // rescores — the bm25Frag chain shared verbatim as the first pass
     "q_bm25_prf" ->
-      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
-        """,
-          |pfb AS (SELECT query_id, cand_id AS fb_doc FROM brk WHERE rk <= 3),
-          |pgidf AS (SELECT term,
-          |    floor(ln((bst.n_docs - CAST(bdfr.df AS DOUBLE) + 0.5)
-          |             / (CAST(bdfr.df AS DOUBLE) + 0.5) + 1.0)
-          |          * 1000000.0 + 0.5) / 1000000.0 AS idf
-          |  FROM bdfr CROSS JOIN bst),
-          |pexq AS (
-          |  SELECT e.query_id, e.term, e.fbtf, e.idf FROM (
-          |    SELECT f.query_id, t.term, sum(t.tf) AS fbtf, max(g.idf) AS idf
-          |    FROM pfb f JOIN btf t ON t.doc_id = f.fb_doc
-          |         JOIN pgidf g ON g.term = t.term
-          |    GROUP BY 1,2) e
-          |  LEFT JOIN (SELECT doc_id AS query_id, term FROM btf WHERE doc_id < 10) q
-          |    ON q.query_id = e.query_id AND q.term = e.term
-          |  WHERE q.term IS NULL),
-          |pexp AS (SELECT query_id, term, idf, 0.5 AS wq FROM (
-          |    SELECT *, row_number() OVER (PARTITION BY query_id
-          |                                 ORDER BY fbtf * idf DESC, term) AS trk
-          |    FROM pexq) WHERE trk <= 2),
-          |pqall AS (
-          |  SELECT q.doc_id AS query_id, q.term, g.idf, 1.0 AS wq
-          |  FROM btf q JOIN pgidf g ON g.term = q.term WHERE q.doc_id < 10
-          |  UNION ALL SELECT query_id, term, idf, wq FROM pexp),
-          |ppw AS (
-          |  SELECT qa.query_id, btf.doc_id,
-          |    floor(qa.wq * qa.idf * (CAST(btf.tf AS DOUBLE) * (1.2 + 1.0))
-          |          / (CAST(btf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
-          |             * (CAST(bdl.dl AS DOUBLE) / bst.avgdl)))
-          |          * 1000000.0 + 0.5) / 1000000.0 AS w
-          |  FROM btf JOIN bdl USING (doc_id) CROSS JOIN bst
-          |       JOIN pqall qa ON qa.term = btf.term
-          |  WHERE btf.doc_id <> qa.query_id),
-          |psc AS (SELECT query_id, doc_id AS cand_id,
-          |               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS s
-          |        FROM ppw GROUP BY 1,2),
-          |prk AS (SELECT query_id, cand_id, s,
-          |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
-          |        FROM psc)
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) + ",\n" + prfChainFrag(10L) +
+        """
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(s, 6) AS prf
           |FROM prk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
@@ -1296,40 +1258,19 @@ object SparkEntry {
     // tier's quantized top-10 scores, convex fusion 0.3·lex + 0.7·vec
     "q_hybrid_wsum" ->
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
-        ",\n" + bm25Frag(10L, 1.2, 0.75) +
-        """,
-          |wlx AS (SELECT query_id, cand_id, round(bm25, 6) AS s FROM brk WHERE rk <= 10),
-          |wvx AS (SELECT query_id, cand_id, round(sim, 6) AS s FROM drk WHERE rk <= 10),
-          |wlm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wlx GROUP BY 1),
-          |wvm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wvx GROUP BY 1),
-          |wln AS (SELECT l.query_id, l.cand_id,
-          |               CASE WHEN m.hi = m.lo THEN 1.0
-          |                    ELSE (l.s - m.lo) / (m.hi - m.lo) END AS lnorm
-          |        FROM wlx l JOIN wlm m USING (query_id)),
-          |wvn AS (SELECT v.query_id, v.cand_id,
-          |               CASE WHEN m.hi = m.lo THEN 1.0
-          |                    ELSE (v.s - m.lo) / (m.hi - m.lo) END AS vnorm
-          |        FROM wvx v JOIN wvm m USING (query_id)),
-          |wfus AS (
-          |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
-          |         coalesce(l.cand_id, v.cand_id) AS cand_id,
-          |         0.3 * COALESCE(l.lnorm, 0.0) + 0.7 * COALESCE(v.vnorm, 0.0) AS s
-          |  FROM wln l FULL OUTER JOIN wvn v
-          |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
-          |wrk AS (
-          |  SELECT query_id, cand_id, s,
-          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
-          |  FROM wfus)
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + wsumChainFrag(10) +
+        """
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(s, 6) AS wsum
           |FROM wrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // retrieval eval: recall@10 / MRR@10 per tier vs exact-cosine
-    // truth — the three ranked chains shared verbatim with their
+    // truth — all five ranked chains shared verbatim with their
     // standalone queries; per-query metrics quantized then
     // DECIMAL-summed so the across-queries mean is order-independent
     "q_retrieval_eval" ->
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
         ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
+        ",\n" + prfChainFrag(10L) + ",\n" + wsumChainFrag(10) +
         """,
           |etruth AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
           |eret AS (
@@ -1337,7 +1278,11 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT 'vector' AS system, query_id, cand_id, rk FROM drk WHERE rk <= 10
           |  UNION ALL
-          |  SELECT 'hybrid' AS system, query_id, cand_id, rk FROM frk WHERE rk <= 10),
+          |  SELECT 'hybrid' AS system, query_id, cand_id, rk FROM frk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'bm25_prf' AS system, query_id, cand_id, rk FROM prk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'hybrid_wsum' AS system, query_id, cand_id, rk FROM wrk WHERE rk <= 10),
           |epq AS (
           |  SELECT r.system, r.query_id,
           |         sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
@@ -3778,6 +3723,80 @@ object SparkEntry {
        |  SELECT query_id, cand_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
        |  FROM dsc)""".stripMargin
+
+  /** CTEs pfb..prk: pseudo-relevance-feedback expansion + second-pass
+    * rescore over the bm25Frag chain — the SQL twin of
+    * TextAnalysis.bm25Prf, shared by q_bm25_prf and q_retrieval_eval's
+    * prf arm. Requires bm25Frag's CTEs in scope.
+    */
+  private def prfChainFrag(nq: Long): String =
+    s"""pfb AS (SELECT query_id, cand_id AS fb_doc FROM brk WHERE rk <= 3),
+       |pgidf AS (SELECT term,
+       |    floor(ln((bst.n_docs - CAST(bdfr.df AS DOUBLE) + 0.5)
+       |             / (CAST(bdfr.df AS DOUBLE) + 0.5) + 1.0)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS idf
+       |  FROM bdfr CROSS JOIN bst),
+       |pexq AS (
+       |  SELECT e.query_id, e.term, e.fbtf, e.idf FROM (
+       |    SELECT f.query_id, t.term, sum(t.tf) AS fbtf, max(g.idf) AS idf
+       |    FROM pfb f JOIN btf t ON t.doc_id = f.fb_doc
+       |         JOIN pgidf g ON g.term = t.term
+       |    GROUP BY 1,2) e
+       |  LEFT JOIN (SELECT doc_id AS query_id, term FROM btf WHERE doc_id < $nq) q
+       |    ON q.query_id = e.query_id AND q.term = e.term
+       |  WHERE q.term IS NULL),
+       |pexp AS (SELECT query_id, term, idf, 0.5 AS wq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY fbtf * idf DESC, term) AS trk
+       |    FROM pexq) WHERE trk <= 2),
+       |pqall AS (
+       |  SELECT q.doc_id AS query_id, q.term, g.idf, 1.0 AS wq
+       |  FROM btf q JOIN pgidf g ON g.term = q.term WHERE q.doc_id < $nq
+       |  UNION ALL SELECT query_id, term, idf, wq FROM pexp),
+       |ppw AS (
+       |  SELECT qa.query_id, btf.doc_id,
+       |    floor(qa.wq * qa.idf * (CAST(btf.tf AS DOUBLE) * (1.2 + 1.0))
+       |          / (CAST(btf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75
+       |             * (CAST(bdl.dl AS DOUBLE) / bst.avgdl)))
+       |          * 1000000.0 + 0.5) / 1000000.0 AS w
+       |  FROM btf JOIN bdl USING (doc_id) CROSS JOIN bst
+       |       JOIN pqall qa ON qa.term = btf.term
+       |  WHERE btf.doc_id <> qa.query_id),
+       |psc AS (SELECT query_id, doc_id AS cand_id,
+       |               CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS s
+       |        FROM ppw GROUP BY 1,2),
+       |prk AS (SELECT query_id, cand_id, s,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |        FROM psc)""".stripMargin
+
+  /** CTEs wlx..wrk: per-query min-max normalization + convex fusion of
+    * the two quantized top-m lists — the SQL twin of
+    * Similarity.hybridWeighted, shared by q_hybrid_wsum and
+    * q_retrieval_eval's wsum arm. Requires brk and drk in scope.
+    */
+  private def wsumChainFrag(m: Int): String =
+    s"""wlx AS (SELECT query_id, cand_id, round(bm25, 6) AS s FROM brk WHERE rk <= $m),
+       |wvx AS (SELECT query_id, cand_id, round(sim, 6) AS s FROM drk WHERE rk <= $m),
+       |wlm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wlx GROUP BY 1),
+       |wvm AS (SELECT query_id, min(s) AS lo, max(s) AS hi FROM wvx GROUP BY 1),
+       |wln AS (SELECT l.query_id, l.cand_id,
+       |               CASE WHEN m.hi = m.lo THEN 1.0
+       |                    ELSE (l.s - m.lo) / (m.hi - m.lo) END AS lnorm
+       |        FROM wlx l JOIN wlm m USING (query_id)),
+       |wvn AS (SELECT v.query_id, v.cand_id,
+       |               CASE WHEN m.hi = m.lo THEN 1.0
+       |                    ELSE (v.s - m.lo) / (m.hi - m.lo) END AS vnorm
+       |        FROM wvx v JOIN wvm m USING (query_id)),
+       |wfus AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |         coalesce(l.cand_id, v.cand_id) AS cand_id,
+       |         0.3 * COALESCE(l.lnorm, 0.0) + 0.7 * COALESCE(v.vnorm, 0.0) AS s
+       |  FROM wln l FULL OUTER JOIN wvn v
+       |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+       |wrk AS (
+       |  SELECT query_id, cand_id, s,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |  FROM wfus)""".stripMargin
 
   /** The SCD2 build in SQL — shared verbatim by q_scd2 (one-shot
     * batch) and q_stream_scd2 (incremental CDC maintenance): the

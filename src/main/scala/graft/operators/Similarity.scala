@@ -1733,7 +1733,8 @@ object Similarity {
 
   /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
     * MRR@k for each retrieval tier — BM25 lexical, pooled-vector
-    * cosine, hybrid RRF — against exact-cosine ground truth (the
+    * cosine, hybrid RRF, PRF-expanded BM25, weighted-sum hybrid —
+    * against exact-cosine ground truth (the
     * vector tier's own top-t, so its row reads 1.0/1.0 by construction
     * and anchors the scale; the informative rows are how much of the
     * semantic truth the lexical tier recovers and whether fusion
@@ -1760,6 +1761,12 @@ object Similarity {
           col("neighbor_id"), col("rank")))
       .unionByName(hybridRrf(documents, nQueries, k, k)
         .select(lit("hybrid").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(graft.operators.TextAnalysis.bm25Prf(documents, nQueries, k)
+        .select(lit("bm25_prf").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(hybridWeighted(documents, nQueries, k, k)
+        .select(lit("hybrid_wsum").as("system"), col("query_id"),
           col("neighbor_id"), col("rank")))
     ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy("system", "query_id")

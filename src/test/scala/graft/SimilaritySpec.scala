@@ -838,7 +838,7 @@ class SimilaritySpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val rows = Similarity.retrievalEval(docs).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ===
-      Seq("bm25", "hybrid", "vector"))
+      Seq("bm25", "bm25_prf", "hybrid", "hybrid_wsum", "vector"))
     rows.foreach { r =>
       assert(r.getLong(1) === 10L, "n_queries drifted")
       val (rec, mrr) = (r.getDouble(2), r.getDouble(3))
