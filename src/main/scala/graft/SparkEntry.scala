@@ -119,6 +119,8 @@ object SparkEntry {
       TextAnalysis.qualityTopFraction(documents(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langId(documents(s, d))),
     "q_text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(documents(s, d))),
+    "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
+    "q_token_fertility" -> ((s, d) => TextAnalysis.tokenFertility(documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(documents(s, d))),
     "q_hash_split" -> ((s, d) => TextAnalysis.hashSplit(documents(s, d))),
     "q_pipeline_e2e" -> ((s, d) => Pipeline.e2e(documents(s, d), 0.5)),
@@ -168,6 +170,9 @@ object SparkEntry {
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_hybrid_wsum" -> ((s, d) => Similarity.hybridWeighted(documents(s, d))),
     "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
+    "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(documents(s, d))),
+    "q_mmr_topk" -> ((s, d) => Similarity.mmrTopK(documents(s, d))),
+    "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
     "q_bm25_saved" -> ((s, d) =>
       TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
     "q_hybrid_saved" -> ((s, d) =>
@@ -1299,6 +1304,71 @@ object SparkEntry {
           |       round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall,
           |       round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr
           |FROM epm GROUP BY 1 ORDER BY system""".stripMargin),
+    // hard-negative mining: positive = vector rank-1, negatives = the
+    // BM25-top docs OUTSIDE the vector top-5 (lexically close,
+    // semantically far) — both ranked chains shared verbatim
+    "q_hard_negatives" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |hpos AS (SELECT query_id, cand_id AS pos_id FROM drk WHERE rk = 1),
+          |hvt AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
+          |hneg AS (
+          |  SELECT b.query_id, b.cand_id, b.bm25,
+          |         row_number() OVER (PARTITION BY b.query_id ORDER BY b.rk) AS neg_rank
+          |  FROM brk b
+          |  LEFT JOIN hvt v ON v.query_id = b.query_id AND v.cand_id = b.cand_id
+          |  WHERE b.rk <= 10 AND v.cand_id IS NULL)
+          |SELECT n.query_id, p.pos_id, CAST(n.neg_rank AS BIGINT) AS neg_rank,
+          |       n.cand_id AS neg_id, round(n.bm25, 6) AS bm25
+          |FROM hneg n JOIN hpos p USING (query_id)
+          |WHERE n.neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin),
+    // greedy MMR re-rank over the vector top-8 pool: k−1 chained
+    // selection steps, each argmax(λ·rel − (1−λ)·max pairwise sim to
+    // the selected set) with the (score DESC, cand_id) tie-break; all
+    // similarity values are the DECIMAL-dot/exact-norm chain, so the
+    // greedy trajectory is bit-identical cross-engine
+    "q_mmr_topk" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + mmrChainFrag(4, 8, "0.7", "0.3") +
+        """
+          |SELECT query_id, CAST(step AS BIGINT) AS rank,
+          |       cand_id AS neighbor_id, round(score, 6) AS mmr
+          |FROM mall4 ORDER BY query_id, rank""".stripMargin),
+    // query-likelihood retrieval (Dirichlet μ=100): matched-term part
+    // Σ qtf·ln(1 + tf·|C|/(μ·ctf)) + doc part |q|·ln(μ/(dl+μ)); every
+    // ln quantized, products quantized, DECIMAL accumulation
+    "q_ql_dirichlet" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |qctf AS (SELECT term, sum(tf) AS ctf FROM btf GROUP BY 1),
+          |qcc AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM btf),
+          |qqt AS (SELECT doc_id AS q_id, term, tf AS qtf FROM btf WHERE doc_id < 10),
+          |qqlen AS (SELECT q_id, sum(qtf) AS qlen FROM qqt GROUP BY 1),
+          |qw AS (
+          |  SELECT qqt.q_id, btf.doc_id,
+          |    floor(CAST(qqt.qtf AS DOUBLE) *
+          |      (floor(ln(1.0 + CAST(btf.tf AS DOUBLE) * qcc.c
+          |                / (100.0 * CAST(qctf.ctf AS DOUBLE))) * 1000000.0 + 0.5)
+          |       / 1000000.0)
+          |      * 1000000.0 + 0.5) / 1000000.0 AS w
+          |  FROM btf JOIN qqt USING (term) JOIN qctf USING (term) CROSS JOIN qcc
+          |  WHERE btf.doc_id <> qqt.q_id),
+          |qmt AS (SELECT q_id, doc_id, CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sw
+          |        FROM qw GROUP BY 1,2),
+          |qsc AS (
+          |  SELECT m.q_id AS query_id, m.doc_id AS cand_id,
+          |    m.sw + floor(CAST(l.qlen AS DOUBLE) *
+          |      (floor(ln(100.0 / (CAST(d.dl AS DOUBLE) + 100.0)) * 1000000.0 + 0.5)
+          |       / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS s
+          |  FROM qmt m JOIN bdl d ON d.doc_id = m.doc_id
+          |       JOIN qqlen l ON l.q_id = m.q_id),
+          |qlrk AS (SELECT query_id, cand_id, s,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+          |         FROM qsc)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(s, 6) AS ql
+          |FROM qlrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // doc-tier ANN graduation: the q_doc_embed pooled vectors served
     // through the SHARED ivfPqRankedFrag chain — brute force and index
     // retrieve over the same vectors, so the tiers can never drift
@@ -1526,6 +1596,35 @@ object SparkEntry {
         |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS ws_tokens,
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+    // per-doc keyword extraction: log-free tf·(N/df) weight (one
+    // multiply one divide on integers — IEEE-exact), (w DESC, term)
+    // tie-break; doc_id-led window, corpus-cardinality parallel
+    "q_keywords" ->
+      """WITH ktok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> t <> '')) AS term
+        |  FROM documents),
+        |ktf AS (SELECT doc_id, term, count(*) AS tf FROM ktok GROUP BY 1,2),
+        |kdf AS (SELECT term, count(*) AS df FROM ktf GROUP BY 1),
+        |kn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |kw AS (SELECT t.doc_id, t.term,
+        |         CAST(t.tf AS DOUBLE) * kn.n_docs / CAST(d.df AS DOUBLE) AS w
+        |       FROM ktf t JOIN kdf d USING (term) CROSS JOIN kn),
+        |krk AS (SELECT doc_id, term, w,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+        |        FROM kw)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS kw_rank, term, round(w, 6) AS weight
+        |FROM krk WHERE rk <= 3 ORDER BY doc_id, kw_rank""".stripMargin,
+    // tokenizer fertility per language: Σbpe/Σws as one IEEE division
+    // on exact integer sums — the multilingual tokenizer-fairness metric
+    "q_token_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |        / CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE), 6) AS fertility
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_doc_fingerprint" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -3860,6 +3959,53 @@ object SparkEntry {
        |  SELECT query_id, cand_id, bm25,
        |         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, cand_id) AS rk
        |  FROM bsc)""".stripMargin
+
+  /** CTEs mpool..mall{k}: the greedy MMR selection chain over the
+    * vector pool (q_mmr_topk) — the SQL twin of Similarity.mmrTopK.
+    * Requires docSearchFrag's `dm`, `nr`, `drk` in scope. `lam` and
+    * `penal` are passed as SQL text so the literals parse identically
+    * in both engines (penal is 1−λ as its OWN literal — `1.0 - 0.7`
+    * is not the double `0.3`). Steps 2..k are generated CTE pairs:
+    * candidates = pool minus selected, penalty = max pairwise cosine
+    * to the selected set, argmax via row_number (mmr DESC, cand_id).
+    */
+  private def mmrChainFrag(k: Int, m: Int, lam: String,
+                           penal: String): String = {
+    val head =
+      s"""mpool AS (SELECT query_id, cand_id, sim AS rel FROM drk WHERE rk <= $m),
+         |mpv AS (SELECT p.query_id, p.cand_id, d.dim, d.v
+         |        FROM mpool p JOIN dm d ON d.doc_id = p.cand_id),
+         |mpair AS (
+         |  SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+         |         CAST(sum(a.v * b.v) AS DOUBLE) / (na.nrm * nb.nrm) AS psim
+         |  FROM mpv a JOIN mpv b ON a.query_id = b.query_id AND a.dim = b.dim
+         |       AND a.cand_id <> b.cand_id
+         |  JOIN nr na ON na.doc_id = a.cand_id
+         |  JOIN nr nb ON nb.doc_id = b.cand_id
+         |  GROUP BY a.query_id, a.cand_id, b.cand_id, na.nrm, nb.nrm),
+         |msel1 AS (
+         |  SELECT query_id, cand_id, rel AS score, 1 AS step FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |    FROM mpool) WHERE rn = 1),
+         |mall1 AS (SELECT * FROM msel1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""mcand$i AS (
+         |  SELECT p.query_id, p.cand_id,
+         |         $lam * p.rel - $penal * max(pp.psim) AS mmr
+         |  FROM mpool p
+         |  LEFT JOIN mall${i - 1} x ON x.query_id = p.query_id AND x.cand_id = p.cand_id
+         |  JOIN mpair pp ON pp.query_id = p.query_id AND pp.a_id = p.cand_id
+         |  JOIN mall${i - 1} s ON s.query_id = pp.query_id AND s.cand_id = pp.b_id
+         |  WHERE x.cand_id IS NULL
+         |  GROUP BY p.query_id, p.cand_id, p.rel),
+         |msel$i AS (
+         |  SELECT query_id, cand_id, mmr AS score, $i AS step FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS rn
+         |    FROM mcand$i) WHERE rn = 1),
+         |mall$i AS (SELECT * FROM mall${i - 1} UNION ALL SELECT * FROM msel$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** CTEs lexm..frk: reciprocal-rank fusion over `brk` (lexical) and
     * `drk` (vector): Σ 1/(c + rank) across the two top-m lists,

@@ -1496,7 +1496,19 @@ object Similarity {
     * state, so serve-from-store is value-identical to inline.
     */
   def docSearchFrom(dm: DataFrame, nQueries: Long = 10,
-                    k: Int = 5): DataFrame = {
+                    k: Int = 5): DataFrame =
+    rankedTopK(docScored(dm, nQueries), k, "sim")
+
+  /** The raw cosine scorer behind [[docSearchFrom]]: (query_id, cand_id,
+    * s) with s the UNROUNDED cosine — exposed because [[mmrTopK]]'s
+    * greedy re-rank does arithmetic on the relevance value, and the
+    * display-rounded `sim` the ranked emission carries is not the value
+    * to compute with (the suite's law: round() only on values nothing
+    * downstream amplifies). s is cross-engine exact by construction —
+    * DECIMAL-accumulated dot and norms, one division.
+    */
+  private[operators] def docScored(dm: DataFrame,
+                                   nQueries: Long): DataFrame = {
     val norms = dm.groupBy("doc_id")
       .agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nrm"))
     val q = dm.filter(col("doc_id") < nQueries)
@@ -1505,14 +1517,13 @@ object Similarity {
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("v") * col("qv")).cast("double").as("dot"))
-    val scored = dots
+    dots
       .join(broadcast(norms.select(col("doc_id").as("q_id"),
         col("nrm").as("q_nrm"))), "q_id")
       .join(norms, "doc_id")
       .filter(col("nrm") > 0 && col("q_nrm") > 0)
       .select(col("q_id").as("query_id"), col("doc_id").as("cand_id"),
         (col("dot") / (col("nrm") * col("q_nrm"))).as("s"))
-    rankedTopK(scored, k, "sim")
   }
 
   /** [[docEmbeddings]]'s pooled vectors re-assembled into the
@@ -1728,6 +1739,138 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("lang"),
         col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** HARD-NEGATIVE mining for contrastive retriever training
+    * (q_hard_negatives) — the pair-mining recipe dense-retrieval
+    * training (DPR, Karpukhin et al. 2020 §4.2; ANCE) actually runs:
+    * for each query document the POSITIVE is its exact-cosine nearest
+    * neighbor (the semantic truth the trained model should reproduce),
+    * and the HARD NEGATIVES are the top lexically-retrieved documents
+    * that are NOT semantically near — BM25 rank-ordered docs outside
+    * the vector top-`t`. Lexically-similar-but-semantically-far is
+    * exactly the confusable region where random negatives teach
+    * nothing; emitting (query, positive, negative) triples from the
+    * two existing tiers is the whole mining pipeline.
+    *
+    * Scale shape: both tiers are the bounded retrieval plans
+    * ([[TextAnalysis.bm25TopK]], [[docSearch]]); everything here is
+    * list-sized — the anti-join and re-rank run over |Q|·m rows, and
+    * the only windows partition on query_id over ≤m rows.
+    * Determinism: both inputs are ranked chains under the shared
+    * tie-break law; the negative re-rank orders by the BM25 rank
+    * (already total per query).
+    */
+  def hardNegatives(documents: DataFrame, nQueries: Long = 10,
+                    nNeg: Int = 3, t: Int = 5, m: Int = 10): DataFrame = {
+    val vec = docSearch(documents, nQueries, m)
+    val pos = vec.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"))
+    val vtop = vec.filter(col("rank") <= t)
+      .select(col("query_id"), col("neighbor_id"))
+    val lex = graft.operators.TextAnalysis.bm25TopK(documents, nQueries, m)
+    val wq = Window.partitionBy("query_id").orderBy("rank")
+    lex.join(vtop, Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(wq).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .join(broadcast(pos), "query_id")
+      .select(col("query_id"), col("pos_id"), col("neg_rank"),
+        col("neighbor_id").as("neg_id"), col("bm25"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (q_mmr_topk, Carbonell &
+    * Goldstein 1998): greedy selection over the vector top-`m` pool —
+    * pick argmax λ·rel(q,c) − (1−λ)·max_{s∈S} sim(c,s), i.e. the most
+    * relevant candidate that is least similar to everything already
+    * selected. The general form of result diversification
+    * ([[diverseTopK]] is its fixed-attribute special case): a serving
+    * layer uses it to stop near-duplicate hits from filling the page.
+    *
+    * Scale shape: the expensive work is [[docSearch]]'s bounded plan;
+    * the pool is |Q|·m rows, the pairwise-similarity table |Q|·m²
+    * (list-sized — m is a page, not a corpus), and each of the k−1
+    * greedy steps is a join + argmin over those frames. The selection
+    * loop runs as k−1 chained DataFrame stages — depth k, never
+    * corpus-wide. Determinism: relevance and pairwise cosines are the
+    * DECIMAL-dot / exact-norm values ([[docScored]]) — bit-identical
+    * cross-engine — the MMR combination is a fixed-order IEEE chain on
+    * them, and every argmax breaks ties on (score DESC, cand_id).
+    */
+  /** `penal` is the diversity weight — nominally 1−λ, but passed as its
+    * own literal because `1.0 - 0.7` is not the double `0.3`, and the
+    * oracle's SQL text parses `0.3` exactly.
+    */
+  def mmrTopK(documents: DataFrame, nQueries: Long = 10, k: Int = 4,
+              m: Int = 8, lam: Double = 0.7, penal: Double = 0.3,
+              size: Int = 64, stride: Int = 48, dims: Int = 8,
+              nLabels: Int = 8): DataFrame = {
+    val dm = docEmbeddings(documents, size, stride, dims, nLabels)
+      .select(col("doc_id"), col("dim"),
+        col("mean_v").cast("decimal(18,6)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val scored = docScored(dm, nQueries)
+    // pool selection through the bounded TopKAgg (never a corpus-wide
+    // window), then the raw relevance joins back in
+    val pool = rankedTopK(scored, m, "sim")
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      .join(scored, Seq("query_id", "cand_id"))
+      .select(col("query_id"), col("cand_id"), col("s").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // pairwise cosines among each query's pool members (both directions)
+    val pv = pool.select(col("query_id"), col("cand_id"))
+      .join(dm, col("cand_id") === col("doc_id")).drop("doc_id")
+    val norms = dm.groupBy("doc_id")
+      .agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nrm"))
+    val pairs = pv.as("a")
+      .join(pv.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.dim") === col("b.dim") &&
+        col("a.cand_id") =!= col("b.cand_id"))
+      .groupBy(col("a.query_id").as("query_id"),
+        col("a.cand_id").as("a_id"), col("b.cand_id").as("b_id"))
+      .agg(sum(col("a.v") * col("b.v")).cast("double").as("pdot"))
+      .join(broadcast(norms.select(col("doc_id").as("a_id"),
+        col("nrm").as("a_nrm"))), "a_id")
+      .join(broadcast(norms.select(col("doc_id").as("b_id"),
+        col("nrm").as("b_nrm"))), "b_id")
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        (col("pdot") / (col("a_nrm") * col("b_nrm"))).as("psim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // step 1: pure relevance argmax (empty selected set ⇒ no penalty)
+    def argmax(df: DataFrame, score: String): DataFrame =
+      df.groupBy("query_id")
+        .agg(min(struct((-col(score)).as("ns"), col("cand_id"))).as("mx"))
+        .select(col("query_id"), col("mx.cand_id").as("cand_id"),
+          (-col("mx.ns")).as("score"))
+    var sel = argmax(pool.select(col("query_id"), col("cand_id"),
+        col("rel").as("s0")), "s0")
+      .withColumn("step", lit(1L))
+    var selAll = sel.select("query_id", "cand_id", "score", "step")
+    for (i <- 2 to k) {
+      val cand = pool
+        .join(selAll.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .withColumnRenamed("cand_id", "a_id")
+      val scoredStep = cand
+        .join(pairs, Seq("query_id", "a_id"))
+        .join(selAll.select(col("query_id"), col("cand_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy("query_id", "a_id", "rel")
+        .agg(max(col("psim")).as("maxs"))
+        .select(col("query_id"), col("a_id").as("cand_id"),
+          (lit(lam) * col("rel") - lit(penal) * col("maxs")).as("mmr"))
+      sel = argmax(scoredStep, "mmr").withColumn("step", lit(i.toLong))
+      selAll = selAll.unionByName(
+        sel.select("query_id", "cand_id", "score", "step"))
+        .localCheckpoint()
+    }
+    selAll
+      .select(col("query_id"), col("step").as("rank"),
+        col("cand_id").as("neighbor_id"), round(col("score"), 6).as("mmr"))
       .orderBy("query_id", "rank")
   }
 

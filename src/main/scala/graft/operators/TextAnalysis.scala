@@ -346,6 +346,112 @@ object TextAnalysis {
     Similarity.rankedTopK(scored, k, "prf")
   }
 
+  /** Per-document KEYWORD extraction (q_keywords): each document's top
+    * `perDoc` terms by the log-free tf·(N/df) weight ([[tfidf]]'s
+    * rational-idf device — same ranking order as ln(N/df), every step
+    * IEEE-exact). The labeling/tagging pass a curation pipeline runs to
+    * attach topical keys to documents (dataset cards, topic routing,
+    * facet search). Scale shape: one posting pass + a broadcast scalar
+    * N + the df aggregation; the per-doc rank window partitions on
+    * doc_id — corpus-cardinality, embarrassingly parallel, ≤|terms per
+    * doc| rows per task. Determinism: weight = tf·N/df is one multiply
+    * one divide on integers, ties break (weight DESC, term ASC).
+    */
+  def keywords(documents: DataFrame, perDoc: Int = 3): DataFrame = {
+    val tf = docPostings(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val n = documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term"))
+    tf.join(dfr, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= perDoc)
+      .select(col("doc_id"), col("kw_rank"), col("term"),
+        round(col("w"), 6).as("weight"))
+      .orderBy("doc_id", "kw_rank")
+  }
+
+  /** Tokenizer FERTILITY per language (q_token_fertility): BPE-ish
+    * tokens per whitespace word — the multilingual tokenizer-fairness
+    * metric (a language whose words fragment into many subword tokens
+    * pays more compute per word and effectively shrinks its context
+    * window; pretraining mixture decisions weight by exactly this).
+    * One codegen'd scan (two regexp counts per row), a per-language
+    * hash aggregation, and one division — fertility = Σbpe/Σws as a
+    * single IEEE op on exact integer sums.
+    */
+  def tokenFertility(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("lower_text", lower(col("text")))
+      .withColumn("n_ws", size(split(trim(col("lower_text")), "\\s+")))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(col("lower_text"), lit(bpePattern), lit(0))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_ws")).as("ws_tokens"),
+           sum(col("n_bpe")).as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") /
+          col("ws_tokens").cast("double"), 6))
+      .orderBy("lang")
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing
+    * (q_ql_dirichlet, Zhai & Lafferty 2001) — the second classic
+    * lexical ranking model next to Okapi BM25: score(q,d) =
+    * Σ_{t∈q∩d} qtf_t · ln(1 + tf_td·|C| / (μ·ctf_t))
+    * + |q| · ln(μ / (dl_d + μ)), the standard rank-equivalent
+    * decomposition of Π P(t|θ_d) under Dirichlet smoothing — one
+    * matched-term part that runs over the posting join, and one
+    * document-length part that attaches per candidate. Candidates are
+    * the documents sharing ≥1 term with the query (the posting-list
+    * candidate generation every practical lexical engine uses — a doc
+    * with zero matches has no posting row to score).
+    *
+    * Scale shape: identical to [[bm25TopK]] — one tokenize + hash-agg
+    * posting pass, corpus stats as broadcast scalars, the query side
+    * broadcast, TopKAgg bounding the shuffle. Determinism: each ln —
+    * the one transcendental — is immediately quantized (quant6), the
+    * qtf·ln and qlen·ln products are quantized after one IEEE
+    * multiply, matched weights sum as DECIMAL(18,6), and the final
+    * two-term addition is a single fixed-order IEEE op.
+    */
+  def qlDirichletTopK(documents: DataFrame, nQueries: Long = 10,
+                      k: Int = 5, mu: Double = 100.0): DataFrame = {
+    import Similarity.quant6
+    val tf = docPostings(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val ctf = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val corp = tf.agg(sum("tf").cast("double").as("c"))
+    val qt = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term"), col("tf").as("qtf"))
+    val qlen = qt.groupBy("q_id").agg(sum("qtf").as("qlen"))
+    // query terms with their corpus stats attached — query-sized, broadcast
+    val qstats = qt.join(ctf, "term").crossJoin(broadcast(corp))
+    val matched = tf.join(broadcast(qstats), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        quant6(col("qtf").cast("double") *
+          quant6(log(lit(1.0) + col("tf").cast("double") * col("c") /
+            (lit(mu) * col("ctf").cast("double"))))).as("w"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("w").cast("decimal(18,6)")).cast("double").as("sw"))
+    val scored = matched
+      .join(dl, "doc_id")
+      .join(broadcast(qlen), "q_id")
+      .select(col("q_id").as("query_id"), col("doc_id").as("cand_id"),
+        (col("sw") + quant6(col("qlen").cast("double") *
+          quant6(log(lit(mu) / (col("dl").cast("double") + lit(mu))))))
+          .as("s"))
+    Similarity.rankedTopK(scored, k, "ql")
+  }
+
   /** Persist the lexical index (q_bm25_saved): the posting table
     * written doc_id-bucketed — the SAME store layout the streaming
     * maintenance path upserts into, so offline build and live upsert

@@ -128,6 +128,17 @@ object ScaleProbe {
     // serve cost must track the corpus like doc_search does — and the
     // posting-store build is the same one pass made durable
     time("bm25")(graft.operators.TextAnalysis.bm25TopK(amplified).count())
+    // query-likelihood shares BM25's plan shape (posting join + broadcast
+    // query side + TopKAgg) plus one per-candidate dl join — must track
+    // bm25 within a small constant
+    time("ql")(graft.operators.TextAnalysis.qlDirichletTopK(amplified).count())
+    // mining/re-rank tails are list-sized: hard negatives add an
+    // anti-join over |Q|·m rows on top of the two tiers; MMR adds a
+    // |Q|·m² pair table + k−1 greedy steps — both must cost the sum of
+    // their tiers, nothing corpus-shaped beyond them
+    time("hard_negatives")(
+      graft.operators.Similarity.hardNegatives(amplified).count())
+    time("mmr")(graft.operators.Similarity.mmrTopK(amplified).count())
     // temporal family at user-amplified events: every window shards on
     // user_id, so cost must track total events while per-task state
     // stays one user's slice

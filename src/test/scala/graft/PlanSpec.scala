@@ -267,6 +267,29 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("mining/re-rank tier: broadcasts kept, no cartesian, only query-led windows") {
+    // q_hard_negatives / q_mmr_topk / q_ql_dirichlet compose the bounded
+    // retrieval plans: the expensive tiers keep their broadcast + partial
+    // TopK economics, the list-sized tails add no cartesian, and any
+    // window partitions on query_id (≤m rows per task)
+    // q_mmr_topk's returned frame is localCheckpoint-truncated (each
+    // greedy step materializes, stopping the 2^k plan-tree blowup a lazy
+    // selected-set union would build), so its visible plan cannot show
+    // the chain's broadcasts — those are locked on q_doc_search, whose
+    // plan IS the mmr pool chain
+    for (name <- Seq("q_hard_negatives", "q_mmr_topk", "q_ql_dirichlet")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      if (name != "q_mmr_topk")
+        assert(p.contains("BroadcastExchange"), s"$name: broadcast lost")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: degenerated to a cartesian product")
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.forall(_.contains("query_id")),
+        s"$name: window not query_id-led: $specs")
+      CacheRegistry.release()
+    }
+  }
+
   test("scd2 lookup: interval containment rides the user_id equi join, no nested loop") {
     // the point-in-time join must hash/merge on the dimension key with
     // the validity range as a post-join predicate — a nested-loop or

@@ -895,4 +895,120 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.hybridRrf(docs)),
       "deployed hybrid (posting store + vector store) drifted from inline")
   }
+
+  test("hardNegatives: positive is the vector top-1, negatives are BM25 hits outside the vector top-t") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Similarity.hardNegatives(docs).collect()
+    assert(got.nonEmpty, "no mined triples")
+    val vec = Similarity.docSearch(docs, 10, 10).collect()
+    val vtop = vec.filter(_.getAs[Long]("rank") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pos1 = vec.filter(_.getAs[Long]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val lexTop = pairs(graft.operators.TextAnalysis.bm25TopK(docs, 10, 10))
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("neg_rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: neg ranks not dense")
+      assert(ranks.length <= 3, s"query $q: more than nNeg negatives")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("pos_id") === pos1(q),
+          s"query $q: positive is not the vector rank-1")
+        val neg = r.getAs[Long]("neg_id")
+        assert(!vtop.contains((q, neg)),
+          s"query $q: negative $neg sits inside the vector top-5 — not hard")
+        assert(lexTop.contains((q, neg)),
+          s"query $q: negative $neg not drawn from the BM25 top-10")
+      }
+    }
+  }
+
+  test("mmrTopK: greedy picks are distinct pool members; step 1 is the pure-relevance argmax") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Similarity.mmrTopK(docs).collect()
+    val vec = Similarity.docSearch(docs, 10, 8).collect()
+    val pool = vec.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val top1 = vec.filter(_.getAs[Long]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: steps not dense")
+      assert(ranks.length === 4, s"query $q: expected k=4 selections")
+      val picks = rs.map(_.getAs[Long]("neighbor_id"))
+      assert(picks.distinct.length === picks.length,
+        s"query $q: a candidate was selected twice")
+      picks.foreach(p => assert(pool.contains((q, p)),
+        s"query $q: pick $p not from the vector top-8 pool"))
+      val first = rs.find(_.getAs[Long]("rank") == 1L).get
+      assert(first.getAs[Long]("neighbor_id") === top1(q),
+        s"query $q: step 1 is not the pure-relevance argmax")
+    }
+    // diversification bites: on at least one query the MMR order differs
+    // from the pure-similarity order (else the penalty term is dead code)
+    val pure = vec.filter(_.getAs[Long]("rank") <= 4)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq }
+    val mmr = got.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq }
+    assert(mmr.exists { case (q, seq) => pure.get(q).exists(_ != seq) },
+      "MMR reproduced pure top-k on every query — the diversity penalty never fired")
+  }
+
+  test("mmrTopK matches a driver-side greedy reference, trajectory for trajectory") {
+    // the greedy selection is re-implemented here in plain Scala over the
+    // collected pooled vectors (BigDecimal dots = the operator's DECIMAL
+    // accumulation, then the same double divisions) and the two
+    // trajectories must agree EXACTLY — pick identity AND step order per
+    // query. This is the differential test that catches an off-by-one in
+    // the selected-set join, a wrong tie-break, or a stale penalty set.
+    val docs = Tables.documents(spark, sf0001)
+    val (k, m, lam, pen) = (4, 8, 0.7, 0.3)
+    val byDoc: Map[Long, Array[BigDecimal]] =
+      Similarity.docEmbeddings(docs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("dim"),
+          r.getAs[Double]("mean_v")))
+        .groupBy(_._1)
+        .map { case (d, rs) =>
+          // mirror the operator's cast("decimal(18,6)"): valueOf's
+          // shortest-string repr, then HALF_UP to 6 — NOT the exact
+          // binary expansion BigDecimal(double) would take
+          d -> rs.sortBy(_._2).map(x =>
+            BigDecimal(java.math.BigDecimal.valueOf(x._3))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (byDoc(a), byDoc(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(va.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(vb.map(x => x * x).sum.toDouble)
+      dot / (na * nb)
+    }
+    val queries = byDoc.keys.filter(_ < 10).toSeq.sorted
+    val expected = queries.flatMap { q =>
+      val cands = byDoc.keys.filter(c => c != q &&
+        byDoc(c).map(x => x * x).sum.toDouble > 0).toSeq
+      val pool = cands.map(c => c -> cos(q, c))
+        .sortBy { case (c, s) => (-s, c) }.take(m)
+      var selected = Vector.empty[Long]
+      (1 to k).map { step =>
+        val remaining = pool.filterNot { case (c, _) => selected.contains(c) }
+        val scored = remaining.map { case (c, rel) =>
+          val sc = if (selected.isEmpty) rel
+            else lam * rel - pen * selected.map(s => cos(c, s)).max
+          (c, sc)
+        }
+        val (pick, score) = scored.minBy { case (c, sc) => (-sc, c) }
+        selected :+= pick
+        (q, step.toLong, pick, math.floor(score * 1e6 + 0.5) / 1e6)
+      }
+    }.toSet
+    val got = Similarity.mmrTopK(docs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr"))).toSet
+    // scores compare after the display round; trajectory must be exact
+    def traj(s: Set[(Long, Long, Long, Double)]) = s.map(t => (t._1, t._2, t._3))
+    assert(traj(got) === traj(expected),
+      "MMR trajectory diverged from the greedy reference")
+  }
 }

@@ -496,4 +496,93 @@ class TextAnalysisSpec extends SparkSpec {
       rows(TextAnalysis.bm25TopK(docs)),
       "from-files BM25 drifted from inline — the posting store is not the whole index")
   }
+
+  test("qlDirichlet: posting-bounded candidates, dense ranks, monotone scores, length penalty") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.qlDirichletTopK(docs).collect()
+    assert(got.nonEmpty, "no QL results")
+    // candidates must share >= 1 term with their query (posting-list
+    // candidate generation — the operator's documented restriction)
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).toSet).toMap
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+      assert(ranks.length <= 5, s"query $q: more than k hits")
+      val ss = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("ql"))
+      assert(ss.sameElements(ss.sortBy(-(_: Double))),
+        s"query $q: QL scores not monotone in rank")
+      rs.foreach { r =>
+        val c = r.getAs[Long]("neighbor_id")
+        assert(toks(q).intersect(toks(c)).nonEmpty,
+          s"query $q: candidate $c shares no term — escaped the posting join")
+      }
+    }
+  }
+
+  test("keywords: per-doc top-3 by rational tf-idf, rare term beats common term") {
+    val sp = spark
+    import sp.implicits._
+    // "zebra" appears only in doc 0 (rare, tf 2); "the" spans all docs
+    val docs = Seq(
+      (0L, "the zebra runs the zebra sleeps"),
+      (1L, "the cat sits on the mat"),
+      (2L, "the dog and the cat"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+    val got = TextAnalysis.keywords(docs).collect()
+    got.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+      val ranks = rs.map(_.getAs[Long]("kw_rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"doc $d: ranks not dense")
+      assert(ranks.length <= 3, s"doc $d: more than perDoc keywords")
+      val ws = rs.sortBy(_.getAs[Long]("kw_rank")).map(_.getAs[Double]("weight"))
+      assert(ws.sameElements(ws.sortBy(-(_: Double))),
+        s"doc $d: weights not monotone in rank")
+    }
+    val d0 = got.filter(_.getAs[Long]("doc_id") == 0L)
+      .sortBy(_.getAs[Long]("kw_rank"))
+    assert(d0.head.getAs[String]("term") === "zebra",
+      s"doc 0's top keyword should be the rare repeated term, got ${d0.head}")
+    // tf 2 · (3 docs / df 1) = 6.0
+    assert(d0.head.getAs[Double]("weight") === 6.0)
+  }
+
+  test("tokenFertility: one row per language, fertility = bpe/ws on exact sums") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.tokenFertility(docs).collect()
+    assert(got.nonEmpty, "no languages")
+    got.foreach { r =>
+      val (ws, bpe) = (r.getAs[Long]("ws_tokens"), r.getAs[Long]("bpe_tokens"))
+      assert(ws > 0 && bpe > 0, s"${r.getAs[String]("lang")}: empty token sums")
+      val f = r.getAs[Double]("fertility")
+      assert(math.abs(f - bpe.toDouble / ws.toDouble) < 1e-6,
+        s"${r.getAs[String]("lang")}: fertility not bpe/ws")
+      assert(f >= 1.0 - 1e-9,
+        s"${r.getAs[String]("lang")}: BPE-ish tokenizer cannot produce fewer tokens than words")
+    }
+  }
+
+  test("qlDirichlet on a planted corpus: matching doc beats partially-matching, longer doc penalized") {
+    val sp = spark
+    import sp.implicits._
+    // doc 10 repeats the query's rare terms; doc 11 matches once inside a
+    // long document (length penalty bites); doc 12 shares nothing
+    val docs = Seq(
+      (0L, "flux capacitor alignment"),
+      (10L, "flux capacitor alignment flux capacitor"),
+      (11L, "flux " + Seq.fill(40)("filler padding words").mkString(" ")),
+      (12L, "unrelated gardening soil"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+    val ranked = TextAnalysis.qlDirichletTopK(docs, nQueries = 1, k = 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+      .map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ranked.head === 10L,
+      s"term-dense short doc must rank first, got $ranked")
+    assert(!ranked.contains(12L), "zero-overlap doc must not be retrieved")
+  }
 }
