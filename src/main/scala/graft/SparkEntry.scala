@@ -173,6 +173,8 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(documents(s, d))),
     "q_mmr_topk" -> ((s, d) => Similarity.mmrTopK(documents(s, d))),
     "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
+    "q_ce_rerank" -> ((s, d) => Similarity.ceRerank(documents(s, d))),
+    "q_snippets" -> ((s, d) => TextAnalysis.snippets(documents(s, d))),
     "q_bm25_saved" -> ((s, d) =>
       TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
     "q_hybrid_saved" -> ((s, d) =>
@@ -1369,6 +1371,62 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(s, 6) AS ql
           |FROM qlrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // cross-encoder re-rank: hybrid top-10 re-scored by the
+    // deterministic pair-scorer stand-in (md5 of the two text digests
+    // mod 1000001, scaled) — the hybrid chain shared verbatim, the
+    // re-rank list-sized
+    "q_ce_rerank" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
+        """,
+          |cel AS (SELECT query_id, cand_id FROM frk WHERE rk <= 10),
+          |cth AS (SELECT doc_id, md5(text) AS h FROM documents),
+          |cesc AS (
+          |  SELECT l.query_id, l.cand_id,
+          |    CAST((('0x' || substr(md5(qh.h || ':' || ch.h), 1, 15))::UBIGINT::BIGINT
+          |          % 1000001) AS DOUBLE) / 1000000.0 AS s
+          |  FROM cel l JOIN cth qh ON qh.doc_id = l.query_id
+          |       JOIN cth ch ON ch.doc_id = l.cand_id),
+          |cerk AS (SELECT query_id, cand_id, s,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+          |         FROM cesc)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(s, 6) AS ce
+          |FROM cerk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // snippet extraction: per BM25 hit, the best 16-token window by
+    // distinct-query-term coverage (stride-8 windows cover every
+    // position; tie → earliest) — the bm25 chain shared verbatim
+    "q_snippets" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |shits AS (SELECT query_id, rk, cand_id AS doc_id FROM brk WHERE rk <= 3),
+          |sqt AS (SELECT DISTINCT doc_id AS q_id, term FROM btf WHERE doc_id < 10),
+          |stoks AS (
+          |  SELECT h.query_id, h.rk, d.doc_id,
+          |    list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+          |                t -> t <> '') AS toks
+          |  FROM shits h JOIN documents d ON d.doc_id = h.doc_id),
+          |swin AS (
+          |  SELECT query_id, rk, doc_id, toks,
+          |         unnest(range(0, len(toks), 8)) AS start
+          |  FROM stoks),
+          |swt AS (
+          |  SELECT query_id, rk, doc_id, start,
+          |    least(16, len(toks) - start) AS n_tok,
+          |    unnest(list_distinct(toks[start+1 : start+least(16, len(toks)-start)])) AS term
+          |  FROM swin),
+          |smt AS (
+          |  SELECT w.query_id, w.rk, w.doc_id, w.start, w.n_tok,
+          |         count(DISTINCT w.term) AS n_matched
+          |  FROM swt w JOIN sqt q ON q.q_id = w.query_id AND q.term = w.term
+          |  GROUP BY 1,2,3,4,5),
+          |sbest AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+          |                    ORDER BY n_matched DESC, start) AS brn
+          |          FROM smt)
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id,
+          |       CAST(start AS BIGINT) AS start_tok, CAST(n_tok AS BIGINT) AS n_tok,
+          |       CAST(n_matched AS BIGINT) AS n_matched
+          |FROM sbest WHERE brn = 1 ORDER BY query_id, rank""".stripMargin),
     // doc-tier ANN graduation: the q_doc_embed pooled vectors served
     // through the SHARED ivfPqRankedFrag chain — brute force and index
     // retrieve over the same vectors, so the tiers can never drift

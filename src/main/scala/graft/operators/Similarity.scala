@@ -1874,6 +1874,46 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** CROSS-ENCODER re-ranking seam (q_ce_rerank) — the second stage of
+    * the two-stage retrieval architecture every production search stack
+    * deploys: a cheap first stage maximizes recall (here the hybrid RRF
+    * top-`m`), then an expensive PAIR scorer — a cross-encoder that
+    * reads query and candidate together — re-orders the shortlist for
+    * precision. `scorer` is the model seam (the [[ragRetrieve]] encoder
+    * seam pattern, one level up): a (queryText, candText) → score
+    * Column; the default is the deterministic hash stand-in this
+    * sandbox uses wherever a learned model would run, so the ENTIRE
+    * two-stage plan hash-matches the oracle and a real cross-encoder
+    * drops in without touching retrieval, shortlist plumbing, or
+    * ranking. Scale shape: the first stage is the bounded hybrid plan;
+    * the re-rank touches |Q|·m pairs — the text fetch broadcasts the
+    * shortlist into one pruned documents pass (never shuffles the
+    * corpus), and scoring is per-row expression work on the list.
+    */
+  def ceRerank(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+               m: Int = 10,
+               scorer: Option[(Column, Column) => Column] = None): DataFrame = {
+    val standIn = (q: Column, c: Column) =>
+      pmod(NearDup.md5Hash60(concat(md5(q), lit(":"), md5(c))),
+        lit(1000001L)).cast("double") / lit(1e6)
+    val score = scorer.getOrElse(standIn)
+    val shortlist = hybridRrf(documents, nQueries, m, m)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val texts = documents
+      .join(broadcast(shortlist.select(col("cand_id").as("doc_id"))
+          .union(shortlist.select(col("query_id").as("doc_id"))).distinct()),
+        "doc_id")
+      .select(col("doc_id"), col("text"))
+    val scored = shortlist
+      .join(broadcast(texts.select(col("doc_id").as("query_id"),
+        col("text").as("q_text"))), "query_id")
+      .join(broadcast(texts.select(col("doc_id").as("cand_id"),
+        col("text").as("c_text"))), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        score(col("q_text"), col("c_text")).as("s"))
+    rankedTopK(scored, k, "ce")
+  }
+
   /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
     * MRR@k for each retrieval tier — BM25 lexical, pooled-vector
     * cosine, hybrid RRF, PRF-expanded BM25, weighted-sum hybrid —

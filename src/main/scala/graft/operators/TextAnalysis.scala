@@ -452,6 +452,61 @@ object TextAnalysis {
     Similarity.rankedTopK(scored, k, "ql")
   }
 
+  /** SNIPPET extraction (q_snippets) — search-result passage
+    * highlighting: for each query's BM25 top-`mDocs` documents, the
+    * best `win`-token window by distinct-query-term coverage (tie:
+    * earliest window) with its (start_tok, n_tok) span — what a search
+    * UI shows under each hit, and what a RAG prompt-builder quotes
+    * when whole documents don't fit the context budget. Stride-`stride`
+    * windows cover every token position (stride ≤ win), so a retrieved
+    * doc always yields a snippet (a BM25 hit shares ≥1 term by
+    * construction).
+    *
+    * Scale shape: list-sized after the bounded BM25 stage — the
+    * |Q|·mDocs shortlist broadcasts into ONE pruned documents pass
+    * (the corpus is never shuffled for texts), windows fan out
+    * per-candidate-doc only, query terms broadcast, and the best-window
+    * argmax partitions on (query_id, doc_id). Determinism: integer
+    * coverage counts, (n_matched DESC, start_tok) tie-break.
+    */
+  def snippets(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+               mDocs: Int = 3, win: Int = 16, stride: Int = 8): DataFrame = {
+    require(stride > 0 && stride <= win, "need 0 < stride <= win")
+    val hits = bm25TopK(documents, nQueries, mDocs)
+      .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    val qterms = docPostings(documents)
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val cand = documents.join(broadcast(hits), "doc_id")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val wins = cand
+      .select(col("query_id"), col("rank"), col("doc_id"), col("toks"),
+        col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("_w", "start")))
+      .withColumn("n_tok", least(lit(win), col("n") - col("start")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("start").cast("long").as("start_tok"),
+        col("n_tok").cast("long").as("n_tok"),
+        explode(array_distinct(
+          slice(col("toks"), col("start") + 1, col("n_tok")))).as("term"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "doc_id")
+      .orderBy(col("n_matched").desc, col("start_tok"))
+    wins
+      .join(broadcast(qterms.withColumnRenamed("term", "qt_term")),
+        col("query_id") === col("q_id") && col("term") === col("qt_term"))
+      .groupBy("query_id", "rank", "doc_id", "start_tok", "n_tok")
+      .agg(count_distinct(col("term")).as("n_matched"))
+      .withColumn("brn", row_number().over(wq))
+      .filter(col("brn") === 1)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("start_tok"),
+        col("n_tok"), col("n_matched"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Persist the lexical index (q_bm25_saved): the posting table
     * written doc_id-bucketed — the SAME store layout the streaming
     * maintenance path upserts into, so offline build and live upsert

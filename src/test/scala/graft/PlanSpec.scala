@@ -277,7 +277,8 @@ class PlanSpec extends SparkSpec {
     // selected-set union would build), so its visible plan cannot show
     // the chain's broadcasts — those are locked on q_doc_search, whose
     // plan IS the mmr pool chain
-    for (name <- Seq("q_hard_negatives", "q_mmr_topk", "q_ql_dirichlet")) {
+    for (name <- Seq("q_hard_negatives", "q_mmr_topk", "q_ql_dirichlet",
+                     "q_ce_rerank", "q_snippets")) {
       val p = planText(SparkEntry.queries(name)(spark, sf0001))
       if (name != "q_mmr_topk")
         assert(p.contains("BroadcastExchange"), s"$name: broadcast lost")

@@ -956,6 +956,38 @@ class SimilaritySpec extends SparkSpec {
       "MMR reproduced pure top-k on every query — the diversity penalty never fired")
   }
 
+  test("ceRerank: shortlist provenance, dense ranks, and a swapped scorer flows through the seam") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Similarity.ceRerank(docs).collect()
+    val shortlist = pairs(Similarity.hybridRrf(docs, 10, 10, 10))
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"query $q: ranks not dense")
+      assert(ranks.length <= 5, s"query $q: more than k results")
+      rs.foreach { r =>
+        assert(shortlist.contains((q, r.getAs[Long]("neighbor_id"))),
+          s"query $q: re-ranked hit not from the hybrid shortlist")
+        val s = r.getAs[Double]("ce")
+        assert(s >= 0.0 && s <= 1.000001, s"stand-in score $s out of range")
+      }
+    }
+    // the seam: a scorer preferring SHORT candidates re-orders the same
+    // shortlist by ascending text length — proof the injected model
+    // reaches the ranking untouched
+    import org.apache.spark.sql.functions.{length => slen}
+    val short = Similarity.ceRerank(docs,
+        scorer = Some((_, c) => -slen(c).cast("double")))
+      .collect()
+    val docLen = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length).toMap
+    short.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val lens = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => docLen(r.getAs[Long]("neighbor_id")))
+      assert(lens.sameElements(lens.sorted),
+        s"query $q: injected shortest-first scorer did not control the ranking")
+    }
+  }
+
   test("mmrTopK matches a driver-side greedy reference, trajectory for trajectory") {
     // the greedy selection is re-implemented here in plain Scala over the
     // collected pooled vectors (BigDecimal dots = the operator's DECIMAL

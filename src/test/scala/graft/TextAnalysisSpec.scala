@@ -565,6 +565,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("snippets: one best window per hit, spans inside the doc, coverage positive") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.snippets(docs).collect()
+    assert(got.nonEmpty, "no snippets")
+    val hits = TextAnalysis.bm25TopK(docs, 10, 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val nToks = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+")
+        .count(_.nonEmpty)).toMap
+    // exactly one snippet per retrieved (query, doc) — coverage of the
+    // whole shortlist, no duplicates
+    val keys = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+    assert(keys.toSet === hits, "snippet set differs from the BM25 shortlist")
+    assert(keys.length === keys.toSet.size, "duplicate snippet for a hit")
+    got.foreach { r =>
+      val (d, st, n, m) = (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("n_matched"))
+      assert(m >= 1, s"doc $d: best window matches no query term")
+      assert(n >= 1 && n <= 16, s"doc $d: window size $n out of range")
+      assert(st >= 0 && st + n <= nToks(d), s"doc $d: span [$st, ${st + n}) outside the doc")
+    }
+  }
+
+  test("snippets on a planted corpus: the window lands on the matching region") {
+    val sp = spark
+    import sp.implicits._
+    // the only shared term sits at the tail of a 40-token candidate; the
+    // best window must cover it
+    val filler = (1 to 39).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "needle search"),
+      (10L, filler + " needle"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+    val got = TextAnalysis.snippets(docs, nQueries = 1, mDocs = 3)
+      .collect().filter(_.getAs[Long]("doc_id") == 10L)
+    assert(got.length === 1, "expected one snippet for the candidate")
+    val (st, n) = (got.head.getAs[Long]("start_tok"), got.head.getAs[Long]("n_tok"))
+    // "needle" is token index 39 (0-based)
+    assert(st <= 39 && 39 < st + n,
+      s"window [$st, ${st + n}) misses the matching token at 39")
+    assert(got.head.getAs[Long]("n_matched") === 1L)
+  }
+
   test("qlDirichlet on a planted corpus: matching doc beats partially-matching, longer doc penalized") {
     val sp = spark
     import sp.implicits._
