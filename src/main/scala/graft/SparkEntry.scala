@@ -175,6 +175,9 @@ object SparkEntry {
     "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
     "q_ce_rerank" -> ((s, d) => Similarity.ceRerank(documents(s, d))),
     "q_snippets" -> ((s, d) => TextAnalysis.snippets(documents(s, d))),
+    "q_ql_saved" -> ((s, d) =>
+      TextAnalysis.qlSavedRoundtrip(s, documents(s, d))),
+    "q_hybrid_3way" -> ((s, d) => Similarity.hybridRrf3(documents(s, d))),
     "q_bm25_saved" -> ((s, d) =>
       TextAnalysis.bm25SavedRoundtrip(s, documents(s, d))),
     "q_hybrid_saved" -> ((s, d) =>
@@ -1278,6 +1281,7 @@ object SparkEntry {
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
         ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
         ",\n" + prfChainFrag(10L) + ",\n" + wsumChainFrag(10) +
+        ",\n" + qlChainFrag(10L) + ",\n" + rrf3ChainFrag(10, "60.0") +
         """,
           |etruth AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
           |eret AS (
@@ -1289,7 +1293,11 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT 'bm25_prf' AS system, query_id, cand_id, rk FROM prk WHERE rk <= 10
           |  UNION ALL
-          |  SELECT 'hybrid_wsum' AS system, query_id, cand_id, rk FROM wrk WHERE rk <= 10),
+          |  SELECT 'hybrid_wsum' AS system, query_id, cand_id, rk FROM wrk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'ql' AS system, query_id, cand_id, rk FROM qlrk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'hybrid_3way' AS system, query_id, cand_id, rk FROM t3rk WHERE rk <= 10),
           |epq AS (
           |  SELECT r.system, r.query_id,
           |         sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
@@ -1340,37 +1348,21 @@ object SparkEntry {
     // query-likelihood retrieval (Dirichlet μ=100): matched-term part
     // Σ qtf·ln(1 + tf·|C|/(μ·ctf)) + doc part |q|·ln(μ/(dl+μ)); every
     // ln quantized, products quantized, DECIMAL accumulation
-    "q_ql_dirichlet" ->
-      ("WITH " + bm25Frag(10L, 1.2, 0.75) +
-        """,
-          |qctf AS (SELECT term, sum(tf) AS ctf FROM btf GROUP BY 1),
-          |qcc AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM btf),
-          |qqt AS (SELECT doc_id AS q_id, term, tf AS qtf FROM btf WHERE doc_id < 10),
-          |qqlen AS (SELECT q_id, sum(qtf) AS qlen FROM qqt GROUP BY 1),
-          |qw AS (
-          |  SELECT qqt.q_id, btf.doc_id,
-          |    floor(CAST(qqt.qtf AS DOUBLE) *
-          |      (floor(ln(1.0 + CAST(btf.tf AS DOUBLE) * qcc.c
-          |                / (100.0 * CAST(qctf.ctf AS DOUBLE))) * 1000000.0 + 0.5)
-          |       / 1000000.0)
-          |      * 1000000.0 + 0.5) / 1000000.0 AS w
-          |  FROM btf JOIN qqt USING (term) JOIN qctf USING (term) CROSS JOIN qcc
-          |  WHERE btf.doc_id <> qqt.q_id),
-          |qmt AS (SELECT q_id, doc_id, CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sw
-          |        FROM qw GROUP BY 1,2),
-          |qsc AS (
-          |  SELECT m.q_id AS query_id, m.doc_id AS cand_id,
-          |    m.sw + floor(CAST(l.qlen AS DOUBLE) *
-          |      (floor(ln(100.0 / (CAST(d.dl AS DOUBLE) + 100.0)) * 1000000.0 + 0.5)
-          |       / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS s
-          |  FROM qmt m JOIN bdl d ON d.doc_id = m.doc_id
-          |       JOIN qqlen l ON l.q_id = m.q_id),
-          |qlrk AS (SELECT query_id, cand_id, s,
-          |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
-          |         FROM qsc)
+    "q_ql_dirichlet" -> qlTopKOracleSql,
+    // QL served from the SAME posting store BM25 serves from: one
+    // lexical artifact, many scoring models — shares the inline oracle
+    // VERBATIM (any store-side posting drift breaks both hashes)
+    "q_ql_saved" -> qlTopKOracleSql,
+    // three-way RRF: BM25 + QL + vector lists fused Σ 1/(60+rank);
+    // variable-arity contributions quantized then DECIMAL-summed
+    "q_hybrid_3way" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + qlChainFrag(10L) +
+        ",\n" + rrf3ChainFrag(10, "60.0") +
+        """
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
-          |       round(s, 6) AS ql
-          |FROM qlrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+          |       round(s, 6) AS rrf3
+          |FROM t3rk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // cross-encoder re-rank: hybrid top-10 re-scored by the
     // deterministic pair-scorer stand-in (md5 of the two text digests
     // mod 1000001, scaled) — the hybrid chain shared verbatim, the
@@ -4017,6 +4009,68 @@ object SparkEntry {
        |  SELECT query_id, cand_id, bm25,
        |         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, cand_id) AS rk
        |  FROM bsc)""".stripMargin
+
+  /** CTEs qctf..qlrk: the Dirichlet query-likelihood chain (the SQL
+    * twin of TextAnalysis.qlFromPostings), ranked in `qlrk`. Requires
+    * bm25Frag's btf/bdl in scope. Shared by q_ql_dirichlet, q_ql_saved
+    * (verbatim — the posting store serves both scoring models),
+    * q_hybrid_3way, and q_retrieval_eval's ql arm.
+    */
+  private def qlChainFrag(nq: Long, mu: String = "100.0"): String =
+    s"""qctf AS (SELECT term, sum(tf) AS ctf FROM btf GROUP BY 1),
+       |qcc AS (SELECT CAST(sum(tf) AS DOUBLE) AS c FROM btf),
+       |qqt AS (SELECT doc_id AS q_id, term, tf AS qtf FROM btf WHERE doc_id < $nq),
+       |qqlen AS (SELECT q_id, sum(qtf) AS qlen FROM qqt GROUP BY 1),
+       |qw AS (
+       |  SELECT qqt.q_id, btf.doc_id,
+       |    floor(CAST(qqt.qtf AS DOUBLE) *
+       |      (floor(ln(1.0 + CAST(btf.tf AS DOUBLE) * qcc.c
+       |                / ($mu * CAST(qctf.ctf AS DOUBLE))) * 1000000.0 + 0.5)
+       |       / 1000000.0)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS w
+       |  FROM btf JOIN qqt USING (term) JOIN qctf USING (term) CROSS JOIN qcc
+       |  WHERE btf.doc_id <> qqt.q_id),
+       |qmt AS (SELECT q_id, doc_id, CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sw
+       |        FROM qw GROUP BY 1,2),
+       |qsc AS (
+       |  SELECT m.q_id AS query_id, m.doc_id AS cand_id,
+       |    m.sw + floor(CAST(l.qlen AS DOUBLE) *
+       |      (floor(ln($mu / (CAST(d.dl AS DOUBLE) + $mu)) * 1000000.0 + 0.5)
+       |       / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS s
+       |  FROM qmt m JOIN bdl d ON d.doc_id = m.doc_id
+       |       JOIN qqlen l ON l.q_id = m.q_id),
+       |qlrk AS (SELECT query_id, cand_id, s,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |         FROM qsc)""".stripMargin
+
+  private def qlTopKOracleSql: String =
+    "WITH " + bm25Frag(10L, 1.2, 0.75) + ",\n" + qlChainFrag(10L) +
+      """
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+        |       round(s, 6) AS ql
+        |FROM qlrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** CTEs t3u..t3rk: three-list reciprocal-rank fusion over brk
+    * (BM25), qlrk (query likelihood), and drk (vector) — each
+    * 1/(c+rank) term quantized then DECIMAL-summed because the
+    * per-candidate contribution count varies (no fixed addition order
+    * exists). The SQL twin of Similarity.hybridRrf3.
+    */
+  private def rrf3ChainFrag(m: Int, c: String): String =
+    s"""t3u AS (
+       |  SELECT query_id, cand_id, rk FROM brk WHERE rk <= $m
+       |  UNION ALL SELECT query_id, cand_id, rk FROM qlrk WHERE rk <= $m
+       |  UNION ALL SELECT query_id, cand_id, rk FROM drk WHERE rk <= $m),
+       |t3f AS (
+       |  SELECT query_id, cand_id,
+       |    CAST(sum(CAST(floor(1.0 / ($c + CAST(rk AS DOUBLE))
+       |                        * 1000000.0 + 0.5) / 1000000.0
+       |             AS DECIMAL(18,6))) AS DOUBLE) AS s
+       |  FROM t3u GROUP BY 1,2),
+       |t3rk AS (
+       |  SELECT query_id, cand_id, s,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |  FROM t3f)""".stripMargin
 
   /** CTEs mpool..mall{k}: the greedy MMR selection chain over the
     * vector pool (q_mmr_topk) — the SQL twin of Similarity.mmrTopK.

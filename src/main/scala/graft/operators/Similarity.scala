@@ -1613,6 +1613,37 @@ object Similarity {
     rankedTopK(fused, k, "rrf")
   }
 
+  /** THREE-WAY reciprocal-rank fusion (q_hybrid_3way): BM25, Dirichlet
+    * query-likelihood, and the pooled-vector cosine tier fused as
+    * Σ 1/(c + rank) over however many lists each candidate appears in —
+    * the N-list generalization of [[hybridRrf]] (RRF's defining
+    * property: adding a ranking model to the ensemble needs no
+    * calibration, just another ranked list in the union). Because the
+    * number of contributing terms varies per candidate, the fixed
+    * two-term addition order of the pairwise fuse no longer exists —
+    * each 1/(c+rank) term is quantized (quant6) and the sum
+    * accumulates as DECIMAL(18,6), so contribution order cannot
+    * perturb the fused score (the suite's standard device for
+    * variable-arity sums). All three tiers are bounded plans; the
+    * fusion is a list-sized union + hash agg.
+    */
+  def hybridRrf3(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                 m: Int = 10, c: Double = 60.0): DataFrame = {
+    val lists = Seq(
+      graft.operators.TextAnalysis.bm25TopK(documents, nQueries, m),
+      graft.operators.TextAnalysis.qlDirichletTopK(documents, nQueries, m),
+      docSearch(documents, nQueries, m))
+    val tagged = lists.map(_.select(col("query_id"),
+        col("neighbor_id").as("cand_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .select(col("query_id"), col("cand_id"),
+        quant6(lit(1.0) / (lit(c) + col("rank").cast("double"))).as("t"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("t").cast("decimal(18,6)")).cast("double").as("s"))
+    rankedTopK(fused, k, "rrf3")
+  }
+
   /** Hybrid retrieval by WEIGHTED-SUM score fusion (q_hybrid_wsum):
     * each tier's top-m scores min-max normalized within the query's
     * own list, then fused as w_lex·lex + w_vec·vec — the
@@ -1915,8 +1946,9 @@ object Similarity {
   }
 
   /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
-    * MRR@k for each retrieval tier — BM25 lexical, pooled-vector
-    * cosine, hybrid RRF, PRF-expanded BM25, weighted-sum hybrid —
+    * MRR@k for each retrieval tier — BM25 lexical, Dirichlet query
+    * likelihood, pooled-vector cosine, hybrid RRF, 3-way RRF,
+    * PRF-expanded BM25, weighted-sum hybrid —
     * against exact-cosine ground truth (the
     * vector tier's own top-t, so its row reads 1.0/1.0 by construction
     * and anchors the scale; the informative rows are how much of the
@@ -1950,6 +1982,13 @@ object Similarity {
           col("neighbor_id"), col("rank")))
       .unionByName(hybridWeighted(documents, nQueries, k, k)
         .select(lit("hybrid_wsum").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(graft.operators.TextAnalysis
+        .qlDirichletTopK(documents, nQueries, k)
+        .select(lit("ql").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(hybridRrf3(documents, nQueries, k, k)
+        .select(lit("hybrid_3way").as("system"), col("query_id"),
           col("neighbor_id"), col("rank")))
     ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy("system", "query_id")

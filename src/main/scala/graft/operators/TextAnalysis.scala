@@ -421,11 +421,24 @@ object TextAnalysis {
     * two-term addition is a single fixed-order IEEE op.
     */
   def qlDirichletTopK(documents: DataFrame, nQueries: Long = 10,
-                      k: Int = 5, mu: Double = 100.0): DataFrame = {
+                      k: Int = 5, mu: Double = 100.0): DataFrame =
+    qlFromPostings(
+      docPostings(documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track),
+      nQueries, k, mu)
+
+  /** QL scoring core over a posting table — the serve path shared by
+    * the inline [[qlDirichletTopK]] and the from-files [[qlSavedRoundtrip]]:
+    * like [[bm25FromPostings]], every global statistic (dl, ctf, |C|)
+    * derives from the postings themselves, so the ONE persisted lexical
+    * artifact ([[buildLexicalIndex]]'s posting store) serves BOTH
+    * scoring models — build once, score under any model, with
+    * serve-from-store value-identical to inline by construction.
+    */
+  def qlFromPostings(tf: DataFrame, nQueries: Long = 10,
+                     k: Int = 5, mu: Double = 100.0): DataFrame = {
     import Similarity.quant6
-    val tf = docPostings(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheRegistry.track)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val ctf = tf.groupBy("term").agg(sum("tf").as("ctf"))
     val corp = tf.agg(sum("tf").cast("double").as("c"))
@@ -541,6 +554,20 @@ object TextAnalysis {
     val dir = newStoreDir()
     buildLexicalIndex(documents, dir)
     searchLexicalIndex(spark, dir, nQueries, k)
+  }
+
+  /** QL served from the SAME posting store BM25 serves from
+    * (q_ql_saved): one lexical artifact, many scoring models — the
+    * store carries no model-specific state, so adding a ranking model
+    * costs zero re-indexing. Shares q_ql_dirichlet's oracle verbatim.
+    */
+  def qlSavedRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                       documents: DataFrame, nQueries: Long = 10,
+                       k: Int = 5): DataFrame = {
+    val dir = newStoreDir()
+    buildLexicalIndex(documents, dir)
+    qlFromPostings(
+      spark.read.parquet(dir).select("doc_id", "term", "tf"), nQueries, k)
   }
 
   /** A fresh per-run artifact-store directory under java.io.tmpdir

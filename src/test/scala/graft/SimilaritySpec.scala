@@ -838,7 +838,8 @@ class SimilaritySpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val rows = Similarity.retrievalEval(docs).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ===
-      Seq("bm25", "bm25_prf", "hybrid", "hybrid_wsum", "vector"))
+      Seq("bm25", "bm25_prf", "hybrid", "hybrid_3way", "hybrid_wsum",
+        "ql", "vector"))
     rows.foreach { r =>
       assert(r.getLong(1) === 10L, "n_queries drifted")
       val (rec, mrr) = (r.getDouble(2), r.getDouble(3))
@@ -954,6 +955,29 @@ class SimilaritySpec extends SparkSpec {
         q -> rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq }
     assert(mmr.exists { case (q, seq) => pure.get(q).exists(_ != seq) },
       "MMR reproduced pure top-k on every query — the diversity penalty never fired")
+  }
+
+  test("hybridRrf3: fused score is the exact sum of per-list RRF terms") {
+    val docs = Tables.documents(spark, sf0001)
+    val m = 10
+    val lists = Seq(
+      graft.operators.TextAnalysis.bm25TopK(docs, 10, m),
+      graft.operators.TextAnalysis.qlDirichletTopK(docs, 10, m),
+      Similarity.docSearch(docs, 10, m))
+    val ranks = lists.flatMap(_.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("rank")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Similarity.hybridRrf3(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val expected = q6(ranks(key).map(rk =>
+        BigDecimal(java.math.BigDecimal.valueOf(q6(1.0 / (60.0 + rk))))).sum.toDouble)
+      assert(math.abs(r.getAs[Double]("rrf3") - expected) < 1e-9,
+        s"$key: fused ${r.getAs[Double]("rrf3")} != sum-of-terms $expected")
+    }
   }
 
   test("ceRerank: shortlist provenance, dense ranks, and a swapped scorer flows through the seam") {

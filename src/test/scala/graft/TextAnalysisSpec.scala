@@ -565,6 +565,16 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("QL serve from the posting store equals inline — one artifact, two scoring models") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("ql"))).toSet
+    assert(rows(TextAnalysis.qlSavedRoundtrip(spark, docs)) ===
+      rows(TextAnalysis.qlDirichletTopK(docs)),
+      "from-files QL drifted from inline — the posting store must carry no model state")
+  }
+
   test("snippets: one best window per hit, spans inside the doc, coverage positive") {
     val docs = Tables.documents(spark, sf0001)
     val got = TextAnalysis.snippets(docs).collect()
