@@ -242,6 +242,8 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(documents(s, d))),
     "q_nb_quality" -> ((s, d) => TextAnalysis.nbQuality(documents(s, d))),
     "q_nb_eval" -> ((s, d) => TextAnalysis.nbQualityEval(documents(s, d))),
+    "q_nb_calibration" -> ((s, d) => TextAnalysis.nbCalibration(documents(s, d))),
+    "q_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
     "q_mixture_temp" -> ((s, d) =>
@@ -2411,6 +2413,67 @@ object SparkEntry {
         |SELECT l.pass AS rule_pass, p.predicted_pass, count(*) AS n_docs
         |FROM pred p JOIN lab l USING (doc_id)
         |GROUP BY 1,2 ORDER BY rule_pass, predicted_pass""".stripMargin),
+    // NB calibration: held-out docs ranked by classifier margin
+    // (difference of round-6 doubles — exact), cut into 10 equal rank
+    // bins (integer DIV), per-bin empirical rule-pass rate
+    "q_nb_calibration" -> (nbChainSql +
+      """,
+        |cmg AS (
+        |  SELECT agg.doc_id,
+        |    round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6)
+        |      - round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6) AS margin,
+        |    CAST(round(CAST(pri.prior_pass AS DOUBLE) + CAST(lp AS DOUBLE), 6)
+        |      <= round(CAST(pri.prior_fail AS DOUBLE) + CAST(lf AS DOUBLE), 6) AS INT) AS predicted_pass
+        |  FROM agg CROSS JOIN pri),
+        |crk AS (
+        |  SELECT c.doc_id, c.margin, c.predicted_pass, l.pass AS rule_pass,
+        |         row_number() OVER (ORDER BY c.margin DESC, c.doc_id) AS mrk,
+        |         count(*) OVER () AS n
+        |  FROM cmg c JOIN lab l USING (doc_id)),
+        |cbin AS (SELECT *, ((10 * (mrk - 1)) // n) + 1 AS bin FROM crk)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+        |       CAST(sum(rule_pass) AS BIGINT) AS n_rule_pass,
+        |       CAST(sum(predicted_pass) AS BIGINT) AS n_pred_pass,
+        |       round(min(margin), 6) AS min_margin,
+        |       round(CAST(sum(rule_pass) AS DOUBLE) / count(*), 6) AS rule_pass_rate
+        |FROM cbin GROUP BY 1 ORDER BY bin""".stripMargin),
+    // PMI co-occurrence: window-4 positional pairs, unordered keys,
+    // count cutoff 5, every probability a ratio of integer counts, the
+    // one ln quantized; global top-50 by (pmi DESC, t1, t2)
+    "q_pmi_pairs" ->
+      """WITH pbase AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |ptp AS MATERIALIZED (
+        |  SELECT doc_id, pos, toks[pos] AS t FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+        |    FROM pbase)),
+        |puni AS (SELECT t, count(*) AS n FROM ptp GROUP BY 1),
+        |pnu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM ptp),
+        |ppair AS (
+        |  SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2,
+        |         count(*) AS n_ab
+        |  FROM ptp a JOIN ptp b ON a.doc_id = b.doc_id
+        |       AND b.pos > a.pos AND b.pos <= a.pos + 4
+        |  GROUP BY 1,2),
+        |pnp AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS np FROM ppair),
+        |psc AS (
+        |  SELECT p.t1, p.t2, p.n_ab,
+        |    floor(ln( (CAST(p.n_ab AS DOUBLE) / pnp.np) /
+        |              ((CAST(u1.n AS DOUBLE) / pnu.nu)
+        |               * (CAST(u2.n AS DOUBLE) / pnu.nu)) )
+        |          * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |  FROM ppair p JOIN puni u1 ON u1.t = p.t1
+        |       JOIN puni u2 ON u2.t = p.t2
+        |  CROSS JOIN pnu CROSS JOIN pnp
+        |  WHERE p.n_ab >= 5),
+        |prk2 AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, t1, t2) AS rk
+        |         FROM psc)
+        |SELECT CAST(rk AS BIGINT) AS pair_rank, t1, t2,
+        |       CAST(n_ab AS BIGINT) AS n_ab, round(pmi, 6) AS pmi
+        |FROM prk2 WHERE rk <= 50 ORDER BY pair_rank""".stripMargin,
     // DSIR importance weights: hashed unigram+bigram features, target =
     // Gopher-pass train docs, raw = all train docs; weight = sum of
     // surprisal differences; top-100 by (weight, doc_id) selected

@@ -1545,6 +1545,106 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("rule_pass", "predicted_pass")
 
+  /** PMI CO-OCCURRENCE pairs (q_pmi_pairs) — pointwise mutual
+    * information over within-window token pairs, the corpus statistic
+    * word-embedding training pipelines factorize (word2vec's SGNS is
+    * implicit PMI-matrix factorization, Levy & Goldberg 2014) and
+    * collocation extraction ranks by: pmi(a,b) = ln[ p(a,b) /
+    * (p(a)·p(b)) ] with pair probability from the window-`window`
+    * co-occurrence table and unigram probabilities from token
+    * frequency. Pairs are unordered (least/greatest normalization);
+    * a `minCount` cutoff drops the unstable low-count tail (classic
+    * PMI noise control); output is the global top-`topK` by
+    * (pmi DESC, t1, t2).
+    *
+    * Scale shape: the pair space is POSITIONAL, not vocabulary² — the
+    * per-doc self-join on position distance ≤ window emits ≤ window·n
+    * rows per doc (shuffle key doc_id, bounded per-doc work), then
+    * one hash agg on the pair key; unigram/pair totals are 1-row
+    * broadcasts; the cutoff-survivor rank rides [[withGlobalRank]].
+    * Determinism: every probability is a ratio of integer counts
+    * (IEEE-exact divisions in fixed order), the one ln is quantized.
+    */
+  def pmiPairs(documents: DataFrame, window: Int = 4, minCount: Long = 5,
+               topK: Int = 50): DataFrame = {
+    import Similarity.quant6
+    val tp = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val uni = tp.groupBy("t").agg(count(lit(1)).as("n"))
+    val nuni = tp.agg(count(lit(1)).cast("double").as("nu"))
+    val pairs = tp.as("a").join(tp.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + window)
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+              greatest(col("a.t"), col("b.t")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val npairs = pairs.agg(sum("n_ab").cast("double").as("np"))
+    pairs.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("t").as("t1"), col("n").as("n_a")), "t1")
+      .join(uni.select(col("t").as("t2"), col("n").as("n_b")), "t2")
+      .crossJoin(broadcast(nuni))
+      .crossJoin(broadcast(npairs))
+      .withColumn("pmi", quant6(log(
+        (col("n_ab").cast("double") / col("np")) /
+        ((col("n_a").cast("double") / col("nu")) *
+         (col("n_b").cast("double") / col("nu"))))))
+      .select(col("t1"), col("t2"), col("n_ab"), col("pmi"))
+      .transform(withGlobalRank("pair_rank",
+        col("pmi").desc, col("t1"), col("t2")))
+      .filter(col("pair_rank") <= topK)
+      .select(col("pair_rank"), col("t1"), col("t2"), col("n_ab"),
+        round(col("pmi"), 6).as("pmi"))
+      .orderBy("pair_rank")
+  }
+
+  /** CALIBRATION / discrimination curve for the NB quality classifier
+    * (q_nb_calibration) — the reliability-by-decile table an ML-ops
+    * review reads before trusting a filter in production: held-out
+    * documents ranked by classifier margin (nll_fail − nll_pass,
+    * higher = more pass-confident), cut into `bins` equal rank bins,
+    * each bin reporting its empirical Gopher-rule pass rate. A
+    * well-discriminating classifier shows the rate falling
+    * monotonically from bin 1 to bin `bins`; a flat curve means the
+    * margin carries no signal. The same grading pattern as
+    * [[nbQualityEval]]'s confusion census, resolved by confidence
+    * instead of collapsed over it.
+    *
+    * Scale shape: per-doc scores are [[nbQuality]]'s bounded plan; the
+    * global margin rank rides [[withGlobalRank]] (range-partitioned
+    * local ranks + count offsets — never a single-partition window);
+    * binning is integer arithmetic on (rank, n); the census is
+    * `bins` rows. Determinism: the margin is a difference of two
+    * round-6 doubles (exact IEEE), ties rank by doc_id, bin = integer
+    * DIV — no float crosses an engine boundary unquantized.
+    */
+  def nbCalibration(documents: DataFrame, bins: Int = 10): DataFrame = {
+    val scored = nbQuality(documents)
+      .select(col("doc_id"),
+        (col("nll_fail") - col("nll_pass")).as("margin"),
+        col("predicted_pass"))
+      .join(gopherRulesUnordered(documents)
+        .select(col("doc_id"), col("pass").as("rule_pass")), Seq("doc_id"))
+    val ranked = scored
+      .transform(withGlobalRank("mrk", col("margin").desc, col("doc_id")))
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bin",
+        (expr(s"($bins * (mrk - 1)) DIV _n") + lit(1L)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rule_pass")).cast("long").as("n_rule_pass"),
+        sum(col("predicted_pass")).cast("long").as("n_pred_pass"),
+        round(min(col("margin")), 6).as("min_margin"))
+      .withColumn("rule_pass_rate",
+        round(col("n_rule_pass").cast("double") / col("n_docs"), 6))
+      .orderBy("bin")
+  }
+
   /** TEMPERATURE-scaled mixture (q_mixture_temp): instead of hand-set
     * per-mille rates, each source's token budget is its share of a
     * global budget under α = 0.5 resampling — budget_d ∝ √n_d, the

@@ -565,6 +565,45 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("nbCalibration: bins partition the eval split, rates bounded, margin bins ordered") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.nbCalibration(docs).collect()
+    assert(got.nonEmpty, "no calibration bins")
+    val bins = got.map(_.getAs[Long]("bin")).sorted.toSeq
+    assert(bins === bins.distinct, "duplicate bins")
+    assert(bins.forall(b => b >= 1 && b <= 10), s"bin outside [1,10]: $bins")
+    val evalN = TextAnalysis.nbQuality(docs).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === evalN,
+      "bins do not partition the eval split")
+    got.foreach { r =>
+      val rate = r.getAs[Double]("rule_pass_rate")
+      assert(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+      assert(r.getAs[Long]("n_rule_pass") <= r.getAs[Long]("n_docs"))
+    }
+    // bins are rank-ordered by margin: each bin's min_margin is >= the
+    // next bin's (higher-confidence bins come first)
+    val margins = got.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("min_margin"))
+    assert(margins.sameElements(margins.sortBy(-(_: Double))),
+      "bin min-margins not monotone — the rank binning is broken")
+  }
+
+  test("pmiPairs: dense ranks, count cutoff honored, normalized pairs, descending pmi") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = TextAnalysis.pmiPairs(docs).collect()
+    assert(got.nonEmpty, "no PMI pairs")
+    val ranks = got.map(_.getAs[Long]("pair_rank")).sorted.toSeq
+    assert(ranks === (1L to ranks.length).toSeq, "ranks not dense")
+    assert(ranks.length <= 50, "more than topK pairs")
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 5, "minCount cutoff violated")
+      assert(r.getAs[String]("t1") <= r.getAs[String]("t2"),
+        "pair not least/greatest normalized")
+    }
+    val pmis = got.sortBy(_.getAs[Long]("pair_rank")).map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sortBy(-(_: Double))),
+      "pmi not descending in rank")
+  }
+
   test("QL serve from the posting store equals inline — one artifact, two scoring models") {
     val docs = Tables.documents(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
