@@ -30,6 +30,7 @@ object SparkEntry {
         s"${sys.props("java.io.tmpdir")}/graft_land/${d.replaceAll("[^a-zA-Z0-9]", "_")}")
         .orderBy("y", "m", "d", "h")),
     "q_time_bucket" -> ((s, d) => Events.timeBucketCounts(events(s, d))),
+    "q_anomaly_mad" -> ((s, d) => Events.anomalyMad(events(s, d))),
     "q_bucket_first_last" -> ((s, d) => Events.bucketFirstLast(events(s, d))),
     "q_dedup_exact" -> ((s, d) =>
       Landing.dedup(events(s, d).select("user_id", "event_type"),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_pretrain_manifest" -> ((s, d) => Pipeline.manifestFromPacked(
       Pipeline.pretrainPackedCached(documents(s, d), d), 2048L)),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
+    "q_span_corrupt" -> ((s, d) => TextAnalysis.spanCorruption(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -174,6 +176,7 @@ object SparkEntry {
     "q_mmr_topk" -> ((s, d) => Similarity.mmrTopK(documents(s, d))),
     "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
     "q_ce_rerank" -> ((s, d) => Similarity.ceRerank(documents(s, d))),
+    "q_maxsim_rerank" -> ((s, d) => Similarity.maxSimRerank(documents(s, d))),
     "q_snippets" -> ((s, d) => TextAnalysis.snippets(documents(s, d))),
     "q_ql_saved" -> ((s, d) =>
       TextAnalysis.qlSavedRoundtrip(s, documents(s, d))),
@@ -244,6 +247,7 @@ object SparkEntry {
     "q_nb_eval" -> ((s, d) => TextAnalysis.nbQualityEval(documents(s, d))),
     "q_nb_calibration" -> ((s, d) => TextAnalysis.nbCalibration(documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(documents(s, d))),
+    "q_pagerank_terms" -> ((s, d) => TextAnalysis.pagerankTerms(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
     "q_mixture_temp" -> ((s, d) =>
@@ -280,6 +284,7 @@ object SparkEntry {
     "q_stream_doc_fresh" -> ((s, d) => streaming.StreamOps.streamDocFresh(s, d)),
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
+    "q_stream_anomaly" -> ((s, d) => streaming.StreamOps.streamAnomalyMad(s, d)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
@@ -337,6 +342,14 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    // robust rate anomaly: per-(type, hour) counts scored by median/MAD
+    // z-score — medians interpolate on the integer/0.5 grid (IEEE-exact
+    // both engines), rz through the quant6 law, top-3 per type
+    "q_anomaly_mad" -> anomalyMadOracleSql,
+    // per-batch bucket counts merge additively, so the drained stream
+    // census is bit-identical to the batch bucketing — oracle shared
+    // verbatim (the q_cms device)
+    "q_stream_anomaly" -> anomalyMadOracleSql,
     "q_bucket_first_last" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
         |       min(event_id) AS first_event_id, max(event_id) AS last_event_id,
@@ -1153,6 +1166,44 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |       max(n_tok) AS max_doc_tokens
         |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
+    // T5 span corruption: md5-selected span starts, spanLen-token mask
+    // window, maximal masked runs via gaps-and-islands — pure integer
+    // logic, target text reassembled in pos order
+    "q_span_corrupt" ->
+      """WITH scb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |sct AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': i-1, 'tok': toks[i]}
+        |            for i in range(1, len(toks)+1)], recursive := true)
+        |  FROM scb),
+        |scs AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                CAST(pos AS VARCHAR)),1,15))::UBIGINT::BIGINT % 20 = 0
+        |         THEN 1 ELSE 0 END AS selp
+        |  FROM sct),
+        |scm AS (
+        |  SELECT *, max(selp) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
+        |  FROM scs),
+        |sci AS (
+        |  SELECT doc_id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM scm WHERE m),
+        |scsp AS (
+        |  SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS start_tok,
+        |         count(*) AS n_tok,
+        |         string_agg(tok, ' ' ORDER BY pos) AS target_text
+        |  FROM sci GROUP BY 1,2)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+        |            AS BIGINT) AS span_ord,
+        |       start_tok, n_tok, target_text
+        |FROM scsp ORDER BY doc_id, span_ord""".stripMargin,
     "q_chunk_overlap" -> chunkOverlapOracleSql,
     // chunks are doc-local, so the drained micro-batch union is
     // bit-identical to the batch chunker — same oracle (the q_cms device)
@@ -1284,6 +1335,7 @@ object SparkEntry {
         ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
         ",\n" + prfChainFrag(10L) + ",\n" + wsumChainFrag(10) +
         ",\n" + qlChainFrag(10L) + ",\n" + rrf3ChainFrag(10, "60.0") +
+        ",\n" + maxsimChainFrag(20) +
         """,
           |etruth AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
           |eret AS (
@@ -1299,7 +1351,9 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT 'ql' AS system, query_id, cand_id, rk FROM qlrk WHERE rk <= 10
           |  UNION ALL
-          |  SELECT 'hybrid_3way' AS system, query_id, cand_id, rk FROM t3rk WHERE rk <= 10),
+          |  SELECT 'hybrid_3way' AS system, query_id, cand_id, rk FROM t3rk WHERE rk <= 10
+          |  UNION ALL
+          |  SELECT 'maxsim' AS system, query_id, cand_id, rk FROM msrk WHERE rk <= 10),
           |epq AS (
           |  SELECT r.system, r.query_id,
           |         sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
@@ -1387,6 +1441,16 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(s, 6) AS ce
           |FROM cerk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // late interaction (ColBERT-style): BM25 top-10 shortlist re-scored
+    // by MaxSim over hash-derived per-term embeddings — the bm25 chain
+    // shared verbatim; cosines through the quant6 law, MaxSim sum as
+    // DECIMAL
+    "q_maxsim_rerank" ->
+      ("WITH " + bm25Frag(10L, 1.2, 0.75) + ",\n" + maxsimChainFrag(10) +
+        """
+          |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+          |       round(s, 6) AS maxsim
+          |FROM msrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
     // snippet extraction: per BM25 hit, the best 16-token window by
     // distinct-query-term coverage (stride-8 windows cover every
     // position; tie → earliest) — the bm25 chain shared verbatim
@@ -2474,6 +2538,11 @@ object SparkEntry {
         |SELECT CAST(rk AS BIGINT) AS pair_rank, t1, t2,
         |       CAST(n_ab AS BIGINT) AS n_ab, round(pmi, 6) AS pmi
         |FROM prk2 WHERE rk <= 50 ORDER BY pair_rank""".stripMargin,
+    // PageRank over the co-occurrence graph: unrolled power iteration —
+    // contributions through the quant6 law, per-node DECIMAL sums,
+    // damped update re-quantized each step (the SQL twin of
+    // TextAnalysis.pagerankTerms' localCheckpoint loop)
+    "q_pagerank_terms" -> pagerankOracleSql(4, 5L, 3, 20),
     // DSIR importance weights: hashed unigram+bigram features, target =
     // Gopher-pass train docs, raw = all train docs; weight = sum of
     // surprisal differences; top-100 by (weight, doc_id) selected
@@ -2834,6 +2903,124 @@ object SparkEntry {
     * over, `p` prefixes every CTE name so several chains can coexist in
     * one statement (the trained-PQ oracle runs one per vector half).
     */
+  /** Robust median/MAD rate-anomaly census — shared verbatim by
+    * q_anomaly_mad (batch) and q_stream_anomaly (drained per-batch
+    * counts merge additively to the same bucket table).
+    */
+  private def anomalyMadOracleSql: String =
+    """WITH amc AS (
+      |  SELECT event_type, year(ts) AS y, month(ts) AS m, day(ts) AS d,
+      |         hour(ts) AS h, count(*) AS n_events
+      |  FROM events GROUP BY 1,2,3,4,5),
+      |amm AS (SELECT event_type,
+      |        floor(median(CAST(n_events AS DOUBLE)) * 1000000.0 + 0.5)
+      |          / 1000000.0 AS med
+      |        FROM amc GROUP BY 1),
+      |amd AS (SELECT c.*, m.med,
+      |               abs(CAST(c.n_events AS DOUBLE) - m.med) AS ad
+      |        FROM amc c JOIN amm m USING (event_type)),
+      |ama AS (SELECT event_type,
+      |        floor(median(ad) * 1000000.0 + 0.5) / 1000000.0 AS mad
+      |        FROM amd GROUP BY 1),
+      |amr AS (SELECT d.event_type, d.y, d.m, d.d, d.h, d.n_events, d.med,
+      |               a.mad,
+      |               floor((CAST(d.n_events AS DOUBLE) - d.med)
+      |                     / (1.4826 * a.mad) * 1000000.0 + 0.5)
+      |                 / 1000000.0 AS rz
+      |        FROM amd d JOIN ama a USING (event_type) WHERE a.mad > 0),
+      |amk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |               ORDER BY abs(rz) DESC, y, m, d, h) AS rk
+      |        FROM amr)
+      |SELECT event_type, CAST(rk AS BIGINT) AS rk, y, m, d, h, n_events,
+      |       round(med, 6) AS med, round(mad, 6) AS mad, round(rz, 6) AS rz,
+      |       abs(rz) > 3.0 AS is_anomaly
+      |FROM amk WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  /** CTEs msl..msrk: late-interaction MaxSim re-scoring of the BM25
+    * top-`m` shortlist over hash-derived per-term embeddings — the SQL
+    * twin of Similarity.maxSimRerank, ranked in `msrk`. Requires
+    * bm25Frag's btf/brk in scope. Shared by q_maxsim_rerank and
+    * q_retrieval_eval's maxsim arm.
+    */
+  private def maxsimChainFrag(m: Int): String =
+    s"""msl AS (SELECT query_id, cand_id FROM brk WHERE rk <= $m),
+       |msqt AS (SELECT DISTINCT doc_id AS query_id, term FROM btf WHERE doc_id < 10),
+       |msdt AS (SELECT s.query_id, s.cand_id, t.term
+       |         FROM msl s JOIN btf t ON t.doc_id = s.cand_id),
+       |msv AS (
+       |  SELECT term,
+       |    [CAST(('0x' || substr(md5(term || ':' || CAST(j AS VARCHAR)),1,15))::UBIGINT::BIGINT
+       |          % 2000001 - 1000000 AS DOUBLE) / 1000000.0
+       |     for j in range(0, 8)] AS e
+       |  FROM (SELECT DISTINCT term FROM
+       |        (SELECT term FROM msqt UNION ALL SELECT term FROM msdt))),
+       |msn AS (SELECT term, e, sqrt(list_dot_product(e, e)) AS nrm FROM msv),
+       |msp AS (
+       |  SELECT d.query_id, d.cand_id, q.term AS q_term,
+       |    floor(list_dot_product(qe.e, de.e) / (qe.nrm * de.nrm)
+       |          * 1000000.0 + 0.5) / 1000000.0 AS c
+       |  FROM msdt d JOIN msqt q ON q.query_id = d.query_id
+       |       JOIN msn qe ON qe.term = q.term
+       |       JOIN msn de ON de.term = d.term),
+       |msm AS (SELECT query_id, cand_id, q_term, max(c) AS mx
+       |        FROM msp GROUP BY 1,2,3),
+       |mss AS (SELECT query_id, cand_id,
+       |               CAST(sum(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS s
+       |        FROM msm GROUP BY 1,2),
+       |msrk AS (SELECT query_id, cand_id, s,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rk
+       |         FROM mss)""".stripMargin
+
+  /** Unrolled power-iteration PageRank over the co-occurrence graph —
+    * the SQL twin of TextAnalysis.pagerankTerms. Each step: per-edge
+    * contribution r/deg through the quant6 law, DECIMAL(18,6) per-node
+    * sum, damped update 0.15/N + 0.85·Σ re-quantized.
+    */
+  private def pagerankOracleSql(window: Int, minCount: Long, iters: Int,
+                                topK: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+      s"""prc$i AS (
+         |  SELECT e.dst AS t,
+         |    CAST(sum(CAST(floor(r.r / CAST(d.deg AS DOUBLE) * 1000000.0 + 0.5)
+         |                  / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS cs
+         |  FROM pre e JOIN $prev r ON r.t = e.src JOIN prd d ON d.src = e.src
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT d.src AS t,
+         |    floor((0.15 / prn.n + 0.85 * coalesce(c.cs, 0.0)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS r
+         |  FROM prd d CROSS JOIN prn LEFT JOIN prc$i c ON c.t = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH prb AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                t -> t <> '') AS toks
+       |  FROM documents),
+       |prt AS MATERIALIZED (
+       |  SELECT doc_id, pos, toks[pos] AS t FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+       |    FROM prb)),
+       |pru AS (
+       |  SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2,
+       |         count(*) AS n_ab
+       |  FROM prt a JOIN prt b ON a.doc_id = b.doc_id AND b.pos > a.pos
+       |       AND b.pos <= a.pos + $window AND a.t <> b.t
+       |  GROUP BY 1,2 HAVING count(*) >= $minCount),
+       |pre AS MATERIALIZED (SELECT t1 AS src, t2 AS dst FROM pru
+       |       UNION ALL SELECT t2 AS src, t1 AS dst FROM pru),
+       |prd AS MATERIALIZED (SELECT src, count(*) AS deg FROM pre GROUP BY 1),
+       |prn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prd),
+       |pr0 AS (SELECT src AS t,
+       |               floor(1.0 / prn.n * 1000000.0 + 0.5) / 1000000.0 AS r
+       |        FROM prd CROSS JOIN prn),
+       |$steps,
+       |prfin AS (SELECT *, row_number() OVER (ORDER BY r DESC, t) AS rk
+       |          FROM pr$iters)
+       |SELECT CAST(rk AS BIGINT) AS rank, t AS term, round(r, 6) AS pagerank
+       |FROM prfin WHERE rk <= $topK ORDER BY rank""".stripMargin
+  }
+
   private def kmeansCentChainFrag(iters: Int, src: String, p: String): String = {
     val head =
       s"""${p}ex AS (

@@ -25,6 +25,69 @@ object Events {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy("y", "m", "d", "h")
 
+  /** ROBUST RATE-ANOMALY DETECTION (q_anomaly_mad) — the monitoring pass
+    * an event pipeline runs over its own landing rate: per
+    * (event_type, hour bucket) counts scored by the MEDIAN/MAD robust
+    * z-score rz = (n − median) / (1.4826·MAD). Median and MAD are
+    * insensitive to the anomalies themselves (the reason production
+    * monitors prefer them to mean/stddev: one incident hour inflates a
+    * stddev baseline and masks itself), and 1.4826 rescales MAD to σ
+    * under normality, so |rz| > 3 reads as the familiar three-sigma
+    * rule. Emits each type's `perType` most anomalous buckets with the
+    * flag, so the census is non-empty even on a quiet corpus.
+    *
+    * Scale shape: the bucket count is one hash agg over the scan
+    * (bucket cardinality = |types|·hours — tiny vs the event count);
+    * both medians aggregate the BUCKET table, not events, and the
+    * per-type stats broadcast back. The rank window is event_type-led
+    * over bucket rows — bounded per task. Determinism: hour counts are
+    * exact integers; median interpolation is a + (b−a)/2 on integers
+    * (exact in IEEE, identical in both engines), MAD likewise on the
+    * 0.5-grid deviations; rz through the quant6 law; ties rank by
+    * bucket.
+    */
+  def anomalyMad(events: DataFrame, cut: Double = 3.0,
+                 perType: Int = 3): DataFrame =
+    anomalyMadFromCounts(
+      Landing.withTimeBuckets(events, col("ts"))
+        .groupBy(col("event_type"), col("y"), col("m"), col("d"), col("h"))
+        .agg(count(lit(1)).as("n_events")),
+      cut, perType)
+
+  /** The MAD scorer over a prepared (event_type, y, m, d, h, n_events)
+    * bucket table — the seam the streaming twin
+    * ([[graft.streaming.StreamOps.streamAnomalyMad]]) feeds its drained
+    * per-batch counts through, so batch and stream can never drift.
+    */
+  private[graft] def anomalyMadFromCounts(bucketCounts: DataFrame,
+                                          cut: Double = 3.0,
+                                          perType: Int = 3): DataFrame = {
+    import Similarity.quant6
+    val counts = bucketCounts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val med = counts.groupBy("event_type")
+      .agg(quant6(median(col("n_events").cast("double"))).as("med"))
+    val dev = counts.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("n_events").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(quant6(median(col("ad"))).as("mad"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("rz")).desc, col("y"), col("m"), col("d"), col("h"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("rz", quant6(
+        (col("n_events").cast("double") - col("med")) /
+          (lit(1.4826) * col("mad"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perType)
+      .select(col("event_type"), col("rk"), col("y"), col("m"), col("d"),
+        col("h"), col("n_events"), round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"), round(col("rz"), 6).as("rz"),
+        (abs(col("rz")) > lit(cut)).as("is_anomaly"))
+      .orderBy("event_type", "rk")
+  }
+
   /** First/last per bucket (SURVEY A1/A2): the reference takes the batch
     * head's timestamp and the batch tail's sequence number; here done
     * correctly per hour bucket with min/max over the total (ts, event_id)

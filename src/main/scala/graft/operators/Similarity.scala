@@ -1945,10 +1945,80 @@ object Similarity {
     rankedTopK(scored, k, "ce")
   }
 
+  /** Deterministic per-TERM embedding — the token-level analogue of the
+    * [[chunkEmbeddingsFrom]] hash-derived stand-in: component j is
+    * md5Hash60(term:j) scaled to [-1,1] at 6 decimals, so it is
+    * cross-engine reproducible and a learned token encoder swaps in at
+    * exactly this seam. Returns (term, e, nrm).
+    */
+  private def termEmbeddings(terms: DataFrame, dims: Int): DataFrame =
+    terms.select(col("term"),
+      array((0 until dims).map { j =>
+        (pmod(graft.operators.NearDup.md5Hash60(
+            concat(col("term"), lit(s":$j"))),
+          lit(2000001L)) - lit(1000000L)).cast("double") / lit(1e6)
+      }: _*).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+
+  /** LATE-INTERACTION re-ranking (q_maxsim_rerank, the ColBERT device:
+    * Khattab & Zaharia 2020) — the third re-ranking architecture next to
+    * the bi-encoder tier (one vector per document, [[docSearch]]) and the
+    * cross-encoder seam ([[ceRerank]]): each query TERM keeps its own
+    * vector, and a candidate scores Σ over query terms of the MAX cosine
+    * against any of its terms. Late interaction recovers term-level
+    * matching the pooled bi-encoder destroys, at shortlist cost instead
+    * of the cross-encoder's quadratic attention.
+    *
+    * Stage 1 is the shared BM25 chain ([[graft.operators.TextAnalysis
+    * .bm25FromPostings]], top-`m` shortlist); stage 2 embeds the DISTINCT
+    * terms of the query set and shortlist docs ([[termEmbeddings]] — the
+    * hash-derived stand-in at the same seam every encoder in this library
+    * uses) and runs the MaxSim sum.
+    *
+    * Scale shape: the term-vector table is shortlist-bounded (|Q|+|Q|·m
+    * docs × ≤ doc-length distinct terms — seq-length-bounded exactly as
+    * ColBERT's token matrices are), so both embedding sides broadcast;
+    * the pair space is per-(query, candidate) |T_q|·|T_d| — re-rank
+    * work, never corpus work. The corpus is touched only by the posting
+    * scan stage 1 already does. Determinism: cosines through the quant6
+    * law, per-query-term max is exact on quantized values, the MaxSim
+    * sum accumulates DECIMAL(18,6); ties rank by cand_id.
+    */
+  def maxSimRerank(documents: DataFrame, nQueries: Long = 10, k: Int = 5,
+                   m: Int = 10, dims: Int = 8): DataFrame = {
+    val tf = graft.operators.TextAnalysis.docPostings(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val shortlist = graft.operators.TextAnalysis
+      .bm25FromPostings(tf, nQueries, m)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val dterms = shortlist
+      .join(tf.select(col("doc_id").as("cand_id"), col("term")), "cand_id")
+    val qe = termEmbeddings(qterms.select("term").distinct(), dims)
+      .select(col("term"), col("e").as("q_e"), col("nrm").as("q_nrm"))
+    val de = termEmbeddings(dterms.select("term").distinct(), dims)
+      .select(col("term").as("d_term"), col("e").as("d_e"),
+        col("nrm").as("d_nrm"))
+    val qemb = qterms.join(qe, "term").withColumnRenamed("term", "q_term")
+    val scored = dterms.withColumnRenamed("term", "d_term")
+      .join(broadcast(de), "d_term")
+      .join(broadcast(qemb), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("q_term"),
+        quant6(dot(col("q_e"), col("d_e")) /
+          (col("q_nrm") * col("d_nrm"))).as("c"))
+      .groupBy("query_id", "cand_id", "q_term").agg(max(col("c")).as("mx"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("mx").cast("decimal(18,6)")).cast("double").as("s"))
+    rankedTopK(scored, k, "maxsim")
+  }
+
   /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
     * MRR@k for each retrieval tier — BM25 lexical, Dirichlet query
     * likelihood, pooled-vector cosine, hybrid RRF, 3-way RRF,
-    * PRF-expanded BM25, weighted-sum hybrid —
+    * PRF-expanded BM25, weighted-sum hybrid, late-interaction MaxSim
+    * re-rank —
     * against exact-cosine ground truth (the
     * vector tier's own top-t, so its row reads 1.0/1.0 by construction
     * and anchors the scale; the informative rows are how much of the
@@ -1989,6 +2059,9 @@ object Similarity {
           col("neighbor_id"), col("rank")))
       .unionByName(hybridRrf3(documents, nQueries, k, k)
         .select(lit("hybrid_3way").as("system"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+      .unionByName(maxSimRerank(documents, nQueries, k, m = 2 * k)
+        .select(lit("maxsim").as("system"), col("query_id"),
           col("neighbor_id"), col("rank")))
     ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
       .groupBy("system", "query_id")

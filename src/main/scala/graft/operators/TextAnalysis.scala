@@ -824,6 +824,61 @@ object TextAnalysis {
            max(col("n_tok")).as("max_doc_tokens"))
       .orderBy("lang", "bin")
 
+  /** T5-STYLE SPAN CORRUPTION prep (q_span_corrupt; Raffel et al. 2020
+    * §3.1.4) — the denoising-objective stage of an encoder-decoder
+    * pretrain pipeline: deterministic span selection over each
+    * document's token stream, adjacent/overlapping selections merged
+    * into maximal spans (exactly as T5 collapses consecutive masked
+    * tokens under one sentinel), emitted as the per-span TARGET table
+    * (doc_id, span_ord, start_tok, n_tok, target_text). span_ord is the
+    * sentinel index: the model input is the token stream with span
+    * `span_ord` replaced by `<extra_id_{span_ord}>`, reconstructible
+    * from this table plus the tokens — the training-pair prep, stored
+    * relationally so downstream packing composes.
+    *
+    * Span selection is content-stable (the [[hashSplit]] device one
+    * level down): position `p` STARTS a span iff md5Hash60(doc_id:p)
+    * mod `rate` = 0, and a token is masked iff a start falls within the
+    * previous `spanLen` positions — expected mask fraction
+    * ≈ spanLen/rate (15% at the defaults), reproducible across runs,
+    * engines, and corpus repartitions.
+    *
+    * Scale shape: tokenize + posexplode in the doc_id-partitioned scan;
+    * the mask window and the island grouping (gaps-and-islands via
+    * pos − row_number) are doc_id-led windows — corpus-cardinality
+    * parallel, ≤ doc-length rows per task; the span census is one hash
+    * agg. Determinism: pure integer/md5 arithmetic, target text
+    * reassembled in exact pos order — no floats anywhere.
+    */
+  def spanCorruption(documents: DataFrame, spanLen: Int = 3,
+                     rate: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val masked = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("selp",
+        (pmod(NearDup.md5Hash60(concat(col("doc_id").cast("string"),
+          lit(":"), col("pos").cast("string"))), lit(rate.toLong)) === 0)
+          .cast("int"))
+      .withColumn("m",
+        max(col("selp")).over(w.rowsBetween(-(spanLen - 1), 0)) === 1)
+      .filter(col("m"))
+    masked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("target_text"))
+      .withColumn("span_ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("start_tok")).cast("long"))
+      .select(col("doc_id"), col("span_ord"), col("start_tok"),
+        col("n_tok"), col("target_text"))
+      .orderBy("doc_id", "span_ord")
+  }
+
   /** Sliding-window document CHUNKING with token overlap — the retrieval/
     * context-window prep stage every RAG and long-context pretraining
     * pipeline runs between curation and embedding: each document becomes
@@ -1600,6 +1655,80 @@ object TextAnalysis {
       .select(col("pair_rank"), col("t1"), col("t2"), col("n_ab"),
         round(col("pmi"), 6).as("pmi"))
       .orderBy("pair_rank")
+  }
+
+  /** PAGERANK centrality over the term CO-OCCURRENCE graph
+    * (q_pagerank_terms; Page et al. 1999, power iteration) — the graph
+    * view of the corpus [[pmiPairs]] measures pairwise: terms are
+    * nodes, windowed co-occurrences (≥ `minCount`, symmetric) are
+    * edges, and `iters` unrolled power-iteration steps rank the terms
+    * a keyword census weighted by raw frequency over-counts (PageRank
+    * rewards terms central to the co-occurrence structure, not merely
+    * frequent). The same iterate-over-edges shape ranks entities,
+    * hosts, or citation graphs in a curation pipeline (e.g. host-level
+    * quality propagation over a link graph).
+    *
+    * Spark-first iteration: NO GraphX, no driver loop over vertices —
+    * each step is one edge-join + hash-agg (contributions shuffle on
+    * dst, rank state is node-sized), with `localCheckpoint` truncating
+    * the lineage so the k-step plan stays k-sized (the [[Similarity
+    * .mmrTopK]] device). At 100 TB the edge list partitions on src and
+    * every step is embarrassingly parallel; iterations are a fixed
+    * small constant, exactly as production PageRank runs.
+    *
+    * Determinism: the graph is integer counts; each contribution
+    * r/deg passes the quant6 law, the per-node sum accumulates
+    * DECIMAL(18,6), and the damped update 0.15/N + 0.85·Σ re-quantizes
+    * — bit-identical in the unrolled-CTE oracle. The final global
+    * top-`topK` rides [[withGlobalRank]], never a one-partition window.
+    * Dangling nodes cannot exist (edges are symmetric, so every node
+    * has out-degree ≥ 1) — the teleport term needs no dangling mass.
+    */
+  def pagerankTerms(documents: DataFrame, window: Int = 4,
+                    minCount: Long = 5, iters: Int = 3,
+                    topK: Int = 20): DataFrame = {
+    import Similarity.quant6
+    val tp = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val und = tp.as("a").join(tp.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + window &&
+        col("a.t") =!= col("b.t"))
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+              greatest(col("a.t"), col("b.t")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val edges = und.select(col("t1").as("src"), col("t2").as("dst"))
+      .unionByName(und.select(col("t2").as("src"), col("t1").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // node count: scalar state, the codebook-collect class
+    val n = deg.count().toDouble
+    var r = deg.select(col("src").as("t"),
+      quant6(lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("t", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("t"),
+          quant6(col("r") / col("deg").cast("double")).as("c"))
+        .groupBy("t")
+        .agg(sum(col("c").cast("decimal(18,6)")).cast("double").as("cs"))
+      r = deg.select(col("src").as("t")).join(contrib, Seq("t"), "left")
+        .select(col("t"), quant6(lit(0.15) / lit(n) +
+          lit(0.85) * coalesce(col("cs"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    r.transform(withGlobalRank("rank", col("r").desc, col("t")))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("t").as("term"),
+        round(col("r"), 6).as("pagerank"))
+      .orderBy("rank")
   }
 
   /** CALIBRATION / discrimination curve for the NB quality classifier

@@ -1248,6 +1248,52 @@ object StreamOps {
       .orderBy("term")
   }
 
+  /** STREAMING RATE-ANOMALY MONITORING (q_stream_anomaly) — the batch
+    * MAD scorer ([[graft.operators.Events.anomalyMad]]) fed from the
+    * live stream: each micro-batch lands its (event_type, hour-bucket)
+    * counts under a DETERMINISTIC per-batch directory (the [[landBatch]]
+    * idempotence device — a crash-replayed batch overwrites its own
+    * partial counts instead of double-counting), and the drained store
+    * merges by bucket before the robust z-score pass. Counts are
+    * additive across micro-batches, so the merged table is bit-identical
+    * to the batch bucketing — q_anomaly_mad's oracle is shared verbatim,
+    * and the scorer itself is the SAME code via
+    * [[graft.operators.Events.anomalyMadFromCounts]]: batch and stream
+    * monitoring can never drift.
+    *
+    * 100 TB shape: per-batch state is the batch's bucket census
+    * (|types|·hours-touched rows — tiny), the store grows by bucket
+    * rows not events, and the scoring pass aggregates the bucket table
+    * only. A production deployment would run this on a sliding
+    * retention window of batch dirs; the scorer is indifferent.
+    */
+  def streamAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_anom/$runId/store"
+    val ck = s"$tmp/graft_stream_anom/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Landing.withTimeBuckets(batch, col("ts"))
+            .groupBy("event_type", "y", "m", "d", "h")
+            .agg(count(lit(1)).as("n_events"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val merged = spark.read.parquet(store)
+      .groupBy("event_type", "y", "m", "d", "h")
+      .agg(sum(col("n_events")).as("n_events"))
+    graft.operators.Events.anomalyMadFromCounts(merged)
+  }
+
   /** One micro-batch of the CHUNK-STORE UPSERT — the maintenance loop a
     * RAG/embedding store runs as documents are re-crawled: the batch's
     * documents are chunked at ingest, each new chunk is flagged if its

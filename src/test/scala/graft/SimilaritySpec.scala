@@ -1067,4 +1067,33 @@ class SimilaritySpec extends SparkSpec {
     assert(traj(got) === traj(expected),
       "MMR trajectory diverged from the greedy reference")
   }
+
+  test("maxSimRerank: an identical document saturates MaxSim at its distinct-term count and ranks first") {
+    val sp = spark
+    import sp.implicits._
+    // doc 0 is the query; doc 5 is verbatim-identical, so every query
+    // term's max cosine is exactly 1.0 and MaxSim = |distinct terms|.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha omega omega sigma"),
+      (2L, "beta sigma tau upsilon"),
+      (3L, "gamma tau rho phi"),
+      (4L, "unrelated words entirely here"),
+      (5L, "alpha beta gamma delta"),
+      (6L, "delta rho phi chi")).toDF("doc_id", "text")
+    val got = Similarity.maxSimRerank(docs, nQueries = 1, k = 3, m = 6)
+      .collect()
+    val byRank = got.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    assert(byRank.nonEmpty)
+    assert(byRank.head.getAs[Long]("neighbor_id") === 5L,
+      "the verbatim copy must win late interaction")
+    assert(byRank.head.getAs[Double]("maxsim") === 4.0,
+      "MaxSim of an identical doc is the distinct-term count")
+    // every other candidate scores strictly below saturation, and
+    // scores are non-increasing down the ranking
+    val scores = byRank.map(_.getAs[Double]("maxsim")).toSeq
+    assert(scores.tail.forall(_ < 4.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }

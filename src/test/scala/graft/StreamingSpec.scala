@@ -474,4 +474,19 @@ class StreamingSpec extends SparkSpec {
     assert(once === batchScd2,
       "incrementally-maintained dimension diverged from the batch build")
   }
+
+  test("streaming anomaly census equals the batch MAD scorer (additive counts law)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("rk"),
+        r.getAs[Int]("y"), r.getAs[Int]("m"), r.getAs[Int]("d"),
+        r.getAs[Int]("h"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("med"), r.getAs[Double]("mad"),
+        r.getAs[Double]("rz"), r.getAs[Boolean]("is_anomaly"))
+    }.toSet
+    val streamed = rows(StreamOps.streamAnomalyMad(spark, sf0001))
+    val batch = rows(graft.operators.Events.anomalyMad(
+      Tables.events(spark, sf0001)))
+    assert(streamed === batch,
+      "drained per-batch bucket counts must merge to the batch census")
+  }
 }

@@ -134,4 +134,36 @@ class TemporalSpec extends SparkSpec {
         (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
     assert(merged === direct)
   }
+
+  test("anomalyMad: a planted spike hour tops its type with a huge rz; a flat type (MAD=0) is dropped") {
+    val hourUs = 3600L * 1000000L
+    // type "spiky": wobbling quiet hours (10/11/12) and one 100-event
+    // spike — med 11, MAD 1, rz(spike) = (100−11)/1.4826 ≈ 60.
+    // type "flat": identical counts every hour — MAD = 0, no z-score.
+    val rows = (0 until 10).flatMap { h =>
+      val n = if (h == 7) 100 else 10 + (h % 3)
+      (0 until n).map(i =>
+        (h * 1000L + i, h * hourUs + i * 1000L, 1L, "spiky", 1.0))
+    } ++ (0 until 10).flatMap { h =>
+      (0 until 10).map(i =>
+        (100000L + h * 1000L + i, h * hourUs + i * 1000L, 1L, "flat", 1.0))
+    }
+    val got = Events.anomalyMad(syntheticEvents(rows)).collect()
+    assert(!got.exists(_.getAs[String]("event_type") == "flat"),
+      "a zero-MAD type has no robust z-score and must be dropped")
+    val spiky = got.filter(_.getAs[String]("event_type") == "spiky")
+      .sortBy(_.getAs[Long]("rk"))
+    assert(spiky.nonEmpty)
+    val top = spiky.head
+    assert(top.getAs[Int]("h") === 7, "the spike hour must rank first")
+    assert(top.getAs[Double]("med") === 11.0)
+    assert(top.getAs[Double]("mad") === 1.0)
+    val expected = math.floor((top.getAs[Long]("n_events") - 11.0) /
+      (1.4826 * 1.0) * 1e6 + 0.5) / 1e6
+    assert(top.getAs[Double]("rz") === expected)
+    assert(top.getAs[Boolean]("is_anomaly"),
+      "a 60-sigma spike must carry the flag")
+    assert(spiky.forall(r => r.getAs[Boolean]("is_anomaly") ===
+      (math.abs(r.getAs[Double]("rz")) > 3.0)))
+  }
 }

@@ -679,4 +679,55 @@ class TextAnalysisSpec extends SparkSpec {
       s"term-dense short doc must rank first, got $ranked")
     assert(!ranked.contains(12L), "zero-overlap doc must not be retrieved")
   }
+
+  test("spanCorruption: spans are disjoint maximal runs, ordinals dense, targets length-consistent") {
+    val docs = Tables.documents(spark, sf0001)
+    val spans = TextAnalysis.spanCorruption(docs).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      assert(n >= 1L)
+      assert(r.getAs[Long]("start_tok") >= 0L)
+      assert(r.getAs[String]("target_text").split(" ").length.toLong === n,
+        "target text must carry exactly n_tok tokens")
+    }
+    // per doc: ordinals are 1..n in start order and spans never overlap
+    // (maximality: merged runs leave a gap of at least one kept token)
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("span_ord"))
+      assert(sorted.map(_.getAs[Long]("span_ord")).toSeq ===
+        (1L to sorted.length.toLong).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok") <
+            b.getAs[Long]("start_tok"),
+            "adjacent masked runs must have been merged into one span")
+        case _ =>
+      }
+    }
+    // the selection law lands near its design rate: masked fraction
+    // ≈ spanLen/rate = 15% (loose band — small corpus, merged overlaps)
+    val totTok = docs.select(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))))
+      .head().getLong(0)
+    val masked = spans.map(_.getAs[Long]("n_tok")).sum
+    val frac = masked.toDouble / totTok
+    assert(frac > 0.05 && frac < 0.30, s"mask fraction $frac out of band")
+  }
+
+  test("pagerankTerms: mass conserves to ~1, ranks dense and descending") {
+    val docs = Tables.documents(spark, sf0001)
+    val all = TextAnalysis.pagerankTerms(docs, topK = Int.MaxValue).collect()
+    assert(all.length > 20)
+    val mass = all.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(mass - 1.0) < 0.01,
+      s"PageRank mass must conserve (got $mass)")
+    assert(all.forall(_.getAs[Double]("pagerank") > 0.0))
+    val byRank = all.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to all.length.toLong).toSeq, "global ranks must be dense")
+    val scores = byRank.map(_.getAs[Double]("pagerank")).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
 }
