@@ -134,6 +134,7 @@ object SparkEntry {
       Pipeline.pretrainPackedCached(documents(s, d), d), 2048L)),
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
     "q_span_corrupt" -> ((s, d) => TextAnalysis.spanCorruption(documents(s, d))),
+    "q_curriculum" -> ((s, d) => TextAnalysis.curriculumSchedule(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -168,10 +169,12 @@ object SparkEntry {
     "q_doc_search" -> ((s, d) => Similarity.docSearch(documents(s, d))),
     "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
+    "q_phrase_topk" -> ((s, d) => TextAnalysis.phraseTopK(documents(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_hybrid_wsum" -> ((s, d) => Similarity.hybridWeighted(documents(s, d))),
     "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
+    "q_retrieval_ndcg" -> ((s, d) => Similarity.retrievalNdcg(documents(s, d))),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(documents(s, d))),
     "q_mmr_topk" -> ((s, d) => Similarity.mmrTopK(documents(s, d))),
     "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
@@ -1166,6 +1169,37 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |       max(n_tok) AS max_doc_tokens
         |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
+    // curriculum schedule: quality-ranked docs cut into 4 equal phases —
+    // composite through the quant6 law (it feeds ordering + the mean),
+    // phase = (4·(rk−1)) DIV N, DECIMAL means
+    "q_curriculum" ->
+      """WITH cqb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+        |    length(text) AS n_chars_txt,
+        |    length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_alnum
+        |  FROM documents),
+        |cqs AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    floor((0.4*(CASE WHEN len(toks) > 0
+        |             THEN CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)/len(toks)
+        |             ELSE 0.0 END)
+        |        + 0.3*(CASE WHEN n_chars_txt > 0
+        |             THEN CAST(n_alnum AS DOUBLE)/n_chars_txt ELSE 0.0 END)
+        |        + 0.3*(CAST(least(len(toks), 100) AS DOUBLE)/100.0))
+        |      * 1000000.0 + 0.5) / 1000000.0 AS q
+        |  FROM cqb),
+        |cqn AS (SELECT count(*) AS n_all FROM cqs),
+        |cqr AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+        |        FROM cqs)
+        |SELECT CAST((4 * (rk - 1)) // n_all + 1 AS BIGINT) AS phase,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS phase_tokens,
+        |       round(min(q), 6) AS q_min,
+        |       round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS q_mean,
+        |       round(max(q), 6) AS q_max
+        |FROM cqr CROSS JOIN cqn
+        |GROUP BY 1 ORDER BY phase""".stripMargin,
     // T5 span corruption: md5-selected span starts, spanLen-token mask
     // window, maximal masked runs via gaps-and-islands — pure integer
     // logic, target text reassembled in pos order
@@ -1336,24 +1370,9 @@ object SparkEntry {
         ",\n" + prfChainFrag(10L) + ",\n" + wsumChainFrag(10) +
         ",\n" + qlChainFrag(10L) + ",\n" + rrf3ChainFrag(10, "60.0") +
         ",\n" + maxsimChainFrag(20) +
+        ",\n" + tiersUnionFrag(10) +
         """,
           |etruth AS (SELECT query_id, cand_id FROM drk WHERE rk <= 5),
-          |eret AS (
-          |  SELECT 'bm25' AS system, query_id, cand_id, rk FROM brk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'vector' AS system, query_id, cand_id, rk FROM drk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'hybrid' AS system, query_id, cand_id, rk FROM frk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'bm25_prf' AS system, query_id, cand_id, rk FROM prk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'hybrid_wsum' AS system, query_id, cand_id, rk FROM wrk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'ql' AS system, query_id, cand_id, rk FROM qlrk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'hybrid_3way' AS system, query_id, cand_id, rk FROM t3rk WHERE rk <= 10
-          |  UNION ALL
-          |  SELECT 'maxsim' AS system, query_id, cand_id, rk FROM msrk WHERE rk <= 10),
           |epq AS (
           |  SELECT r.system, r.query_id,
           |         sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
@@ -1370,6 +1389,43 @@ object SparkEntry {
           |       round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_recall,
           |       round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr
           |FROM epm GROUP BY 1 ORDER BY system""".stripMargin),
+    // graded-relevance nDCG@10 over the SAME eight ranked lists as
+    // q_retrieval_eval (tiersUnionFrag shared verbatim): truth grades
+    // 5..1 from the exact-cosine top-5, DCG terms through the quant6 ln
+    // law, per-query sums as DECIMAL
+    "q_retrieval_ndcg" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docSearchFrag(10L) +
+        ",\n" + bm25Frag(10L, 1.2, 0.75) + ",\n" + rrfChainFrag(10, "60.0") +
+        ",\n" + prfChainFrag(10L) + ",\n" + wsumChainFrag(10) +
+        ",\n" + qlChainFrag(10L) + ",\n" + rrf3ChainFrag(10, "60.0") +
+        ",\n" + maxsimChainFrag(20) + ",\n" + tiersUnionFrag(10) +
+        """,
+          |ntru AS (SELECT query_id, cand_id, CAST(6 - rk AS DOUBLE) AS rel,
+          |                rk AS truth_rank
+          |         FROM drk WHERE rk <= 5),
+          |nidcg AS (
+          |  SELECT query_id,
+          |    CAST(sum(CAST(floor(rel * ln(2.0) / ln(CAST(truth_rank AS DOUBLE) + 1.0)
+          |                        * 1000000.0 + 0.5) / 1000000.0
+          |             AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+          |  FROM ntru GROUP BY 1),
+          |ndcgq AS (
+          |  SELECT r.system, r.query_id,
+          |    CAST(sum(CAST(coalesce(
+          |           floor(t.rel * ln(2.0) / ln(CAST(r.rk AS DOUBLE) + 1.0)
+          |                 * 1000000.0 + 0.5) / 1000000.0, 0.0)
+          |         AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+          |  FROM eret r LEFT JOIN ntru t
+          |    ON t.query_id = r.query_id AND t.cand_id = r.cand_id
+          |  GROUP BY 1,2),
+          |ndcgn AS (
+          |  SELECT d.system,
+          |         floor(d.dcg / i.idcg * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+          |  FROM ndcgq d JOIN nidcg i USING (query_id))
+          |SELECT system, count(*) AS n_queries,
+          |       floor(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE)
+          |             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_ndcg
+          |FROM ndcgn GROUP BY 1 ORDER BY system""".stripMargin),
     // hard-negative mining: positive = vector rank-1, negatives = the
     // BM25-top docs OUTSIDE the vector top-5 (lexically close,
     // semantically far) — both ranked chains shared verbatim
@@ -1441,6 +1497,34 @@ object SparkEntry {
           |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
           |       round(s, 6) AS ce
           |FROM cerk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // exact-phrase retrieval: each query's leading bigram intersected
+    // through positional postings (pos+1 adjacency), ranked by
+    // occurrence count — pure integer arithmetic
+    "q_phrase_topk" ->
+      """WITH phb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |pht AS MATERIALIZED (
+        |  SELECT doc_id, pos, toks[pos] AS term FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+        |    FROM phb)),
+        |phq AS (SELECT doc_id AS query_id, toks[1] AS w1, toks[2] AS w2
+        |        FROM phb WHERE doc_id < 10 AND len(toks) >= 2),
+        |phocc AS (
+        |  SELECT q.query_id, a.doc_id, count(*) AS n_phrase
+        |  FROM phq q JOIN pht a ON a.term = q.w1
+        |       JOIN pht b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |                 AND b.term = q.w2
+        |  WHERE a.doc_id <> q.query_id
+        |  GROUP BY 1,2),
+        |phrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                ORDER BY n_phrase DESC, doc_id) AS rk
+        |         FROM phocc)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id AS neighbor_id,
+        |       CAST(n_phrase AS BIGINT) AS n_phrase
+        |FROM phrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
     // late interaction (ColBERT-style): BM25 top-10 shortlist re-scored
     // by MaxSim over hash-derived per-term embeddings — the bm25 chain
     // shared verbatim; cosines through the quant6 law, MaxSim sum as
@@ -2935,6 +3019,29 @@ object SparkEntry {
       |       round(med, 6) AS med, round(mad, 6) AS mad, round(rz, 6) AS rz,
       |       abs(rz) > 3.0 AS is_anomaly
       |FROM amk WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
+  /** CTE eret: the eight-tier ranked-list union (the SQL twin of
+    * Similarity.retrievalTiers). Requires brk/drk/frk/prk/wrk/qlrk/
+    * t3rk/msrk in scope. Shared by q_retrieval_eval and
+    * q_retrieval_ndcg so both censuses grade identical lists.
+    */
+  private def tiersUnionFrag(k: Int): String =
+    s"""eret AS (
+       |  SELECT 'bm25' AS system, query_id, cand_id, rk FROM brk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'vector' AS system, query_id, cand_id, rk FROM drk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'hybrid' AS system, query_id, cand_id, rk FROM frk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'bm25_prf' AS system, query_id, cand_id, rk FROM prk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'hybrid_wsum' AS system, query_id, cand_id, rk FROM wrk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'ql' AS system, query_id, cand_id, rk FROM qlrk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'hybrid_3way' AS system, query_id, cand_id, rk FROM t3rk WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT 'maxsim' AS system, query_id, cand_id, rk FROM msrk WHERE rk <= $k)""".stripMargin
 
   /** CTEs msl..msrk: late-interaction MaxSim re-scoring of the BM25
     * top-`m` shortlist over hash-derived per-term embeddings — the SQL

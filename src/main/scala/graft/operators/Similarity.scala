@@ -2038,7 +2038,32 @@ object Similarity {
                     t: Int = 5): DataFrame = {
     val truth = docSearch(documents, nQueries, t)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    val ret = graft.operators.TextAnalysis.bm25TopK(documents, nQueries, k)
+    val ret = retrievalTiers(documents, nQueries, k)
+    ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("system", "query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"),
+           min(when(col("hit") === 1, col("rank"))).as("first_rank"))
+      .select(col("system"),
+        round(col("hits").cast("double") / lit(t.toDouble), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0)),
+          6).as("rr"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("recall").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_recall"),
+        round(sum(col("rr").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mrr"))
+      .orderBy("system")
+  }
+
+  /** The eight ranked retrieval tiers this library ships, as one
+    * (system, query_id, neighbor_id, rank) union — the shared first
+    * stage of [[retrievalEval]] and [[retrievalNdcg]], so both censuses
+    * grade EXACTLY the same ranked lists.
+    */
+  private def retrievalTiers(documents: DataFrame, nQueries: Long,
+                             k: Int): DataFrame =
+    graft.operators.TextAnalysis.bm25TopK(documents, nQueries, k)
         .select(lit("bm25").as("system"), col("query_id"),
           col("neighbor_id"), col("rank"))
       .unionByName(docSearch(documents, nQueries, k)
@@ -2063,20 +2088,52 @@ object Similarity {
       .unionByName(maxSimRerank(documents, nQueries, k, m = 2 * k)
         .select(lit("maxsim").as("system"), col("query_id"),
           col("neighbor_id"), col("rank")))
-    ret.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+
+  /** nDCG@k per retrieval tier (q_retrieval_ndcg) — the GRADED-relevance
+    * companion to [[retrievalEval]]'s binary recall/MRR: the exact-cosine
+    * top-`t` is the graded truth (relevance t+1−truth_rank, i.e. 5..1),
+    * and each tier's ranked list earns rel/log₂(rank+1) per hit,
+    * normalized by the ideal ordering's DCG. This is the metric IR
+    * deployments actually tune against when relevance is not binary —
+    * a tier that finds the same 5 docs but ranks the best one first now
+    * outscores one that buries it.
+    *
+    * Determinism: each DCG term rel·ln2/ln(rank+1) passes the quant6 ln
+    * law (the bm25 idf device), per-query DCG and IDCG accumulate as
+    * DECIMAL(18,6), the ratio and across-queries mean round at the
+    * quantum. Scale shape: truth and lists are k-bounded per query;
+    * the grading joins are broadcast list-vs-list; census = |tiers| rows.
+    */
+  def retrievalNdcg(documents: DataFrame, nQueries: Long = 10, k: Int = 10,
+                    t: Int = 5): DataFrame = {
+    val truth = docSearch(documents, nQueries, t)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(t + 1) - col("rank")).cast("double").as("rel"),
+        col("rank").as("truth_rank"))
+    val idcg = truth
+      .select(col("query_id"),
+        quant6(col("rel") * log(lit(2.0)) /
+          log(col("truth_rank").cast("double") + lit(1.0))).as("g"))
+      .groupBy("query_id")
+      .agg(sum(col("g").cast("decimal(18,6)")).cast("double").as("idcg"))
+    val dcg = retrievalTiers(documents, nQueries, k)
+      .join(broadcast(truth.select("query_id", "neighbor_id", "rel")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("system"), col("query_id"),
+        coalesce(quant6(col("rel") * log(lit(2.0)) /
+          log(col("rank").cast("double") + lit(1.0))), lit(0.0)).as("g"))
       .groupBy("system", "query_id")
-      .agg(sum(coalesce(col("hit"), lit(0))).as("hits"),
-           min(when(col("hit") === 1, col("rank"))).as("first_rank"))
+      .agg(sum(col("g").cast("decimal(18,6)")).cast("double").as("dcg"))
+    dcg.join(broadcast(idcg), "query_id")
       .select(col("system"),
-        round(col("hits").cast("double") / lit(t.toDouble), 6).as("recall"),
-        round(coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0)),
-          6).as("rr"))
+        quant6(col("dcg") / col("idcg")).as("ndcg"))
       .groupBy("system")
       .agg(count(lit(1)).as("n_queries"),
-        round(sum(col("recall").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mean_recall"),
-        round(sum(col("rr").cast("decimal(18,6)")).cast("double") /
-          count(lit(1)), 6).as("mrr"))
+        // quant6, not round: the mean of quantized ratios can land
+        // exactly on a .5·10⁻⁶ boundary, where the engines' display
+        // rounds disagree — the floor law cannot
+        quant6(sum(col("ndcg").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_ndcg"))
       .orderBy("system")
   }
 

@@ -346,6 +346,107 @@ object TextAnalysis {
     Similarity.rankedTopK(scored, k, "prf")
   }
 
+  /** PHRASE retrieval over POSITIONAL postings (q_phrase_topk) — the
+    * exact-phrase query surface a lexical engine adds once its posting
+    * store carries positions: each query's leading bigram must appear
+    * as ADJACENT tokens in a candidate (BM25's bag-of-words cannot
+    * distinguish "new york" from "york new"), candidates ranked by
+    * occurrence count. The positional self-join is the classic
+    * inverted-index phrase intersection (Manning et al., IR ch. 2.4),
+    * done relationally: postings for the phrase's words only, paired on
+    * (doc, pos+1).
+    *
+    * Scale shape: the posting scan is filtered to the QUERY WORDS
+    * before any join (broadcast term list → the pair join touches two
+    * posting lists per phrase, never the corpus); the adjacency join
+    * keys on (doc_id, pos), co-partitioned with the tokenize stage; the
+    * rank window is query_id-led over phrase-matching docs only. Pure
+    * integer arithmetic — no float crosses the oracle boundary.
+    */
+  def phraseTopK(documents: DataFrame, nQueries: Long = 10,
+                 k: Int = 5): DataFrame = {
+    val pos = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val phr = documents.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("query_id"), col("toks").getItem(0).as("w1"),
+        col("toks").getItem(1).as("w2"))
+    val words = phr.select(col("w1").as("term"))
+      .union(phr.select(col("w2").as("term"))).distinct()
+    val cand = pos.join(broadcast(words), "term")
+    val firsts = cand.join(broadcast(phr), col("term") === col("w1"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("w2"))
+    val occ = firsts.join(
+        cand.select(col("doc_id"), col("term").as("w2"),
+          (col("pos") - 1).as("pos")),
+        Seq("doc_id", "pos", "w2"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_phrase"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("n_phrase").desc, col("doc_id"))
+    occ.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("doc_id").as("neighbor_id"), col("n_phrase"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** CURRICULUM SCHEDULE (q_curriculum) — the phase plan of a
+    * quality-ordered training run: every document graded by the
+    * [[qualityScore]] composite, globally ranked best-first, and cut
+    * into `phases` equal-count phases (phase 1 = the cleanest quarter
+    * the run warms up on; later phases mix in the noisier tail — the
+    * curriculum-learning recipe of Bengio et al. 2009 applied to corpus
+    * quality). Emits the per-phase census a training launcher consumes:
+    * document count, token budget, and the quality band (min/mean/max).
+    *
+    * Scale shape: grading is one scan; the global order rides
+    * [[withGlobalRank]] (range partitions + census offsets, never a
+    * one-partition window); the phase cut is integer arithmetic on
+    * (rank, N) with N a broadcast scalar census; the census is
+    * `phases` rows. Determinism: the composite passes quant6 (it feeds
+    * ordering and the mean — not a display round), ties rank by doc_id,
+    * phase = (phases·(rk−1)) DIV N, means accumulate DECIMAL(18,6).
+    */
+  def curriculumSchedule(documents: DataFrame, phases: Int = 4): DataFrame = {
+    import Similarity.quant6
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    val scored = documents.repartition(col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_chars_txt", length(col("text")))
+      .withColumn("n_alnum",
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => array_contains(stopArr, t))))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok"),
+        quant6(
+          lit(0.4) * (when(col("n_tokens") > 0,
+              col("n_stop").cast("double") / col("n_tokens"))
+            .otherwise(lit(0.0)))
+          + lit(0.3) * (when(col("n_chars_txt") > 0,
+              col("n_alnum").cast("double") / col("n_chars_txt"))
+            .otherwise(lit(0.0)))
+          + lit(0.3) * (least(col("n_tokens"), lit(100)).cast("double")
+              / lit(100.0))).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val nd = scored.agg(count(lit(1)).as("n_all"))
+    scored.transform(withGlobalRank("rk", col("q").desc, col("doc_id")))
+      .crossJoin(broadcast(nd))
+      .withColumn("phase", expr(s"(($phases * (rk - 1)) DIV n_all) + 1"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("phase_tokens"),
+        round(min(col("q")), 6).as("q_min"),
+        round(sum(col("q").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("q_mean"),
+        round(max(col("q")), 6).as("q_max"))
+      .orderBy("phase")
+  }
+
   /** Per-document KEYWORD extraction (q_keywords): each document's top
     * `perDoc` terms by the log-free tf·(N/df) weight ([[tfidf]]'s
     * rational-idf device — same ranking order as ln(N/df), every step

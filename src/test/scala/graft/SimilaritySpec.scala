@@ -839,7 +839,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.retrievalEval(docs).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ===
       Seq("bm25", "bm25_prf", "hybrid", "hybrid_3way", "hybrid_wsum",
-        "ql", "vector"))
+        "maxsim", "ql", "vector"))
     rows.foreach { r =>
       assert(r.getLong(1) === 10L, "n_queries drifted")
       val (rec, mrr) = (r.getDouble(2), r.getDouble(3))
@@ -1066,6 +1066,18 @@ class SimilaritySpec extends SparkSpec {
     def traj(s: Set[(Long, Long, Long, Double)]) = s.map(t => (t._1, t._2, t._3))
     assert(traj(got) === traj(expected),
       "MMR trajectory diverged from the greedy reference")
+  }
+
+  test("retrievalNdcg: the truth tier scores exactly 1, every tier lands in [0,1]") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Similarity.retrievalNdcg(docs).collect()
+    assert(rows.length === 8)
+    val byName = rows.map(r =>
+      r.getAs[String]("system") -> r.getAs[Double]("mean_ndcg")).toMap
+    // the vector tier IS the graded truth: ideal ordering, nDCG = 1
+    assert(byName("vector") === 1.0)
+    assert(byName.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rows.forall(_.getAs[Long]("n_queries") === 10L))
   }
 
   test("maxSimRerank: an identical document saturates MaxSim at its distinct-term count and ranks first") {

@@ -680,6 +680,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!ranked.contains(12L), "zero-overlap doc must not be retrieved")
   }
 
+  test("phraseTopK: occurrence count ranks, adjacency required, reversed bigram scores nothing") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "red fox jumps"),
+      (20L, "a red fox and another red fox here"), // phrase twice
+      (21L, "one red fox only"),                   // phrase once
+      (22L, "fox red fox red"),                    // reversed + once ("red fox" at pos 1? f-r-f-r: 'red fox' occurs at pos 2!)
+      (23L, "red apple fox pear"))                 // words present, never adjacent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseTopK(docs, nQueries = 1, k = 5).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    val ids = got.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ids.head === 20L, "two occurrences must outrank one")
+    assert(got.head.getAs[Long]("n_phrase") === 2L)
+    assert(!ids.contains(23L), "non-adjacent words are not a phrase hit")
+    // doc 22 "fox red fox red" DOES contain "red fox" (positions 2-3)
+    assert(ids.contains(22L) && ids.contains(21L))
+  }
+
+  test("curriculumSchedule: phases partition the corpus into descending quality bands") {
+    val docs = Tables.documents(spark, sf0001)
+    val phases = TextAnalysis.curriculumSchedule(docs).collect()
+      .sortBy(_.getAs[Long]("phase"))
+    assert(phases.map(_.getAs[Long]("phase")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val total = docs.count()
+    assert(phases.map(_.getAs[Long]("n_docs")).sum === total)
+    // equal-count cut: phases differ by at most one document
+    val counts = phases.map(_.getAs[Long]("n_docs"))
+    assert(counts.max - counts.min <= 1)
+    // quality bands are ordered: a phase's floor meets the next one's
+    // ceiling (equality allowed on ties), and the means fall
+    phases.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("q_min") >= b.getAs[Double]("q_max"))
+        assert(a.getAs[Double]("q_mean") >= b.getAs[Double]("q_mean"))
+      case _ =>
+    }
+  }
+
   test("spanCorruption: spans are disjoint maximal runs, ordinals dense, targets length-consistent") {
     val docs = Tables.documents(spark, sf0001)
     val spans = TextAnalysis.spanCorruption(docs).collect()
