@@ -31,6 +31,7 @@ object SparkEntry {
         .orderBy("y", "m", "d", "h")),
     "q_time_bucket" -> ((s, d) => Events.timeBucketCounts(events(s, d))),
     "q_anomaly_mad" -> ((s, d) => Events.anomalyMad(events(s, d))),
+    "q_session_paths" -> ((s, d) => Events.sessionPaths(events(s, d))),
     "q_bucket_first_last" -> ((s, d) => Events.bucketFirstLast(events(s, d))),
     "q_dedup_exact" -> ((s, d) =>
       Landing.dedup(events(s, d).select("user_id", "event_type"),
@@ -349,6 +350,30 @@ object SparkEntry {
     // z-score — medians interpolate on the integer/0.5 grid (IEEE-exact
     // both engines), rz through the quant6 law, top-3 per type
     "q_anomaly_mad" -> anomalyMadOracleSql,
+    // Markov transition census: user-led lead() pairs within the 30-min
+    // session gap, conditional p through the quant6 law, global top-20
+    "q_session_paths" ->
+      """WITH spb AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_ts
+        |  FROM events),
+        |spt AS (
+        |  SELECT event_type AS from_type, to_type FROM spb
+        |  WHERE to_type IS NOT NULL
+        |    AND epoch_us(to_ts) - epoch_us(ts) <= 1800000000),
+        |spc AS (SELECT from_type, to_type, count(*) AS n_trans
+        |        FROM spt GROUP BY 1,2),
+        |spf AS (SELECT from_type, sum(n_trans) AS n_from FROM spc GROUP BY 1),
+        |spr AS (
+        |  SELECT c.from_type, c.to_type, c.n_trans,
+        |    floor(CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS p,
+        |    row_number() OVER (ORDER BY c.n_trans DESC, c.from_type, c.to_type) AS rk
+        |  FROM spc c JOIN spf f USING (from_type))
+        |SELECT CAST(rk AS BIGINT) AS pair_rank, from_type, to_type,
+        |       CAST(n_trans AS BIGINT) AS n_trans, round(p, 6) AS p
+        |FROM spr WHERE rk <= 20 ORDER BY pair_rank""".stripMargin,
     // per-batch bucket counts merge additively, so the drained stream
     // census is bit-identical to the batch bucketing — oracle shared
     // verbatim (the q_cms device)

@@ -88,6 +88,49 @@ object Events {
       .orderBy("event_type", "rk")
   }
 
+  /** CLICKSTREAM PATH CENSUS (q_session_paths) — the first-order Markov
+    * transition table of the event stream: for each user, consecutive
+    * events within a session gap (≤ 30 min, the [[sessionize]]
+    * convention) form (from_type → to_type) transitions; the census
+    * emits the global top-`topK` transitions with their count and the
+    * conditional probability p(to | from) — the "what do users do after
+    * X" analysis every product-analytics deployment runs, and the
+    * transition matrix a Markov attribution or next-event model trains
+    * on.
+    *
+    * Scale shape: the lead() window partitions on user_id (cardinality
+    * = |users|, corpus-parallel; ≤ events-per-user rows per task); the
+    * transition census is one hash agg over |types|² keys; the
+    * denominators join back as a broadcast; the global top-k rides
+    * [[graft.operators.TextAnalysis.withGlobalRank]]. Determinism: gap
+    * arithmetic in exact microseconds, p through the quant6 law, ties
+    * rank (n desc, from, to).
+    */
+  def sessionPaths(events: DataFrame, gapUs: Long = 1800L * 1000000L,
+                   topK: Int = 20): DataFrame = {
+    import Similarity.quant6
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events.repartition(col("user_id"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+      .filter(col("to_type").isNotNull && col("gap_us") <= gapUs)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val outTotals = trans.groupBy("from_type")
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(broadcast(outTotals), "from_type")
+      .withColumn("p", quant6(col("n_trans").cast("double") /
+        col("n_from").cast("double")))
+      .transform(TextAnalysis.withGlobalRank("pair_rank",
+        col("n_trans").desc, col("from_type"), col("to_type")))
+      .filter(col("pair_rank") <= topK)
+      .select(col("pair_rank"), col("from_type"), col("to_type"),
+        col("n_trans"), round(col("p"), 6).as("p"))
+      .orderBy("pair_rank")
+  }
+
   /** First/last per bucket (SURVEY A1/A2): the reference takes the batch
     * head's timestamp and the batch tail's sequence number; here done
     * correctly per hour bucket with min/max over the total (ts, event_id)

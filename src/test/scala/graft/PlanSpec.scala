@@ -291,6 +291,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 wave: no cartesian; every window rides a scalable partition key") {
+    // q_maxsim_rerank/q_phrase_topk: shortlist-bounded re-rank tiers —
+    // broadcast term/phrase sides, query-led windows only.
+    // q_pagerank_terms/q_curriculum: global ranks ride the _pid grouped
+    // device (the plan is checkpoint-truncated for pagerank; the final
+    // rank stage is what remains visible). q_session_paths: the lead()
+    // window shards by user_id, the top-k by _pid. q_span_corrupt:
+    // doc-led gaps-and-islands. None may degenerate to a cartesian.
+    val leads = Map(
+      "q_maxsim_rerank" -> Seq("query_id"),
+      "q_phrase_topk" -> Seq("query_id"),
+      "q_pagerank_terms" -> Seq("_pid"),
+      "q_session_paths" -> Seq("user_id", "_pid"),
+      "q_curriculum" -> Seq("_pid"),
+      "q_span_corrupt" -> Seq("doc_id"))
+    for ((name, keys) <- leads) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"),
+        s"$name: degenerated to a cartesian product")
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.forall(s => keys.exists(s.contains)),
+        s"$name: window outside $keys: $specs")
+      CacheRegistry.release()
+    }
+    // broadcast-critical new plans must keep their broadcasts: the
+    // MaxSim term matrices, the phrase word-list, the MAD per-type stats
+    for (name <- Seq("q_maxsim_rerank", "q_phrase_topk", "q_anomaly_mad")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(p.contains("BroadcastExchange"), s"$name: broadcast lost")
+      CacheRegistry.release()
+    }
+  }
+
   test("scd2 lookup: interval containment rides the user_id equi join, no nested loop") {
     // the point-in-time join must hash/merge on the dimension key with
     // the validity range as a post-join predicate — a nested-loop or

@@ -135,6 +135,27 @@ class TemporalSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("sessionPaths: gap-bounded transitions count, cross-session pairs dropped, p conditions on from") {
+    val m = 60L * 1000000L
+    // user 1: a→b (1 min, counts), b→c (40 min gap — crosses the
+    // session boundary, dropped); user 2: a→b then b→a (both count)
+    val rows = Seq(
+      (1L, 0L * m, 1L, "a", 1.0),
+      (2L, 1L * m, 1L, "b", 1.0),
+      (3L, 41L * m, 1L, "c", 1.0),
+      (4L, 0L * m, 2L, "a", 1.0),
+      (5L, 1L * m, 2L, "b", 1.0),
+      (6L, 2L * m, 2L, "a", 1.0))
+    val got = Events.sessionPaths(syntheticEvents(rows)).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_trans"), r.getAs[Double]("p"))).toMap
+    assert(got(("a", "b")) === (2L, 1.0), "a→b twice, a's only outgoing edge")
+    assert(got(("b", "a")) === (1L, 1.0), "b→a once, b's only outgoing edge")
+    assert(!got.contains(("b", "c")), "a 40-minute gap is a new session")
+    // dense global ranks
+    assert(!got.contains(("c", "a")))
+  }
+
   test("anomalyMad: a planted spike hour tops its type with a huge rz; a flat type (MAD=0) is dropped") {
     val hourUs = 3600L * 1000000L
     // type "spiky": wobbling quiet hours (10/11/12) and one 100-event
