@@ -136,6 +136,7 @@ object SparkEntry {
     "q_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(documents(s, d), 2048L)),
     "q_span_corrupt" -> ((s, d) => TextAnalysis.spanCorruption(documents(s, d))),
     "q_curriculum" -> ((s, d) => TextAnalysis.curriculumSchedule(documents(s, d))),
+    "q_denoise_manifest" -> ((s, d) => TextAnalysis.denoiseManifest(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -171,6 +172,8 @@ object SparkEntry {
     "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
     "q_phrase_topk" -> ((s, d) => TextAnalysis.phraseTopK(documents(s, d))),
+    "q_phrase_saved" -> ((s, d) =>
+      TextAnalysis.phraseSavedRoundtrip(s, documents(s, d))),
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_hybrid_wsum" -> ((s, d) => Similarity.hybridWeighted(documents(s, d))),
@@ -1229,40 +1232,43 @@ object SparkEntry {
     // window, maximal masked runs via gaps-and-islands — pure integer
     // logic, target text reassembled in pos order
     "q_span_corrupt" ->
-      """WITH scb AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |sct AS (
-        |  SELECT doc_id,
-        |    unnest([{'pos': i-1, 'tok': toks[i]}
-        |            for i in range(1, len(toks)+1)], recursive := true)
-        |  FROM scb),
-        |scs AS (
-        |  SELECT doc_id, pos, tok,
-        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |                CAST(pos AS VARCHAR)),1,15))::UBIGINT::BIGINT % 20 = 0
-        |         THEN 1 ELSE 0 END AS selp
-        |  FROM sct),
-        |scm AS (
-        |  SELECT *, max(selp) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
-        |  FROM scs),
-        |sci AS (
-        |  SELECT doc_id, pos, tok,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM scm WHERE m),
-        |scsp AS (
-        |  SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS start_tok,
-        |         count(*) AS n_tok,
-        |         string_agg(tok, ' ' ORDER BY pos) AS target_text
-        |  FROM sci GROUP BY 1,2)
-        |SELECT doc_id,
-        |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
-        |            AS BIGINT) AS span_ord,
-        |       start_tok, n_tok, target_text
-        |FROM scsp ORDER BY doc_id, span_ord""".stripMargin,
+      ("WITH " + spanChainFrag +
+        """
+          |SELECT doc_id,
+          |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+          |            AS BIGINT) AS span_ord,
+          |       start_tok, n_tok, target_text
+          |FROM scsp ORDER BY doc_id, span_ord""".stripMargin),
+    // encoder-decoder manifest: span census → T5 length law (input =
+    // n_tok − n_masked + n_spans sentinels) → per-lang offset packing
+    // on the input length — the span chain shared verbatim
+    "q_denoise_manifest" ->
+      ("WITH " + spanChainFrag +
+        """,
+          |dnc AS (SELECT doc_id, count(*) AS n_spans,
+          |               CAST(sum(n_tok) AS BIGINT) AS n_masked
+          |        FROM scsp GROUP BY 1),
+          |dnb AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+          |         t -> t <> '')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |dnd AS (
+          |  SELECT b.doc_id, b.lang, b.n_tok,
+          |    b.n_tok - coalesce(c.n_masked, 0) + coalesce(c.n_spans, 0) AS input_len,
+          |    coalesce(c.n_masked, 0) + coalesce(c.n_spans, 0) AS target_len
+          |  FROM dnb b LEFT JOIN dnc c USING (doc_id)),
+          |dnp AS (
+          |  SELECT lang, input_len, target_len,
+          |    coalesce(sum(input_len) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |  FROM dnd)
+          |SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+          |       count(*) AS n_docs,
+          |       CAST(sum(input_len) AS BIGINT) AS bin_input_tokens,
+          |       CAST(sum(target_len) AS BIGINT) AS bin_target_tokens,
+          |       CAST(max(input_len) AS BIGINT) AS max_input_tokens
+          |FROM dnp GROUP BY 1,2 ORDER BY lang, bin""".stripMargin),
     "q_chunk_overlap" -> chunkOverlapOracleSql,
     // chunks are doc-local, so the drained micro-batch union is
     // bit-identical to the batch chunker — same oracle (the q_cms device)
@@ -1525,31 +1531,10 @@ object SparkEntry {
     // exact-phrase retrieval: each query's leading bigram intersected
     // through positional postings (pos+1 adjacency), ranked by
     // occurrence count — pure integer arithmetic
-    "q_phrase_topk" ->
-      """WITH phb AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-        |                t -> t <> '') AS toks
-        |  FROM documents),
-        |pht AS MATERIALIZED (
-        |  SELECT doc_id, pos, toks[pos] AS term FROM (
-        |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
-        |    FROM phb)),
-        |phq AS (SELECT doc_id AS query_id, toks[1] AS w1, toks[2] AS w2
-        |        FROM phb WHERE doc_id < 10 AND len(toks) >= 2),
-        |phocc AS (
-        |  SELECT q.query_id, a.doc_id, count(*) AS n_phrase
-        |  FROM phq q JOIN pht a ON a.term = q.w1
-        |       JOIN pht b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |                 AND b.term = q.w2
-        |  WHERE a.doc_id <> q.query_id
-        |  GROUP BY 1,2),
-        |phrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                ORDER BY n_phrase DESC, doc_id) AS rk
-        |         FROM phocc)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id AS neighbor_id,
-        |       CAST(n_phrase AS BIGINT) AS n_phrase
-        |FROM phrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_phrase_topk" -> phraseOracleSql,
+    // the from-files positional serve is value-identical to inline —
+    // oracle shared verbatim (the q_bm25_saved contract with positions)
+    "q_phrase_saved" -> phraseOracleSql,
     // late interaction (ColBERT-style): BM25 top-10 shortlist re-scored
     // by MaxSim over hash-derived per-term embeddings — the bm25 chain
     // shared verbatim; cosines through the quant6 law, MaxSim sum as
@@ -3012,6 +2997,72 @@ object SparkEntry {
     * over, `p` prefixes every CTE name so several chains can coexist in
     * one statement (the trained-PQ oracle runs one per vector half).
     */
+  /** CTEs scb..scsp: T5 span-corruption span extraction (md5-selected
+    * starts, 3-token mask window, maximal runs via gaps-and-islands) —
+    * the SQL twin of TextAnalysis.spanCorruptionUnordered. Shared by
+    * q_span_corrupt and q_denoise_manifest.
+    */
+  private def spanChainFrag: String =
+    """scb AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents),
+      |sct AS (
+      |  SELECT doc_id,
+      |    unnest([{'pos': i-1, 'tok': toks[i]}
+      |            for i in range(1, len(toks)+1)], recursive := true)
+      |  FROM scb),
+      |scs AS (
+      |  SELECT doc_id, pos, tok,
+      |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |                CAST(pos AS VARCHAR)),1,15))::UBIGINT::BIGINT % 20 = 0
+      |         THEN 1 ELSE 0 END AS selp
+      |  FROM sct),
+      |scm AS (
+      |  SELECT *, max(selp) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
+      |  FROM scs),
+      |sci AS (
+      |  SELECT doc_id, pos, tok,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM scm WHERE m),
+      |scsp AS (
+      |  SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS start_tok,
+      |         count(*) AS n_tok,
+      |         string_agg(tok, ' ' ORDER BY pos) AS target_text
+      |  FROM sci GROUP BY 1,2)""".stripMargin
+
+  /** Exact-phrase retrieval via positional-posting intersection —
+    * shared verbatim by q_phrase_topk (inline) and q_phrase_saved
+    * (from-files serve).
+    */
+  private def phraseOracleSql: String =
+    """WITH phb AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents),
+      |pht AS MATERIALIZED (
+      |  SELECT doc_id, pos, toks[pos] AS term FROM (
+      |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+      |    FROM phb)),
+      |phq AS (SELECT doc_id AS query_id, toks[1] AS w1, toks[2] AS w2
+      |        FROM phb WHERE doc_id < 10 AND len(toks) >= 2),
+      |phocc AS (
+      |  SELECT q.query_id, a.doc_id, count(*) AS n_phrase
+      |  FROM phq q JOIN pht a ON a.term = q.w1
+      |       JOIN pht b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |                 AND b.term = q.w2
+      |  WHERE a.doc_id <> q.query_id
+      |  GROUP BY 1,2),
+      |phrk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                ORDER BY n_phrase DESC, doc_id) AS rk
+      |         FROM phocc)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rank, doc_id AS neighbor_id,
+      |       CAST(n_phrase AS BIGINT) AS n_phrase
+      |FROM phrk WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Robust median/MAD rate-anomaly census — shared verbatim by
     * q_anomaly_mad (batch) and q_stream_anomaly (drained per-batch
     * counts merge additively to the same bucket table).

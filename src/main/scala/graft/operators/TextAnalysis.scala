@@ -364,14 +364,35 @@ object TextAnalysis {
     * integer arithmetic — no float crosses the oracle boundary.
     */
   def phraseTopK(documents: DataFrame, nQueries: Long = 10,
-                 k: Int = 5): DataFrame = {
-    val pos = documents.repartition(col("doc_id"))
+                 k: Int = 5): DataFrame =
+    phraseFromPositions(positionalPostings(documents),
+      phraseQueries(documents, nQueries), k)
+
+  /** The POSITIONAL posting table (doc_id, pos, term) — the index
+    * artifact phrase queries need and the bag-of-words store
+    * ([[docPostings]]) discards. One tokenize + posexplode pass;
+    * [[buildPositionalIndex]] persists exactly this frame.
+    */
+  def positionalPostings(documents: DataFrame): DataFrame =
+    documents.repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-    val phr = documents.filter(col("doc_id") < nQueries)
+
+  /** Each query document's leading bigram — the phrase workload. */
+  private def phraseQueries(documents: DataFrame, nQueries: Long): DataFrame =
+    documents.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("query_id"), col("toks").getItem(0).as("w1"),
         col("toks").getItem(1).as("w2"))
+
+  /** The phrase-intersection core shared by the inline [[phraseTopK]]
+    * and the from-files [[phraseSavedRoundtrip]] — a positional store IS
+    * the whole phrase index, so both serve surfaces are value-identical
+    * by construction (the [[bm25FromPostings]] contract, positions
+    * included).
+    */
+  private def phraseFromPositions(pos: DataFrame, phr: DataFrame,
+                                  k: Int): DataFrame = {
     val words = phr.select(col("w1").as("term"))
       .union(phr.select(col("w2").as("term"))).distinct()
     val cand = pos.join(broadcast(words), "term")
@@ -391,6 +412,35 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"),
         col("doc_id").as("neighbor_id"), col("n_phrase"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Persist the positional index (q_phrase_saved): the (doc_id, pos,
+    * term) table written doc_id-bucketed — the same store layout as
+    * [[buildLexicalIndex]], one position-bearing row per token instead
+    * of one per distinct term (the storage price of phrase capability;
+    * real engines pay it the same way in their position lists).
+    */
+  def buildPositionalIndex(documents: DataFrame, dir: String,
+                           nBuckets: Int = 16): Unit =
+    positionalPostings(documents)
+      .withColumn("bucket", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Build the positional index to files, then serve the phrase workload
+    * from the artifacts — no corpus tokenization on the serve path (the
+    * query bigrams still derive from the query documents; a deployment
+    * would take them from the request). Shares q_phrase_topk's oracle
+    * verbatim: the deployed phrase plan must lose nothing vs inline.
+    */
+  def phraseSavedRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                           documents: DataFrame, nQueries: Long = 10,
+                           k: Int = 5): DataFrame = {
+    val dir = newStoreDir()
+    buildPositionalIndex(documents, dir)
+    phraseFromPositions(
+      spark.read.parquet(dir).select("doc_id", "pos", "term"),
+      phraseQueries(documents, nQueries), k)
   }
 
   /** CURRICULUM SCHEDULE (q_curriculum) — the phase plan of a
@@ -952,7 +1002,16 @@ object TextAnalysis {
     * reassembled in exact pos order — no floats anywhere.
     */
   def spanCorruption(documents: DataFrame, spanLen: Int = 3,
-                     rate: Int = 20): DataFrame = {
+                     rate: Int = 20): DataFrame =
+    spanCorruptionUnordered(documents, spanLen, rate)
+      .orderBy("doc_id", "span_ord")
+
+  /** Unordered form for composition ([[denoiseManifest]]) — the trailing
+    * orderBy is the oracle-determinism contract only, and must not leak
+    * a range exchange into composed plans.
+    */
+  private[operators] def spanCorruptionUnordered(documents: DataFrame,
+      spanLen: Int = 3, rate: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val masked = documents.repartition(col("doc_id"))
@@ -977,7 +1036,48 @@ object TextAnalysis {
           .partitionBy("doc_id").orderBy("start_tok")).cast("long"))
       .select(col("doc_id"), col("span_ord"), col("start_tok"),
         col("n_tok"), col("target_text"))
-      .orderBy("doc_id", "span_ord")
+  }
+
+  /** DENOISING-PRETRAIN MANIFEST (q_denoise_manifest) — the
+    * encoder-decoder twin of q_pretrain_manifest: [[spanCorruption]]'s
+    * span table collapsed to a per-document census (n_spans, n_masked),
+    * converted to the T5 sequence-length law — input = n_tok − n_masked
+    * + n_spans sentinels, target = n_masked + n_spans sentinels — and
+    * packed into `budget`-token bins per language on the INPUT length
+    * (the encoder side is what a batch's memory is provisioned for).
+    * Emits per (lang, bin) the document count, both token budgets, and
+    * the max single input as the overflow witness — the manifest a
+    * denoising-objective training launcher consumes.
+    *
+    * Scale shape: the span census is [[spanCorruptionUnordered]]'s
+    * doc-led plan + one hash agg; the length table joins it back on
+    * doc_id (corpus-keyed hash join, no broadcast needed and none
+    * taken); packing rides [[withGroupedPrefix]] exactly as
+    * q_seq_packing does. All-integer arithmetic.
+    */
+  def denoiseManifest(documents: DataFrame, budget: Long = 2048L): DataFrame = {
+    val spanCensus = spanCorruptionUnordered(documents)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_tok")).as("n_masked"))
+    documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(spanCensus, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("input_len",
+        col("n_tok") - col("n_masked") + col("n_spans"))
+      .withColumn("target_len", col("n_masked") + col("n_spans"))
+      .transform(withGroupedPrefix(Seq("lang"), "_rk", "cum_before",
+        col("input_len"), col("doc_id")))
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("input_len")).as("bin_input_tokens"),
+        sum(col("target_len")).as("bin_target_tokens"),
+        max(col("input_len")).as("max_input_tokens"))
+      .orderBy("lang", "bin")
   }
 
   /** Sliding-window document CHUNKING with token overlap — the retrieval/

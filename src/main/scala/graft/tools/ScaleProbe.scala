@@ -132,6 +132,28 @@ object ScaleProbe {
     // query side + TopKAgg) plus one per-candidate dl join — must track
     // bm25 within a small constant
     time("ql")(graft.operators.TextAnalysis.qlDirichletTopK(amplified).count())
+    // late interaction: stage 1 is the bm25 plan; stage 2 re-scores a
+    // shortlist-bounded pair space (|Q|·m docs × seq-length term sets,
+    // broadcast term matrices) — wall must track bm25 plus a
+    // corpus-independent re-rank tail
+    time("maxsim")(graft.operators.Similarity.maxSimRerank(amplified).count())
+    // phrase intersection: postings are filtered to the query words
+    // BEFORE the adjacency join — cost tracks the phrase words' posting
+    // lists, never total token count
+    time("phrase")(graft.operators.TextAnalysis.phraseTopK(amplified).count())
+    // span corruption: tokenize + doc-led mask/island windows — pure
+    // map-stage fan-out, must be token-linear like chunking
+    time("span_corrupt")(graft.operators.TextAnalysis
+      .spanCorruption(amplified).count())
+    // pagerank: each of the 3 steps is one edge join + hash agg over the
+    // minCount-bounded co-occurrence edge list — per-step cost tracks
+    // edges; the pair-extraction stage tracks total positions × window
+    time("pagerank")(graft.operators.TextAnalysis
+      .pagerankTerms(amplified).count())
+    // curriculum: one grading scan + the _pid global-rank device — must
+    // track the corpus with no single-task stage
+    time("curriculum")(graft.operators.TextAnalysis
+      .curriculumSchedule(amplified).count())
     // mining/re-rank tails are list-sized: hard negatives add an
     // anti-join over |Q|·m rows on top of the two tiers; MMR adds a
     // |Q|·m² pair table + k−1 greedy steps — both must cost the sum of
@@ -159,7 +181,17 @@ object ScaleProbe {
       val t2 = System.nanoTime()
       val c = graft.operators.Events.rollingFeatures(amp).count()
       println(f"  rolling:  ${(System.nanoTime() - t2) / 1e9}%.1f s ($c rows)")
-      a + b + c
+      // transition census: the lead() window shards by user_id; the
+      // agg is |types|²-keyed — cost must track events
+      val t3 = System.nanoTime()
+      val d = graft.operators.Events.sessionPaths(amp).count()
+      println(f"  paths:    ${(System.nanoTime() - t3) / 1e9}%.1f s ($d rows)")
+      // MAD monitor: both medians aggregate the BUCKET table (types ×
+      // hours), so cost is the bucket-count scan, flat vs events growth
+      val t4 = System.nanoTime()
+      val e = graft.operators.Events.anomalyMad(amp).count()
+      println(f"  anomaly:  ${(System.nanoTime() - t4) / 1e9}%.1f s ($e rows)")
+      a + b + c + d + e
     }
     time("curate_docs")(graft.operators.Pipeline.curatedDocs(amplified).count())
     time("pretrain")(graft.operators.Pipeline.pretrain(amplified).count())

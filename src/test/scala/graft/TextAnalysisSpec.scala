@@ -701,6 +701,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids.contains(22L) && ids.contains(21L))
   }
 
+  test("phrase serve from the positional store equals inline (one artifact, positions included)") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_phrase"))).toSet
+    assert(rows(TextAnalysis.phraseSavedRoundtrip(spark, docs)) ===
+      rows(TextAnalysis.phraseTopK(docs)),
+      "deployed phrase plan diverged from inline")
+  }
+
+  test("denoiseManifest: the T5 length law conserves tokens and sentinels") {
+    val docs = Tables.documents(spark, sf0001)
+    val manifest = TextAnalysis.denoiseManifest(docs).collect()
+    val totTok = docs.select(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))))
+      .head().getLong(0)
+    val spans = TextAnalysis.spanCorruption(docs).collect()
+    val nSpans = spans.length.toLong
+    val nMasked = spans.map(_.getAs[Long]("n_tok")).sum
+    val inTok = manifest.map(_.getAs[Long]("bin_input_tokens")).sum
+    val tgTok = manifest.map(_.getAs[Long]("bin_target_tokens")).sum
+    // input = tokens − masked + sentinels; target = masked + sentinels
+    assert(inTok === totTok - nMasked + nSpans, "input budget broke conservation")
+    assert(tgTok === nMasked + nSpans, "target budget broke conservation")
+    // every bin's max single input fits where the bin lives
+    assert(manifest.forall(r => r.getAs[Long]("max_input_tokens") <=
+      r.getAs[Long]("bin_input_tokens")))
+  }
+
   test("curriculumSchedule: phases partition the corpus into descending quality bands") {
     val docs = Tables.documents(spark, sf0001)
     val phases = TextAnalysis.curriculumSchedule(docs).collect()
