@@ -170,6 +170,7 @@ object SparkEntry {
     "q_doc_embed" -> ((s, d) => Similarity.docEmbeddings(documents(s, d))),
     "q_doc_search" -> ((s, d) => Similarity.docSearch(documents(s, d))),
     "q_doc_ivfpq" -> ((s, d) => Similarity.docIvfPqRoundtrip(s, d)),
+    "q_doc_topics" -> ((s, d) => Similarity.docTopics(documents(s, d))),
     "q_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(documents(s, d))),
     "q_phrase_topk" -> ((s, d) => TextAnalysis.phraseTopK(documents(s, d))),
     "q_phrase_saved" -> ((s, d) =>
@@ -292,6 +293,8 @@ object SparkEntry {
     "q_stream_sq8" -> ((s, d) => streaming.StreamOps.streamSq8(s, d)),
     "q_stream_cms" -> ((s, d) => streaming.StreamOps.streamCmsHeavy(s, d, cmsProbes)),
     "q_stream_anomaly" -> ((s, d) => streaming.StreamOps.streamAnomalyMad(s, d)),
+    "q_stream_phrase_fresh" -> ((s, d) =>
+      streaming.StreamOps.streamPhraseFresh(s, d)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
@@ -1535,6 +1538,9 @@ object SparkEntry {
     // the from-files positional serve is value-identical to inline —
     // oracle shared verbatim (the q_bm25_saved contract with positions)
     "q_phrase_saved" -> phraseOracleSql,
+    // live-maintained positional store serves identically — the
+    // replace-not-duplicate upsert is what the shared hash exercises
+    "q_stream_phrase_fresh" -> phraseOracleSql,
     // late interaction (ColBERT-style): BM25 top-10 shortlist re-scored
     // by MaxSim over hash-derived per-term embeddings — the bm25 chain
     // shared verbatim; cosines through the quant6 law, MaxSim sum as
@@ -1586,6 +1592,37 @@ object SparkEntry {
       ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
         ivfPqRankedFrag(2, 2, "demb", 10L) +
         rerankSuffixSql(15, "demb", 5)),
+    // corpus topic map: trained Lloyd clusters over pooled doc vectors,
+    // labeled by cluster-level rational tf·(N/df) top terms — the
+    // kmeans chain and the posting stats shared verbatim
+    "q_doc_topics" ->
+      ("WITH " + chunkEmbFrag(64, 48, 8, 8) + ",\n" + docVecFrag(8) + ",\n" +
+        kmeansCentChainFrag(2, "demb", "dt") + ",\n" +
+        bm25Frag(10L, 1.2, 0.75) +
+        """,
+          |dtsc AS (
+          |  SELECT e.vec_id, c.clabel,
+          |    -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+          |      + list_dot_product(c.c, c.c) AS s
+          |  FROM demb e CROSS JOIN dtcent2 c),
+          |dta AS (
+          |  SELECT vec_id AS doc_id, clabel AS cluster FROM (
+          |    SELECT vec_id, clabel,
+          |           row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+          |    FROM dtsc) WHERE rk = 1),
+          |dtn AS (SELECT cluster, count(*) AS n_docs FROM dta GROUP BY 1),
+          |dtf AS (SELECT a.cluster, t.term, CAST(sum(t.tf) AS DOUBLE) AS stf
+          |        FROM btf t JOIN dta a ON a.doc_id = t.doc_id GROUP BY 1,2),
+          |dtww AS (SELECT w.cluster, w.term,
+          |                w.stf * bst.n_docs / CAST(d.df AS DOUBLE) AS wt
+          |         FROM dtf w JOIN bdfr d USING (term) CROSS JOIN bst),
+          |dtr AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          |               ORDER BY wt DESC, term) AS trk
+          |        FROM dtww)
+          |SELECT r.cluster, n.n_docs, CAST(r.trk AS BIGINT) AS term_rank, r.term,
+          |       floor(r.wt * 1000000.0 + 0.5) / 1000000.0 AS weight
+          |FROM dtr r JOIN dtn n USING (cluster)
+          |WHERE r.trk <= 3 ORDER BY cluster, term_rank""".stripMargin),
     // hybrid at index scale: BM25 fused with the doc-tier IVF-PQ
     // rerank serve — the ADC chain, the exact re-rank, and the BM25
     // chain all shared verbatim with their standalone queries

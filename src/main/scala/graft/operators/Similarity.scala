@@ -2014,6 +2014,55 @@ object Similarity {
     rankedTopK(scored, k, "maxsim")
   }
 
+  /** CORPUS TOPIC MAP (q_doc_topics) — unsupervised topic clustering
+    * over the pooled document vectors: the trained Lloyd codebook (the
+    * same k-means chain every IVF index here shares) partitions the
+    * corpus into semantic clusters, and each cluster is LABELED by its
+    * top-`perCluster` terms under the cluster-level rational tf·(N/df)
+    * weight — the corpus cartography pass (dataset cards, mixture
+    * design, drift review) a curation pipeline runs between embedding
+    * and training. The embedding tier decides membership; the lexical
+    * tier explains it.
+    *
+    * Scale shape: clustering is the codebook-broadcast Lloyd loop
+    * (codebook-sized state, corpus-parallel assignment); the labeling
+    * join keys postings on doc_id (corpus hash join — no broadcast
+    * taken or needed); the term-rank window partitions by cluster over
+    * CLUSTER-TERM rows — vocabulary-bounded, not corpus-bounded, so a
+    * few clusters cannot serialize the corpus. Determinism: the Lloyd
+    * chain is the established decimal-exact device; the weight is one
+    * multiply one divide on exact integers (IEEE-identical), emitted
+    * through the quant6 law; ties rank by term.
+    */
+  def docTopics(documents: DataFrame, trainIters: Int = 2,
+                perCluster: Int = 3): DataFrame = {
+    val dv = docVectors(documents)
+    val cents = trainedCodebook(dv, trainIters)
+    val assigned = assignedVectors(dv, cents)
+      .select(col("vec_id").as("doc_id"), col("assigned").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+    val tf = graft.operators.TextAnalysis.docPostings(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val stats = tf.agg(count_distinct(col("doc_id")).cast("double").as("nd"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(assigned, "doc_id")
+      .groupBy("cluster", "term").agg(sum(col("tf")).as("stf"))
+      .join(dfr, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        col("stf").cast("double") * col("nd") / col("df").cast("double"))
+    val wr = Window.partitionBy("cluster").orderBy(col("w").desc, col("term"))
+    w.withColumn("term_rank", row_number().over(wr).cast("long"))
+      .filter(col("term_rank") <= perCluster)
+      .join(broadcast(sizes), "cluster")
+      .select(col("cluster"), col("n_docs"), col("term_rank"), col("term"),
+        quant6(col("w")).as("weight"))
+      .orderBy("cluster", "term_rank")
+  }
+
   /** Retrieval evaluation harness (q_retrieval_eval): recall@k and
     * MRR@k for each retrieval tier — BM25 lexical, Dirichlet query
     * likelihood, pooled-vector cosine, hybrid RRF, 3-way RRF,

@@ -427,20 +427,29 @@ object TextAnalysis {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
-  /** Build the positional index to files, then serve the phrase workload
-    * from the artifacts — no corpus tokenization on the serve path (the
-    * query bigrams still derive from the query documents; a deployment
-    * would take them from the request). Shares q_phrase_topk's oracle
-    * verbatim: the deployed phrase plan must lose nothing vs inline.
+  /** Serve the phrase workload from saved positional artifacts — no
+    * corpus tokenization on the serve path (the query bigrams still
+    * derive from the query documents; a deployment would take them from
+    * the request). Also the serve stage of the streaming-maintained
+    * store ([[graft.streaming.StreamOps.streamPhraseFresh]]).
+    */
+  def searchPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, documents: DataFrame,
+                            nQueries: Long = 10, k: Int = 5): DataFrame =
+    phraseFromPositions(
+      spark.read.parquet(dir).select("doc_id", "pos", "term"),
+      phraseQueries(documents, nQueries), k)
+
+  /** Build the positional index to files, then serve from the artifacts.
+    * Shares q_phrase_topk's oracle verbatim: the deployed phrase plan
+    * must lose nothing vs inline.
     */
   def phraseSavedRoundtrip(spark: org.apache.spark.sql.SparkSession,
                            documents: DataFrame, nQueries: Long = 10,
                            k: Int = 5): DataFrame = {
     val dir = newStoreDir()
     buildPositionalIndex(documents, dir)
-    phraseFromPositions(
-      spark.read.parquet(dir).select("doc_id", "pos", "term"),
-      phraseQueries(documents, nQueries), k)
+    searchPositionalIndex(spark, dir, documents, nQueries, k)
   }
 
   /** CURRICULUM SCHEDULE (q_curriculum) — the phase plan of a

@@ -1068,6 +1068,28 @@ class SimilaritySpec extends SparkSpec {
       "MMR trajectory diverged from the greedy reference")
   }
 
+  test("docTopics: clusters partition the tokenized corpus, labels rank by weight") {
+    val docs = Tables.documents(spark, sf0001)
+    val topics = Similarity.docTopics(docs).collect()
+    assert(topics.nonEmpty)
+    val nTokenized = docs
+      .filter(org.apache.spark.sql.functions.size(
+        graft.operators.TextAnalysis.tokens(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    val sizes = topics.map(r =>
+      r.getAs[Int]("cluster") -> r.getAs[Long]("n_docs")).toMap
+    assert(sizes.values.sum === nTokenized,
+      "cluster sizes must partition the tokenized corpus")
+    topics.groupBy(_.getAs[Int]("cluster")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("term_rank"))
+      assert(sorted.map(_.getAs[Long]("term_rank")).toSeq ===
+        (1L to sorted.length.toLong).toSeq)
+      val ws = sorted.map(_.getAs[Double]("weight")).toSeq
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+        "label weights must descend within a cluster")
+    }
+  }
+
   test("retrievalNdcg: the truth tier scores exactly 1, every tier lands in [0,1]") {
     val docs = Tables.documents(spark, sf0001)
     val rows = Similarity.retrievalNdcg(docs).collect()

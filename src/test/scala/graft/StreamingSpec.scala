@@ -475,6 +475,18 @@ class StreamingSpec extends SparkSpec {
       "incrementally-maintained dimension diverged from the batch build")
   }
 
+  test("streaming positional upsert serves the phrase workload identically to inline") {
+    val docs = Tables.documents(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("n_phrase"))).toSet
+    // the staged replay re-delivers every third doc — a duplicate
+    // position row would double its phrase counts and break equality
+    assert(rows(StreamOps.streamPhraseFresh(spark, sf0001)) ===
+      rows(graft.operators.TextAnalysis.phraseTopK(docs)),
+      "live-maintained positional store diverged from the offline build")
+  }
+
   test("streaming anomaly census equals the batch MAD scorer (additive counts law)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("event_type"), r.getAs[Long]("rk"),
