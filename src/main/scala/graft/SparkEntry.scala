@@ -137,6 +137,8 @@ object SparkEntry {
     "q_span_corrupt" -> ((s, d) => TextAnalysis.spanCorruption(documents(s, d))),
     "q_curriculum" -> ((s, d) => TextAnalysis.curriculumSchedule(documents(s, d))),
     "q_denoise_manifest" -> ((s, d) => TextAnalysis.denoiseManifest(documents(s, d))),
+    "q_snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(documents(s, d))),
+    "q_dataset_card" -> ((s, d) => Pipeline.datasetCard(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -1200,6 +1202,62 @@ object SparkEntry {
         |       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
         |       max(n_tok) AS max_doc_tokens
         |FROM c GROUP BY 1,2 ORDER BY lang, bin""".stripMargin,
+    // snapshot diff: full-outer content-hash compare of two derived
+    // snapshots (A lacks %7=0 → added; B lacks %11=0 → removed; B
+    // revises %5=0 → changed) — census per lang with char-mass deltas,
+    // all integer/md5
+    "q_snapshot_diff" ->
+      """WITH sda AS (
+        |  SELECT doc_id, lang, md5(text) AS h,
+        |         CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |sdb AS (
+        |  SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
+        |    CAST(length(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS BIGINT) AS nc
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |sdj AS (
+        |  SELECT
+        |    CASE WHEN a.h IS NULL THEN 'added'
+        |         WHEN b.h IS NULL THEN 'removed'
+        |         WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END AS change_type,
+        |    coalesce(b.lang, a.lang) AS lang,
+        |    coalesce(b.nc, 0) - coalesce(a.nc, 0) AS dnc
+        |  FROM sda a FULL OUTER JOIN sdb b USING (doc_id))
+        |SELECT change_type, lang, count(*) AS n_docs,
+        |       CAST(sum(dnc) AS BIGINT) AS delta_chars
+        |FROM sdj GROUP BY 1,2 ORDER BY change_type, lang""".stripMargin,
+    // dataset card: one-pass corpus/lang/source census, exact BIGINTs only
+    "q_dataset_card" ->
+      """WITH dcb AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         t -> t <> '')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dcc AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |         CAST(sum(n_chars) AS BIGINT) AS nch,
+        |         count(DISTINCT lang) AS n_langs,
+        |         count(DISTINCT source) AS n_sources,
+        |         max(n_tok) AS max_doc_tokens,
+        |         CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs
+        |  FROM dcb),
+        |dcr AS (
+        |  SELECT 'corpus' AS section, 'n_docs' AS card_key, n_docs AS value FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_tokens', n_tokens FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_chars', nch FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_langs', n_langs FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_sources', n_sources FROM dcc
+        |  UNION ALL SELECT 'corpus', 'max_doc_tokens', max_doc_tokens FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_empty_docs', n_empty_docs FROM dcc
+        |  UNION ALL SELECT 'corpus', 'n_dup_content_docs',
+        |    CAST(coalesce((SELECT sum(n) FROM
+        |      (SELECT count(*) AS n FROM dcb GROUP BY h) t WHERE n > 1), 0) AS BIGINT)
+        |  UNION ALL SELECT 'lang', lang, count(*) FROM dcb GROUP BY lang
+        |  UNION ALL SELECT 'source', source, count(*) FROM dcb GROUP BY source)
+        |SELECT section, card_key, CAST(value AS BIGINT) AS value
+        |FROM dcr ORDER BY section, card_key""".stripMargin,
     // curriculum schedule: quality-ranked docs cut into 4 equal phases —
     // composite through the quant6 law (it feeds ordering + the mean),
     // phase = (4·(rk−1)) DIV N, DECIMAL means

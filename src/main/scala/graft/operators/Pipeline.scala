@@ -265,4 +265,102 @@ object Pipeline {
         "_rk", "cum_before", col("n_tok"), col("doc_id")))
       .withColumn("bin", expr(s"cum_before DIV $budget"))
   }
+
+  /** SNAPSHOT DIFF census (q_snapshot_diff) — the between-crawls audit a
+    * curation pipeline runs before reprocessing: two corpus snapshots
+    * compared by content hash into added / removed / changed / unchanged
+    * classes per language, with the character-mass delta. Here the two
+    * snapshots derive deterministically from the one driver table (A
+    * lacks doc_id % 7 = 0 — those arrive in B as `added`; B lacks
+    * doc_id % 11 = 0 — those read as `removed`; B revises doc_id % 5 = 0
+    * by an appended marker — `changed`) so all four classes are
+    * populated; the diff operator itself is snapshot-agnostic:
+    * [[snapshotDiffFrames]] takes any two (doc_id, lang, text) frames.
+    *
+    * Scale shape: one full-outer hash join on doc_id (both sides
+    * hash-partitioned; at 100 TB this is the canonical co-partitioned
+    * merge) carrying only (doc_id, lang, md5, n_chars) — text never
+    * crosses the shuffle — then a |classes|·|langs| census agg. All
+    * integer/md5 arithmetic.
+    */
+  def snapshotDiff(documents: DataFrame): DataFrame = {
+    val a = documents.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val b = documents.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    snapshotDiffFrames(a, b)
+  }
+
+  private[graft] def snapshotDiffFrames(a: DataFrame,
+                                        b: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, p: String): DataFrame =
+      df.select(col("doc_id"), col("lang").as(s"${p}_lang"),
+        md5(col("text")).as(s"${p}_h"),
+        length(col("text")).cast("long").as(s"${p}_nc"))
+    keyed(a, "a").join(keyed(b, "b"), Seq("doc_id"), "full_outer")
+      .select(
+        when(col("a_h").isNull, lit("added"))
+          .when(col("b_h").isNull, lit("removed"))
+          .when(col("a_h") =!= col("b_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"),
+        coalesce(col("b_lang"), col("a_lang")).as("lang"),
+        (coalesce(col("b_nc"), lit(0L)) - coalesce(col("a_nc"), lit(0L)))
+          .as("dnc"))
+      .groupBy("change_type", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dnc")).as("delta_chars"))
+      .orderBy("change_type", "lang")
+  }
+
+  /** DATASET CARD census (q_dataset_card) — the one-pass summary table a
+    * corpus release ships (HuggingFace dataset-card numbers, computed
+    * not hand-written): corpus-level counts plus per-language and
+    * per-source document counts, emitted as (section, key, value) rows.
+    * Every value is an exact BIGINT (counts and sums only — ratios are
+    * one division away for the reader and would be the only float in an
+    * otherwise exact census).
+    *
+    * Scale shape: one tokenize scan feeds a corpus-level aggregate and
+    * two small group-bys; the duplicate count reuses the content-hash
+    * groupBy the exact-dedup operator runs. Census size = 7 + |langs| +
+    * |sources| rows.
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val base = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val corpus = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      max(col("n_tok")).as("max_doc_tokens"),
+      sum(when(col("n_tok") === 0, 1L).otherwise(0L)).as("n_empty_docs"))
+    val corpusRows = corpus.selectExpr(
+      "stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'n_langs', n_langs, " +
+        "'n_sources', n_sources, 'max_doc_tokens', max_doc_tokens, " +
+        "'n_empty_docs', n_empty_docs) AS (card_key, value)")
+      .select(lit("corpus").as("section"), col("card_key"), col("value"))
+    val dupRows = base.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("value"))
+      .select(lit("corpus").as("section"),
+        lit("n_dup_content_docs").as("card_key"), col("value"))
+    val langRows = base.groupBy(col("lang").as("card_key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("lang").as("section"), col("card_key"), col("value"))
+    val srcRows = base.groupBy(col("source").as("card_key"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("source").as("section"), col("card_key"), col("value"))
+    corpusRows.unionByName(dupRows).unionByName(langRows)
+      .unionByName(srcRows)
+      .orderBy("section", "card_key")
+  }
 }

@@ -701,6 +701,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids.contains(22L) && ids.contains(21L))
   }
 
+  test("snapshotDiff: classes match the derivation law, deltas carry the revision mass") {
+    val docs = Tables.documents(spark, sf0001)
+    val byClass = graft.operators.Pipeline.snapshotDiff(docs).collect()
+      .groupBy(_.getAs[String]("change_type"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(byClass("added") === ids.count(i => i % 7 == 0 && i % 11 != 0))
+    assert(byClass("removed") === ids.count(i => i % 7 != 0 && i % 11 == 0))
+    assert(byClass("changed") ===
+      ids.count(i => i % 5 == 0 && i % 7 != 0 && i % 11 != 0))
+    assert(byClass("unchanged") ===
+      ids.count(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0))
+    // every revised doc gained exactly the 5-char marker
+    val changedDelta = graft.operators.Pipeline.snapshotDiff(docs).collect()
+      .filter(_.getAs[String]("change_type") == "changed")
+      .map(_.getAs[Long]("delta_chars")).sum
+    assert(changedDelta === 5L * byClass("changed"))
+  }
+
+  test("datasetCard: corpus counts cross-check the table, sections complete") {
+    val docs = Tables.documents(spark, sf0001)
+    val card = graft.operators.Pipeline.datasetCard(docs).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("card_key")) ->
+        r.getAs[Long]("value")).toMap
+    assert(card(("corpus", "n_docs")) === docs.count())
+    assert(card(("corpus", "n_langs")) ===
+      docs.select("lang").distinct().count())
+    // per-lang rows sum back to the corpus
+    val langSum = card.collect { case (("lang", _), v) => v }.sum
+    assert(langSum === card(("corpus", "n_docs")))
+    val srcSum = card.collect { case (("source", _), v) => v }.sum
+    assert(srcSum === card(("corpus", "n_docs")))
+  }
+
   test("phrase serve from the positional store equals inline (one artifact, positions included)") {
     val docs = Tables.documents(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
