@@ -50,6 +50,7 @@ object SparkEntry {
     "q_resample_interp" -> ((s, d) => Events.resampleInterp(events(s, d))),
     "q_rolling_features" -> ((s, d) => Events.rollingFeatures(events(s, d))),
     "q_winsorize" -> ((s, d) => Events.winsorize(events(s, d))),
+    "q_ewma" -> ((s, d) => Events.ewmaSmooth(events(s, d))),
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
@@ -139,6 +140,9 @@ object SparkEntry {
     "q_denoise_manifest" -> ((s, d) => TextAnalysis.denoiseManifest(documents(s, d))),
     "q_snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(documents(s, d))),
     "q_dataset_card" -> ((s, d) => Pipeline.datasetCard(documents(s, d))),
+    "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
+    "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
+    "q_kfold" -> ((s, d) => TextAnalysis.kfoldAssign(documents(s, d))),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -258,6 +262,7 @@ object SparkEntry {
     "q_nb_calibration" -> ((s, d) => TextAnalysis.nbCalibration(documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(documents(s, d))),
     "q_pagerank_terms" -> ((s, d) => TextAnalysis.pagerankTerms(documents(s, d))),
+    "q_triangles" -> ((s, d) => TextAnalysis.triangleCensus(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
     "q_mixture_temp" -> ((s, d) =>
@@ -642,6 +647,7 @@ object SparkEntry {
         |         / 1000000.0 AS sum_clipped,
         |       min(p05) AS p05, min(p95) AS p95
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_ewma" -> ewmaOracleSql(8),
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,
@@ -1258,6 +1264,64 @@ object SparkEntry {
         |  UNION ALL SELECT 'source', source, count(*) FROM dcb GROUP BY source)
         |SELECT section, card_key, CAST(value AS BIGINT) AS value
         |FROM dcr ORDER BY section, card_key""".stripMargin,
+    // PII scrub census: doc_id-keyed plants (email %3, IPv4 %5, phone %7)
+    // make every class appear; patterns are the shared java-regex ∩ RE2
+    // literals (TextAnalysis.EmailRe/Ipv4Re/PhoneRe); counts are
+    // non-overlapping match counts, lengths exact integers
+    "q_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, lang,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+        |         || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS ptext
+        |  FROM documents),
+        |pic AS (
+        |  SELECT lang, ptext,
+        |    len(regexp_extract_all(ptext,
+        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_em,
+        |    len(regexp_extract_all(ptext,
+        |        '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
+        |    len(regexp_extract_all(ptext,
+        |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_ph,
+        |    regexp_replace(regexp_replace(regexp_replace(ptext,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM pii)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_em > 0 OR n_ip > 0 OR n_ph > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+        |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+        |  CAST(sum(n_ph) AS BIGINT) AS n_phones,
+        |  CAST(sum(length(ptext) - length(red)) AS BIGINT) AS chars_redacted
+        |FROM pic GROUP BY 1 ORDER BY lang""".stripMargin,
+    // bottom-k coordinated sample: k smallest content hashes per lang,
+    // doc_id tie-break — rand()-free, engine-stable
+    "q_bottomk_sample" ->
+      """WITH bks AS (
+        |  SELECT lang, doc_id, md5(text) AS h,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+        |FROM bks WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    // k-fold: content-hash routing (the md5-mod law on text) so exact
+    // duplicates co-fold; census is one scan + agg
+    "q_kfold" ->
+      """WITH kf AS (
+        |  SELECT ('0x' || substr(md5(text),1,15))::UBIGINT::BIGINT % 5 AS fold,
+        |         lang, md5(text) AS h, n_chars
+        |  FROM documents)
+        |SELECT fold, lang, count(*) AS n_docs,
+        |       count(DISTINCT h) AS n_contents,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM kf GROUP BY 1,2 ORDER BY fold, lang""".stripMargin,
     // curriculum schedule: quality-ranked docs cut into 4 equal phases —
     // composite through the quant6 law (it feeds ordering + the mean),
     // phase = (4·(rk−1)) DIV N, DECIMAL means
@@ -2732,6 +2796,52 @@ object SparkEntry {
     // damped update re-quantized each step (the SQL twin of
     // TextAnalysis.pagerankTerms' localCheckpoint loop)
     "q_pagerank_terms" -> pagerankOracleSql(4, 5L, 3, 20),
+    // triangle census: degree-ordered orientation — each triangle closes
+    // at its lowest-(deg, name) vertex exactly once; corners unioned for
+    // per-node counts; cc is one integer ratio
+    "q_triangles" ->
+      """WITH trb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |trt AS MATERIALIZED (
+        |  SELECT doc_id, pos, toks[pos] AS t FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+        |    FROM trb)),
+        |tre AS MATERIALIZED (
+        |  SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2
+        |  FROM trt a JOIN trt b ON a.doc_id = b.doc_id
+        |       AND b.pos > a.pos AND b.pos <= a.pos + 4 AND a.t <> b.t
+        |  GROUP BY 1,2 HAVING count(*) >= 5),
+        |trd AS MATERIALIZED (
+        |  SELECT t, count(*) AS deg FROM (
+        |    SELECT t1 AS t FROM tre UNION ALL SELECT t2 FROM tre)
+        |  GROUP BY 1),
+        |tro AS MATERIALIZED (
+        |  SELECT CASE WHEN d1 <= d2 THEN t1 ELSE t2 END AS src,
+        |         CASE WHEN d1 <= d2 THEN t2 ELSE t1 END AS dst
+        |  FROM (SELECT e.t1, e.t2, da.deg AS d1, db.deg AS d2
+        |        FROM tre e JOIN trd da ON da.t = e.t1
+        |             JOIN trd db ON db.t = e.t2)),
+        |trtri AS (
+        |  SELECT x.src AS u, x.dst AS v, y.dst AS w
+        |  FROM tro x JOIN tro y ON x.src = y.src AND x.dst < y.dst
+        |       JOIN tre ON tre.t1 = x.dst AND tre.t2 = y.dst),
+        |trc AS (
+        |  SELECT t, count(*) AS n_tri FROM (
+        |    SELECT u AS t FROM trtri UNION ALL SELECT v FROM trtri
+        |    UNION ALL SELECT w FROM trtri)
+        |  GROUP BY 1),
+        |trf AS (
+        |  SELECT c.t AS term, c.n_tri, d.deg,
+        |         round(2.0 * c.n_tri / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+        |           AS local_cc,
+        |         row_number() OVER (ORDER BY c.n_tri DESC, c.t) AS rk
+        |  FROM trc c JOIN trd d ON d.t = c.t)
+        |SELECT CAST(rk AS BIGINT) AS rank, term, CAST(n_tri AS BIGINT) AS n_tri,
+        |       CAST(deg AS BIGINT) AS deg, local_cc
+        |FROM trf WHERE rk <= 20 ORDER BY rank""".stripMargin,
     // DSIR importance weights: hashed unigram+bigram features, target =
     // Gopher-pass train docs, raw = all train docs; weight = sum of
     // surprisal differences; top-100 by (weight, doc_id) selected
@@ -3254,6 +3364,53 @@ object SparkEntry {
     * contribution r/deg through the quant6 law, DECIMAL(18,6) per-node
     * sum, damped update 0.15/N + 0.85·Σ re-quantized.
     */
+  // EWMA twin: the ffill-grid CTE, then span lag terms — each weighted
+  // product and each present weight through the quant6 law, accumulated
+  // as DECIMAL(18,6) (the order-exact sum), one final division (the SQL
+  // mirror of Events.ewmaSmooth; weights are exact dyadic-decimal
+  // literals from Events.ewmaWeights)
+  private def ewmaOracleSql(span: Int): String = {
+    val wts = Events.ewmaWeights(span)
+    def lagOf(i: Int) = if (i == 0) "v_us" else s"lag(v_us, $i) OVER w"
+    // weights cast to DOUBLE up front — DuckDB parses the bare decimal
+    // literal as DECIMAL and overflows the fixed-point multiply
+    val num = (0 until span).map { i =>
+      s"""CAST(CASE WHEN ${lagOf(i)} IS NOT NULL THEN
+         |  floor(CAST(${wts(i)} AS DOUBLE) * CAST(${lagOf(i)} AS DOUBLE)
+         |        / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+         |  ELSE 0.0 END AS DECIMAL(18,6))""".stripMargin
+    }.mkString("\n + ")
+    val den = (0 until span).map { i =>
+      s"""CAST(CASE WHEN ${lagOf(i)} IS NOT NULL THEN
+         |  floor(CAST(${wts(i)} AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         |  ELSE 0.0 END AS DECIMAL(18,6))""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+       |obs AS (
+       |  SELECT user_id, slot, value AS v FROM (
+       |    SELECT user_id, us // 3600000000 AS slot, value,
+       |           row_number() OVER (PARTITION BY user_id, us // 3600000000
+       |                              ORDER BY us DESC, event_id DESC) AS rk
+       |    FROM e) WHERE rk = 1),
+       |sp AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS slot FROM sp),
+       |j AS (SELECT g.user_id, g.slot, o.v FROM grid g
+       |      LEFT JOIN obs o ON g.user_id = o.user_id AND g.slot = o.slot),
+       |g2 AS (
+       |  SELECT user_id, slot * 3600000000 AS slot_us,
+       |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot
+       |                                     ROWS UNBOUNDED PRECEDING) AS value_ffill
+       |  FROM j),
+       |b AS (SELECT user_id, slot_us, value_ffill,
+       |        CAST(floor(value_ffill * 1000000.0 + 0.5) AS BIGINT) AS v_us
+       |      FROM g2)
+       |SELECT user_id, slot_us, value_ffill,
+       |  round(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE), 6) AS ewma
+       |FROM b
+       |WINDOW w AS (PARTITION BY user_id ORDER BY slot_us)
+       |ORDER BY user_id, slot_us""".stripMargin
+  }
+
   private def pagerankOracleSql(window: Int, minCount: Long, iters: Int,
                                 topK: Int): String = {
     val steps = (1 to iters).map { i =>

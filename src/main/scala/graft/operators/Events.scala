@@ -932,6 +932,60 @@ object Events {
       .orderBy("user_id", "slot_us")
   }
 
+  /** EXPONENTIALLY weighted moving average over the resampled series
+    * (q_ewma): per (user, hour), the trailing `span`-slot EWMA with
+    * decay 0.75 — the smoother a metrics/feature pipeline reaches for
+    * when a plain moving average lags too far behind level shifts
+    * (recent slots dominate; the window still bounds state). The
+    * normalization re-weights by the sum of the weights actually
+    * present, so the series head (fewer than `span` trailing slots)
+    * is an average of what exists, not damped toward zero — the
+    * `adjust=True` convention.
+    *
+    * Scale shape: the [[resampledGrid]] passes plus `span` LAG
+    * expressions over ONE window keyed on the series key — a single
+    * shuffle shared with the grid's forward fill, per-task state
+    * bounded at `span` rows, no frame re-scan (lag is O(1) per row).
+    *
+    * Determinism: values enter as exact integer micros; each weighted
+    * term w_i·v and each present weight w_i passes the quant6 law and
+    * accumulates as DECIMAL(18,6) (order-exact — a double sum of
+    * 1e-6 multiples is not), so numerator and denominator are
+    * bit-identical cross-engine; the final division is one IEEE op,
+    * display-rounded. Weights 0.75^i are dyadic rationals emitted as
+    * exact decimal literals on both sides — no pow() anywhere.
+    */
+  def ewmaSmooth(events: DataFrame, span: Int = 8): DataFrame = {
+    import Similarity.quant6
+    val w = Window.partitionBy("user_id").orderBy("slot_us")
+    val wts = ewmaWeights(span)
+    val grid = resampledGrid(events)
+      .withColumn("v_us",
+        expr("CAST(floor(value_ffill * 1000000.0 + 0.5) AS BIGINT)"))
+    val terms = (0 until span).map { i =>
+      val lagv = lag(col("v_us"), i).over(w)
+      val wt = lit(wts(i))
+      (when(lagv.isNotNull,
+          quant6(wt * lagv.cast("double") / lit(1e6)))
+         .otherwise(lit(0.0)).cast("decimal(18,6)"),
+       when(lagv.isNotNull, quant6(wt))
+         .otherwise(lit(0.0)).cast("decimal(18,6)"))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    grid
+      .withColumn("ewma", round(num.cast("double") / den.cast("double"), 6))
+      .select(col("user_id"), col("slot_us"), col("value_ffill"), col("ewma"))
+      .orderBy("user_id", "slot_us")
+  }
+
+  /** 0.75^i for i < span as exact doubles (dyadic rationals — every
+    * product is exactly representable; `toString` round-trips them as
+    * exact decimal literals for the SQL twin). */
+  def ewmaWeights(span: Int): Seq[Double] =
+    Iterator.iterate(BigDecimal(1))(_ * BigDecimal("0.75"))
+      .take(span).map(_.toDouble).toSeq
+
   /** Point-in-time dimension lookup (q_scd2_lookup): each purchase
     * joined to the [[scd2]] version valid ONE HOUR BEFORE it — "what
     * was the user doing an hour before buying", the temporal join a

@@ -2047,4 +2047,185 @@ object TextAnalysis {
       .withColumn("selected", (col("_cum_before") < col("budget")).cast("int"))
       .drop("_cum_before", "_src_tokens", "_rate_pm")
   }
+
+  /** BOTTOM-K coordinated sample (q_bottomk_sample) — exactly k
+    * documents per language, selected as the k smallest content hashes
+    * (the bottom-k sketch, Cohen & Kaplan 2007): a uniform
+    * without-replacement sample that is reproducible across engines,
+    * runs, and partitionings (no rand()), and COORDINATED — two corpora
+    * sampled this way agree on their shared content, so sample-level
+    * comparisons estimate corpus-level ones (the property that makes
+    * bottom-k sketches composable for diff/Jaccard estimation, and the
+    * exact-k complement to [[stratifiedSample]]'s fraction routing).
+    *
+    * Scale shape: one pruned (doc_id, lang, text) scan; the per-stratum
+    * rank rides [[withGroupedPrefix]] — never a window partitioned by
+    * the handful-of-values lang key. Ties (duplicate content) break on
+    * doc_id, so the sample is total-ordered and stable.
+    */
+  def bottomKSample(documents: DataFrame, k: Int = 50): DataFrame =
+    documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .transform(withGroupedPrefix(Seq("lang"), "rk", "_cum", lit(1L),
+        col("h"), col("doc_id")))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy("lang", "rk")
+
+  /** Content-keyed K-FOLD assignment census (q_kfold) — fold =
+    * md5₆₀(text) mod k, so exact-duplicate content ALWAYS lands in the
+    * same fold and cross-validation never scores a verbatim copy of a
+    * training document (the leakage the decontamination pass hunts,
+    * prevented structurally at split time; doc_id-keyed folds would
+    * scatter duplicates). Census per (fold, lang): docs, distinct
+    * contents, char mass — the balance check before trusting the folds.
+    *
+    * Scale shape: assignment is stateless arithmetic on the content
+    * hash (the [[hashSplit]] routing law, keyed on text instead of id);
+    * one pruned scan into one hash agg.
+    */
+  def kfoldAssign(documents: DataFrame, k: Int = 5): DataFrame =
+    documents.repartition(col("doc_id"))
+      .withColumn("fold", pmod(NearDup.md5Hash60(col("text")), lit(k)))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_contents"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("fold", "lang")
+
+  /** TRIANGLE census over the term co-occurrence graph (q_triangles) —
+    * per-term triangle participation and local clustering coefficient
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the graph statistic that
+    * separates terms sitting inside tight topical cliques from terms
+    * that are merely high-degree hubs ([[pagerankTerms]] ranks
+    * centrality; this ranks cohesion — together they are the standard
+    * first read of any co-occurrence, citation, or host-link graph a
+    * curation pipeline builds). Nodes/edges are [[pmiPairs]]' windowed
+    * co-occurrence graph at the same `minCount` cutoff.
+    *
+    * Scale shape: DEGREE-ORDERED ORIENTATION (Schank & Wagner 2005 /
+    * Cohen's MapReduce formulation) — each undirected edge points from
+    * its lower-(deg, name) endpoint to the higher, so every wedge is
+    * generated at its lowest-degree vertex and each triangle is
+    * counted exactly once, with per-node wedge fan-out bounded by
+    * out-degree ≤ O(√|E|) instead of raw degree (the hub that breaks
+    * naive wedge counting at scale). Three hash joins — wedge
+    * generation shuffles on the wedge center, closure is an equi join
+    * back to the edge list on the canonical (least, greatest) key —
+    * and the final top-k rides [[withGlobalRank]], never a
+    * one-partition window. Determinism: counts are exact integers;
+    * the coefficient is one integer ratio, display-rounded.
+    */
+  def triangleCensus(documents: DataFrame, window: Int = 4,
+                     minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val tp = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val und = tp.as("a").join(tp.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + window &&
+        col("a.t") =!= col("b.t"))
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+              greatest(col("a.t"), col("b.t")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .select("t1", "t2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val deg = und.select(col("t1").as("t"))
+      .unionByName(und.select(col("t2").as("t")))
+      .groupBy("t").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // orient low-(deg, name) → high; t1 < t2 already, so deg ties keep t1
+    val oriented = und
+      .join(deg.select(col("t").as("t1"), col("deg").as("d1")), "t1")
+      .join(deg.select(col("t").as("t2"), col("deg").as("d2")), "t2")
+      .select(
+        when(col("d1") <= col("d2"), col("t1")).otherwise(col("t2")).as("src"),
+        when(col("d1") <= col("d2"), col("t2")).otherwise(col("t1")).as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("u"), col("x.dst").as("v"),
+              col("y.dst").as("w"))
+    // x.dst < y.dst ⇒ v < w, matching und's canonical t1 < t2 directly
+    val tri = wedges.join(und,
+        col("t1") === col("v") && col("t2") === col("w"))
+      .select("u", "v", "w")
+    val corners = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_tri"))
+    corners.join(deg, "t")
+      .withColumn("local_cc", round(
+        lit(2.0) * col("n_tri") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6))
+      .transform(withGlobalRank("rank", col("n_tri").desc, col("t")))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("t").as("term"), col("n_tri"),
+        col("deg"), col("local_cc"))
+      .orderBy("rank")
+  }
+
+  /** Shared PII pattern literals — one definition so the Spark plan and
+    * the SQL twin can never drift. All three are in the common
+    * java.util.regex ∩ RE2 dialect (character classes, bounded repeats,
+    * `\b`), matched case-insensitively nowhere (corpus text is already
+    * lowercase; plants are lowercase by construction). */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val Ipv4Re = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private[graft] val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction census (q_pii_redact) — the scrub pass
+    * every released training corpus runs before anything else ships
+    * (C4 and Dolma both regex-scrub emails/IPs/phones): per language,
+    * how many documents carry each PII class, total entities found,
+    * and the character mass the typed-placeholder rewrite
+    * (`<EMAIL>`/`<IP>`/`<PHONE>`) removes. The corpus is derived — the
+    * synthetic text carries no PII, so deterministic plants
+    * (doc_id-keyed email/IPv4/phone suffixes) make every class and
+    * the multi-class overlap appear, the [[Pipeline.snapshotDiff]]
+    * device.
+    *
+    * Scale shape: ONE pruned (doc_id, lang, text) scan, all matching
+    * and rewriting as codegen'd regexp expressions (no UDF), one hash
+    * agg on lang — embarrassingly parallel, no second pass for the
+    * redacted length (computed inline). Determinism: counts are
+    * non-overlapping left-to-right match counts (java.util.regex and
+    * RE2 agree on these class/bounded-repeat patterns), lengths are
+    * exact integers.
+    */
+  def piiRedactCensus(documents: DataFrame): DataFrame = {
+    val planted = documents.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0.1"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("ptext"))
+    planted
+      .withColumn("n_em", regexp_count(col("ptext"), lit(EmailRe)))
+      .withColumn("n_ip", regexp_count(col("ptext"), lit(Ipv4Re)))
+      .withColumn("n_ph", regexp_count(col("ptext"), lit(PhoneRe)))
+      .withColumn("red", regexp_replace(regexp_replace(regexp_replace(
+        col("ptext"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_em") > 0 || col("n_ip") > 0 || col("n_ph") > 0)
+          .cast("long")).as("n_docs_pii"),
+        sum(col("n_em").cast("long")).as("n_emails"),
+        sum(col("n_ip").cast("long")).as("n_ips"),
+        sum(col("n_ph").cast("long")).as("n_phones"),
+        sum((length(col("ptext")) - length(col("red"))).cast("long"))
+          .as("chars_redacted"))
+      .orderBy("lang")
+  }
 }

@@ -349,6 +349,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("triangles/ewma/pii wave keeps scalable shapes") {
+    // q_triangles: degree-ordered closure is three hash joins and the
+    // top-k rides the _pid device — a cartesian or a term-led window
+    // would explode on hub terms
+    val pt = planText(SparkEntry.queries("q_triangles")(spark, sf0001))
+    assert(!pt.contains("CartesianProduct"),
+      "triangle closure degenerated to a cartesian")
+    val st = "windowspecdefinition\\([^,)]*".r.findAllIn(pt).toList
+    assert(st.nonEmpty && st.forall(_.contains("_pid")),
+      s"q_triangles: window not _pid-led: $st")
+    CacheRegistry.release()
+    // q_ewma: every lag term and the fill ride user_id windows (the
+    // series key — any other lead would serialize the grid)
+    val pe = planText(SparkEntry.queries("q_ewma")(spark, sf0001))
+    val se = "windowspecdefinition\\([^,)]*".r.findAllIn(pe).toList
+    assert(se.nonEmpty && se.forall(_.contains("user_id")),
+      s"q_ewma: window not user_id-led: $se")
+    CacheRegistry.release()
+    // q_pii_redact: one pruned scan into a hash agg — no join, no
+    // window; the scrub is embarrassingly parallel by construction
+    val pp = planText(SparkEntry.queries("q_pii_redact")(spark, sf0001))
+    assert(!pp.contains("Join"), "pii census grew a join")
+    assert(!pp.contains("windowspecdefinition"), "pii census grew a window")
+    CacheRegistry.release()
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

@@ -187,4 +187,40 @@ class TemporalSpec extends SparkSpec {
     assert(spiky.forall(r => r.getAs[Boolean]("is_anomaly") ===
       (math.abs(r.getAs[Double]("rz")) > 3.0)))
   }
+
+  test("ewmaSmooth matches the hand-computed adjust=True EWMA at the series head") {
+    val h = 3600L * 1000000L
+    val ev = syntheticEvents(Seq(
+      (1L, 0L, 1L, "view", 2.0),
+      (2L, h, 1L, "view", 4.0),
+      (3L, 2 * h, 1L, "view", 8.0)))
+    val got = Events.ewmaSmooth(ev).collect()
+      .map(r => (r.getAs[Long]("slot_us"), r.getAs[Double]("ewma"))).toSeq
+    // slot0: 2; slot1: (4 + .75*2)/(1+.75); slot2: (8 + .75*4 + .5625*2)/2.3125
+    assert(got === Seq((0L, 2.0), (h, 3.142857), (2 * h, 5.243243)))
+  }
+
+  test("ewma is a convex combination: bounded by the trailing-span min/max") {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Events.resampleFfill(Tables.events(spark, sf0001))
+    val w = Window.partitionBy("user_id").orderBy("slot_us")
+      .rowsBetween(-7, Window.currentRow)
+    val bounds = grid
+      .withColumn("lo", min("value_ffill").over(w))
+      .withColumn("hi", max("value_ffill").over(w))
+      .select("user_id", "slot_us", "lo", "hi")
+    val joined = Events.ewmaSmooth(Tables.events(spark, sf0001))
+      .join(bounds, Seq("user_id", "slot_us")).collect()
+    assert(joined.length > 1000)
+    joined.foreach { r =>
+      val (e, lo, hi) = (r.getAs[Double]("ewma"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      // quant6 rounds each term to 1e-6, so the convexity bound holds
+      // up to a tolerance RELATIVE to the value scale (the denominator's
+      // weight quantization multiplies through by v)
+      val tol = 1e-4 * (1.0 + math.max(math.abs(lo), math.abs(hi)))
+      assert(e >= lo - tol && e <= hi + tol,
+        s"ewma $e escapes trailing window [$lo, $hi]")
+    }
+  }
 }

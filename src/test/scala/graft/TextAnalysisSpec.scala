@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 /** Semantic invariants of the text-analysis and clickstream-analytics
   * operators whose oracled queries only expose aggregates: funnel
@@ -834,5 +835,100 @@ class TextAnalysisSpec extends SparkSpec {
       (1L to all.length.toLong).toSeq, "global ranks must be dense")
     val scores = byRank.map(_.getAs[Double]("pagerank")).toSeq
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("triangleCensus counts each triangle once and excludes non-participants") {
+    val sp = spark
+    import sp.implicits._
+    // K3 {a,b,c} plus pendant edge (a,d): one triangle, d never appears
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "a c"), (4L, "a d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.triangleCensus(docs, minCount = 1).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("deg"),
+        r.getAs[Double]("local_cc"))).toSeq
+    // all three corners tie at n_tri=1 -> rank by term; cc(a) = 2/(3*2)
+    assert(got === Seq(
+      (1L, "a", 1L, 3L, 0.333333), (2L, "b", 1L, 2L, 1.0),
+      (3L, "c", 1L, 2L, 1.0)))
+  }
+
+  test("bottomKSample: dense hash-ordered ranks, coordinated across corpus subsets") {
+    val docs = Tables.documents(spark, sf0001)
+    val full = TextAnalysis.bottomKSample(docs, 10).collect()
+    val byLang = full.groupBy(_.getAs[String]("lang"))
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(10L, langSizes(lang)),
+        s"$lang: wrong sample size")
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ===
+        (1L to rows.length.toLong), s"$lang: ranks not dense")
+      val hs = sorted.map(_.getAs[String]("h")).toSeq
+      assert(hs === hs.sorted, s"$lang: sample not hash-ordered")
+    }
+    // coordination: sampling a sub-corpus keeps every full-sample member
+    // that survives the filter, at a rank no worse than before
+    val src = docs.select("source").limit(1).collect()(0).getString(0)
+    val sub = TextAnalysis.bottomKSample(docs.filter(col("source") === src), 10)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+        -> r.getAs[Long]("rk")).toMap
+    val subIds = docs.filter(col("source") === src)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    full.filter(r => subIds(r.getAs[Long]("doc_id"))).foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))
+      assert(sub.contains(key), s"$key dropped from the sub-corpus sample")
+      assert(sub(key) <= r.getAs[Long]("rk"), s"$key rank worsened")
+    }
+  }
+
+  test("kfoldAssign: duplicate content co-folds; folds bounded; census conserves") {
+    val sp = spark
+    import sp.implicits._
+    val dup = "the exact same document text"
+    val docs = Seq(
+      (1L, dup, "xx", 28L), (2L, dup, "xx", 28L),
+      (3L, dup, "xx", 28L), (4L, dup, "xx", 28L),
+      (5L, "first unique text", "en", 17L),
+      (6L, "second unique text", "en", 18L),
+      (7L, "third unique text", "en", 17L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextAnalysis.kfoldAssign(docs, 5).collect()
+    assert(got.forall(r => r.getAs[Long]("fold") >= 0 &&
+      r.getAs[Long]("fold") < 5))
+    assert(got.map(_.getAs[Long]("n_docs")).sum === 7L)
+    // all four identical docs land in ONE (fold, lang=xx) cell
+    val xx = got.filter(_.getAs[String]("lang") === "xx")
+    assert(xx.length === 1, "duplicate content scattered across folds")
+    assert(xx.head.getAs[Long]("n_docs") === 4L)
+    assert(xx.head.getAs[Long]("n_contents") === 1L)
+    assert(xx.head.getAs[Long]("n_chars") === 112L)
+  }
+
+  test("piiRedactCensus finds planted and organic PII per class and language") {
+    val sp = spark
+    import sp.implicits._
+    // ids 1,2,4,8 trigger no plants (coprime to 3/5/7); 15 plants
+    // email (%3) AND ipv4 (%5) onto clean text
+    val docs = Seq(
+      (1L, "write to bob@mail.com now", "en"),
+      (2L, "server 192.168.0.1 down", "en"),
+      (15L, "also clean", "en"),
+      (4L, "call +1-555-1234 today", "fr"),
+      (8L, "clean text here", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.piiRedactCensus(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_docs_pii"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("chars_redacted"))).toSeq
+    // en deltas: bob@mail.com 12->7, 192.168.0.1 11->4,
+    // user15@example.com 18->7 + 10.15.0.1 9->4 = 5+7+16 = 28
+    // fr: +1-555-1234 11->7 = 4
+    assert(got === Seq(
+      ("en", 3L, 3L, 2L, 2L, 0L, 28L),
+      ("fr", 2L, 1L, 0L, 0L, 1L, 4L)))
   }
 }
