@@ -143,6 +143,8 @@ object SparkEntry {
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_kfold" -> ((s, d) => TextAnalysis.kfoldAssign(documents(s, d))),
+    "q_stream_pii" -> ((s, d) => streaming.StreamOps.streamPiiCensus(s, d)),
+    "q_stream_bottomk" -> ((s, d) => streaming.StreamOps.streamBottomK(s, d)),
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
@@ -1267,50 +1269,15 @@ object SparkEntry {
     // PII scrub census: doc_id-keyed plants (email %3, IPv4 %5, phone %7)
     // make every class appear; patterns are the shared java-regex ∩ RE2
     // literals (TextAnalysis.EmailRe/Ipv4Re/PhoneRe); counts are
-    // non-overlapping match counts, lengths exact integers
-    "q_pii_redact" ->
-      """WITH pii AS (
-        |  SELECT doc_id, lang,
-        |    text ||
-        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user'
-        |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
-        |         || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-'
-        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-        |    AS ptext
-        |  FROM documents),
-        |pic AS (
-        |  SELECT lang, ptext,
-        |    len(regexp_extract_all(ptext,
-        |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_em,
-        |    len(regexp_extract_all(ptext,
-        |        '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
-        |    len(regexp_extract_all(ptext,
-        |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_ph,
-        |    regexp_replace(regexp_replace(regexp_replace(ptext,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
-        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
-        |  FROM pii)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN n_em > 0 OR n_ip > 0 OR n_ph > 0
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
-        |  CAST(sum(n_em) AS BIGINT) AS n_emails,
-        |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
-        |  CAST(sum(n_ph) AS BIGINT) AS n_phones,
-        |  CAST(sum(length(ptext) - length(red)) AS BIGINT) AS chars_redacted
-        |FROM pic GROUP BY 1 ORDER BY lang""".stripMargin,
+    // non-overlapping match counts, lengths exact integers. Shared
+    // VERBATIM by the streaming twin (additive per-batch census merge).
+    "q_pii_redact" -> piiRedactOracleSql,
+    "q_stream_pii" -> piiRedactOracleSql,
     // bottom-k coordinated sample: k smallest content hashes per lang,
-    // doc_id tie-break — rand()-free, engine-stable
-    "q_bottomk_sample" ->
-      """WITH bks AS (
-        |  SELECT lang, doc_id, md5(text) AS h,
-        |         row_number() OVER (PARTITION BY lang
-        |                            ORDER BY md5(text), doc_id) AS rk
-        |  FROM documents)
-        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
-        |FROM bks WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    // doc_id tie-break — rand()-free, engine-stable. Shared VERBATIM by
+    // the streaming sketch-merge twin (bottom-k is mergeable).
+    "q_bottomk_sample" -> bottomkOracleSql,
+    "q_stream_bottomk" -> bottomkOracleSql,
     // k-fold: content-hash routing (the md5-mod law on text) so exact
     // duplicates co-fold; census is one scan + agg
     "q_kfold" ->
@@ -3364,6 +3331,55 @@ object SparkEntry {
     * contribution r/deg through the quant6 law, DECIMAL(18,6) per-node
     * sum, damped update 0.15/N + 0.85·Σ re-quantized.
     */
+  // PII census oracle — shared verbatim by q_pii_redact and the
+  // streaming scrub-at-ingest twin q_stream_pii (every column is a
+  // per-document sum, so the per-batch census merges additively)
+  private val piiRedactOracleSql: String =
+    """WITH pii AS (
+      |  SELECT doc_id, lang,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+      |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+      |         || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    AS ptext
+      |  FROM documents),
+      |pic AS (
+      |  SELECT lang, ptext,
+      |    len(regexp_extract_all(ptext,
+      |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_em,
+      |    len(regexp_extract_all(ptext,
+      |        '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS n_ip,
+      |    len(regexp_extract_all(ptext,
+      |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_ph,
+      |    regexp_replace(regexp_replace(regexp_replace(ptext,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+      |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      |  FROM pii)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_em > 0 OR n_ip > 0 OR n_ph > 0
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+      |  CAST(sum(n_em) AS BIGINT) AS n_emails,
+      |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+      |  CAST(sum(n_ph) AS BIGINT) AS n_phones,
+      |  CAST(sum(length(ptext) - length(red)) AS BIGINT) AS chars_redacted
+      |FROM pic GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // bottom-k sample oracle — shared verbatim by q_bottomk_sample and
+  // the streaming sketch-merge twin q_stream_bottomk (bottom-k of a
+  // union = bottom-k of the per-part bottom-k's)
+  private val bottomkOracleSql: String =
+    """WITH bks AS (
+      |  SELECT lang, doc_id, md5(text) AS h,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h
+      |FROM bks WHERE rk <= 50 ORDER BY lang, rk""".stripMargin
+
   // EWMA twin: the ffill-grid CTE, then span lag terms — each weighted
   // product and each present weight through the quant6 law, accumulated
   // as DECIMAL(18,6) (the order-exact sum), one final division (the SQL

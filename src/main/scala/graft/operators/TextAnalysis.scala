@@ -2064,8 +2064,17 @@ object TextAnalysis {
     * doc_id, so the sample is total-ordered and stable.
     */
   def bottomKSample(documents: DataFrame, k: Int = 50): DataFrame =
-    documents.repartition(col("doc_id"))
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+    bottomKFrom(documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h")), k)
+
+  /** The rank-and-cut stage over already-hashed (doc_id, lang, h) rows —
+    * shared by [[bottomKSample]] and the streaming sketch merge
+    * (bottom-k is MERGEABLE: the bottom-k of a union is the bottom-k of
+    * the per-part bottom-k's, so the drained per-batch sketches re-rank
+    * through exactly this code and can never drift from the batch path).
+    */
+  private[graft] def bottomKFrom(hashed: DataFrame, k: Int): DataFrame =
+    hashed
       .transform(withGroupedPrefix(Seq("lang"), "rk", "_cum", lit(1L),
         col("h"), col("doc_id")))
       .filter(col("rk") <= k)

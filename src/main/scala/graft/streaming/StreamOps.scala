@@ -1294,6 +1294,111 @@ object StreamOps {
     graft.operators.Events.anomalyMadFromCounts(merged)
   }
 
+  /** Document stream schema for the language-aware census streams
+    * ([[streamPiiCensus]], [[streamBottomK]] — their operators key on
+    * lang, which [[docSchema]]'s fingerprint-only staging drops). */
+  val langDocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def stageLangDocs(spark: SparkSession, sfDir: String,
+                            nBatches: Int): String =
+    stageRanges(graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang"), "doc_id", nBatches)
+
+  /** STREAMING PII SCRUB CENSUS (q_stream_pii) — the scrub-at-ingest
+    * deployment: each micro-batch runs the SAME census the batch pass
+    * runs ([[graft.operators.TextAnalysis.piiRedactCensus]] — one code
+    * path, zero drift) and lands its per-language counts under a
+    * deterministic batch=N directory (the [[streamAnomalyMad]]
+    * idempotence device: a crash-replayed batch overwrites its own
+    * partial census instead of double-counting). Every census column is
+    * a per-document sum, so the drained store merges additively into a
+    * table bit-identical to the batch census — q_pii_redact's oracle is
+    * shared verbatim.
+    *
+    * 100 TB shape: per-batch state is |langs| rows; the store grows by
+    * census rows, never documents; the merge aggregates the census
+    * table only. This is the shape a compliance monitor actually wants:
+    * PII rates per ingest batch for free (the batch=N dirs ARE the
+    * per-batch report), corpus totals one additive agg away.
+    */
+  def streamPiiCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_pii/$runId/store"
+    val ck = s"$tmp/graft_stream_pii/$runId/ck"
+    val root = stageLangDocs(spark, sfDir, 3)
+    val q = spark.readStream.schema(langDocSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis.piiRedactCensus(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(store).groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_docs_pii").as("n_docs_pii"),
+        sum("n_emails").as("n_emails"),
+        sum("n_ips").as("n_ips"),
+        sum("n_phones").as("n_phones"),
+        sum("chars_redacted").as("chars_redacted"))
+      .orderBy("lang")
+  }
+
+  /** STREAMING BOTTOM-K SAMPLE MAINTENANCE (q_stream_bottomk) — the
+    * mergeable-sketch law live: bottom-k of a union is the bottom-k of
+    * the per-part bottom-k's, so each micro-batch keeps only ITS k
+    * smallest content hashes per language (k·|langs| rows of state, the
+    * whole point of a sketch) and the drained sketches re-rank through
+    * the SAME [[graft.operators.TextAnalysis.bottomKFrom]] cut the
+    * batch sampler uses — the merged sample is exactly the corpus
+    * sample, q_bottomk_sample's oracle shared verbatim. The merge
+    * deduplicates on (lang, doc_id) first: sketch union is a SET union,
+    * so a re-delivered document cannot occupy two ranks.
+    *
+    * 100 TB shape: per-batch cost is the batch's hash scan + its own
+    * tiny rank; the store holds ≤ k·|langs| rows per batch; the final
+    * cut ranks a sketch-sized table, never the corpus.
+    */
+  def streamBottomK(spark: SparkSession, sfDir: String,
+                    k: Int = 50): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_bottomk/$runId/store"
+    val ck = s"$tmp/graft_stream_bottomk/$runId/ck"
+    val root = stageLangDocs(spark, sfDir, 3)
+    val q = spark.readStream.schema(langDocSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis.bottomKSample(batch, k)
+            .select("lang", "doc_id", "h")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.TextAnalysis.bottomKFrom(
+      spark.read.parquet(store).dropDuplicates("lang", "doc_id"), k)
+  }
+
   /** One micro-batch of the CHUNK-STORE UPSERT — the maintenance loop a
     * RAG/embedding store runs as documents are re-crawled: the batch's
     * documents are chunked at ingest, each new chunk is flagged if its

@@ -501,4 +501,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch,
       "drained per-batch bucket counts must merge to the batch census")
   }
+
+  test("streaming PII census equals the batch scrub (per-language additive merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_docs_pii"), r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_ips"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("chars_redacted"))
+    }.toSet
+    assert(rows(StreamOps.streamPiiCensus(spark, sf0001)) ===
+      rows(graft.operators.TextAnalysis.piiRedactCensus(
+        Tables.documents(spark, sf0001))),
+      "drained per-batch PII censuses must merge to the batch scrub")
+  }
+
+  test("streaming bottom-k sketch merge equals the batch sample (mergeability law)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("h"))
+    }.toSet
+    assert(rows(StreamOps.streamBottomK(spark, sf0001)) ===
+      rows(graft.operators.TextAnalysis.bottomKSample(
+        Tables.documents(spark, sf0001))),
+      "merged per-batch bottom-k sketches must equal the corpus sample")
+  }
 }
