@@ -44,6 +44,7 @@ object SparkEntry {
     "q_asof_tolerance" -> ((s, d) => Events.asofPurchaseViewTolerance(events(s, d), 30)),
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
+    "q_attribution" -> ((s, d) => Events.lastTouchAttribution(events(s, d))),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -650,6 +651,33 @@ object SparkEntry {
         |       min(p05) AS p05, min(p95) AS p95
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_ewma" -> ewmaOracleSql(8),
+    // last-touch attribution: user-led sessionization (the q_sessionize
+    // gap law), running last non-purchase touch per session, empty
+    // preceding frame → 'direct'
+    "q_attribution" ->
+      """WITH ae AS (SELECT user_id, event_id, event_type, value,
+        |                   epoch_us(ts) AS us FROM events),
+        |asn AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+        |                   OR lag(us) OVER w IS NULL
+        |            THEN 1 ELSE 0 END AS new_session
+        |  FROM ae WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |ases AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM asn),
+        |atrb AS (
+        |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+        |                       THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id, session_no ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ases)
+        |SELECT coalesce(touch, 'direct') AS attributed,
+        |       count(*) AS n_purchases,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS attributed_value
+        |FROM atrb WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY attributed""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,

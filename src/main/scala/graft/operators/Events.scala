@@ -316,6 +316,47 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** LAST-TOUCH ATTRIBUTION census (q_attribution) — each purchase
+    * credited to the last non-purchase touchpoint inside its own
+    * 30-minute session (the attribution model conversion reporting
+    * defaults to); a purchase with no prior touch in-session is
+    * 'direct'. Completes the clickstream family: [[funnelCounts]]
+    * orders the steps, [[retentionCohorts]] tracks return, session
+    * paths measure transitions — attribution assigns the credit.
+    *
+    * Scale shape: the same user-led sessionization windows as
+    * [[sessionize]] plus one (user, session)-led running last — every
+    * window shards on the user key (cardinality = |users|), the census
+    * is |event_types| rows. Determinism: integer microsecond gaps,
+    * event_id tie-break, value mass in exact DECIMAL(18,2).
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+             lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(wRun))
+    val wSess = Window.partitionBy("user_id", "session_no")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sessioned
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(wSess))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed", coalesce(col("touch"), lit("direct")))
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("attributed_value"))
+      .orderBy("attributed")
+  }
+
   /** Array-operator suite (F8-full) over the synthesized
     * message_event_types tags: sort, distinct-union with a constant tag
     * set, membership position, per-row existential/universal predicates,

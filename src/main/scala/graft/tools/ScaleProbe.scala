@@ -85,6 +85,18 @@ object ScaleProbe {
     }
     time("substr_dedup")(graft.operators.NearDup
       .substringDedup(amplified, 5).count())
+    // triangle closure: degree-ordered orientation bounds wedge fan-out
+    // by out-degree ≤ O(√E) — cost should track the EDGE count (which
+    // grows with minCount survivors), never degree² on hub terms
+    time("triangles")(graft.operators.TextAnalysis
+      .triangleCensus(amplified).count())
+    // PII scrub: one codegen'd regexp scan + lang agg — strictly linear
+    time("pii_redact")(graft.operators.TextAnalysis
+      .piiRedactCensus(amplified).count())
+    // bottom-k sample: the grouped-prefix rank over hashed rows — the
+    // cut is k·|langs| regardless of corpus size; cost = the hash scan
+    time("bottomk")(graft.operators.TextAnalysis
+      .bottomKSample(amplified).count())
     // model-based curation tier: the LM join fan-out (perplexity), the
     // token-keyed NB model join, and the bucketed DSIR broadcast —
     // all should be linear in exploded token/feature count

@@ -188,6 +188,27 @@ class TemporalSpec extends SparkSpec {
       (math.abs(r.getAs[Double]("rz")) > 3.0)))
   }
 
+  test("lastTouchAttribution credits in-session touches; session breaks go direct") {
+    val m = 60L * 1000000L
+    val ev = syntheticEvents(Seq(
+      // user 1: view -> cart -> purchase within one session: cart credited
+      (1L, 0L, 1L, "view", 1.0),
+      (2L, 10 * m, 1L, "cart", 1.0),
+      (3L, 20 * m, 1L, "purchase", 5.0),
+      // user 2: purchase with no prior touch: direct
+      (4L, 0L, 2L, "purchase", 7.0),
+      // user 3: the 40-min gap breaks the session, so the view earns no
+      // credit; the second purchase's only in-session predecessor is a
+      // purchase (filtered from touches): both direct
+      (5L, 0L, 3L, "view", 1.0),
+      (6L, 40 * m, 3L, "purchase", 2.0),
+      (7L, 41 * m, 3L, "purchase", 3.0)))
+    val got = Events.lastTouchAttribution(ev).collect()
+      .map(r => (r.getAs[String]("attributed"), r.getAs[Long]("n_purchases"),
+        r.getAs[Double]("attributed_value"))).toSeq
+    assert(got === Seq(("cart", 1L, 5.0), ("direct", 3L, 12.0)))
+  }
+
   test("ewmaSmooth matches the hand-computed adjust=True EWMA at the series head") {
     val h = 3600L * 1000000L
     val ev = syntheticEvents(Seq(
