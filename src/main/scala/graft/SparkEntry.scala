@@ -45,6 +45,7 @@ object SparkEntry {
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_attribution" -> ((s, d) => Events.lastTouchAttribution(events(s, d))),
+    "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_denoise_manifest" -> ((s, d) => TextAnalysis.denoiseManifest(documents(s, d))),
     "q_snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(documents(s, d))),
     "q_dataset_card" -> ((s, d) => Pipeline.datasetCard(documents(s, d))),
+    "q_sketch_jaccard" -> ((s, d) => Pipeline.sketchJaccard(documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_kfold" -> ((s, d) => TextAnalysis.kfoldAssign(documents(s, d))),
@@ -678,6 +680,25 @@ object SparkEntry {
         |         AS attributed_value
         |FROM atrb WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY attributed""".stripMargin,
+    // seasonal decomposition: hour-of-day means (quant6 — they feed the
+    // residuals), squared residuals quantized then DECIMAL-summed
+    "q_seasonal" ->
+      """WITH sb AS (
+        |  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod, value
+        |  FROM events),
+        |sm AS (
+        |  SELECT event_type, hod, count(*) AS n_events,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS seasonal_mean
+        |  FROM sb GROUP BY 1,2)
+        |SELECT b.event_type, b.hod, CAST(min(s.n_events) AS BIGINT) AS n_events,
+        |  min(s.seasonal_mean) AS seasonal_mean,
+        |  round(CAST(sum(CAST(floor((b.value - s.seasonal_mean)
+        |          * (b.value - s.seasonal_mean) * 1000000.0 + 0.5)
+        |          / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+        |        / min(s.n_events), 6) AS resid_var
+        |FROM sb b JOIN sm s USING (event_type, hod)
+        |GROUP BY 1,2 ORDER BY event_type, hod""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,
@@ -1294,6 +1315,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'source', source, count(*) FROM dcb GROUP BY source)
         |SELECT section, card_key, CAST(value AS BIGINT) AS value
         |FROM dcr ORDER BY section, card_key""".stripMargin,
+    // sketch-estimated snapshot overlap: bottom-64 of the union's
+    // content hashes vs the exact Jaccard from the same flags frame
+    "q_sketch_jaccard" ->
+      """WITH sja AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |             WHERE doc_id % 7 <> 0),
+        |sjb AS (SELECT DISTINCT md5(CASE WHEN doc_id % 5 = 0
+        |          THEN text || ' rev2' ELSE text END) AS h
+        |        FROM documents WHERE doc_id % 11 <> 0),
+        |sjf AS (
+        |  SELECT coalesce(a.h, b.h) AS h,
+        |         CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+        |         CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        |  FROM sja a FULL OUTER JOIN sjb b ON a.h = b.h),
+        |sjs AS (SELECT * FROM sjf ORDER BY h LIMIT 64),
+        |sje AS (SELECT count(*) AS sketch_size,
+        |          sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+        |        FROM sjs),
+        |sjx AS (SELECT count(*) AS n_union,
+        |          sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_inter
+        |        FROM sjf)
+        |SELECT CAST(64 AS BIGINT) AS k, CAST(n_union AS BIGINT) AS n_union,
+        |       round(CAST(n_both AS DOUBLE) / sketch_size, 6) AS jaccard_est,
+        |       round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard_exact
+        |FROM sje CROSS JOIN sjx""".stripMargin,
     // PII scrub census: doc_id-keyed plants (email %3, IPv4 %5, phone %7)
     // make every class appear; patterns are the shared java-regex ∩ RE2
     // literals (TextAnalysis.EmailRe/Ipv4Re/PhoneRe); counts are

@@ -316,6 +316,41 @@ object Events {
       .orderBy("user_id", "session_no")
   }
 
+  /** SEASONAL decomposition census (q_seasonal) — per (event_type,
+    * hour-of-day): the seasonal mean and the residual variance around
+    * it — the additive-seasonality baseline (value = seasonal + residual)
+    * a monitoring pipeline subtracts before thresholding, and the
+    * companion to [[anomalyMad]]: MAD scores rates against a global
+    * median; this scores values against their time-of-day norm, so a
+    * 3 a.m. lull stops reading as an anomaly and a 3 a.m. spike starts.
+    *
+    * Scale shape: one bucket agg (|types|·24 rows) broadcast back onto
+    * one streamed residual pass — two scans, no window, no shuffle
+    * beyond the two group-bys. Determinism: hour-of-day is integer
+    * micros arithmetic (UTC-pinned sessions); the mean divides an exact
+    * DECIMAL(18,2) sum and passes quant6 (it feeds the residuals);
+    * squared residuals quantize then accumulate DECIMAL(18,6).
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    import Similarity.quant6
+    val bucketed = events.select(col("event_type"),
+      (expr("unix_micros(ts) DIV 3600000000") % 24).as("hod"), col("value"))
+    val seasonal = bucketed.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        quant6(sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("seasonal_mean"))
+    bucketed.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .withColumn("r2", quant6(
+        (col("value") - col("seasonal_mean")) *
+        (col("value") - col("seasonal_mean"))))
+      .groupBy("event_type", "hod")
+      .agg(min(col("n_events")).as("n_events"),
+        min(col("seasonal_mean")).as("seasonal_mean"),
+        round(sum(col("r2").cast("decimal(18,6)")).cast("double") /
+          min(col("n_events")), 6).as("resid_var"))
+      .orderBy("event_type", "hod")
+  }
+
   /** LAST-TOUCH ATTRIBUTION census (q_attribution) — each purchase
     * credited to the last non-purchase touchpoint inside its own
     * 30-minute session (the attribution model conversion reporting

@@ -313,6 +313,62 @@ object Pipeline {
       .orderBy("change_type", "lang")
   }
 
+  /** SKETCH-ESTIMATED corpus overlap (q_sketch_jaccard) — the Jaccard
+    * similarity of two snapshots' CONTENT estimated from a bottom-k
+    * sketch of the union (Broder's min-wise estimator in its bottom-k
+    * form, Cohen & Kaplan 2007: among the k smallest hashes of A∪B, the
+    * fraction present in both sides estimates |A∩B|/|A∪B|) — next to
+    * the exact Jaccard from the same frame, so the estimator's error is
+    * part of the output. This is what the [[snapshotDiff]] audit costs
+    * when the snapshots are too big to full-outer join: two k-row
+    * sketches answer "how much did the corpus change" without ever
+    * comparing the corpora. Snapshots derive by the same doc_id laws as
+    * [[snapshotDiff]]; the core is frame-agnostic.
+    *
+    * Scale shape: per side, one pruned scan → distinct content hashes;
+    * the union flags via one hash join on the 32-char key; the sketch
+    * is orderBy+limit — Spark plans TakeOrderedAndProject (a bounded
+    * per-partition top-k, NEVER a global sort); the exact twin is one
+    * count agg over the same flags frame (the part a sketch-only
+    * deployment would drop). Determinism: md5 hex ordering is plain
+    * ASCII in both engines; counts are exact integers.
+    */
+  def sketchJaccard(documents: DataFrame, k: Int = 64): DataFrame = {
+    val a = documents.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val b = documents.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    sketchJaccardFrames(a, b, k)
+  }
+
+  private[graft] def sketchJaccardFrames(a: DataFrame, b: DataFrame,
+                                         k: Int): DataFrame = {
+    def hashes(df: DataFrame): DataFrame =
+      df.select(md5(col("text")).as("h")).distinct()
+    val flags = hashes(a).withColumn("in_a", lit(1))
+      .join(hashes(b).withColumn("in_b", lit(1)), Seq("h"), "full_outer")
+      .select(col("h"), coalesce(col("in_a"), lit(0)).as("in_a"),
+        coalesce(col("in_b"), lit(0)).as("in_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val sketch = flags.orderBy("h").limit(k)
+      .agg(count(lit(1)).as("sketch_size"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+          .as("n_both"))
+    val exact = flags
+      .agg(count(lit(1)).as("n_union"),
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long"))
+          .as("n_inter"))
+    sketch.crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("n_union"),
+        round(col("n_both").cast("double") / col("sketch_size"), 6)
+          .as("jaccard_est"),
+        round(col("n_inter").cast("double") / col("n_union"), 6)
+          .as("jaccard_exact"))
+  }
+
   /** DATASET CARD census (q_dataset_card) — the one-pass summary table a
     * corpus release ships (HuggingFace dataset-card numbers, computed
     * not hand-written): corpus-level counts plus per-language and

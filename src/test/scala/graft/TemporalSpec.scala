@@ -209,6 +209,21 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq(("cart", 1L, 5.0), ("direct", 3L, 12.0)))
   }
 
+  test("seasonalDecompose: hour-of-day means and residual variance (hand oracle)") {
+    val h = 3600L * 1000000L
+    val ev = syntheticEvents(Seq(
+      // hod 0 across two days: values 2 and 4 -> mean 3, var ((1)+(1))/2 = 1
+      (1L, 0L, 1L, "view", 2.0),
+      (2L, 24 * h, 2L, "view", 4.0),
+      // hod 1, single value -> mean 6, var 0
+      (3L, h, 1L, "view", 6.0)))
+    val got = Events.seasonalDecompose(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hod"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("seasonal_mean"),
+        r.getAs[Double]("resid_var"))).toSeq
+    assert(got === Seq(("view", 0L, 2L, 3.0, 1.0), ("view", 1L, 1L, 6.0, 0.0)))
+  }
+
   test("ewmaSmooth matches the hand-computed adjust=True EWMA at the series head") {
     val h = 3600L * 1000000L
     val ev = syntheticEvents(Seq(

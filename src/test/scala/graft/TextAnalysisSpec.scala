@@ -907,6 +907,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(xx.head.getAs[Long]("n_chars") === 112L)
   }
 
+  test("sketchJaccard: estimator is exact when the union fits inside the sketch") {
+    val sp = spark
+    import sp.implicits._
+    // A = {x, y, z}; B = {y, z, w}: union 4, intersection 2 -> J = 0.5.
+    // k = 64 >= |union|, so the sketch IS the union and est == exact.
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val b = Seq((1L, "y"), (2L, "z"), (3L, "w")).toDF("doc_id", "text")
+    val r = graft.operators.Pipeline.sketchJaccardFrames(a, b, 64).head()
+    assert(r.getAs[Long]("n_union") === 4L)
+    assert(r.getAs[Double]("jaccard_est") === 0.5)
+    assert(r.getAs[Double]("jaccard_exact") === 0.5)
+    // undersized sketch: the estimate stays a valid probability and the
+    // full-table exact value is untouched
+    val r2 = graft.operators.Pipeline.sketchJaccardFrames(a, b, 2).head()
+    assert(r2.getAs[Double]("jaccard_exact") === 0.5)
+    val est = r2.getAs[Double]("jaccard_est")
+    assert(est >= 0.0 && est <= 1.0)
+  }
+
   test("piiRedactCensus finds planted and organic PII per class and language") {
     val sp = spark
     import sp.implicits._
