@@ -46,6 +46,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_attribution" -> ((s, d) => Events.lastTouchAttribution(events(s, d))),
     "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
+    "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -143,9 +144,14 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s, d) => Pipeline.snapshotDiff(documents(s, d))),
     "q_dataset_card" -> ((s, d) => Pipeline.datasetCard(documents(s, d))),
     "q_sketch_jaccard" -> ((s, d) => Pipeline.sketchJaccard(documents(s, d))),
+    "q_dist_shift" -> ((s, d) => Pipeline.distShift(documents(s, d))),
+    "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
+    "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
     "q_kfold" -> ((s, d) => TextAnalysis.kfoldAssign(documents(s, d))),
+    "q_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(documents(s, d))),
+    "q_label_prop" -> ((s, d) => TextAnalysis.labelPropagation(documents(s, d))),
     "q_stream_pii" -> ((s, d) => streaming.StreamOps.streamPiiCensus(s, d)),
     "q_stream_bottomk" -> ((s, d) => streaming.StreamOps.streamBottomK(s, d)),
 
@@ -699,6 +705,32 @@ object SparkEntry {
         |        / min(s.n_events), 6) AS resid_var
         |FROM sb b JOIN sm s USING (event_type, hod)
         |GROUP BY 1,2 ORDER BY event_type, hod""".stripMargin,
+    // CUSUM changepoint: scaled integer deviation D_t = T·cum_t − t·S
+    // (exact — the /T happens once at display); argmax ties → min hour
+    "q_cusum" ->
+      """WITH cuh AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+        |  FROM events GROUP BY 1,2),
+        |cup AS (
+        |  SELECT event_type, hr, x,
+        |    row_number() OVER w AS t_idx, sum(x) OVER w AS cum
+        |  FROM cuh WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |cut AS (SELECT event_type, count(*) AS n_hours, sum(x) AS n_events
+        |        FROM cuh GROUP BY 1),
+        |cud AS (
+        |  SELECT p.event_type, p.hr, t.n_hours, t.n_events,
+        |         t.n_hours * p.cum - p.t_idx * t.n_events AS d
+        |  FROM cup p JOIN cut t USING (event_type)),
+        |cum2 AS (SELECT event_type, max(abs(d)) AS absd FROM cud GROUP BY 1)
+        |SELECT d.event_type, CAST(min(d.n_hours) AS BIGINT) AS n_hours,
+        |  CAST(min(d.n_events) AS BIGINT) AS n_events,
+        |  CAST(min(d.hr) AS BIGINT) AS cp_hr,
+        |  CAST(arg_min(CASE WHEN d.d > 0 THEN 1 WHEN d.d < 0 THEN -1
+        |                    ELSE 0 END, d.hr) AS INT) AS cp_sign,
+        |  round(CAST(min(m.absd) AS DOUBLE) / min(d.n_hours), 6) AS cusum_abs
+        |FROM cud d JOIN cum2 m
+        |     ON m.event_type = d.event_type AND abs(d.d) = m.absd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_tumbling" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start_s, event_type,
         |       count(*) AS n_events,
@@ -1362,6 +1394,159 @@ object SparkEntry {
         |       count(DISTINCT h) AS n_contents,
         |       CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM kf GROUP BY 1,2 ORDER BY fold, lang""".stripMargin,
+    // distribution shift: Laplace-smoothed unigram KL/JS between the
+    // snapshotDiff slices — per-term ln() contributions through the
+    // quant6 law into DECIMAL(18,6) sums (the PMI discipline)
+    "q_dist_shift" ->
+      """WITH dsa AS (SELECT lang, text FROM documents WHERE doc_id % 7 <> 0),
+        |dsb AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |               ELSE text END AS text
+        |        FROM documents WHERE doc_id % 11 <> 0),
+        |dfa AS (
+        |  SELECT lang, t, count(*) AS tfa FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t FROM dsa)
+        |  GROUP BY 1,2),
+        |dfb AS (
+        |  SELECT lang, t, count(*) AS tfb FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t FROM dsb)
+        |  GROUP BY 1,2),
+        |dsj AS (
+        |  SELECT coalesce(a.lang, b.lang) AS lang, coalesce(a.t, b.t) AS t,
+        |         coalesce(a.tfa, 0) AS tfa, coalesce(b.tfb, 0) AS tfb
+        |  FROM dfa a FULL OUTER JOIN dfb b ON a.lang = b.lang AND a.t = b.t),
+        |dstt AS (SELECT lang, sum(tfa) AS na, sum(tfb) AS nb,
+        |                count(*) AS v
+        |         FROM dsj GROUP BY 1),
+        |dsp AS (
+        |  SELECT j.lang,
+        |    CAST(j.tfa + 1 AS DOUBLE) / CAST(t.na + t.v AS DOUBLE) AS pa,
+        |    CAST(j.tfb + 1 AS DOUBLE) / CAST(t.nb + t.v AS DOUBLE) AS pb
+        |  FROM dsj j JOIN dstt t USING (lang)),
+        |dsc AS (
+        |  SELECT lang,
+        |    floor(pa * ln(pa / pb) * 1000000.0 + 0.5) / 1000000.0 AS c_ab,
+        |    floor(pb * ln(pb / pa) * 1000000.0 + 0.5) / 1000000.0 AS c_ba,
+        |    floor((pa * ln(pa / ((pa + pb) / 2.0)) / 2.0
+        |         + pb * ln(pb / ((pa + pb) / 2.0)) / 2.0)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS c_js
+        |  FROM dsp)
+        |SELECT c.lang, CAST(min(t.v) AS BIGINT) AS n_terms,
+        |  CAST(min(t.na) AS BIGINT) AS n_tokens_a,
+        |  CAST(min(t.nb) AS BIGINT) AS n_tokens_b,
+        |  round(CAST(sum(CAST(c.c_ab AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ab,
+        |  round(CAST(sum(CAST(c.c_ba AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ba,
+        |  round(CAST(sum(CAST(c.c_js AS DECIMAL(18,6))) AS DOUBLE), 6) AS js
+        |FROM dsc c JOIN dstt t USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // k-anonymity: equivalence classes on the QI tuple, banded by size;
+    // the balance bucket is one IEEE divide + floor
+    "q_kanon" ->
+      """WITH kac AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |         count(*) AS k
+        |  FROM customer GROUP BY 1,2,3),
+        |kab AS (
+        |  SELECT CASE WHEN k = 1 THEN '1 (unique)' WHEN k <= 4 THEN '2-4'
+        |              WHEN k <= 9 THEN '5-9' ELSE '10+' END AS band, k
+        |  FROM kac),
+        |kat AS (SELECT CAST(sum(k) AS DOUBLE) AS n_total FROM kab)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(k) AS BIGINT) AS n_rows,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |       round(CAST(sum(k) AS DOUBLE) / min(n_total), 6) AS row_share
+        |FROM kab CROSS JOIN kat
+        |GROUP BY band ORDER BY min_k""".stripMargin,
+    // weighted coordinated sample: exponential race −ln(u)/w with
+    // hash-uniform u — the long add happens BEFORE the double cast on
+    // both sides (near 2^60 doubles are 128 apart); −ln through quant6
+    "q_weighted_sample" ->
+      """WITH wsb AS (
+        |  SELECT doc_id, lang, greatest(n_chars, 1) AS w,
+        |    ('0x' || substr(md5(text),1,15))::UBIGINT::BIGINT AS h
+        |  FROM documents),
+        |wss AS (
+        |  SELECT doc_id, lang, w,
+        |    floor(-ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS neg_log_u
+        |  FROM wsb),
+        |wsr AS (
+        |  SELECT lang, doc_id, w, neg_log_u,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY neg_log_u / w, doc_id) AS rk
+        |  FROM wss)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+        |       CAST(w AS BIGINT) AS n_chars, round(neg_log_u, 6) AS neg_log_u
+        |FROM wsr WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    // token entropy: per-term surprisal contributions through the quant6
+    // law into per-doc DECIMAL(18,6) sums; census compares/divides the
+    // exact sums
+    "q_token_entropy" ->
+      """WITH teb AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           x -> x <> '')) AS t
+        |  FROM documents),
+        |tetf AS (SELECT doc_id, lang, t, count(*) AS tf FROM teb GROUP BY 1,2,3),
+        |ten AS (SELECT doc_id, lang, tf,
+        |          sum(tf) OVER (PARTITION BY doc_id) AS n
+        |        FROM tetf),
+        |tec AS (
+        |  SELECT doc_id, lang,
+        |    sum(CAST(floor(CAST(tf AS DOUBLE) / n * ln(CAST(n AS DOUBLE) / tf)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS entropy
+        |  FROM ten GROUP BY 1,2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(entropy) AS DOUBLE) / count(*), 6) AS avg_entropy,
+        |  CAST(sum(CASE WHEN entropy < 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  round(CAST(max(entropy) AS DOUBLE), 6) AS max_entropy
+        |FROM tec GROUP BY 1 ORDER BY 1""".stripMargin,
+    // label propagation: 2 synchronous unrolled rounds over the pmi
+    // co-occurrence graph — mode vote with (count DESC, label) tie-break
+    "q_label_prop" ->
+      """WITH lpb AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS toks
+        |  FROM documents),
+        |lpt AS MATERIALIZED (
+        |  SELECT doc_id, pos, toks[pos] AS t FROM (
+        |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+        |    FROM lpb)),
+        |lpe AS MATERIALIZED (
+        |  SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2
+        |  FROM lpt a JOIN lpt b ON a.doc_id = b.doc_id
+        |       AND b.pos > a.pos AND b.pos <= a.pos + 4 AND a.t <> b.t
+        |  GROUP BY 1,2 HAVING count(*) >= 5),
+        |lpd AS MATERIALIZED (
+        |  SELECT t1 AS src, t2 AS dst FROM lpe
+        |  UNION ALL SELECT t2, t1 FROM lpe),
+        |lp0 AS (SELECT DISTINCT src AS t, src AS lab FROM lpd),
+        |lpc1 AS (SELECT e.src, l.lab, count(*) AS c
+        |         FROM lpd e JOIN lp0 l ON l.t = e.dst GROUP BY 1,2),
+        |lp1 AS (SELECT src AS t, lab FROM (
+        |          SELECT src, lab,
+        |            row_number() OVER (PARTITION BY src
+        |                               ORDER BY c DESC, lab) AS rk
+        |          FROM lpc1) WHERE rk = 1),
+        |lpc2 AS (SELECT e.src, l.lab, count(*) AS c
+        |         FROM lpd e JOIN lp1 l ON l.t = e.dst GROUP BY 1,2),
+        |lp2 AS (SELECT src AS t, lab FROM (
+        |          SELECT src, lab,
+        |            row_number() OVER (PARTITION BY src
+        |                               ORDER BY c DESC, lab) AS rk
+        |          FROM lpc2) WHERE rk = 1),
+        |lpg AS (SELECT lab AS community, count(*) AS n_terms
+        |        FROM lp2 GROUP BY 1),
+        |lpr AS (SELECT *, row_number() OVER (ORDER BY n_terms DESC, community)
+        |          AS rank FROM lpg)
+        |SELECT CAST(rank AS BIGINT) AS rank, community,
+        |       CAST(n_terms AS BIGINT) AS n_terms
+        |FROM lpr WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // curriculum schedule: quality-ranked docs cut into 4 equal phases —
     // composite through the quant6 law (it feeds ordering + the mean),
     // phase = (4·(rk−1)) DIV N, DECIMAL means

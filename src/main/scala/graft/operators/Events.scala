@@ -351,6 +351,53 @@ object Events {
       .orderBy("event_type", "hod")
   }
 
+  /** CUSUM CHANGEPOINT census (q_cusum; Page 1954 / Taylor's cumulative-
+    * deviation form) — per event type, the hour where the cumulative
+    * deviation of the hourly count series from its own mean peaks: the
+    * level-shift detector that catches a REGIME CHANGE (deploy, outage,
+    * product launch) where [[anomalyMad]] catches point spikes and
+    * [[seasonalDecompose]] explains daily shape. C_t = Σ_{i≤t}(x_i − x̄)
+    * swings furthest exactly where the series' mean shifts; the argmax
+    * is the standard changepoint estimate, and |C| at the peak is the
+    * shift's magnitude in events.
+    *
+    * Scale shape: one (type, hour) hash agg, the running prefix on
+    * [[TextAnalysis.withGroupedPrefix]] (event_type is a handful of
+    * values — never a type-partitioned window), a |types|-row broadcast
+    * of the totals, one max agg, and one equi join back to recover the
+    * argmax row. Determinism: the deviation is kept SCALED —
+    * D_t = T·Σ_{i≤t}x_i − t·S is exact integer arithmetic (C_t = D_t/T
+    * divides once at display) — so the argmax and tie-break (earliest
+    * hour) compare exact longs, never accumulated floats.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+    val pre = hourly.transform(TextAnalysis.withGroupedPrefix(
+        Seq("event_type"), "t_idx", "cum_prev", col("x"), col("hr")))
+      .withColumn("cum", col("cum_prev") + col("x"))
+    val totals = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("n_events"))
+    val dev = pre.join(broadcast(totals), "event_type")
+      .withColumn("d",
+        col("n_hours") * col("cum") - col("t_idx") * col("n_events"))
+      .withColumn("absd", abs(col("d")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val peaks = dev.groupBy("event_type").agg(max(col("absd")).as("absd"))
+    dev.join(peaks, Seq("event_type", "absd"))
+      .groupBy("event_type")
+      .agg(min(col("n_hours")).as("n_hours"),
+        min(col("n_events")).as("n_events"),
+        min(col("hr")).as("cp_hr"),
+        min_by(when(col("d") > 0, lit(1)).when(col("d") < 0, lit(-1))
+          .otherwise(lit(0)), col("hr")).cast("int").as("cp_sign"),
+        round(min(col("absd")).cast("double") / min(col("n_hours")), 6)
+          .as("cusum_abs"))
+      .orderBy("event_type")
+  }
+
   /** LAST-TOUCH ATTRIBUTION census (q_attribution) — each purchase
     * credited to the last non-purchase touchpoint inside its own
     * 30-minute session (the attribution model conversion reporting

@@ -419,4 +419,117 @@ object Pipeline {
       .unionByName(srcRows)
       .orderBy("section", "card_key")
   }
+
+  /** DISTRIBUTION-SHIFT census (q_dist_shift) — per-language KL and
+    * Jensen-Shannon divergence between two snapshots' unigram token
+    * distributions (Laplace add-one smoothed over the per-lang union
+    * vocabulary, so every term has mass on both sides): the drift
+    * monitor a corpus refresh runs BEFORE retraining anything on the
+    * new snapshot — [[snapshotDiff]] counts which documents changed,
+    * this measures whether the LANGUAGE changed (topic/vocabulary
+    * drift that silently shifts a model's mixture even when doc counts
+    * barely move; the same statistic DSIR-style importance samplers
+    * and drift alarms are built on). Snapshots derive by the same
+    * doc_id laws as [[snapshotDiff]]; the core is frame-agnostic.
+    *
+    * Scale shape: per side one tokenize scan + (lang, term) hash agg —
+    * term-cardinality, embarrassingly parallel; the union vocabulary
+    * is ONE full-outer hash join of the two tf tables on the same
+    * (lang, term) key (co-partitioned, text never crosses a shuffle);
+    * per-lang totals are a |langs|-row broadcast. No window anywhere.
+    * Determinism: tf counts are exact integers; each per-term
+    * divergence contribution passes ln() through the quant6 law and
+    * accumulates into DECIMAL(18,6) sums — the [[TextAnalysis
+    * .pmiPairs]] transcendental discipline — so the per-lang sums are
+    * bit-identical cross-engine.
+    */
+  def distShift(documents: DataFrame): DataFrame = {
+    val a = documents.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val b = documents.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"))
+    distShiftFrames(a, b)
+  }
+
+  private[graft] def distShiftFrames(a: DataFrame, b: DataFrame): DataFrame = {
+    import graft.operators.Similarity.quant6
+    def tf(df: DataFrame, out: String): DataFrame =
+      df.repartition(col("doc_id"))
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as(out))
+    val joined = tf(a, "tfa").join(tf(b, "tfb"), Seq("lang", "t"), "full_outer")
+      .select(col("lang"), col("t"),
+        coalesce(col("tfa"), lit(0L)).as("tfa"),
+        coalesce(col("tfb"), lit(0L)).as("tfb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val totals = joined.groupBy("lang")
+      .agg(sum("tfa").as("na"), sum("tfb").as("nb"), count(lit(1)).as("v"))
+    joined.join(broadcast(totals), "lang")
+      .withColumn("pa", (col("tfa") + lit(1L)).cast("double") /
+        (col("na") + col("v")).cast("double"))
+      .withColumn("pb", (col("tfb") + lit(1L)).cast("double") /
+        (col("nb") + col("v")).cast("double"))
+      .withColumn("m", (col("pa") + col("pb")) / lit(2.0))
+      .withColumn("c_ab", quant6(col("pa") * log(col("pa") / col("pb"))))
+      .withColumn("c_ba", quant6(col("pb") * log(col("pb") / col("pa"))))
+      .withColumn("c_js", quant6(
+        col("pa") * log(col("pa") / col("m")) / lit(2.0) +
+        col("pb") * log(col("pb") / col("m")) / lit(2.0)))
+      .groupBy("lang")
+      .agg(min(col("v")).as("n_terms"),
+        min(col("na")).as("n_tokens_a"), min(col("nb")).as("n_tokens_b"),
+        round(sum(col("c_ab").cast("decimal(18,6)")).cast("double"), 6)
+          .as("kl_ab"),
+        round(sum(col("c_ba").cast("decimal(18,6)")).cast("double"), 6)
+          .as("kl_ba"),
+        round(sum(col("c_js").cast("decimal(18,6)")).cast("double"), 6)
+          .as("js"))
+      .orderBy("lang")
+  }
+
+  /** K-ANONYMITY census (q_kanon; Sweeney 2002) — the re-identification
+    * risk audit a released dataset runs next to the PII scrub
+    * ([[TextAnalysis.piiRedactCensus]] removes direct identifiers; this
+    * measures QUASI-identifiers): group rows into equivalence classes
+    * on the quasi-identifier tuple (nation, market segment, account-
+    * balance bucket) and band the classes by size — a class of size 1
+    * is a unique, re-identifiable individual; the dataset's k-anonymity
+    * level is the smallest class size. Output: per size band, how many
+    * classes, how many rows they hold, and the share of the population
+    * sitting at that risk level.
+    *
+    * Scale shape: one pruned scan + one hash agg on the QI tuple
+    * (high-cardinality composite key — parallel), then a 4-row band
+    * census and a 1-row broadcast total. No window, no join beyond the
+    * scalar broadcast. Determinism: the balance bucket is one IEEE
+    * divide + floor (bit-identical cross-engine); everything else is
+    * exact integer counting.
+    */
+  def kAnonymityCensus(customer: DataFrame): DataFrame = {
+    val classes = customer.repartition(col("c_custkey"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("k"))
+    val total = classes.agg(sum(col("k")).cast("double").as("n_total"))
+    classes
+      .withColumn("band",
+        when(col("k") === 1, lit("1 (unique)"))
+          .when(col("k") <= 4, lit("2-4"))
+          .when(col("k") <= 9, lit("5-9"))
+          .otherwise(lit("10+")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_classes"), col("n_rows"),
+        col("min_k"), col("max_k"),
+        round(col("n_rows").cast("double") / col("n_total"), 6)
+          .as("row_share"))
+      .orderBy("min_k")
+  }
 }

@@ -2102,6 +2102,150 @@ object TextAnalysis {
         sum(col("n_chars")).as("n_chars"))
       .orderBy("fold", "lang")
 
+  /** TOKEN-ENTROPY quality census (q_token_entropy) — per-document
+    * unigram Shannon entropy (nats) of the token distribution, rolled
+    * up per language: the information-density signal quality filters
+    * use to catch REPETITIVE text ([[repetitionSignals]] counts literal
+    * n-gram repeats; entropy catches the statistical version — boiler-
+    * plate, keyword stuffing, template spam — that repeats distribution
+    * shape without repeating strings; CCNet and Gopher both gate on
+    * exactly this family). Census per lang: docs, mean/max entropy, and
+    * how many docs fall under the low-entropy cut.
+    *
+    * Scale shape: one tokenize scan → (doc, term) hash agg → one
+    * doc_id-led window for the per-doc token total (corpus-cardinality
+    * key — parallel) → per-doc hash agg → |langs|-row census. No join.
+    * Determinism: each per-term surprisal contribution passes ln()
+    * through the quant6 law and accumulates DECIMAL(18,6) per doc (the
+    * [[pmiPairs]] discipline); the low cut compares the exact DECIMAL
+    * sum; the census mean divides an exact DECIMAL sum once, display-
+    * rounded.
+    */
+  def tokenEntropy(documents: DataFrame, lowCut: Double = 3.0): DataFrame = {
+    import Similarity.quant6
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("tf"))
+    val perDoc = tf
+      .withColumn("n", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .withColumn("c", quant6(col("tf").cast("double") / col("n") *
+        log(col("n").cast("double") / col("tf"))))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c").cast("decimal(18,6)")).as("entropy"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("entropy")).cast("double") / count(lit(1)), 6)
+          .as("avg_entropy"),
+        sum((col("entropy") < lowCut).cast("long")).as("n_low"),
+        round(max(col("entropy")).cast("double"), 6).as("max_entropy"))
+      .orderBy("lang")
+  }
+
+  /** WEIGHTED coordinated sample (q_weighted_sample) — exactly k
+    * documents per language sampled with probability proportional to
+    * SIZE (char mass), without replacement, via the exponential race
+    * (Efraimidis & Spirakis 2006): each document draws a hash-uniform
+    * u ∈ (0,1] from its content and races with key −ln(u)/w; the k
+    * smallest keys per stratum are the sample. This is the
+    * token-budget-aware complement to [[bottomKSample]]'s uniform
+    * sketch — when the downstream consumer meters tokens, sampling
+    * docs uniformly under-represents long documents' mass. rand()-free
+    * and content-keyed, so the sample is reproducible across engines,
+    * runs, and partitionings, and coordinated across corpora sharing
+    * content.
+    *
+    * Scale shape: one pruned scan computes the key statelessly per
+    * row; the per-stratum rank rides [[withGroupedPrefix]] — never a
+    * window partitioned by the handful-of-values lang key.
+    * Determinism: u = (md5₆₀+1)/2⁶⁰ (the long add happens BEFORE the
+    * double cast on both engines — near 2⁶⁰ doubles are 128 apart, so
+    * add-then-cast and cast-then-add can differ); −ln(u) passes the
+    * quant6 law; the division by w is then one IEEE op on
+    * bit-identical operands; ties break on doc_id.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    import Similarity.quant6
+    val scored = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        NearDup.md5Hash60(col("text")).as("h"))
+      .withColumn("neg_log_u", quant6(-log(
+        (col("h") + lit(1L)).cast("double") / lit(1.152921504606846976e18))))
+      .withColumn("score", col("neg_log_u") / col("w").cast("double"))
+    scored
+      .transform(withGroupedPrefix(Seq("lang"), "rk", "_cum", lit(1L),
+        col("score"), col("doc_id")))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("w").as("n_chars"), round(col("neg_log_u"), 6).as("neg_log_u"))
+      .orderBy("lang", "rk")
+  }
+
+  /** LABEL-PROPAGATION communities (q_label_prop; Raghavan et al. 2007)
+    * over the term co-occurrence graph — the third graph read next to
+    * [[pagerankTerms]] (centrality) and [[triangleCensus]] (cohesion):
+    * which terms CLUSTER. Each node starts labeled with itself; each
+    * synchronous iteration relabels every node with the most frequent
+    * label among its neighbors (ties → lexicographically smallest
+    * label, making the usually-randomized algorithm fully
+    * deterministic); after `iters` rounds the label census reads out
+    * the emerging topical communities. The same iterate-over-edges
+    * shape clusters hosts, authors, or near-dup doc graphs in a
+    * curation pipeline.
+    *
+    * Spark-first iteration (the [[pagerankTerms]] device): NO GraphX,
+    * no driver loop over vertices — each step is one edge join + one
+    * (node, label) hash agg + one node-keyed window (term-cardinality,
+    * parallel), with localCheckpoint truncating the lineage so the
+    * k-step plan stays k-sized. At 100 TB the edge list partitions on
+    * the neighbor key and every step is embarrassingly parallel.
+    * Determinism: votes are exact integer counts with a total
+    * tie-break; the final community census ranks via
+    * [[withGlobalRank]], never a one-partition window.
+    */
+  def labelPropagation(documents: DataFrame, window: Int = 4,
+                       minCount: Long = 5, iters: Int = 2,
+                       topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tp = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val und = tp.as("a").join(tp.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + window &&
+        col("a.t") =!= col("b.t"))
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+              greatest(col("a.t"), col("b.t")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .select("t1", "t2")
+    val edges = und.select(col("t1").as("src"), col("t2").as("dst"))
+      .unionByName(und.select(col("t2").as("src"), col("t1").as("dst")))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    var labels = edges.select(col("src").as("t")).distinct()
+      .withColumn("lab", col("t"))
+      .localCheckpoint()
+    val wVote = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("t").as("dst"), col("lab")), "dst")
+        .groupBy("src", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("_vrk", row_number().over(wVote))
+        .filter(col("_vrk") === 1)
+        .select(col("src").as("t"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_terms"))
+      .transform(withGlobalRank("rank", col("n_terms").desc, col("community")))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("community"), col("n_terms"))
+      .orderBy("rank")
+  }
+
   /** TRIANGLE census over the term co-occurrence graph (q_triangles) —
     * per-term triangle participation and local clustering coefficient
     * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the graph statistic that

@@ -375,6 +375,41 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("governance/drift wave keeps scalable shapes") {
+    // q_cusum + q_weighted_sample: the per-type prefix and the
+    // per-stratum rank ride the grouped-prefix device — the 5-class
+    // event_type / handful-of-langs keys must never lead a window
+    for (name <- Seq("q_cusum", "q_weighted_sample")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+      assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
+        s"$name: window not _pid-led: $specs")
+      CacheRegistry.release()
+    }
+    // q_kanon: one QI hash agg + a 4-row band census — no window; the
+    // only join is the 1-row total broadcast
+    val pk = planText(SparkEntry.queries("q_kanon")(spark, sf0001))
+    assert(!pk.contains("windowspecdefinition"), "kanon census grew a window")
+    assert(pk.contains("BroadcastNestedLoopJoin") || pk.contains("BroadcastExchange"),
+      "kanon total must arrive by broadcast")
+    CacheRegistry.release()
+    // q_dist_shift: no window anywhere — the union vocabulary is one
+    // co-partitioned full-outer hash join, totals broadcast
+    val pd = planText(SparkEntry.queries("q_dist_shift")(spark, sf0001))
+    assert(!pd.contains("windowspecdefinition"), "dist_shift grew a window")
+    assert(pd.contains("SortMergeJoin") || pd.contains("ShuffledHashJoin"),
+      "dist_shift union vocab must be a shuffled equi join")
+    assert(!pd.contains("CartesianProduct"), "dist_shift degenerated to a cartesian")
+    CacheRegistry.release()
+    // q_token_entropy: the per-doc total rides a doc_id-led window
+    // (corpus-cardinality key — parallel by construction)
+    val pe = planText(SparkEntry.queries("q_token_entropy")(spark, sf0001))
+    val se = "windowspecdefinition\\([^,)]*".r.findAllIn(pe).toList
+    assert(se.nonEmpty && se.forall(_.contains("doc_id")),
+      s"q_token_entropy: window not doc_id-led: $se")
+    CacheRegistry.release()
+  }
+
   test("q1 aggregation runs partial (map-side) before the shuffle") {
     val p = planText(SparkEntry.queries("q1_pricing_summary")(spark, sf0001))
     assert(p.contains("partial_sum") || p.contains("Functions: [partial_"),

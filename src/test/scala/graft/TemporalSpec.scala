@@ -224,6 +224,24 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq(("view", 0L, 2L, 3.0, 1.0), ("view", 1L, 1L, 6.0, 0.0)))
   }
 
+  test("cusumChangepoint finds the level shift at its exact hour, scaled-integer exact") {
+    val h = 3600L * 1000000L
+    // hourly counts 1,1,1,5,5,5 over hours 0..5: mean 3, C_t = cum − 3t
+    // = −2,−4,−6,−4,−2,0 → peak |C| = 6 at hour 2, negative side
+    val rows = (0 to 2).flatMap(hr => Seq((hr * 10L + 1, hr * h, 1L, "view", 1.0))) ++
+      (3 to 5).flatMap(hr => (1 to 5).map(i =>
+        (hr * 10L + i, hr * h, 1L, "view", 1.0)))
+    val got = Events.cusumChangepoint(syntheticEvents(rows)).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[String]("event_type") === "view")
+    assert(r.getAs[Long]("n_hours") === 6L)
+    assert(r.getAs[Long]("n_events") === 18L)
+    assert(r.getAs[Long]("cp_hr") === 2L)
+    assert(r.getAs[Int]("cp_sign") === -1)
+    assert(r.getAs[Double]("cusum_abs") === 6.0)
+  }
+
   test("ewmaSmooth matches the hand-computed adjust=True EWMA at the series head") {
     val h = 3600L * 1000000L
     val ev = syntheticEvents(Seq(

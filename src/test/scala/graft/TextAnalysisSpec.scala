@@ -926,6 +926,86 @@ class TextAnalysisSpec extends SparkSpec {
     assert(est >= 0.0 && est <= 1.0)
   }
 
+  test("tokenEntropy: zero for a one-token doc, ln 2 for a 50/50 doc, census exact") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa aa", "en", "s", 11L),   // entropy 0
+      (2L, "aa bb aa bb", "en", "s", 11L))   // 2·quant6(0.5·ln 2) = 0.693148
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextAnalysis.tokenEntropy(docs).head()
+    assert(r.getAs[String]("lang") === "en")
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Double]("avg_entropy") === 0.346574)
+    assert(r.getAs[Long]("n_low") === 2L)
+    assert(r.getAs[Double]("max_entropy") === 0.693148)
+  }
+
+  test("weightedSample: same content, larger weight wins; exactly k per stratum") {
+    val sp = spark
+    import sp.implicits._
+    // identical text ⇒ identical u; the race key −ln(u)/w is strictly
+    // smaller for the heavier doc, so size-proportional preference is
+    // isolated from the hash draw
+    val docs = Seq(
+      (1L, "same text", "en", "s", 10L),
+      (2L, "same text", "en", "s", 1000L),
+      (3L, "other words entirely", "fr", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.weightedSample(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rk"),
+        r.getAs[Long]("doc_id"))).toSeq
+    assert(got === Seq(("en", 1L, 2L), ("en", 2L, 1L), ("fr", 1L, 3L)))
+  }
+
+  test("labelPropagation separates two disjoint vocabulary clusters") {
+    val sp = spark
+    import sp.implicits._
+    // two 4-cliques with no cross edges: every within-cluster pair
+    // co-occurs 6 ≥ minCount times; 2 rounds converge each clique onto
+    // its lexicographically-smallest member
+    val docs = (1L to 6L).map(i => (i, "aa ab ac ad")) ++
+      (7L to 12L).map(i => (i, "ba bb bc bd"))
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.labelPropagation(df).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("community"),
+        r.getAs[Long]("n_terms"))).toSeq
+    assert(got === Seq((1L, "aa", 4L), (2L, "ba", 4L)))
+  }
+
+  test("distShift: zero divergence on identical slices, positive and JS-bounded on shifted") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, "aa bb cc dd", "en"), (2L, "aa bb aa bb", "en"))
+      .toDF("doc_id", "text", "lang")
+    val same = graft.operators.Pipeline.distShiftFrames(a, a).head()
+    assert(same.getAs[Double]("kl_ab") === 0.0)
+    assert(same.getAs[Double]("kl_ba") === 0.0)
+    assert(same.getAs[Double]("js") === 0.0)
+    val b = Seq((1L, "aa aa aa aa", "en"), (2L, "ee ff ee ff", "en"))
+      .toDF("doc_id", "text", "lang")
+    val diff = graft.operators.Pipeline.distShiftFrames(a, b).head()
+    assert(diff.getAs[Double]("kl_ab") > 0.0)
+    assert(diff.getAs[Double]("kl_ba") > 0.0)
+    val js = diff.getAs[Double]("js")
+    assert(js > 0.0 && js <= math.log(2.0) + 1e-9,
+      s"JS must sit in (0, ln 2], got $js")
+  }
+
+  test("kAnonymityCensus bands equivalence classes by size with exact shares") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1L, 0, "A", 500.0)) ++                       // class of 1
+      (2L to 4L).map(i => (i, 1, "B", 1500.0)) ++                // class of 3
+      (5L to 16L).map(i => (i, 2, "C", 2500.0))                  // class of 12
+    val cust = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.operators.Pipeline.kAnonymityCensus(cust).collect()
+      .map(r => (r.getAs[String]("band"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Double]("row_share"))).toSeq
+    assert(got === Seq(("1 (unique)", 1L, 1L, 0.0625),
+      ("2-4", 1L, 3L, 0.1875), ("10+", 1L, 12L, 0.75)))
+  }
+
   test("piiRedactCensus finds planted and organic PII per class and language") {
     val sp = spark
     import sp.implicits._
