@@ -145,6 +145,9 @@ object SparkEntry {
     "q_dataset_card" -> ((s, d) => Pipeline.datasetCard(documents(s, d))),
     "q_sketch_jaccard" -> ((s, d) => Pipeline.sketchJaccard(documents(s, d))),
     "q_dist_shift" -> ((s, d) => Pipeline.distShift(documents(s, d))),
+    "q_stream_drift" -> ((s, d) => streaming.StreamOps.streamDriftMonitor(s, d)),
+    "q_chi2" -> ((s, d) => Pipeline.chi2Independence(documents(s, d))),
+    "q_profile" -> ((s, d) => Pipeline.profileTable(lineitem(s, d))),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
@@ -1397,51 +1400,36 @@ object SparkEntry {
     // distribution shift: Laplace-smoothed unigram KL/JS between the
     // snapshotDiff slices — per-term ln() contributions through the
     // quant6 law into DECIMAL(18,6) sums (the PMI discipline)
-    "q_dist_shift" ->
-      """WITH dsa AS (SELECT lang, text FROM documents WHERE doc_id % 7 <> 0),
-        |dsb AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
-        |               ELSE text END AS text
-        |        FROM documents WHERE doc_id % 11 <> 0),
-        |dfa AS (
-        |  SELECT lang, t, count(*) AS tfa FROM (
-        |    SELECT lang, unnest(list_filter(
-        |      string_split_regex(lower(text), '[^a-z0-9]+'),
-        |      x -> x <> '')) AS t FROM dsa)
-        |  GROUP BY 1,2),
-        |dfb AS (
-        |  SELECT lang, t, count(*) AS tfb FROM (
-        |    SELECT lang, unnest(list_filter(
-        |      string_split_regex(lower(text), '[^a-z0-9]+'),
-        |      x -> x <> '')) AS t FROM dsb)
-        |  GROUP BY 1,2),
-        |dsj AS (
-        |  SELECT coalesce(a.lang, b.lang) AS lang, coalesce(a.t, b.t) AS t,
-        |         coalesce(a.tfa, 0) AS tfa, coalesce(b.tfb, 0) AS tfb
-        |  FROM dfa a FULL OUTER JOIN dfb b ON a.lang = b.lang AND a.t = b.t),
-        |dstt AS (SELECT lang, sum(tfa) AS na, sum(tfb) AS nb,
-        |                count(*) AS v
-        |         FROM dsj GROUP BY 1),
-        |dsp AS (
-        |  SELECT j.lang,
-        |    CAST(j.tfa + 1 AS DOUBLE) / CAST(t.na + t.v AS DOUBLE) AS pa,
-        |    CAST(j.tfb + 1 AS DOUBLE) / CAST(t.nb + t.v AS DOUBLE) AS pb
-        |  FROM dsj j JOIN dstt t USING (lang)),
-        |dsc AS (
-        |  SELECT lang,
-        |    floor(pa * ln(pa / pb) * 1000000.0 + 0.5) / 1000000.0 AS c_ab,
-        |    floor(pb * ln(pb / pa) * 1000000.0 + 0.5) / 1000000.0 AS c_ba,
-        |    floor((pa * ln(pa / ((pa + pb) / 2.0)) / 2.0
-        |         + pb * ln(pb / ((pa + pb) / 2.0)) / 2.0)
-        |          * 1000000.0 + 0.5) / 1000000.0 AS c_js
-        |  FROM dsp)
-        |SELECT c.lang, CAST(min(t.v) AS BIGINT) AS n_terms,
-        |  CAST(min(t.na) AS BIGINT) AS n_tokens_a,
-        |  CAST(min(t.nb) AS BIGINT) AS n_tokens_b,
-        |  round(CAST(sum(CAST(c.c_ab AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ab,
-        |  round(CAST(sum(CAST(c.c_ba AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ba,
-        |  round(CAST(sum(CAST(c.c_js AS DECIMAL(18,6))) AS DOUBLE), 6) AS js
-        |FROM dsc c JOIN dstt t USING (lang)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dist_shift" -> distShiftOracleSql,
+    // streaming drift monitor: per-batch tf censuses merge additively
+    // into the batch tf table, divergence through the SAME core —
+    // the batch oracle shared verbatim
+    "q_stream_drift" -> distShiftOracleSql,
+    // chi-square independence: expected counts quant6'd once, the
+    // contribution squares/divides the quantized value; zero cells kept
+    "q_chi2" ->
+      """WITH c2o AS (
+        |  SELECT lang, source, count(*) AS n_obs FROM documents GROUP BY 1,2),
+        |c2r AS (SELECT lang, sum(n_obs) AS rl FROM c2o GROUP BY 1),
+        |c2c AS (SELECT source, sum(n_obs) AS cs FROM c2o GROUP BY 1),
+        |c2n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM c2o),
+        |c2x AS (
+        |  SELECT r.lang, c.source, r.rl, c.cs, n.nn,
+        |         coalesce(o.n_obs, 0) AS n_obs
+        |  FROM c2r r CROSS JOIN c2c c CROSS JOIN c2n n
+        |  LEFT JOIN c2o o ON o.lang = r.lang AND o.source = c.source),
+        |c2e AS (
+        |  SELECT lang, source, n_obs,
+        |    floor(CAST(rl * cs AS DOUBLE) / nn * 1000000.0 + 0.5)
+        |      / 1000000.0 AS expected
+        |  FROM c2x)
+        |SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs, expected,
+        |  floor((n_obs - expected) * (n_obs - expected) / expected
+        |        * 1000000.0 + 0.5) / 1000000.0 AS contrib
+        |FROM c2e ORDER BY lang, source""".stripMargin,
+    // column profiling: one wide agg over one scan, unpivoted — exact
+    // counts/min/max, means divide exact sums (long / DECIMAL(18,2))
+    "q_profile" -> profileOracleSql,
     // k-anonymity: equivalence classes on the QI tuple, banded by size;
     // the balance bucket is one IEEE divide + floor
     "q_kanon" ->
@@ -3629,6 +3617,121 @@ object SparkEntry {
   // bottom-k sample oracle — shared verbatim by q_bottomk_sample and
   // the streaming sketch-merge twin q_stream_bottomk (bottom-k of a
   // union = bottom-k of the per-part bottom-k's)
+  private val profileOracleSql: String =
+      """WITH pw AS (
+        |  SELECT count(*) AS n,
+        |    count(l_orderkey) AS ok_c,
+        |    count(DISTINCT l_orderkey) AS ok_d,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS ok_mn,
+        |    CAST(max(l_orderkey) AS DOUBLE) AS ok_mx,
+        |    CAST(sum(l_orderkey) AS DOUBLE) AS ok_sm,
+        |    count(l_partkey) AS pk_c,
+        |    count(DISTINCT l_partkey) AS pk_d,
+        |    CAST(min(l_partkey) AS DOUBLE) AS pk_mn,
+        |    CAST(max(l_partkey) AS DOUBLE) AS pk_mx,
+        |    CAST(sum(l_partkey) AS DOUBLE) AS pk_sm,
+        |    count(l_suppkey) AS sk_c,
+        |    count(DISTINCT l_suppkey) AS sk_d,
+        |    CAST(min(l_suppkey) AS DOUBLE) AS sk_mn,
+        |    CAST(max(l_suppkey) AS DOUBLE) AS sk_mx,
+        |    CAST(sum(l_suppkey) AS DOUBLE) AS sk_sm,
+        |    count(l_linenumber) AS li_c,
+        |    count(DISTINCT l_linenumber) AS li_d,
+        |    CAST(min(l_linenumber) AS DOUBLE) AS li_mn,
+        |    CAST(max(l_linenumber) AS DOUBLE) AS li_mx,
+        |    CAST(sum(l_linenumber) AS DOUBLE) AS li_sm,
+        |    count(l_quantity) AS qt_c,
+        |    count(DISTINCT l_quantity) AS qt_d,
+        |    CAST(min(l_quantity) AS DOUBLE) AS qt_mn,
+        |    CAST(max(l_quantity) AS DOUBLE) AS qt_mx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qt_sm,
+        |    count(l_extendedprice) AS ep_c,
+        |    count(DISTINCT l_extendedprice) AS ep_d,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS ep_mn,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS ep_mx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ep_sm,
+        |    count(l_discount) AS di_c,
+        |    count(DISTINCT l_discount) AS di_d,
+        |    CAST(min(l_discount) AS DOUBLE) AS di_mn,
+        |    CAST(max(l_discount) AS DOUBLE) AS di_mx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS di_sm,
+        |    count(l_tax) AS tx_c,
+        |    count(DISTINCT l_tax) AS tx_d,
+        |    CAST(min(l_tax) AS DOUBLE) AS tx_mn,
+        |    CAST(max(l_tax) AS DOUBLE) AS tx_mx,
+        |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tx_sm,
+        |    count(l_returnflag) AS rf_c,
+        |    count(DISTINCT l_returnflag) AS rf_d,
+        |    CAST(min(length(l_returnflag)) AS BIGINT) AS rf_ln,
+        |    CAST(max(length(l_returnflag)) AS BIGINT) AS rf_lx,
+        |    count(l_linestatus) AS ls_c,
+        |    count(DISTINCT l_linestatus) AS ls_d,
+        |    CAST(min(length(l_linestatus)) AS BIGINT) AS ls_ln,
+        |    CAST(max(length(l_linestatus)) AS BIGINT) AS ls_lx,
+        |    count(l_shipdate) AS sd_c,
+        |    count(DISTINCT l_shipdate) AS sd_d,
+        |    CAST(min(epoch_us(l_shipdate) // 1000000) AS DOUBLE) AS sd_mn,
+        |    CAST(max(epoch_us(l_shipdate) // 1000000) AS DOUBLE) AS sd_mx
+        |  FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, CAST(n AS BIGINT) AS n_rows, CAST(n - ok_c AS BIGINT) AS n_nulls, CAST(ok_d AS BIGINT) AS n_distinct, ok_mn AS min_num, ok_mx AS max_num, round(ok_sm / ok_c, 6) AS avg_num, CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len FROM pw
+        |UNION ALL SELECT 'l_partkey', CAST(n AS BIGINT), CAST(n - pk_c AS BIGINT), CAST(pk_d AS BIGINT), pk_mn, pk_mx, round(pk_sm / pk_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_suppkey', CAST(n AS BIGINT), CAST(n - sk_c AS BIGINT), CAST(sk_d AS BIGINT), sk_mn, sk_mx, round(sk_sm / sk_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_linenumber', CAST(n AS BIGINT), CAST(n - li_c AS BIGINT), CAST(li_d AS BIGINT), li_mn, li_mx, round(li_sm / li_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_quantity', CAST(n AS BIGINT), CAST(n - qt_c AS BIGINT), CAST(qt_d AS BIGINT), qt_mn, qt_mx, round(qt_sm / qt_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_extendedprice', CAST(n AS BIGINT), CAST(n - ep_c AS BIGINT), CAST(ep_d AS BIGINT), ep_mn, ep_mx, round(ep_sm / ep_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_discount', CAST(n AS BIGINT), CAST(n - di_c AS BIGINT), CAST(di_d AS BIGINT), di_mn, di_mx, round(di_sm / di_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_tax', CAST(n AS BIGINT), CAST(n - tx_c AS BIGINT), CAST(tx_d AS BIGINT), tx_mn, tx_mx, round(tx_sm / tx_c, 6), NULL, NULL FROM pw
+        |UNION ALL SELECT 'l_returnflag', CAST(n AS BIGINT), CAST(n - rf_c AS BIGINT), CAST(rf_d AS BIGINT), NULL, NULL, NULL, rf_ln, rf_lx FROM pw
+        |UNION ALL SELECT 'l_linestatus', CAST(n AS BIGINT), CAST(n - ls_c AS BIGINT), CAST(ls_d AS BIGINT), NULL, NULL, NULL, ls_ln, ls_lx FROM pw
+        |UNION ALL SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(n - sd_c AS BIGINT), CAST(sd_d AS BIGINT), sd_mn, sd_mx, NULL, NULL, NULL FROM pw
+        |ORDER BY col_name""".stripMargin
+
+  private val distShiftOracleSql: String =
+      """WITH dsa AS (SELECT lang, text FROM documents WHERE doc_id % 7 <> 0),
+        |dsb AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+        |               ELSE text END AS text
+        |        FROM documents WHERE doc_id % 11 <> 0),
+        |dfa AS (
+        |  SELECT lang, t, count(*) AS tfa FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t FROM dsa)
+        |  GROUP BY 1,2),
+        |dfb AS (
+        |  SELECT lang, t, count(*) AS tfb FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS t FROM dsb)
+        |  GROUP BY 1,2),
+        |dsj AS (
+        |  SELECT coalesce(a.lang, b.lang) AS lang, coalesce(a.t, b.t) AS t,
+        |         coalesce(a.tfa, 0) AS tfa, coalesce(b.tfb, 0) AS tfb
+        |  FROM dfa a FULL OUTER JOIN dfb b ON a.lang = b.lang AND a.t = b.t),
+        |dstt AS (SELECT lang, sum(tfa) AS na, sum(tfb) AS nb,
+        |                count(*) AS v
+        |         FROM dsj GROUP BY 1),
+        |dsp AS (
+        |  SELECT j.lang,
+        |    CAST(j.tfa + 1 AS DOUBLE) / CAST(t.na + t.v AS DOUBLE) AS pa,
+        |    CAST(j.tfb + 1 AS DOUBLE) / CAST(t.nb + t.v AS DOUBLE) AS pb
+        |  FROM dsj j JOIN dstt t USING (lang)),
+        |dsc AS (
+        |  SELECT lang,
+        |    floor(pa * ln(pa / pb) * 1000000.0 + 0.5) / 1000000.0 AS c_ab,
+        |    floor(pb * ln(pb / pa) * 1000000.0 + 0.5) / 1000000.0 AS c_ba,
+        |    floor((pa * ln(pa / ((pa + pb) / 2.0)) / 2.0
+        |         + pb * ln(pb / ((pa + pb) / 2.0)) / 2.0)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS c_js
+        |  FROM dsp)
+        |SELECT c.lang, CAST(min(t.v) AS BIGINT) AS n_terms,
+        |  CAST(min(t.na) AS BIGINT) AS n_tokens_a,
+        |  CAST(min(t.nb) AS BIGINT) AS n_tokens_b,
+        |  round(CAST(sum(CAST(c.c_ab AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ab,
+        |  round(CAST(sum(CAST(c.c_ba AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_ba,
+        |  round(CAST(sum(CAST(c.c_js AS DECIMAL(18,6))) AS DOUBLE), 6) AS js
+        |FROM dsc c JOIN dstt t USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val bottomkOracleSql: String =
     """WITH bks AS (
       |  SELECT lang, doc_id, md5(text) AS h,

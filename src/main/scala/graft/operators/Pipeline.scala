@@ -453,14 +453,25 @@ object Pipeline {
     distShiftFrames(a, b)
   }
 
-  private[graft] def distShiftFrames(a: DataFrame, b: DataFrame): DataFrame = {
+  /** Per-(lang, term) frequency table of a (doc_id, lang, text) frame —
+    * the mergeable state both the batch divergence and its streaming
+    * twin maintain (tf counts are ADDITIVE across micro-batches, so a
+    * per-batch tf census merges by sum into exactly this table). */
+  private[graft] def tfCensus(df: DataFrame, out: String): DataFrame =
+    df.repartition(col("doc_id"))
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as(out))
+
+  private[graft] def distShiftFrames(a: DataFrame, b: DataFrame): DataFrame =
+    distShiftFromTf(tfCensus(a, "tfa"), tfCensus(b, "tfb"))
+
+  /** The divergence core over two already-aggregated tf tables (columns
+    * (lang, t, tfa) / (lang, t, tfb)) — shared by [[distShift]] and the
+    * streaming monitor so batch and at-ingest drift can never diverge. */
+  private[graft] def distShiftFromTf(tfa: DataFrame, tfb: DataFrame): DataFrame = {
     import graft.operators.Similarity.quant6
-    def tf(df: DataFrame, out: String): DataFrame =
-      df.repartition(col("doc_id"))
-        .select(col("lang"),
-          explode(TextAnalysis.tokens(col("text"))).as("t"))
-        .groupBy("lang", "t").agg(count(lit(1)).as(out))
-    val joined = tf(a, "tfa").join(tf(b, "tfb"), Seq("lang", "t"), "full_outer")
+    val joined = tfa.join(tfb, Seq("lang", "t"), "full_outer")
       .select(col("lang"), col("t"),
         coalesce(col("tfa"), lit(0L)).as("tfa"),
         coalesce(col("tfb"), lit(0L)).as("tfb"))
@@ -489,6 +500,114 @@ object Pipeline {
         round(sum(col("c_js").cast("decimal(18,6)")).cast("double"), 6)
           .as("js"))
       .orderBy("lang")
+  }
+
+  /** COLUMN-PROFILING census (q_profile) — the ANALYZE-TABLE read a
+    * warehouse runs before trusting a new dataset (and the statistics a
+    * cost-based optimizer feeds on): per column, null count, distinct
+    * count, numeric min/max/mean, and string length bounds — all from
+    * ONE pass. Numerics profile as doubles (timestamps as epoch
+    * seconds); strings profile their length distribution; fields that
+    * don't apply are NULL.
+    *
+    * Scale shape: a single scan into a single wide aggregate (every
+    * stat has a partial/map-side form — count, distinct via partial
+    * hash, min/max, sum), then a stack() of the 1-row result into the
+    * census — no second scan, no join, no window; the unpivot touches
+    * one row. Determinism: counts/min/max are exact; means divide an
+    * exact sum (integer long sums; 2-decimal DECIMAL sums for the
+    * monetary doubles) once at display.
+    */
+  def profileTable(lineitem: DataFrame): DataFrame = {
+    // (column, sums-exactly-as: false = long integer, true = DECIMAL(18,2))
+    val numCols = Seq("l_orderkey" -> false, "l_partkey" -> false,
+      "l_suppkey" -> false, "l_linenumber" -> false, "l_quantity" -> true,
+      "l_extendedprice" -> true, "l_discount" -> true, "l_tax" -> true)
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val tsCols = Seq("l_shipdate")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("_n")) ++
+      numCols.flatMap { case (c, isDec) => Seq(
+        count(col(c)).as(s"${c}_c"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        min(col(c)).cast("double").as(s"${c}_mn"),
+        max(col(c)).cast("double").as(s"${c}_mx"),
+        (if (isDec) sum(col(c).cast("decimal(18,2)")).cast("double")
+         else sum(col(c)).cast("double")).as(s"${c}_sm")) } ++
+      strCols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_c"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        min(length(col(c))).cast("long").as(s"${c}_ln"),
+        max(length(col(c))).cast("long").as(s"${c}_lx")) } ++
+      tsCols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_c"),
+        countDistinct(col(c)).as(s"${c}_d"),
+        // NTZ parquet timestamps go through the UTC-pinned session cast
+        // (the Tables.events law) before the epoch conversion
+        min(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
+          .cast("double").as(s"${c}_mn"),
+        max(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
+          .cast("double").as(s"${c}_mx")) }
+    val wide = lineitem.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numCols.map { case (c, _) =>
+        s"'$c', _n - ${c}_c, ${c}_d, ${c}_mn, ${c}_mx, " +
+          s"round(${c}_sm / ${c}_c, 6), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" } ++
+      strCols.map { c =>
+        s"'$c', _n - ${c}_c, ${c}_d, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+          s"CAST(NULL AS DOUBLE), ${c}_ln, ${c}_lx" } ++
+      tsCols.map { c =>
+        s"'$c', _n - ${c}_c, ${c}_d, ${c}_mn, ${c}_mx, " +
+          s"CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" }
+    wide.selectExpr(
+        s"stack(${rows.length}, ${rows.mkString(", ")}) AS " +
+          "(col_name, n_nulls, n_distinct, min_num, max_num, avg_num, " +
+          "min_len, max_len)",
+        "_n AS n_rows")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"), col("avg_num"),
+        col("min_len"), col("max_len"))
+      .orderBy("col_name")
+  }
+
+  /** CHI-SQUARE independence census (q_chi2) — Pearson's χ² over the
+    * lang × source contingency table of the corpus: the audit that
+    * catches a CONFOUNDED corpus (language distribution depending on
+    * source) before a mixture recipe treats the two axes as
+    * independent knobs. Emits every cell — including structurally
+    * absent ones, which contribute their full expectation — with its
+    * observed count, expected count under independence, and χ²
+    * contribution; the statistic is the sum of the contribution
+    * column, left per-cell so the census shows WHERE the dependence
+    * lives.
+    *
+    * Scale shape: one (lang, source) hash agg, two tiny marginal aggs
+    * cross-joined (|langs|·|sources| rows — broadcast), one left join
+    * back for the zero cells. Determinism: marginals are exact
+    * integers; expected = row·col/N passes quant6 once and the
+    * contribution (O−E)²/E is computed FROM the quantized E, so both
+    * engines square and divide bit-identical operands.
+    */
+  def chi2Independence(documents: DataFrame): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val obs = documents.repartition(col("doc_id"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val rowTot = obs.groupBy("lang").agg(sum("n_obs").as("rl"))
+    val colTot = obs.groupBy("source").agg(sum("n_obs").as("cs"))
+    val n = obs.agg(sum("n_obs").cast("double").as("nn"))
+    rowTot.crossJoin(colTot).crossJoin(broadcast(n))
+      .join(obs, Seq("lang", "source"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("expected",
+        quant6((col("rl") * col("cs")).cast("double") / col("nn")))
+      .withColumn("contrib", quant6(
+        (col("n_obs") - col("expected")) * (col("n_obs") - col("expected"))
+          / col("expected")))
+      .select(col("lang"), col("source"), col("n_obs"),
+        col("expected"), col("contrib"))
+      .orderBy("lang", "source")
   }
 
   /** K-ANONYMITY census (q_kanon; Sweeney 2002) — the re-identification

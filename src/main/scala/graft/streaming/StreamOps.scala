@@ -1399,6 +1399,62 @@ object StreamOps {
       spark.read.parquet(store).dropDuplicates("lang", "doc_id"), k)
   }
 
+  /** STREAMING DRIFT MONITOR (q_stream_drift) — the distribution-shift
+    * audit ([[graft.operators.Pipeline.distShift]]) running at ingest:
+    * the incoming snapshot streams in micro-batches, each batch lands
+    * its per-(lang, term) token-frequency census under a deterministic
+    * batch=N dir (the [[streamAnomalyMad]] idempotence device — replay
+    * overwrites, never double-counts), and tf counts are ADDITIVE, so
+    * the drained store merges by sum into exactly the batch tf table —
+    * the divergence then runs through the SAME
+    * [[graft.operators.Pipeline.distShiftFromTf]] core against the
+    * reference corpus, and q_dist_shift's oracle is shared verbatim:
+    * batch drift and at-ingest drift can never disagree.
+    *
+    * 100 TB shape: per-batch state is the batch's (lang, term) census —
+    * vocabulary-bounded, not document-bounded; the store grows by
+    * census rows; the divergence pass aggregates two tf tables and
+    * never revisits documents. This is what a corpus-refresh monitor
+    * wants live: per-ingest-batch vocabulary deltas for free (the
+    * batch=N dirs), corpus-level KL/JS one additive merge away.
+    */
+  def streamDriftMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_drift/$runId/store"
+    val ck = s"$tmp/graft_stream_drift/$runId/ck"
+    val docs = graft.Tables.documents(spark, sfDir)
+    // the incoming snapshot (the q_dist_shift B-side laws) is what streams
+    val incoming = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"),
+        col("lang"))
+    val root = stageRanges(incoming, "doc_id", 3)
+    val q = spark.readStream.schema(langDocSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Pipeline.tfCensus(batch, "tfb")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tfb = spark.read.parquet(store)
+      .groupBy("lang", "t").agg(sum("tfb").as("tfb"))
+    val reference = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+    graft.operators.Pipeline.distShiftFromTf(
+      graft.operators.Pipeline.tfCensus(reference, "tfa"), tfb)
+  }
+
   /** One micro-batch of the CHUNK-STORE UPSERT — the maintenance loop a
     * RAG/embedding store runs as documents are re-crawled: the batch's
     * documents are chunked at ingest, each new chunk is flagged if its

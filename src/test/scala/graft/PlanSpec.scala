@@ -408,6 +408,21 @@ class PlanSpec extends SparkSpec {
     assert(se.nonEmpty && se.forall(_.contains("doc_id")),
       s"q_token_entropy: window not doc_id-led: $se")
     CacheRegistry.release()
+    // q_profile: ONE scan into one wide aggregate — the whole profile
+    // must come from a single pass (no join, no window, no re-scan)
+    val pf = planText(SparkEntry.queries("q_profile")(spark, sf0001))
+    assert(!pf.contains("Join"), "profile census grew a join")
+    assert(!pf.contains("windowspecdefinition"), "profile census grew a window")
+    // formatted plans list each node twice (tree + detail) — count the
+    // numbered detail headers, one per physical scan node
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(pf).size
+    assert(scans == 1, s"profile must scan once, found $scans scans")
+    CacheRegistry.release()
+    // q_chi2: contingency census — no window; marginal frames are tiny
+    // and the zero-cell completion must not become a cartesian on rows
+    val pc = planText(SparkEntry.queries("q_chi2")(spark, sf0001))
+    assert(!pc.contains("windowspecdefinition"), "chi2 census grew a window")
+    CacheRegistry.release()
   }
 
   test("q1 aggregation runs partial (map-side) before the shuffle") {

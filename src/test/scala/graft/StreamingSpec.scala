@@ -525,4 +525,17 @@ class StreamingSpec extends SparkSpec {
         Tables.documents(spark, sf0001))),
       "merged per-batch bottom-k sketches must equal the corpus sample")
   }
+
+  test("streaming drift monitor equals the batch divergence (additive tf merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("n_tokens_a"), r.getAs[Long]("n_tokens_b"),
+        r.getAs[Double]("kl_ab"), r.getAs[Double]("kl_ba"),
+        r.getAs[Double]("js"))
+    }.toSet
+    assert(rows(StreamOps.streamDriftMonitor(spark, sf0001)) ===
+      rows(graft.operators.Pipeline.distShift(
+        Tables.documents(spark, sf0001))),
+      "drained per-batch tf censuses must merge to the batch divergence")
+  }
 }

@@ -992,6 +992,66 @@ class TextAnalysisSpec extends SparkSpec {
       s"JS must sit in (0, ln 2], got $js")
   }
 
+  test("profileTable: stat invariants on the real table, nulls counted when planted") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, when}
+    val li = Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    val prof = graft.operators.Pipeline.profileTable(li).collect()
+    assert(prof.length === 11)
+    prof.foreach { r =>
+      val c = r.getAs[String]("col_name")
+      assert(r.getAs[Long]("n_rows") === total, s"$c: n_rows")
+      assert(r.getAs[Long]("n_nulls") === 0L, s"$c: unexpected nulls")
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd > 0L && nd <= total, s"$c: n_distinct $nd out of range")
+      if (!r.isNullAt(r.fieldIndex("min_num"))) {
+        val (mn, mx) = (r.getAs[Double]("min_num"), r.getAs[Double]("max_num"))
+        assert(mn <= mx, s"$c: min > max")
+        if (!r.isNullAt(r.fieldIndex("avg_num"))) {
+          val av = r.getAs[Double]("avg_num")
+          assert(mn <= av && av <= mx, s"$c: mean $av outside [$mn, $mx]")
+        }
+      }
+      if (!r.isNullAt(r.fieldIndex("min_len")))
+        assert(r.getAs[Long]("min_len") <= r.getAs[Long]("max_len"), s"$c: len")
+    }
+    // plant nulls in one column: the census must count exactly them
+    val planted = li.withColumn("l_tax",
+      when(pmod(col("l_orderkey"), lit(2L)) === 0, lit(null)
+        .cast("double")).otherwise(col("l_tax")))
+    val expectNull = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0).count()
+    val taxRow = graft.operators.Pipeline.profileTable(planted)
+      .filter(col("col_name") === "l_tax").head()
+    assert(taxRow.getAs[Long]("n_nulls") === expectNull)
+  }
+
+  test("chi2Independence: zero on a proportional table, N·φ² on a diagonal one") {
+    val sp = spark
+    import sp.implicits._
+    def docsOf(cells: Seq[(String, String, Int)]) = {
+      val rows = cells.zipWithIndex.flatMap { case ((l, s, n), i) =>
+        (1 to n).map(j => (i * 1000L + j, "text", l, s, 4L)) }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    // proportional margins ⇒ E = O everywhere ⇒ every contribution 0
+    val indep = graft.operators.Pipeline.chi2Independence(docsOf(Seq(
+      ("en", "s0", 2), ("en", "s1", 2), ("fr", "s0", 3), ("fr", "s1", 3))))
+      .collect()
+    assert(indep.length === 4)
+    indep.foreach(r => assert(r.getAs[Double]("contrib") === 0.0))
+    // perfect diagonal association: every cell (incl. the structural
+    // zeros) contributes (O−2)²/2 = 2, so χ² = 8 = N·φ² with φ² = 1
+    val dep = graft.operators.Pipeline.chi2Independence(docsOf(Seq(
+      ("en", "s0", 4), ("fr", "s1", 4)))).collect()
+    assert(dep.length === 4)
+    dep.foreach { r =>
+      assert(r.getAs[Double]("expected") === 2.0)
+      assert(r.getAs[Double]("contrib") === 2.0)
+    }
+    val zeros = dep.filter(_.getAs[Long]("n_obs") === 0L)
+    assert(zeros.length === 2, "structural zero cells must be emitted")
+  }
+
   test("kAnonymityCensus bands equivalence classes by size with exact shares") {
     val sp = spark
     import sp.implicits._
