@@ -97,6 +97,27 @@ object ScaleProbe {
     // cut is k·|langs| regardless of corpus size; cost = the hash scan
     time("bottomk")(graft.operators.TextAnalysis
       .bottomKSample(amplified).count())
+    // weighted sample: same shape as bottomk plus one ln() per row —
+    // the race key is stateless, so cost = the hash scan
+    time("weighted_sample")(graft.operators.TextAnalysis
+      .weightedSample(amplified
+        .withColumn("n_chars", length(col("text")).cast("long"))).count())
+    // token entropy: tokenize + (doc, term) agg + doc-keyed window —
+    // should track exploded token count (linear)
+    time("token_entropy")(graft.operators.TextAnalysis
+      .tokenEntropy(amplified).count())
+    // distribution shift: two tf censuses + one full-outer join on the
+    // (lang, term) vocabulary — vocabulary grows sublinearly with the
+    // corpus, so the join side is the cheap side; cost = the tokenizes
+    time("dist_shift")(graft.operators.Pipeline
+      .distShiftFrames(
+        amplified.select(col("doc_id"), col("lang"), col("text")),
+        amplified.select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" rev2")).as("text"))).count())
+    // label propagation: per round, one edge join + (node, label) agg —
+    // cost should track the edge census like triangles, never degree²
+    time("label_prop")(graft.operators.TextAnalysis
+      .labelPropagation(amplified).count())
     // model-based curation tier: the LM join fan-out (perplexity), the
     // token-keyed NB model join, and the bucketed DSIR broadcast —
     // all should be linear in exploded token/feature count
