@@ -47,6 +47,7 @@ object SparkEntry {
     "q_attribution" -> ((s, d) => Events.lastTouchAttribution(events(s, d))),
     "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
     "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
+    "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_stream_drift" -> ((s, d) => streaming.StreamOps.streamDriftMonitor(s, d)),
     "q_chi2" -> ((s, d) => Pipeline.chi2Independence(documents(s, d))),
     "q_profile" -> ((s, d) => Pipeline.profileTable(lineitem(s, d))),
+    "q_stream_profile" -> ((s, d) => streaming.StreamOps.streamProfile(s, d)),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
@@ -1430,6 +1432,39 @@ object SparkEntry {
     // column profiling: one wide agg over one scan, unpivoted — exact
     // counts/min/max, means divide exact sums (long / DECIMAL(18,2))
     "q_profile" -> profileOracleSql,
+    // streaming profile: moment rows merge (sum, min, max, sum) exactly,
+    // distincts merge by set union — the batch oracle shared verbatim
+    "q_stream_profile" -> profileOracleSql,
+    // seasonal-naive forecast backtest: forecast = exclusive prefix mean
+    // of the same (type, hod) slot (prior-data-only by construction);
+    // forecast and each error term through quant6, DECIMAL sums
+    "q_forecast_naive" ->
+      """WITH fnh AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+        |  FROM events GROUP BY 1,2),
+        |fnp AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER w AS t_idx,
+        |    coalesce(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING), 0) AS cumprev
+        |  FROM fnh
+        |  WINDOW w AS (PARTITION BY event_type, hr % 24 ORDER BY hr)),
+        |fnf AS (
+        |  SELECT event_type, x,
+        |    floor(CAST(cumprev AS DOUBLE) / (t_idx - 1)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS f
+        |  FROM fnp WHERE t_idx > 1),
+        |fne AS (
+        |  SELECT event_type,
+        |    CAST(floor(abs(x - f) / x * 1000000.0 + 0.5) / 1000000.0
+        |         AS DECIMAL(18,6)) AS ape,
+        |    CAST(floor(abs(x - f) * 1000000.0 + 0.5) / 1000000.0
+        |         AS DECIMAL(18,6)) AS ae
+        |  FROM fnf)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtests,
+        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae
+        |FROM fne GROUP BY 1 ORDER BY 1""".stripMargin,
     // k-anonymity: equivalence classes on the QI tuple, banded by size;
     // the balance bucket is one IEEE divide + floor
     "q_kanon" ->

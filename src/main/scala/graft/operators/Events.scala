@@ -398,6 +398,47 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST (q_forecast_naive) — the baseline
+    * every forecasting deployment must beat, evaluated honestly: predict
+    * each hour's event count from the expanding mean of all PRIOR
+    * observations of the same (event type, hour-of-day) slot, then
+    * census the backtest per type (MAPE + MAE over every hour that had
+    * history). Completes the time-series family — [[Events.ewmaSmooth
+    * smooth]], [[seasonalDecompose decompose]], [[cusumChangepoint
+    * changepoint]], forecast — and the prior-data-only discipline is
+    * structural, not a convention: the forecast reads the EXCLUSIVE
+    * prefix sum, so leakage of the predicted hour into its own
+    * forecast is impossible by construction.
+    *
+    * Scale shape: one (type, hour) hash agg; the expanding prefix rides
+    * [[TextAnalysis.withGroupedPrefix]] over the 120 (type, hod) groups
+    * (never a low-cardinality-led window); the census is one more hash
+    * agg. Determinism: the prefix and counts are exact longs; the
+    * forecast divides once and passes quant6 (it feeds the errors);
+    * each error term quantizes then accumulates DECIMAL(18,6).
+    */
+  def forecastNaive(events: DataFrame): DataFrame = {
+    import Similarity.quant6
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+      .withColumn("hod", col("hr") % 24)
+    val backtest = hourly.transform(TextAnalysis.withGroupedPrefix(
+        Seq("event_type", "hod"), "t_idx", "cum_prev", col("x"), col("hr")))
+      .filter(col("t_idx") > 1)
+      .withColumn("f", quant6(col("cum_prev").cast("double") /
+        (col("t_idx") - 1)))
+      .withColumn("ape", quant6(abs(col("x") - col("f")) / col("x")))
+      .withColumn("ae", quant6(abs(col("x") - col("f"))))
+    backtest.groupBy("event_type")
+      .agg(count(lit(1)).as("n_backtests"),
+        round(sum(col("ape").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mape"),
+        round(sum(col("ae").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mae"))
+      .orderBy("event_type")
+  }
+
   /** LAST-TOUCH ATTRIBUTION census (q_attribution) — each purchase
     * credited to the last non-purchase touchpoint inside its own
     * 30-minute session (the attribution model conversion reporting

@@ -518,46 +518,67 @@ object Pipeline {
     * exact sum (integer long sums; 2-decimal DECIMAL sums for the
     * monetary doubles) once at display.
     */
-  def profileTable(lineitem: DataFrame): DataFrame = {
-    // (column, sums-exactly-as: false = long integer, true = DECIMAL(18,2))
-    val numCols = Seq("l_orderkey" -> false, "l_partkey" -> false,
-      "l_suppkey" -> false, "l_linenumber" -> false, "l_quantity" -> true,
-      "l_extendedprice" -> true, "l_discount" -> true, "l_tax" -> true)
-    val strCols = Seq("l_returnflag", "l_linestatus")
-    val tsCols = Seq("l_shipdate")
-    val aggs: Seq[org.apache.spark.sql.Column] =
-      Seq(count(lit(1)).as("_n")) ++
-      numCols.flatMap { case (c, isDec) => Seq(
-        count(col(c)).as(s"${c}_c"),
-        countDistinct(col(c)).as(s"${c}_d"),
-        min(col(c)).cast("double").as(s"${c}_mn"),
-        max(col(c)).cast("double").as(s"${c}_mx"),
-        (if (isDec) sum(col(c).cast("decimal(18,2)")).cast("double")
-         else sum(col(c)).cast("double")).as(s"${c}_sm")) } ++
-      strCols.flatMap { c => Seq(
-        count(col(c)).as(s"${c}_c"),
-        countDistinct(col(c)).as(s"${c}_d"),
-        min(length(col(c))).cast("long").as(s"${c}_ln"),
-        max(length(col(c))).cast("long").as(s"${c}_lx")) } ++
-      tsCols.flatMap { c => Seq(
-        count(col(c)).as(s"${c}_c"),
-        countDistinct(col(c)).as(s"${c}_d"),
-        // NTZ parquet timestamps go through the UTC-pinned session cast
-        // (the Tables.events law) before the epoch conversion
-        min(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
-          .cast("double").as(s"${c}_mn"),
-        max(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
-          .cast("double").as(s"${c}_mx")) }
-    val wide = lineitem.agg(aggs.head, aggs.tail: _*)
+  // (column, sums-exactly-as: false = long integer, true = DECIMAL(18,2))
+  private[graft] val profileNumCols = Seq("l_orderkey" -> false,
+    "l_partkey" -> false, "l_suppkey" -> false, "l_linenumber" -> false,
+    "l_quantity" -> true, "l_extendedprice" -> true, "l_discount" -> true,
+    "l_tax" -> true)
+  private[graft] val profileStrCols = Seq("l_returnflag", "l_linestatus")
+  private[graft] val profileTsCols = Seq("l_shipdate")
+  private[graft] val profileAllCols: Seq[String] =
+    profileNumCols.map(_._1) ++ profileStrCols ++ profileTsCols
+
+  /** The MERGEABLE moment aggregates (counts, min/max, exact sums —
+    * everything except distincts) in their EXACT native types: counts
+    * and integer sums stay long, monetary sums stay DECIMAL, timestamp
+    * bounds stay epoch-second longs. A per-batch row of these merges by
+    * (sum, sum, min, max, sum) into exactly the one-pass row — the law
+    * the streaming profile rides; doubles appear only in
+    * [[profileAssemble]]'s display projection. */
+  private[graft] def profileMomentAggs: Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("_n")) ++
+    profileNumCols.flatMap { case (c, isDec) => Seq(
+      count(col(c)).as(s"${c}_c"),
+      min(col(c)).as(s"${c}_mn"),
+      max(col(c)).as(s"${c}_mx"),
+      (if (isDec) sum(col(c).cast("decimal(18,2)"))
+       else sum(col(c))).as(s"${c}_sm")) } ++
+    profileStrCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_c"),
+      min(length(col(c))).cast("long").as(s"${c}_ln"),
+      max(length(col(c))).cast("long").as(s"${c}_lx")) } ++
+    profileTsCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_c"),
+      // NTZ parquet timestamps go through the UTC-pinned session cast
+      // (the Tables.events law) before the epoch conversion
+      min(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
+        .as(s"${c}_mn"),
+      max(expr(s"unix_micros(CAST($c AS TIMESTAMP)) DIV 1000000"))
+        .as(s"${c}_mx")) }
+
+  private[graft] def profileDistinctAggs: Seq[org.apache.spark.sql.Column] =
+    profileAllCols.map(c => countDistinct(col(c)).as(s"${c}_d"))
+
+  /** Unpivot a 1-row wide stats frame (moment + distinct columns) into
+    * the profile census — all double casts happen HERE, so any exact
+    * merge of moment rows assembles bit-identically to the one-pass
+    * aggregate. */
+  private[graft] def profileAssemble(wide: DataFrame): DataFrame = {
+    val numCols = profileNumCols
+    val strCols = profileStrCols
+    val tsCols = profileTsCols
     val rows =
       numCols.map { case (c, _) =>
-        s"'$c', _n - ${c}_c, ${c}_d, ${c}_mn, ${c}_mx, " +
-          s"round(${c}_sm / ${c}_c, 6), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" } ++
+        s"'$c', _n - ${c}_c, ${c}_d, CAST(${c}_mn AS DOUBLE), " +
+          s"CAST(${c}_mx AS DOUBLE), " +
+          s"round(CAST(${c}_sm AS DOUBLE) / ${c}_c, 6), " +
+          s"CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" } ++
       strCols.map { c =>
         s"'$c', _n - ${c}_c, ${c}_d, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
           s"CAST(NULL AS DOUBLE), ${c}_ln, ${c}_lx" } ++
       tsCols.map { c =>
-        s"'$c', _n - ${c}_c, ${c}_d, ${c}_mn, ${c}_mx, " +
+        s"'$c', _n - ${c}_c, ${c}_d, CAST(${c}_mn AS DOUBLE), " +
+          s"CAST(${c}_mx AS DOUBLE), " +
           s"CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" }
     wide.selectExpr(
         s"stack(${rows.length}, ${rows.mkString(", ")}) AS " +
@@ -568,6 +589,11 @@ object Pipeline {
         col("n_distinct"), col("min_num"), col("max_num"), col("avg_num"),
         col("min_len"), col("max_len"))
       .orderBy("col_name")
+  }
+
+  def profileTable(lineitem: DataFrame): DataFrame = {
+    val aggs = profileMomentAggs ++ profileDistinctAggs
+    profileAssemble(lineitem.agg(aggs.head, aggs.tail: _*))
   }
 
   /** CHI-SQUARE independence census (q_chi2) — Pearson's χ² over the

@@ -1455,6 +1455,89 @@ object StreamOps {
       graft.operators.Pipeline.tfCensus(reference, "tfa"), tfb)
   }
 
+  /** STREAMING TABLE PROFILE (q_stream_profile) — the ANALYZE census
+    * ([[graft.operators.Pipeline.profileTable]]) maintained at ingest,
+    * the data-quality monitor pattern (profile every arriving batch,
+    * keep corpus statistics current without rescanning): each
+    * micro-batch lands TWO artifacts under deterministic batch=N dirs —
+    * its moment row ([[graft.operators.Pipeline.profileMomentAggs]]:
+    * counts, min/max, exact sums, all in native exact types) and its
+    * per-column distinct value set. Moments merge by (sum, min, max,
+    * sum) — exact in long/DECIMAL, so the merged row is bit-identical
+    * to the one-pass aggregate; distincts merge by SET UNION (the only
+    * non-additive stat), then both feed the SAME
+    * [[graft.operators.Pipeline.profileAssemble]] projection —
+    * q_profile's oracle is shared verbatim, and the per-batch moment
+    * rows double as the per-ingest data-quality report.
+    *
+    * 100 TB shape: per-batch moment state is ONE row; the distinct
+    * store is bounded by column cardinality, not row count — the price
+    * of EXACT distincts (the approx tier swaps the value store for a
+    * mergeable HLL sketch at sketch size, the q_approx_distinct
+    * precedent). Replayed batches overwrite their own dirs: both
+    * stores are replay-idempotent.
+    */
+  def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_profile/$runId/store"
+    val ck = s"$tmp/graft_stream_profile/$runId/ck"
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val root = stageRanges(li, "l_orderkey", 3)
+    val q = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val m = Pipeline.profileMomentAggs
+          batch.agg(m.head, m.tail: _*)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/moments/batch=$batchId")
+          Pipeline.profileAllCols.map { c =>
+            batch.select(lit(c).as("col_name"),
+              col(c).cast("string").as("v"))
+              .where(col(c).isNotNull).distinct()
+          }.reduce(_ unionByName _)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/dvals/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val mergeAggs: Seq[org.apache.spark.sql.Column] =
+      Seq(sum(col("_n")).as("_n")) ++
+      Pipeline.profileNumCols.flatMap { case (c, _) => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_mn")).as(s"${c}_mn"),
+        max(col(s"${c}_mx")).as(s"${c}_mx"),
+        sum(col(s"${c}_sm")).as(s"${c}_sm")) } ++
+      Pipeline.profileStrCols.flatMap { c => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_ln")).as(s"${c}_ln"),
+        max(col(s"${c}_lx")).as(s"${c}_lx")) } ++
+      Pipeline.profileTsCols.flatMap { c => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_mn")).as(s"${c}_mn"),
+        max(col(s"${c}_mx")).as(s"${c}_mx")) }
+    val moments = spark.read.parquet(s"$store/moments")
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    val dWide = spark.read.parquet(s"$store/dvals")
+      // the batch=N dir is inferred as a partition column — drop it
+      // BEFORE the set-union dedup, or every batch's copy survives
+      .select("col_name", "v").distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("nd"))
+      .groupBy().pivot("col_name", Pipeline.profileAllCols)
+      .agg(first(col("nd")))
+    val distincts = dWide.select(Pipeline.profileAllCols.map(c =>
+      coalesce(col(s"`$c`"), lit(0L)).as(s"${c}_d")): _*)
+    Pipeline.profileAssemble(moments.crossJoin(distincts))
+  }
+
   /** One micro-batch of the CHUNK-STORE UPSERT — the maintenance loop a
     * RAG/embedding store runs as documents are re-crawled: the batch's
     * documents are chunked at ingest, each new chunk is flagged if its

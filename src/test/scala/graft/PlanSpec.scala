@@ -376,10 +376,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("governance/drift wave keeps scalable shapes") {
-    // q_cusum + q_weighted_sample: the per-type prefix and the
-    // per-stratum rank ride the grouped-prefix device — the 5-class
-    // event_type / handful-of-langs keys must never lead a window
-    for (name <- Seq("q_cusum", "q_weighted_sample")) {
+    // q_cusum + q_weighted_sample + q_forecast_naive: per-type prefixes
+    // and per-stratum ranks ride the grouped-prefix device — the
+    // 5-class event_type / handful-of-langs keys must never lead a
+    // window
+    for (name <- Seq("q_cusum", "q_weighted_sample", "q_forecast_naive")) {
       val p = planText(SparkEntry.queries(name)(spark, sf0001))
       val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
       assert(specs.nonEmpty && specs.forall(_.contains("_pid")),

@@ -526,6 +526,22 @@ class StreamingSpec extends SparkSpec {
       "merged per-batch bottom-k sketches must equal the corpus sample")
   }
 
+  test("streaming profile equals the batch ANALYZE (exact moment + set-union merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+        Option(r.getAs[java.lang.Double]("min_num")),
+        Option(r.getAs[java.lang.Double]("max_num")),
+        Option(r.getAs[java.lang.Double]("avg_num")),
+        Option(r.getAs[java.lang.Long]("min_len")),
+        Option(r.getAs[java.lang.Long]("max_len")))
+    }.toSet
+    assert(rows(StreamOps.streamProfile(spark, sf0001)) ===
+      rows(graft.operators.Pipeline.profileTable(
+        Tables.lineitem(spark, sf0001))),
+      "merged per-batch moments + distinct sets must equal the one-pass profile")
+  }
+
   test("streaming drift monitor equals the batch divergence (additive tf merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("lang"), r.getAs[Long]("n_terms"),

@@ -242,6 +242,21 @@ class TemporalSpec extends SparkSpec {
     assert(r.getAs[Double]("cusum_abs") === 6.0)
   }
 
+  test("forecastNaive: expanding prior-slot mean, leakage-free by construction") {
+    val h = 3600L * 1000000L
+    // same hour-of-day across three days: counts 2, 4, 6. Backtests:
+    // day2 f = 2 (ape 0.5, ae 2); day3 f = mean(2,4) = 3 (ape 0.5, ae 3)
+    val rows = (1 to 2).map(i => (i.toLong, 0L, 1L, "view", 1.0)) ++
+      (3 to 6).map(i => (i.toLong, 24 * h, 1L, "view", 1.0)) ++
+      (7 to 12).map(i => (i.toLong, 48 * h, 1L, "view", 1.0))
+    val r = Events.forecastNaive(syntheticEvents(rows)).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("event_type") === "view")
+    assert(r.head.getAs[Long]("n_backtests") === 2L)
+    assert(r.head.getAs[Double]("mape") === 0.5)
+    assert(r.head.getAs[Double]("mae") === 2.5)
+  }
+
   test("ewmaSmooth matches the hand-computed adjust=True EWMA at the series head") {
     val h = 3600L * 1000000L
     val ev = syntheticEvents(Seq(
