@@ -48,6 +48,8 @@ object SparkEntry {
     "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
     "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
     "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
+    "q_stream_forecast" -> ((s, d) => streaming.StreamOps.streamForecast(s, d)),
+    "q_forget" -> ((s, d) => Landing.forgetUsers(events(s, d))),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -1438,33 +1440,20 @@ object SparkEntry {
     // seasonal-naive forecast backtest: forecast = exclusive prefix mean
     // of the same (type, hod) slot (prior-data-only by construction);
     // forecast and each error term through quant6, DECIMAL sums
-    "q_forecast_naive" ->
-      """WITH fnh AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
-        |  FROM events GROUP BY 1,2),
-        |fnp AS (
-        |  SELECT event_type, x,
-        |    row_number() OVER w AS t_idx,
-        |    coalesce(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-        |                          AND 1 PRECEDING), 0) AS cumprev
-        |  FROM fnh
-        |  WINDOW w AS (PARTITION BY event_type, hr % 24 ORDER BY hr)),
-        |fnf AS (
-        |  SELECT event_type, x,
-        |    floor(CAST(cumprev AS DOUBLE) / (t_idx - 1)
-        |          * 1000000.0 + 0.5) / 1000000.0 AS f
-        |  FROM fnp WHERE t_idx > 1),
-        |fne AS (
-        |  SELECT event_type,
-        |    CAST(floor(abs(x - f) / x * 1000000.0 + 0.5) / 1000000.0
-        |         AS DECIMAL(18,6)) AS ape,
-        |    CAST(floor(abs(x - f) * 1000000.0 + 0.5) / 1000000.0
-        |         AS DECIMAL(18,6)) AS ae
-        |  FROM fnf)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtests,
-        |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
-        |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae
-        |FROM fne GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_forecast_naive" -> forecastOracleSql,
+    // streaming forecast: per-batch hourly counts merge additively into
+    // the batch hourly table — the batch oracle shared verbatim
+    "q_stream_forecast" -> forecastOracleSql,
+    // right-to-be-forgotten: the census is read back from the
+    // post-erasure store, so the oracle match proves the STORAGE state —
+    // erasure complete (no victim survived) and exact (no bystander lost)
+    "q_forget" ->
+      """SELECT event_type, count(*) AS n_before,
+        |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_removed,
+        |  CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_after
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // k-anonymity: equivalence classes on the QI tuple, banded by size;
     // the balance bucket is one IEEE divide + floor
     "q_kanon" ->
@@ -3720,6 +3709,34 @@ object SparkEntry {
         |UNION ALL SELECT 'l_linestatus', CAST(n AS BIGINT), CAST(n - ls_c AS BIGINT), CAST(ls_d AS BIGINT), NULL, NULL, NULL, ls_ln, ls_lx FROM pw
         |UNION ALL SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(n - sd_c AS BIGINT), CAST(sd_d AS BIGINT), sd_mn, sd_mx, NULL, NULL, NULL FROM pw
         |ORDER BY col_name""".stripMargin
+
+  private val forecastOracleSql: String =
+    """WITH fnh AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+      |  FROM events GROUP BY 1,2),
+      |fnp AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER w AS t_idx,
+      |    coalesce(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND 1 PRECEDING), 0) AS cumprev
+      |  FROM fnh
+      |  WINDOW w AS (PARTITION BY event_type, hr % 24 ORDER BY hr)),
+      |fnf AS (
+      |  SELECT event_type, x,
+      |    floor(CAST(cumprev AS DOUBLE) / (t_idx - 1)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS f
+      |  FROM fnp WHERE t_idx > 1),
+      |fne AS (
+      |  SELECT event_type,
+      |    CAST(floor(abs(x - f) / x * 1000000.0 + 0.5) / 1000000.0
+      |         AS DECIMAL(18,6)) AS ape,
+      |    CAST(floor(abs(x - f) * 1000000.0 + 0.5) / 1000000.0
+      |         AS DECIMAL(18,6)) AS ae
+      |  FROM fnf)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtests,
+      |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
+      |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae
+      |FROM fne GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val distShiftOracleSql: String =
       """WITH dsa AS (SELECT lang, text FROM documents WHERE doc_id % 7 <> 0),

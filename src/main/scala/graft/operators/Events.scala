@@ -417,12 +417,23 @@ object Events {
     * forecast divides once and passes quant6 (it feeds the errors);
     * each error term quantizes then accumulates DECIMAL(18,6).
     */
-  def forecastNaive(events: DataFrame): DataFrame = {
-    import Similarity.quant6
-    val hourly = events
+  def forecastNaive(events: DataFrame): DataFrame =
+    forecastFromHourly(hourlyTypeCounts(events))
+
+  /** The (event_type, epoch-hour) count table — the ADDITIVE state the
+    * streaming twin maintains per micro-batch (counts merge by sum into
+    * exactly this table, the [[anomalyMadFromCounts]] device). */
+  private[graft] def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
-      .withColumn("hod", col("hr") % 24)
+
+  /** The backtest core over an already-aggregated hourly count table —
+    * shared by [[forecastNaive]] and the streaming monitor so batch and
+    * at-ingest backtests can never drift. */
+  private[graft] def forecastFromHourly(hourlyCounts: DataFrame): DataFrame = {
+    import Similarity.quant6
+    val hourly = hourlyCounts.withColumn("hod", col("hr") % 24)
     val backtest = hourly.transform(TextAnalysis.withGroupedPrefix(
         Seq("event_type", "hod"), "t_idx", "cum_prev", col("x"), col("hr")))
       .filter(col("t_idx") > 1)

@@ -120,4 +120,96 @@ object Landing {
       .agg(count(lit(1)).as("n_events"))
       .orderBy("y", "m", "d")
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN erasure (q_forget) — the GDPR/CCPA deletion
+    * pass that completes the governance family (PII scrub finds direct
+    * identifiers, k-anonymity measures quasi-identifiers, THIS actually
+    * removes a data subject): land the events user-bucketed, then erase
+    * every row belonging to the deterministic request set
+    * (user_id ≡ 0 mod `victimMod`) by rewriting ONLY the buckets those
+    * users live in. The census is read back from the POST-ERASURE
+    * store — the oracle match proves the storage state, not the plan:
+    * erasure was complete (no victim row survived) and exact (no
+    * bystander row was lost).
+    *
+    * Scale shape: user-bucketed layout means a deletion request touches
+    * |victims'-buckets| partitions, not the corpus; survivors = touched
+    * buckets left-anti the victim list (broadcast — a deletion request
+    * is human-scale); dynamic partition overwrite leaves untouched
+    * buckets' files alone, and a bucket EMPTIED by the erasure (every
+    * resident row belonged to victims) is dropped explicitly — dynamic
+    * overwrite only rewrites partitions present in the output, so the
+    * stale directory would otherwise survive (the [[graft.streaming
+    * .StreamOps.upsertBatch]] emptied-day discipline). localCheckpoint
+    * materializes the survivors BEFORE the overwrite deletes the files
+    * they were read from. Idempotent: a replayed request finds no
+    * victim rows and rewrites the same survivors.
+    */
+  def forgetUsers(events: DataFrame, victimMod: Long = 97L,
+                  nBuckets: Int = 16): DataFrame = {
+    val baseDir = s"${sys.props("java.io.tmpdir")}/graft_forget/" +
+      java.util.UUID.randomUUID().toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(baseDir)): Unit))
+    forgetUsersAt(events, victimMod, nBuckets, baseDir)
+  }
+
+  private[graft] def forgetUsersAt(events: DataFrame, victimMod: Long,
+                                   nBuckets: Int, baseDir: String): DataFrame = {
+    val spark = events.sparkSession
+    events.withColumn("bkt", pmod(col("user_id"), lit(nBuckets.toLong))
+        .cast("int"))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(baseDir)
+    // localCheckpoint MATERIALIZES the pre-erasure census (a lazy frame
+    // would re-list the store after the rewrite and report post-state)
+    val before = spark.read.parquet(baseDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      .localCheckpoint()
+    val base = spark.read.parquet(baseDir)
+    val victims = base
+      .filter(pmod(col("user_id"), lit(victimMod)) === 0)
+      .select("user_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // the touched-bucket list is request-sized — the documented
+    // broadcast-scalar collect (same class as upsertBatch's day list)
+    val touched = victims
+      .withColumn("bkt", pmod(col("user_id"), lit(nBuckets.toLong))
+        .cast("int"))
+      .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val touchedDf = {
+        import spark.implicits._
+        touched.toSeq.toDF("bkt")
+      }
+      val survivors = base
+        .join(broadcast(touchedDf), Seq("bkt"), "left_semi")
+        .join(broadcast(victims), Seq("user_id"), "left_anti")
+        .repartition(col("bkt"))
+        .localCheckpoint()
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt")
+        .parquet(baseDir)
+      val remaining = survivors.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = touched -- remaining
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(baseDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        emptied.foreach(b => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$baseDir/bkt=$b"), true))
+      }
+    }
+    val after = spark.read.parquet(baseDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("event_type")
+  }
 }

@@ -1455,6 +1455,42 @@ object StreamOps {
       graft.operators.Pipeline.tfCensus(reference, "tfa"), tfb)
   }
 
+  /** STREAMING FORECAST BACKTEST (q_stream_forecast) — the seasonal-
+    * naive backtest ([[graft.operators.Events.forecastNaive]]) fed from
+    * the live stream, the [[streamAnomalyMad]] device one op over: each
+    * micro-batch lands its (event_type, epoch-hour) counts under a
+    * deterministic batch=N dir (replay overwrites, never double-counts),
+    * counts merge ADDITIVELY into exactly the batch hourly table, and
+    * the backtest runs through the SAME
+    * [[graft.operators.Events.forecastFromHourly]] core —
+    * q_forecast_naive's oracle shared verbatim. A production monitor
+    * gets the forecast-vs-actual residual per type refreshed each
+    * ingest without rescanning history.
+    */
+  def streamForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_fcst/$runId/store"
+    val ck = s"$tmp/graft_stream_fcst/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.hourlyTypeCounts(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.forecastFromHourly(
+      spark.read.parquet(store)
+        .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
+  }
+
   /** STREAMING TABLE PROFILE (q_stream_profile) — the ANALYZE census
     * ([[graft.operators.Pipeline.profileTable]]) maintained at ingest,
     * the data-quality monitor pattern (profile every arriving batch,

@@ -149,6 +149,41 @@ class LandingSpec extends SparkSpec {
     assert(after2 === after, "replayed emptied-day upsert diverged")
   }
 
+  test("forgetUsers erases victims, preserves bystanders, drops emptied buckets") {
+    val sp = spark
+    import sp.implicits._
+    // users 0..3 into 4 buckets (bkt = user_id mod 4); victimMod 2
+    // erases users 0 and 2 — buckets 0 and 2 become EMPTY and their
+    // directories must be dropped, buckets 1 and 3 must be untouched
+    val ev = (1L to 40L).map(i => (i, i % 4, if (i % 2 == 0) "view" else "buy"))
+      .toDF("event_id", "user_id", "event_type")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_forget_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      val census = graft.operators.Landing
+        .forgetUsersAt(ev, 2L, 4, base)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n_before"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_after"))).toSeq
+      // user parity == event parity here (event_id i has user i%4), so
+      // victims (even users) are exactly the "view" rows
+      assert(census === Seq(("buy", 20L, 0L, 20L), ("view", 20L, 20L, 0L)))
+      assert(!new java.io.File(s"$base/bkt=0").exists(),
+        "emptied bucket 0 directory survived")
+      assert(!new java.io.File(s"$base/bkt=2").exists(),
+        "emptied bucket 2 directory survived")
+      assert(new java.io.File(s"$base/bkt=1").exists() &&
+        new java.io.File(s"$base/bkt=3").exists(),
+        "untouched buckets must remain")
+      val left = spark.read.parquet(base)
+      assert(left.filter(pmod(col("user_id"), lit(2L)) === 0).count() === 0L,
+        "a victim row survived the erasure")
+      assert(left.count() === 20L, "a bystander row was lost")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("landing twice yields identical partition counts (idempotence)") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_test_land_idem"
     val ev = Tables.events(spark, sf0001)

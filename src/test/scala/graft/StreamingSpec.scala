@@ -526,6 +526,17 @@ class StreamingSpec extends SparkSpec {
       "merged per-batch bottom-k sketches must equal the corpus sample")
   }
 
+  test("streaming forecast backtest equals the batch backtest (additive count merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_backtests"),
+        r.getAs[Double]("mape"), r.getAs[Double]("mae"))
+    }.toSet
+    assert(rows(StreamOps.streamForecast(spark, sf0001)) ===
+      rows(graft.operators.Events.forecastNaive(
+        Tables.events(spark, sf0001))),
+      "drained per-batch hourly counts must merge to the batch backtest")
+  }
+
   test("streaming profile equals the batch ANALYZE (exact moment + set-union merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
