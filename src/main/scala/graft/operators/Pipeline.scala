@@ -596,6 +596,47 @@ object Pipeline {
     profileAssemble(lineitem.agg(aggs.head, aggs.tail: _*))
   }
 
+  /** Merge a frame of per-part moment rows into the one-pass moment row
+    * — (sum, sum, min, max, sum), exact in every column's native type.
+    * The merge law the streaming profile and its spec both ride. */
+  private[graft] def profileMergeMoments(momentRows: DataFrame): DataFrame = {
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(sum(col("_n")).as("_n")) ++
+      profileNumCols.flatMap { case (c, _) => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_mn")).as(s"${c}_mn"),
+        max(col(s"${c}_mx")).as(s"${c}_mx"),
+        sum(col(s"${c}_sm")).as(s"${c}_sm")) } ++
+      profileStrCols.flatMap { c => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_ln")).as(s"${c}_ln"),
+        max(col(s"${c}_lx")).as(s"${c}_lx")) } ++
+      profileTsCols.flatMap { c => Seq(
+        sum(col(s"${c}_c")).as(s"${c}_c"),
+        min(col(s"${c}_mn")).as(s"${c}_mn"),
+        max(col(s"${c}_mx")).as(s"${c}_mx")) }
+    momentRows.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Set-union distinct counts from accumulated (col_name, v) value rows
+    * — the non-additive half of the profile merge — pivoted into the
+    * 1-row wide `${c}_d` shape [[profileAssemble]] consumes. */
+  private[graft] def profileDistinctCounts(dvals: DataFrame): DataFrame =
+    dvals.select("col_name", "v").distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("nd"))
+      .groupBy().pivot("col_name", profileAllCols)
+      .agg(first(col("nd")))
+      .select(profileAllCols.map(c =>
+        coalesce(col(c), lit(0L)).as(s"${c}_d")): _*)
+
+  /** The per-part (col_name, v) distinct value rows feeding
+    * [[profileDistinctCounts]]. */
+  private[graft] def profileDistinctValues(part: DataFrame): DataFrame =
+    profileAllCols.map { c =>
+      part.select(lit(c).as("col_name"), col(c).cast("string").as("v"))
+        .where(col(c).isNotNull).distinct()
+    }.reduce(_ unionByName _)
+
   /** CHI-SQUARE independence census (q_chi2) — Pearson's χ² over the
     * lang × source contingency table of the corpus: the audit that
     * catches a CONFOUNDED corpus (language distribution depending on

@@ -1531,11 +1531,7 @@ object StreamOps {
           batch.agg(m.head, m.tail: _*)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$store/moments/batch=$batchId")
-          Pipeline.profileAllCols.map { c =>
-            batch.select(lit(c).as("col_name"),
-              col(c).cast("string").as("v"))
-              .where(col(c).isNotNull).distinct()
-          }.reduce(_ unionByName _)
+          Pipeline.profileDistinctValues(batch)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$store/dvals/batch=$batchId")
           ()
@@ -1545,32 +1541,13 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val mergeAggs: Seq[org.apache.spark.sql.Column] =
-      Seq(sum(col("_n")).as("_n")) ++
-      Pipeline.profileNumCols.flatMap { case (c, _) => Seq(
-        sum(col(s"${c}_c")).as(s"${c}_c"),
-        min(col(s"${c}_mn")).as(s"${c}_mn"),
-        max(col(s"${c}_mx")).as(s"${c}_mx"),
-        sum(col(s"${c}_sm")).as(s"${c}_sm")) } ++
-      Pipeline.profileStrCols.flatMap { c => Seq(
-        sum(col(s"${c}_c")).as(s"${c}_c"),
-        min(col(s"${c}_ln")).as(s"${c}_ln"),
-        max(col(s"${c}_lx")).as(s"${c}_lx")) } ++
-      Pipeline.profileTsCols.flatMap { c => Seq(
-        sum(col(s"${c}_c")).as(s"${c}_c"),
-        min(col(s"${c}_mn")).as(s"${c}_mn"),
-        max(col(s"${c}_mx")).as(s"${c}_mx")) }
-    val moments = spark.read.parquet(s"$store/moments")
-      .agg(mergeAggs.head, mergeAggs.tail: _*)
-    val dWide = spark.read.parquet(s"$store/dvals")
-      // the batch=N dir is inferred as a partition column — drop it
-      // BEFORE the set-union dedup, or every batch's copy survives
-      .select("col_name", "v").distinct()
-      .groupBy("col_name").agg(count(lit(1)).as("nd"))
-      .groupBy().pivot("col_name", Pipeline.profileAllCols)
-      .agg(first(col("nd")))
-    val distincts = dWide.select(Pipeline.profileAllCols.map(c =>
-      coalesce(col(s"`$c`"), lit(0L)).as(s"${c}_d")): _*)
+    val moments = Pipeline.profileMergeMoments(
+      spark.read.parquet(s"$store/moments"))
+    // profileDistinctCounts selects (col_name, v) first, which also
+    // drops the inferred batch=N partition column BEFORE the set-union
+    // dedup — every batch's copy would otherwise survive the distinct
+    val distincts = Pipeline.profileDistinctCounts(
+      spark.read.parquet(s"$store/dvals"))
     Pipeline.profileAssemble(moments.crossJoin(distincts))
   }
 

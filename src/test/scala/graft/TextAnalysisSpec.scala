@@ -1025,6 +1025,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(taxRow.getAs[Long]("n_nulls") === expectNull)
   }
 
+  test("profile merge law: any split of the table assembles to the one-pass profile") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.operators.Pipeline
+    val li = Tables.lineitem(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val onePass = rows(Pipeline.profileTable(li))
+    for (k <- Seq(2, 5)) {
+      val parts = (0 until k).map(i =>
+        li.filter(pmod(col("l_orderkey"), lit(k.toLong)) === i))
+      val m = Pipeline.profileMomentAggs
+      val momentRows = parts.map(_.agg(m.head, m.tail: _*))
+        .reduce(_ unionByName _)
+      val merged = Pipeline.profileAssemble(
+        Pipeline.profileMergeMoments(momentRows).crossJoin(
+          Pipeline.profileDistinctCounts(
+            parts.map(Pipeline.profileDistinctValues).reduce(_ unionByName _))))
+      assert(rows(merged) === onePass,
+        s"$k-way split merge diverged from the one-pass profile")
+    }
+  }
+
   test("chi2Independence: zero on a proportional table, N·φ² on a diagonal one") {
     val sp = spark
     import sp.implicits._
