@@ -321,6 +321,19 @@ object ScaleProbe {
     // probe scale (at 100 TB the default 128 MB groups play this role).
     // Expectation: user-sorted wins on the user predicate alone but does
     // nothing for the day band; the z-layout is near-best on BOTH.
+    // right-to-be-forgotten: the one-time landing is corpus-sized, but
+    // the ERASURE rewrite must track the victims' buckets, not the
+    // corpus — timed separately so the claim is measured
+    time("forget_erase") {
+      val ev = graft.Tables.events(spark, sfDir)
+      val nev = ev.count()
+      val amp = (0 until factor).map { k =>
+        ev.select((col("event_id") + lit(k * nev)).as("event_id"),
+          (col("user_id") + lit(k * 100000L)).as("user_id"),
+          col("event_type"))
+      }.reduce(_ unionByName _)
+      graft.operators.Landing.forgetUsers(amp).count()
+    }
     time("zorder_layout") {
       import graft.functions.ZOrder
       val ev = graft.Tables.events(spark, sfDir)
