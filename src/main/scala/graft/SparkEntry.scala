@@ -150,9 +150,11 @@ object SparkEntry {
     "q_dist_shift" -> ((s, d) => Pipeline.distShift(documents(s, d))),
     "q_stream_drift" -> ((s, d) => streaming.StreamOps.streamDriftMonitor(s, d)),
     "q_chi2" -> ((s, d) => Pipeline.chi2Independence(documents(s, d))),
+    "q_stream_chi2" -> ((s, d) => streaming.StreamOps.streamChi2(s, d)),
     "q_profile" -> ((s, d) => Pipeline.profileTable(lineitem(s, d))),
     "q_stream_profile" -> ((s, d) => streaming.StreamOps.streamProfile(s, d)),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
+    "q_stream_kanon" -> ((s, d) => streaming.StreamOps.streamKanon(s, d)),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
@@ -1411,26 +1413,8 @@ object SparkEntry {
     "q_stream_drift" -> distShiftOracleSql,
     // chi-square independence: expected counts quant6'd once, the
     // contribution squares/divides the quantized value; zero cells kept
-    "q_chi2" ->
-      """WITH c2o AS (
-        |  SELECT lang, source, count(*) AS n_obs FROM documents GROUP BY 1,2),
-        |c2r AS (SELECT lang, sum(n_obs) AS rl FROM c2o GROUP BY 1),
-        |c2c AS (SELECT source, sum(n_obs) AS cs FROM c2o GROUP BY 1),
-        |c2n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM c2o),
-        |c2x AS (
-        |  SELECT r.lang, c.source, r.rl, c.cs, n.nn,
-        |         coalesce(o.n_obs, 0) AS n_obs
-        |  FROM c2r r CROSS JOIN c2c c CROSS JOIN c2n n
-        |  LEFT JOIN c2o o ON o.lang = r.lang AND o.source = c.source),
-        |c2e AS (
-        |  SELECT lang, source, n_obs,
-        |    floor(CAST(rl * cs AS DOUBLE) / nn * 1000000.0 + 0.5)
-        |      / 1000000.0 AS expected
-        |  FROM c2x)
-        |SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs, expected,
-        |  floor((n_obs - expected) * (n_obs - expected) / expected
-        |        * 1000000.0 + 0.5) / 1000000.0 AS contrib
-        |FROM c2e ORDER BY lang, source""".stripMargin,
+    "q_chi2" -> chi2OracleSql,
+    "q_stream_chi2" -> chi2OracleSql,
     // column profiling: one wide agg over one scan, unpivoted — exact
     // counts/min/max, means divide exact sums (long / DECIMAL(18,2))
     "q_profile" -> profileOracleSql,
@@ -1456,23 +1440,8 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // k-anonymity: equivalence classes on the QI tuple, banded by size;
     // the balance bucket is one IEEE divide + floor
-    "q_kanon" ->
-      """WITH kac AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
-        |         count(*) AS k
-        |  FROM customer GROUP BY 1,2,3),
-        |kab AS (
-        |  SELECT CASE WHEN k = 1 THEN '1 (unique)' WHEN k <= 4 THEN '2-4'
-        |              WHEN k <= 9 THEN '5-9' ELSE '10+' END AS band, k
-        |  FROM kac),
-        |kat AS (SELECT CAST(sum(k) AS DOUBLE) AS n_total FROM kab)
-        |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
-        |       CAST(sum(k) AS BIGINT) AS n_rows,
-        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
-        |       round(CAST(sum(k) AS DOUBLE) / min(n_total), 6) AS row_share
-        |FROM kab CROSS JOIN kat
-        |GROUP BY band ORDER BY min_k""".stripMargin,
+    "q_kanon" -> kanonOracleSql,
+    "q_stream_kanon" -> kanonOracleSql,
     // weighted coordinated sample: exponential race −ln(u)/w with
     // hash-uniform u — the long add happens BEFORE the double cast on
     // both sides (near 2^60 doubles are 128 apart); −ln through quant6
@@ -3709,6 +3678,45 @@ object SparkEntry {
         |UNION ALL SELECT 'l_linestatus', CAST(n AS BIGINT), CAST(n - ls_c AS BIGINT), CAST(ls_d AS BIGINT), NULL, NULL, NULL, ls_ln, ls_lx FROM pw
         |UNION ALL SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(n - sd_c AS BIGINT), CAST(sd_d AS BIGINT), sd_mn, sd_mx, NULL, NULL, NULL FROM pw
         |ORDER BY col_name""".stripMargin
+
+  private val chi2OracleSql: String =
+    """WITH c2o AS (
+      |  SELECT lang, source, count(*) AS n_obs FROM documents GROUP BY 1,2),
+      |c2r AS (SELECT lang, sum(n_obs) AS rl FROM c2o GROUP BY 1),
+      |c2c AS (SELECT source, sum(n_obs) AS cs FROM c2o GROUP BY 1),
+      |c2n AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS nn FROM c2o),
+      |c2x AS (
+      |  SELECT r.lang, c.source, r.rl, c.cs, n.nn,
+      |         coalesce(o.n_obs, 0) AS n_obs
+      |  FROM c2r r CROSS JOIN c2c c CROSS JOIN c2n n
+      |  LEFT JOIN c2o o ON o.lang = r.lang AND o.source = c.source),
+      |c2e AS (
+      |  SELECT lang, source, n_obs,
+      |    floor(CAST(rl * cs AS DOUBLE) / nn * 1000000.0 + 0.5)
+      |      / 1000000.0 AS expected
+      |  FROM c2x)
+      |SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs, expected,
+      |  floor((n_obs - expected) * (n_obs - expected) / expected
+      |        * 1000000.0 + 0.5) / 1000000.0 AS contrib
+      |FROM c2e ORDER BY lang, source""".stripMargin
+
+  private val kanonOracleSql: String =
+    """WITH kac AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |         count(*) AS k
+      |  FROM customer GROUP BY 1,2,3),
+      |kab AS (
+      |  SELECT CASE WHEN k = 1 THEN '1 (unique)' WHEN k <= 4 THEN '2-4'
+      |              WHEN k <= 9 THEN '5-9' ELSE '10+' END AS band, k
+      |  FROM kac),
+      |kat AS (SELECT CAST(sum(k) AS DOUBLE) AS n_total FROM kab)
+      |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(sum(k) AS BIGINT) AS n_rows,
+      |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |       round(CAST(sum(k) AS DOUBLE) / min(n_total), 6) AS row_share
+      |FROM kab CROSS JOIN kat
+      |GROUP BY band ORDER BY min_k""".stripMargin
 
   private val forecastOracleSql: String =
     """WITH fnh AS (

@@ -655,10 +655,17 @@ object Pipeline {
     * contribution (O−E)²/E is computed FROM the quantized E, so both
     * engines square and divide bit-identical operands.
     */
-  def chi2Independence(documents: DataFrame): DataFrame = {
+  def chi2Independence(documents: DataFrame): DataFrame =
+    chi2FromCounts(documents.repartition(col("doc_id"))
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_obs")))
+
+  /** The χ² core over an already-aggregated (lang, source, n_obs)
+    * contingency table — cell counts are ADDITIVE, so the streaming
+    * twin's drained per-batch censuses merge by sum into exactly this
+    * input and batch/at-ingest audits can never drift. */
+  private[graft] def chi2FromCounts(contingency: DataFrame): DataFrame = {
     import graft.operators.Similarity.quant6
-    val obs = documents.repartition(col("doc_id"))
-      .groupBy("lang", "source").agg(count(lit(1)).as("n_obs"))
+    val obs = contingency
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     val rowTot = obs.groupBy("lang").agg(sum("n_obs").as("rl"))
@@ -695,12 +702,17 @@ object Pipeline {
     * divide + floor (bit-identical cross-engine); everything else is
     * exact integer counting.
     */
-  def kAnonymityCensus(customer: DataFrame): DataFrame = {
-    val classes = customer.repartition(col("c_custkey"))
+  def kAnonymityCensus(customer: DataFrame): DataFrame =
+    kanonFromClasses(customer.repartition(col("c_custkey"))
       .select(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
       .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
-      .agg(count(lit(1)).as("k"))
+      .agg(count(lit(1)).as("k")))
+
+  /** The banding core over already-aggregated equivalence-class sizes
+    * ((QI tuple, k) rows) — class counts are ADDITIVE on the QI key,
+    * the law the streaming twin's per-batch censuses merge under. */
+  private[graft] def kanonFromClasses(classes: DataFrame): DataFrame = {
     val total = classes.agg(sum(col("k")).cast("double").as("n_total"))
     classes
       .withColumn("band",

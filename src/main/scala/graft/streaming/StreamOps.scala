@@ -1491,6 +1491,92 @@ object StreamOps {
         .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
   }
 
+  /** STREAMING CONTINGENCY AUDIT (q_stream_chi2) — the χ² independence
+    * census ([[graft.operators.Pipeline.chi2Independence]]) at ingest:
+    * per micro-batch, the batch's (lang, source) cell counts land under
+    * a deterministic batch=N dir; cell counts are ADDITIVE, so the
+    * drained store merges by sum into exactly the batch contingency
+    * table and the χ² pass runs through the SAME
+    * [[graft.operators.Pipeline.chi2FromCounts]] core — q_chi2's
+    * oracle shared verbatim. Per-batch state is |langs|·|sources| rows.
+    */
+  def streamChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_chi2/$runId/store"
+    val ck = s"$tmp/graft_stream_chi2/$runId/ck"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType)))
+    val root = stageRanges(graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source"), "doc_id", 3)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.groupBy("lang", "source").agg(count(lit(1)).as("n_obs"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Pipeline.chi2FromCounts(
+      spark.read.parquet(store)
+        .groupBy("lang", "source").agg(sum(col("n_obs")).as("n_obs")))
+  }
+
+  /** STREAMING K-ANONYMITY monitor (q_stream_kanon) — the
+    * re-identification audit ([[graft.operators.Pipeline
+    * .kAnonymityCensus]]) maintained as subject records arrive (the
+    * CDC-feed compliance monitor): per micro-batch, the batch's
+    * quasi-identifier class counts land under a deterministic batch=N
+    * dir; class counts are ADDITIVE on the QI tuple, so the drained
+    * store merges by sum into exactly the batch class table and the
+    * banding runs through the SAME [[graft.operators.Pipeline
+    * .kanonFromClasses]] core — q_kanon's oracle shared verbatim. The
+    * per-batch dirs double as the per-ingest risk report; state is
+    * class-cardinality, never row-cardinality.
+    */
+  def streamKanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_kanon/$runId/store"
+    val ck = s"$tmp/graft_stream_kanon/$runId/ck"
+    val cust = graft.Tables.customer(spark, sfDir)
+    val root = stageRanges(cust, "c_custkey", 3)
+    val q = spark.readStream.schema(cust.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col("c_nationkey"), col("c_mktsegment"),
+              floor(col("c_acctbal") / lit(1000.0)).cast("long")
+                .as("bal_bucket"))
+            .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+            .agg(count(lit(1)).as("k"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Pipeline.kanonFromClasses(
+      spark.read.parquet(store)
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(sum(col("k")).as("k")))
+  }
+
   /** STREAMING TABLE PROFILE (q_stream_profile) — the ANALYZE census
     * ([[graft.operators.Pipeline.profileTable]]) maintained at ingest,
     * the data-quality monitor pattern (profile every arriving batch,

@@ -526,6 +526,30 @@ class StreamingSpec extends SparkSpec {
       "merged per-batch bottom-k sketches must equal the corpus sample")
   }
 
+  test("streaming chi2 audit equals the batch census (additive cell merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_obs"), r.getAs[Double]("expected"),
+        r.getAs[Double]("contrib"))
+    }.toSet
+    assert(rows(StreamOps.streamChi2(spark, sf0001)) ===
+      rows(graft.operators.Pipeline.chi2Independence(
+        Tables.documents(spark, sf0001))),
+      "drained per-batch contingency cells must merge to the batch audit")
+  }
+
+  test("streaming k-anonymity monitor equals the batch census (additive class merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("band"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_k"),
+        r.getAs[Long]("max_k"), r.getAs[Double]("row_share"))
+    }.toSet
+    assert(rows(StreamOps.streamKanon(spark, sf0001)) ===
+      rows(graft.operators.Pipeline.kAnonymityCensus(
+        Tables.customer(spark, sf0001))),
+      "drained per-batch QI class counts must merge to the batch census")
+  }
+
   test("streaming forecast backtest equals the batch backtest (additive count merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("event_type"), r.getAs[Long]("n_backtests"),
