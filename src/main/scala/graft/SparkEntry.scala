@@ -50,6 +50,7 @@ object SparkEntry {
     "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
     "q_stream_forecast" -> ((s, d) => streaming.StreamOps.streamForecast(s, d)),
     "q_forget" -> ((s, d) => Landing.forgetUsers(events(s, d))),
+    "q_stream_forget" -> ((s, d) => streaming.StreamOps.streamForget(s, d)),
     "q_scd2" -> ((s, d) => Events.scd2(events(s, d))),
     "q_scd2_lookup" -> ((s, d) => Events.scd2Lookup(events(s, d))),
     "q_resample_ffill" -> ((s, d) => Events.resampleFfill(events(s, d))),
@@ -1431,13 +1432,10 @@ object SparkEntry {
     // right-to-be-forgotten: the census is read back from the
     // post-erasure store, so the oracle match proves the STORAGE state —
     // erasure complete (no victim survived) and exact (no bystander lost)
-    "q_forget" ->
-      """SELECT event_type, count(*) AS n_before,
-        |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
-        |       AS BIGINT) AS n_removed,
-        |  CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
-        |       AS BIGINT) AS n_after
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_forget" -> forgetOracleSql,
+    // deletion queue: victim batches applied incrementally must leave
+    // exactly the store a bulk erasure leaves — oracle shared verbatim
+    "q_stream_forget" -> forgetOracleSql,
     // k-anonymity: equivalence classes on the QI tuple, banded by size;
     // the balance bucket is one IEEE divide + floor
     "q_kanon" -> kanonOracleSql,
@@ -3717,6 +3715,14 @@ object SparkEntry {
       |       round(CAST(sum(k) AS DOUBLE) / min(n_total), 6) AS row_share
       |FROM kab CROSS JOIN kat
       |GROUP BY band ORDER BY min_k""".stripMargin
+
+  private val forgetOracleSql: String =
+    """SELECT event_type, count(*) AS n_before,
+      |  CAST(sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_removed,
+      |  CAST(count(*) - sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_after
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val forecastOracleSql: String =
     """WITH fnh AS (

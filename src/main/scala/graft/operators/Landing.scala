@@ -158,19 +158,37 @@ object Landing {
   private[graft] def forgetUsersAt(events: DataFrame, victimMod: Long,
                                    nBuckets: Int, baseDir: String): DataFrame = {
     val spark = events.sparkSession
-    events.withColumn("bkt", pmod(col("user_id"), lit(nBuckets.toLong))
-        .cast("int"))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(baseDir)
+    landUserBucketed(events, nBuckets, baseDir)
     // localCheckpoint MATERIALIZES the pre-erasure census (a lazy frame
     // would re-list the store after the rewrite and report post-state)
     val before = spark.read.parquet(baseDir)
       .groupBy("event_type").agg(count(lit(1)).as("n_before"))
       .localCheckpoint()
-    val base = spark.read.parquet(baseDir)
-    val victims = base
+    val victims = spark.read.parquet(baseDir)
       .filter(pmod(col("user_id"), lit(victimMod)) === 0)
       .select("user_id").distinct()
+    eraseVictims(spark, baseDir, victims, nBuckets)
+    forgetCensus(spark, baseDir, before)
+  }
+
+  private[graft] def landUserBucketed(events: DataFrame, nBuckets: Int,
+                                      baseDir: String): Unit =
+    events.withColumn("bkt", pmod(col("user_id"), lit(nBuckets.toLong))
+        .cast("int"))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(baseDir)
+
+  /** One erasure application against a live user-bucketed store — the
+    * unit of work a DELETION QUEUE applies per request batch: rewrite
+    * only the victims' buckets (survivors anti-join), drop buckets the
+    * erasure empties, leave everything else's files untouched.
+    * Idempotent: re-applying a request finds no victim rows and
+    * rewrites the same survivors. */
+  private[graft] def eraseVictims(spark: org.apache.spark.sql.SparkSession,
+                                  baseDir: String, victimIds: DataFrame,
+                                  nBuckets: Int): Unit = {
+    val base = spark.read.parquet(baseDir)
+    val victims = victimIds.select("user_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     // the touched-bucket list is request-sized — the documented
@@ -203,6 +221,11 @@ object Landing {
           new org.apache.hadoop.fs.Path(s"$baseDir/bkt=$b"), true))
       }
     }
+  }
+
+  private[graft] def forgetCensus(spark: org.apache.spark.sql.SparkSession,
+                                  baseDir: String,
+                                  before: DataFrame): DataFrame = {
     val after = spark.read.parquet(baseDir)
       .groupBy("event_type").agg(count(lit(1)).as("n_after"))
     before.join(after, Seq("event_type"), "left")

@@ -1491,6 +1491,54 @@ object StreamOps {
         .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
   }
 
+  /** STREAMING DELETION QUEUE (q_stream_forget) — right-to-be-forgotten
+    * as it actually deploys: erasure requests ARRIVE OVER TIME, and each
+    * micro-batch of requests is applied incrementally to the live
+    * user-bucketed store via the SAME [[graft.operators.Landing
+    * .eraseVictims]] unit the one-shot pass uses (rewrite only that
+    * request batch's buckets; drop buckets the erasure empties). The
+    * final census reads the post-queue store and shares q_forget's
+    * oracle verbatim: a victim set split across N request batches must
+    * leave exactly the store one bulk erasure leaves. Idempotent per
+    * request (a replayed batch finds no victim rows and rewrites the
+    * same survivors), so crash-replay converges.
+    *
+    * 100 TB shape: per-request cost is the request's buckets, never the
+    * store; the store is rewritten incrementally, bucket by touched
+    * bucket, exactly as a compliance queue drains in production.
+    */
+  def streamForget(spark: SparkSession, sfDir: String,
+                   victimMod: Long = 97L, nBuckets: Int = 16,
+                   nBatches: Int = 3): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val baseDir = s"$tmp/graft_stream_forget/$runId/base"
+    val ck = s"$tmp/graft_stream_forget/$runId/ck"
+    val ev = graft.Tables.events(spark, sfDir)
+    graft.operators.Landing.landUserBucketed(ev, nBuckets, baseDir)
+    val before = spark.read.parquet(baseDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_before"))
+      .localCheckpoint()
+    val victims = ev.filter(pmod(col("user_id"), lit(victimMod)) === 0)
+      .select("user_id").distinct()
+    val root = stageRanges(victims, "user_id", nBatches)
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Landing.eraseVictims(spark, baseDir, batch, nBuckets)
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Landing.forgetCensus(spark, baseDir, before)
+  }
+
   /** STREAMING CONTINGENCY AUDIT (q_stream_chi2) — the χ² independence
     * census ([[graft.operators.Pipeline.chi2Independence]]) at ingest:
     * per micro-batch, the batch's (lang, source) cell counts land under

@@ -526,6 +526,17 @@ class StreamingSpec extends SparkSpec {
       "merged per-batch bottom-k sketches must equal the corpus sample")
   }
 
+  test("streaming deletion queue equals the bulk erasure (incremental request drain)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_after"))
+    }.toSet
+    assert(rows(StreamOps.streamForget(spark, sf0001)) ===
+      rows(graft.operators.Landing.forgetUsers(
+        Tables.events(spark, sf0001))),
+      "a victim set drained in request batches must leave the bulk-erasure store")
+  }
+
   test("streaming chi2 audit equals the batch census (additive cell merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("lang"), r.getAs[String]("source"),
