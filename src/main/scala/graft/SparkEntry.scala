@@ -156,6 +156,13 @@ object SparkEntry {
     "q_stream_profile" -> ((s, d) => streaming.StreamOps.streamProfile(s, d)),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_stream_kanon" -> ((s, d) => streaming.StreamOps.streamKanon(s, d)),
+    "q_ldiv" -> ((s, d) => Pipeline.lDiversityCensus(customer(s, d))),
+    "q_ri_audit" -> ((s, d) => Pipeline.riAudit(lineitem(s, d),
+      orders(s, d), part(s, d), supplier(s, d), customer(s, d),
+      nation(s, d), region(s, d), events(s, d))),
+    "q_fd_audit" -> ((s, d) => Pipeline.fdAudit(lineitem(s, d),
+      orders(s, d), part(s, d), customer(s, d), nation(s, d),
+      documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
@@ -1440,6 +1447,81 @@ object SparkEntry {
     // the balance bucket is one IEEE divide + floor
     "q_kanon" -> kanonOracleSql,
     "q_stream_kanon" -> kanonOracleSql,
+    "q_ldiv" ->
+      """WITH ldc AS (
+        |  SELECT c_nationkey,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |         count(DISTINCT c_mktsegment) AS l, count(*) AS n_in_class
+        |  FROM customer GROUP BY 1,2),
+        |ldb AS (
+        |  SELECT CASE WHEN l = 1 THEN '1 (homogeneous)' WHEN l = 2 THEN '2'
+        |              WHEN l <= 4 THEN '3-4' ELSE '5 (diverse)' END AS band,
+        |         l, n_in_class
+        |  FROM ldc),
+        |ldt AS (SELECT CAST(sum(n_in_class) AS DOUBLE) AS n_total FROM ldb)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(sum(n_in_class) AS BIGINT) AS n_rows,
+        |       CAST(min(l) AS BIGINT) AS min_l, CAST(max(l) AS BIGINT) AS max_l,
+        |       round(CAST(sum(n_in_class) AS DOUBLE) / min(n_total), 6) AS row_share
+        |FROM ldb CROSS JOIN ldt
+        |GROUP BY band ORDER BY min_l""".stripMargin,
+    "q_ri_audit" -> {
+      val one = (name: String, child: String, fk: String, parent: String,
+          pk: String) =>
+        s"""SELECT '$name' AS constraint_name,
+           |  count(*) AS n_child,
+           |  CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END), 0)
+           |       AS BIGINT) AS n_orphan,
+           |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN ch.$fk END)
+           |       AS BIGINT) AS n_orphan_keys,
+           |  CAST(CASE WHEN coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1
+           |       ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END AS INT) AS is_ok
+           |FROM $child ch LEFT JOIN $parent p ON ch.$fk = p.$pk""".stripMargin
+      Seq(
+        one("customer.c_nationkey -> nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        one("events.user_id -> customer", "events", "user_id",
+          "customer", "c_custkey"),
+        one("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        one("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        one("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        one("nation.n_regionkey -> region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        one("orders.o_custkey -> customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        one("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
+    },
+    "q_fd_audit" -> {
+      val one = (table: String, lhs: Seq[String], rhs: String) => {
+        val lhsList = lhs.mkString(", ")
+        s"""SELECT '${lhs.mkString(",")}' AS fd_lhs, '$rhs' AS fd_rhs,
+           |  CAST(sum(_tot) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_lhs_classes,
+           |  CAST(sum(_tot) - sum(_keep) AS BIGINT) AS n_violations,
+           |  floor(CAST(sum(_keep) AS DOUBLE) / sum(_tot) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS confidence,
+           |  CAST(CASE WHEN sum(_keep) = sum(_tot) THEN 1 ELSE 0 END
+           |       AS INT) AS holds
+           |FROM (
+           |  SELECT $lhsList, max(_c) AS _keep, sum(_c) AS _tot
+           |  FROM (SELECT $lhsList, $rhs, count(*) AS _c FROM $table
+           |        GROUP BY ALL)
+           |  GROUP BY ALL)""".stripMargin
+      }
+      Seq(
+        one("customer", Seq("c_nationkey"), "c_mktsegment"),
+        one("documents", Seq("source"), "lang"),
+        one("lineitem", Seq("l_orderkey", "l_linenumber"), "l_quantity"),
+        one("nation", Seq("n_nationkey"), "n_name"),
+        one("orders", Seq("o_orderdate"), "o_orderstatus"),
+        one("part", Seq("p_name"), "p_brand"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd_lhs, fd_rhs")
+    },
     // weighted coordinated sample: exponential race −ln(u)/w with
     // hash-uniform u — the long add happens BEFORE the double cast on
     // both sides (near 2^60 doubles are 128 apart); −ln through quant6

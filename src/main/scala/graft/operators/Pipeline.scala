@@ -730,4 +730,170 @@ object Pipeline {
           .as("row_share"))
       .orderBy("min_k")
   }
+
+  /** L-DIVERSITY census (q_ldiv; Machanavajjhala 2007) — the audit that
+    * catches what k-anonymity misses: a quasi-identifier class can be
+    * large (k high) yet HOMOGENEOUS in its sensitive attribute, so
+    * membership alone discloses the sensitive value. Group rows into
+    * QI classes on (nation, account-balance bucket) and measure each
+    * class's diversity l = distinct sensitive values (market segment);
+    * band the classes by l — an l=1 class leaks its segment to every
+    * member regardless of size. Complements [[kAnonymityCensus]]
+    * (which uses segment as a QI; here it is the protected attribute).
+    *
+    * Scale shape: one pruned scan + one hash agg on the QI tuple with
+    * a count-distinct over the bounded sensitive domain (partial-agg
+    * friendly), then a 4-row band census and a 1-row broadcast total.
+    * No window, no join beyond the scalar broadcast. Determinism: the
+    * bucket is one IEEE divide + floor; all else is exact counting.
+    */
+  def lDiversityCensus(customer: DataFrame): DataFrame = {
+    val classes = customer.repartition(col("c_custkey"))
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_bucket")
+      .agg(countDistinct(col("c_mktsegment")).as("l"),
+        count(lit(1)).as("n_in_class"))
+    val total = classes.agg(sum(col("n_in_class")).cast("double").as("n_total"))
+    classes
+      .withColumn("band",
+        when(col("l") === 1, lit("1 (homogeneous)"))
+          .when(col("l") === 2, lit("2"))
+          .when(col("l") <= 4, lit("3-4"))
+          .otherwise(lit("5 (diverse)")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_classes"), sum(col("n_in_class")).as("n_rows"),
+        min(col("l")).as("min_l"), max(col("l")).as("max_l"))
+      .crossJoin(broadcast(total))
+      .select(col("band"), col("n_classes"), col("n_rows"),
+        col("min_l"), col("max_l"),
+        round(col("n_rows").cast("double") / col("n_total"), 6)
+          .as("row_share"))
+      .orderBy("min_l")
+  }
+
+  /** One referential-integrity constraint census row: orphans are the
+    * child rows whose FK value has no parent — a LEFT ANTI join, which
+    * Spark plans as broadcast-anti for dimension-sized parents and
+    * shuffle-anti on the key otherwise; both sides aggregate to one
+    * row before the cross join, so the combine is scalar-sized. A NULL
+    * FK never equals any parent key and therefore counts as an orphan
+    * row (but contributes no distinct key — count-distinct skips it),
+    * matching SQL LEFT JOIN semantics on both engines.
+    */
+  private def riConstraint(name: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val c = child.select(col(fk).cast("long").as("_fk"))
+    val orphans = c
+      .join(parent.select(col(pk).cast("long").as("_pk")),
+        col("_fk") === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"),
+        countDistinct(col("_fk")).as("n_orphan_keys"))
+    c.agg(count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(name).as("constraint_name"), col("n_child"),
+        col("n_orphan"), col("n_orphan_keys"),
+        (col("n_orphan") === 0L).cast("int").as("is_ok"))
+  }
+
+  /** REFERENTIAL-INTEGRITY audit (q_ri_audit) — the warehouse
+    * constraint check a schemaless lake never runs for you: every
+    * foreign-key edge of the star schema (lineitem→orders/part/
+    * supplier, orders→customer, customer/supplier→nation,
+    * nation→region, events→customer) scanned for orphaned children,
+    * one census row per constraint with child volume, orphan row and
+    * distinct-key counts, and a pass flag. The audit that catches a
+    * partial load, a botched erasure, or an out-of-order upsert before
+    * a join silently drops the orphans.
+    *
+    * Scale shape: each constraint is one pruned (FK-column-only) scan
+    * anti-joined against the parent's key column — broadcast for
+    * dimension parents, shuffle-anti on the key for fact-sized ones —
+    * then collapsed to ONE row before the scalar cross join; the union
+    * is 8 one-row frames. Nothing materializes beyond the censuses.
+    */
+  def riAudit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame, events: DataFrame): DataFrame =
+    Seq(
+      riConstraint("customer.c_nationkey -> nation", customer,
+        "c_nationkey", nation, "n_nationkey"),
+      riConstraint("events.user_id -> customer", events,
+        "user_id", customer, "c_custkey"),
+      riConstraint("lineitem.l_orderkey -> orders", lineitem,
+        "l_orderkey", orders, "o_orderkey"),
+      riConstraint("lineitem.l_partkey -> part", lineitem,
+        "l_partkey", part, "p_partkey"),
+      riConstraint("lineitem.l_suppkey -> supplier", lineitem,
+        "l_suppkey", supplier, "s_suppkey"),
+      riConstraint("nation.n_regionkey -> region", nation,
+        "n_regionkey", region, "r_regionkey"),
+      riConstraint("orders.o_custkey -> customer", orders,
+        "o_custkey", customer, "c_custkey"),
+      riConstraint("supplier.s_nationkey -> nation", supplier,
+        "s_nationkey", nation, "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("constraint_name")
+
+  /** One candidate functional dependency LHS -> rhs, audited TANE-style
+    * (Huhtala 1999): confidence = (rows kept after deleting the minimum
+    * rows to make the FD hold) / total = Σ_lhs max_rhs count / N. Two
+    * stacked hash aggs — (LHS, rhs) counts, then max/sum per LHS — both
+    * partial-aggregated, no window, then a one-row census. Exact
+    * integer counting until the single final divide through quant6.
+    */
+  private def fdConstraint(df: DataFrame, lhs: Seq[String], rhs: String)
+      : DataFrame = {
+    import graft.operators.Similarity.quant6
+    val pairCnt = df.select((lhs :+ rhs).map(col): _*)
+      .groupBy((lhs :+ rhs).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val perLhs = pairCnt.groupBy(lhs.map(col): _*)
+      .agg(max(col("_c")).as("_keep"), sum(col("_c")).as("_tot"))
+    perLhs.agg(
+      sum(col("_tot")).as("n_rows"),
+      count(lit(1)).as("n_lhs_classes"),
+      sum(col("_keep")).as("n_kept"))
+      .select(
+        lit(lhs.mkString(",")).as("fd_lhs"), lit(rhs).as("fd_rhs"),
+        col("n_rows"), col("n_lhs_classes"),
+        (col("n_rows") - col("n_kept")).as("n_violations"),
+        quant6(col("n_kept").cast("double") / col("n_rows"))
+          .as("confidence"),
+        (col("n_kept") === col("n_rows")).cast("int").as("holds"))
+  }
+
+  /** FUNCTIONAL-DEPENDENCY audit (q_fd_audit) — approximate-FD
+    * discovery over a declared candidate set: for each LHS -> rhs,
+    * how many rows would have to be deleted for the dependency to hold
+    * exactly (g3 error, Huhtala 1999 / Kivinen-Mannila 1995), reported
+    * as a confidence in [1/|classes|, 1]. The profiling step that
+    * tells a modeler which columns are derivable (confidence 1 — a
+    * join key or denormalized copy) versus merely correlated — and
+    * catches a broken denormalization when a confidence that should be
+    * 1.0 drifts. The candidate set spans a key FD that must hold
+    * (the lineitem PK), reference-data FDs, and cross-domain
+    * associations expected NOT to hold.
+    *
+    * Scale shape: per candidate, two stacked hash aggs on the LHS key
+    * (high-cardinality — parallel; partial agg does the heavy combine
+    * map-side) and a one-row census; the union is candidate-count
+    * rows. No window, no join. A full lattice search would be
+    * exponential — the declared-candidate audit is the production
+    * shape (profile what you intend to rely on).
+    */
+  def fdAudit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      customer: DataFrame, nation: DataFrame, documents: DataFrame)
+      : DataFrame =
+    Seq(
+      fdConstraint(customer, Seq("c_nationkey"), "c_mktsegment"),
+      fdConstraint(documents, Seq("source"), "lang"),
+      fdConstraint(lineitem, Seq("l_orderkey", "l_linenumber"),
+        "l_quantity"),
+      fdConstraint(nation, Seq("n_nationkey"), "n_name"),
+      fdConstraint(orders, Seq("o_orderdate"), "o_orderstatus"),
+      fdConstraint(part, Seq("p_name"), "p_brand"))
+      .reduce(_.unionByName(_))
+      .orderBy("fd_lhs", "fd_rhs")
 }

@@ -1088,6 +1088,90 @@ class TextAnalysisSpec extends SparkSpec {
       ("2-4", 1L, 3L, 0.1875), ("10+", 1L, 12L, 0.75)))
   }
 
+  test("lDiversityCensus bands QI classes by sensitive-value diversity") {
+    val sp = spark
+    import sp.implicits._
+    // class (0, bucket 0): 3 rows, ALL segment A -> l=1 (homogeneous)
+    // class (1, bucket 1): 4 rows over segments A,B -> l=2
+    // class (2, bucket 2): 5 rows over segments A,B,C,D,E -> l=5
+    val rows =
+      (1L to 3L).map(i => (i, 0, "A", 500.0)) ++
+      (4L to 7L).map(i => (i, 1, Seq("A", "B")(i.toInt % 2), 1500.0)) ++
+      (8L to 12L).map(i => (i, 2, ('A' + (i.toInt % 5)).toChar.toString, 2500.0))
+    val cust = rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.operators.Pipeline.lDiversityCensus(cust).collect()
+      .map(r => (r.getAs[String]("band"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_l"),
+        r.getAs[Double]("row_share"))).toSeq
+    assert(got === Seq(("1 (homogeneous)", 1L, 3L, 1L, 0.25),
+      ("2", 1L, 4L, 2L, 0.333333),
+      ("5 (diverse)", 1L, 5L, 5L, 0.416667)))
+  }
+
+  test("riAudit reports orphans per constraint and passes intact edges") {
+    val sp = spark
+    import sp.implicits._
+    val nation = Seq((0, "ALGERIA", 0), (1, "BRAZIL", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "AFRICA"), (1, "AMERICA")).toDF("r_regionkey", "r_name")
+    // customer 3 points at nation 9 — an orphan; supplier edge intact
+    val customer = Seq((1L, "a", 0, 10.0, "B"), (2L, "b", 1, 10.0, "B"),
+      (3L, "c", 9, 10.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val supplier = Seq((1L, "s", 0, 5.0)).toDF(
+      "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val orders = Seq((10L, 1L, "O", 1.0, "1995-01-01", "1-URGENT"),
+      (11L, 99L, "O", 1.0, "1995-01-01", "1-URGENT")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val part = Seq((100L, "p", "B", "t", 1, 1.0)).toDF(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val lineitem = Seq((10L, 100L, 1L, 1)).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val events = Seq((1L, 1L, "click")).toDF("event_id", "user_id", "event_type")
+    val got = graft.operators.Pipeline.riAudit(lineitem, orders, part,
+      supplier, customer, nation, region, events).collect()
+      .map(r => r.getAs[String]("constraint_name") ->
+        ((r.getAs[Long]("n_child"), r.getAs[Long]("n_orphan"),
+          r.getAs[Long]("n_orphan_keys"), r.getAs[Int]("is_ok")))).toMap
+    assert(got("customer.c_nationkey -> nation") === ((3L, 1L, 1L, 0)))
+    assert(got("orders.o_custkey -> customer") === ((2L, 1L, 1L, 0)))
+    assert(got("supplier.s_nationkey -> nation") === ((1L, 0L, 0L, 1)))
+    assert(got("lineitem.l_orderkey -> orders") === ((1L, 0L, 0L, 1)))
+    assert(got("nation.n_regionkey -> region") === ((2L, 0L, 0L, 1)))
+  }
+
+  test("fdAudit measures g3 confidence: kept = sum of per-LHS max") {
+    val sp = spark
+    import sp.implicits._
+    // source->lang: s0 maps to {en:3, fr:1} (keep 3), s1 to {de:2} (keep 2)
+    // => confidence (3+2)/6, violations 1
+    val docs = Seq((1L, "s0", "en"), (2L, "s0", "en"), (3L, "s0", "en"),
+      (4L, "s0", "fr"), (5L, "s1", "de"), (6L, "s1", "de"))
+      .toDF("doc_id", "source", "lang")
+    val nation = Seq((0, "ALGERIA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, "a", 0, 10.0, "B")).toDF(
+      "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((10L, 1L, "O", 1.0, "1995-01-01", "1-URGENT")).toDF(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val part = Seq((100L, "p", "B", "t", 1, 1.0)).toDF(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val lineitem = Seq((10L, 100L, 1L, 1, 5.0), (10L, 100L, 1L, 2, 7.0)).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val got = graft.operators.Pipeline.fdAudit(lineitem, orders, part,
+      customer, nation, docs).collect()
+      .map(r => (r.getAs[String]("fd_lhs"), r.getAs[String]("fd_rhs")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_lhs_classes"),
+          r.getAs[Long]("n_violations"), r.getAs[Double]("confidence"),
+          r.getAs[Int]("holds")))).toMap
+    assert(got(("source", "lang")) === ((6L, 2L, 1L, 0.833333, 0)))
+    // the lineitem PK FD must hold exactly
+    assert(got(("l_orderkey,l_linenumber", "l_quantity")) ===
+      ((2L, 2L, 0L, 1.0, 1)))
+    assert(got(("n_nationkey", "n_name")) === ((1L, 1L, 0L, 1.0, 1)))
+  }
+
   test("piiRedactCensus finds planted and organic PII per class and language") {
     val sp = spark
     import sp.implicits._
