@@ -163,6 +163,8 @@ object SparkEntry {
     "q_fd_audit" -> ((s, d) => Pipeline.fdAudit(lineitem(s, d),
       orders(s, d), part(s, d), customer(s, d), nation(s, d),
       documents(s, d))),
+    "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
+    "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
@@ -1496,6 +1498,40 @@ object SparkEntry {
           "nation", "n_nationkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
     },
+    "q_dp_counts" ->
+      """WITH dpc AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |         count(*) AS n_true
+        |  FROM events GROUP BY 1,2),
+        |dph AS (
+        |  SELECT event_type, day, n_true,
+        |    CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15))
+        |         ::UBIGINT::BIGINT + 1 AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM dpc),
+        |dpn AS (
+        |  SELECT event_type, day, n_true,
+        |    floor((CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u)
+        |           ELSE -1.0 * ln(2.0 * (1.0 - u)) END) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS noise
+        |  FROM dph)
+        |SELECT event_type, day, n_true, noise,
+        |  CAST(greatest(0.0, floor(n_true + noise + 0.5)) AS BIGINT)
+        |    AS n_released
+        |FROM dpn ORDER BY event_type, day""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH esh AS (
+        |  SELECT doc_id, e.epoch,
+        |    ('0x' || substr(md5(doc_id || ':' || e.epoch), 1, 15))
+        |      ::UBIGINT::BIGINT AS h
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(3)) AS epoch) e)
+        |SELECT CAST(epoch AS INT) AS epoch,
+        |  CAST(h % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, h % 8
+        |       ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  doc_id, h AS shuffle_key
+        |FROM esh ORDER BY epoch, shard, pos""".stripMargin,
     "q_fd_audit" -> {
       val one = (table: String, lhs: Seq[String], rhs: String) => {
         val lhsList = lhs.mkString(", ")

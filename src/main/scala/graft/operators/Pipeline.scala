@@ -773,6 +773,48 @@ object Pipeline {
       .orderBy("min_l")
   }
 
+  /** DIFFERENTIALLY-PRIVATE count release (q_dp_counts; Dwork 2006) —
+    * the (event_type, day) histogram released with Laplace(1/ε) noise:
+    * the governance step between the PII scrub (removes identifiers)
+    * and publishing AGGREGATES, whose exact values still leak
+    * membership at small counts. Each event lands in exactly one cell,
+    * so the histogram's event-level L1 sensitivity is 1 and one
+    * Laplace(b = 1/ε) draw per cell suffices (user-level DP would
+    * scale b by a per-user contribution bound — compose upstream).
+    * Released value is the noised count clamped to ≥ 0 and rounded;
+    * the true count and the noise are emitted alongside for the audit
+    * (a production release would drop them).
+    *
+    * Determinism seam: the Laplace draw u comes from the corpus-stable
+    * md5-derived uniform (the [[TextAnalysis.weightedSample]] device —
+    * +1 in LONG before the double divide, then inverse-CDF
+    * −b·sign·ln(…) through quant6), so the release is replayable and
+    * cross-engine reproducible — swap in a true RNG per release epoch
+    * for production privacy. Scale shape: one pruned scan + one hash
+    * agg on the cell key; the noise is per-cell scalar math, no
+    * further shuffle.
+    */
+  def dpCountRelease(events: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val b = 1.0 / epsilon
+    events.repartition(col("event_id"))
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_true"))
+      .withColumn("_u",
+        (NearDup.md5Hash60(concat_ws("|", col("event_type"), col("day")))
+          + lit(1L)).cast("double") / lit(1.152921504606846976e18))
+      .withColumn("noise", quant6(
+        when(col("_u") < 0.5, lit(b) * log(col("_u") * lit(2.0)))
+          .otherwise(lit(-b) * log((lit(1.0) - col("_u")) * lit(2.0)))))
+      .withColumn("n_released",
+        greatest(lit(0.0),
+          floor(col("n_true") + col("noise") + lit(0.5))).cast("long"))
+      .select(col("event_type"), col("day"), col("n_true"), col("noise"),
+        col("n_released"))
+      .orderBy("event_type", "day")
+  }
+
   /** One referential-integrity constraint census row: orphans are the
     * child rows whose FK value has no parent — a LEFT ANTI join, which
     * Spark plans as broadcast-anti for dimension-sized parents and

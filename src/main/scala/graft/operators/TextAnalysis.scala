@@ -2102,6 +2102,38 @@ object TextAnalysis {
         sum(col("n_chars")).as("n_chars"))
       .orderBy("fold", "lang")
 
+  /** EPOCH-SHUFFLE training order (q_epoch_shuffle) — the deterministic
+    * per-epoch permutation a data loader consumes: every document gets,
+    * for each training epoch, a shard assignment and a position within
+    * the shard, derived from the content-stable md5-keyed ordering
+    * (seed = doc_id:epoch, so each epoch is an INDEPENDENT permutation
+    * but every rerun of the job emits the identical order — the
+    * reproducibility property distributed training needs for exact
+    * resume and for attributing a loss spike to the batch that caused
+    * it). Shard count maps to loader workers; position is the read
+    * order within the worker.
+    *
+    * Scale shape: one pruned (doc_id-only) scan fanned out ×epochs, one
+    * hash per row, shard by pmod — then positions come from the
+    * grouped-prefix device ([[withGroupedPrefix]]: per-partition local
+    * ranks + a census-sized offset join), NEVER a per-(epoch, shard)
+    * global window. The output is loader-manifest-sized (epochs ×
+    * corpus) and partitions on (epoch, shard) for per-worker reads.
+    */
+  def epochShuffle(documents: DataFrame, epochs: Int = 3,
+                   shards: Int = 8): DataFrame =
+    documents.repartition(col("doc_id"))
+      .select(col("doc_id"))
+      .withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("shuffle_key",
+        NearDup.md5Hash60(concat_ws(":", col("doc_id"), col("epoch"))))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
+      .transform(withGroupedPrefix(Seq("epoch", "shard"), "pos", "_cum",
+        lit(1L), col("shuffle_key"), col("doc_id")))
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("pos"), col("doc_id"), col("shuffle_key"))
+      .orderBy("epoch", "shard", "pos")
+
   /** TOKEN-ENTROPY quality census (q_token_entropy) — per-document
     * unigram Shannon entropy (nats) of the token distribution, rolled
     * up per language: the information-density signal quality filters

@@ -1141,6 +1141,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("nation.n_regionkey -> region") === ((2L, 0L, 0L, 1)))
   }
 
+  test("dpCountRelease: clamped rounded release, epsilon scales noise") {
+    val sp = spark
+    import sp.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (1L to 400L).map(i =>
+      (i, ts0, i % 50, s"type${i % 20}", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val e1 = graft.operators.Pipeline.dpCountRelease(events, 1.0).collect()
+    assert(e1.length === 20)
+    e1.foreach { r =>
+      val (n, noise, rel) = (r.getAs[Long]("n_true"),
+        r.getAs[Double]("noise"), r.getAs[Long]("n_released"))
+      assert(n === 20L)
+      assert(rel === math.max(0L, math.floor(n + noise + 0.5).toLong))
+    }
+    // the seeded uniform must land on both Laplace tails across cells
+    assert(e1.count(_.getAs[Double]("noise") > 0) > 0)
+    assert(e1.count(_.getAs[Double]("noise") < 0) > 0)
+    // epsilon doubled -> noise halved (same u), within quant6 rounding
+    val e2 = graft.operators.Pipeline.dpCountRelease(events, 2.0).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Double]("noise")).toMap
+    e1.foreach { r =>
+      val half = e2((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(math.abs(r.getAs[Double]("noise") / 2.0 - half) <= 2e-6)
+    }
+  }
+
+  test("epochShuffle: per-epoch permutations with contiguous shard positions") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 60L).map(i => (i, s"text $i", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.epochShuffle(docs, epochs = 2, shards = 4).collect()
+    assert(got.length === 120)
+    // each doc exactly once per epoch
+    val perEpoch = got.groupBy(_.getAs[Int]("epoch"))
+    assert(perEpoch.keySet === Set(0, 1))
+    perEpoch.values.foreach(rs =>
+      assert(rs.map(_.getAs[Long]("doc_id")).toSet === (1L to 60L).toSet))
+    // positions within each (epoch, shard) are 1..n with the md5 order
+    got.groupBy(r => (r.getAs[Int]("epoch"), r.getAs[Long]("shard")))
+      .foreach { case (_, rs) =>
+        val sorted = rs.sortBy(r =>
+          (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+        assert(sorted.map(_.getAs[Long]("pos")).toSeq ===
+          (1L to rs.length).toSeq)
+      }
+    // epochs are independent permutations: the shard assignment differs
+    val s0 = perEpoch(0).map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val s1 = perEpoch(1).map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert((1L to 60L).exists(d => s0(d) != s1(d)))
+  }
+
   test("fdAudit measures g3 confidence: kept = sum of per-LHS max") {
     val sp = spark
     import sp.implicits._
