@@ -164,6 +164,7 @@ object SparkEntry {
       orders(s, d), part(s, d), customer(s, d), nation(s, d),
       documents(s, d))),
     "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
+    "q_stream_ri" -> ((s, d) => streaming.StreamOps.streamRiMonitor(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
@@ -1467,37 +1468,29 @@ object SparkEntry {
         |       round(CAST(sum(n_in_class) AS DOUBLE) / min(n_total), 6) AS row_share
         |FROM ldb CROSS JOIN ldt
         |GROUP BY band ORDER BY min_l""".stripMargin,
-    "q_ri_audit" -> {
-      val one = (name: String, child: String, fk: String, parent: String,
-          pk: String) =>
-        s"""SELECT '$name' AS constraint_name,
-           |  count(*) AS n_child,
-           |  CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END), 0)
-           |       AS BIGINT) AS n_orphan,
-           |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN ch.$fk END)
-           |       AS BIGINT) AS n_orphan_keys,
-           |  CAST(CASE WHEN coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1
-           |       ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END AS INT) AS is_ok
-           |FROM $child ch LEFT JOIN $parent p ON ch.$fk = p.$pk""".stripMargin
-      Seq(
-        one("customer.c_nationkey -> nation", "customer", "c_nationkey",
-          "nation", "n_nationkey"),
-        one("events.user_id -> customer", "events", "user_id",
-          "customer", "c_custkey"),
-        one("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
-          "orders", "o_orderkey"),
-        one("lineitem.l_partkey -> part", "lineitem", "l_partkey",
-          "part", "p_partkey"),
-        one("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
-          "supplier", "s_suppkey"),
-        one("nation.n_regionkey -> region", "nation", "n_regionkey",
-          "region", "r_regionkey"),
-        one("orders.o_custkey -> customer", "orders", "o_custkey",
-          "customer", "c_custkey"),
-        one("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
-          "nation", "n_nationkey"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
-    },
+    "q_ri_audit" -> Seq(
+      riOracleOne("customer.c_nationkey -> nation", "customer",
+        "c_nationkey", "nation", "n_nationkey"),
+      riOracleOne("events.user_id -> customer", "events", "user_id",
+        "customer", "c_custkey"),
+      riOracleOne("lineitem.l_orderkey -> orders", "lineitem",
+        "l_orderkey", "orders", "o_orderkey"),
+      riOracleOne("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      riOracleOne("lineitem.l_suppkey -> supplier", "lineitem",
+        "l_suppkey", "supplier", "s_suppkey"),
+      riOracleOne("nation.n_regionkey -> region", "nation", "n_regionkey",
+        "region", "r_regionkey"),
+      riOracleOne("orders.o_custkey -> customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      riOracleOne("supplier.s_nationkey -> nation", "supplier",
+        "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name"),
+    // the streaming monitor is the batch audit's events edge — the
+    // same per-constraint oracle fragment verbatim, so the at-ingest
+    // census can never drift from the nightly audit
+    "q_stream_ri" -> riOracleOne("events.user_id -> customer", "events",
+      "user_id", "customer", "c_custkey"),
     "q_dp_counts" ->
       """WITH dpc AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -3794,6 +3787,22 @@ object SparkEntry {
         |UNION ALL SELECT 'l_linestatus', CAST(n AS BIGINT), CAST(n - ls_c AS BIGINT), CAST(ls_d AS BIGINT), NULL, NULL, NULL, ls_ln, ls_lx FROM pw
         |UNION ALL SELECT 'l_shipdate', CAST(n AS BIGINT), CAST(n - sd_c AS BIGINT), CAST(sd_d AS BIGINT), sd_mn, sd_mx, NULL, NULL, NULL FROM pw
         |ORDER BY col_name""".stripMargin
+
+  /** One referential-integrity constraint's oracle census — shared by
+    * q_ri_audit (all 8 edges) and q_stream_ri (the events edge) so the
+    * streaming monitor's gate is literally the batch audit's.
+    */
+  private def riOracleOne(name: String, child: String, fk: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$name' AS constraint_name,
+       |  count(*) AS n_child,
+       |  CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END), 0)
+       |       AS BIGINT) AS n_orphan,
+       |  CAST(count(DISTINCT CASE WHEN p.$pk IS NULL THEN ch.$fk END)
+       |       AS BIGINT) AS n_orphan_keys,
+       |  CAST(CASE WHEN coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1
+       |       ELSE 0 END), 0) = 0 THEN 1 ELSE 0 END AS INT) AS is_ok
+       |FROM $child ch LEFT JOIN $parent p ON ch.$fk = p.$pk""".stripMargin
 
   private val chi2OracleSql: String =
     """WITH c2o AS (

@@ -839,6 +839,27 @@ object Pipeline {
         (col("n_orphan") === 0L).cast("int").as("is_ok"))
   }
 
+  /** The RI census over already-aggregated per-FK-key counts
+    * ((_fk, n_rows, n_orphan_rows) rows) — both counts are ADDITIVE on
+    * the FK key and orphan-ness is a per-key property of a frozen
+    * parent, so the streaming twin's drained per-batch key counts
+    * merge by sum into exactly this input and the assembled census can
+    * never drift from [[riAudit]]'s anti-join form (the merge law
+    * TextAnalysisSpec locks). A NULL FK groups to one null key whose
+    * rows all count as orphans but contribute no distinct key —
+    * count-distinct skips null — matching the anti-join census.
+    */
+  private[graft] def riFromKeyCounts(name: String, keyCounts: DataFrame)
+      : DataFrame =
+    keyCounts.agg(
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_child"),
+      coalesce(sum(col("n_orphan_rows")), lit(0L)).as("n_orphan"),
+      countDistinct(when(col("n_orphan_rows") > 0, col("_fk")))
+        .as("n_orphan_keys"))
+      .select(lit(name).as("constraint_name"), col("n_child"),
+        col("n_orphan"), col("n_orphan_keys"),
+        (col("n_orphan") === 0L).cast("int").as("is_ok"))
+
   /** REFERENTIAL-INTEGRITY audit (q_ri_audit) — the warehouse
     * constraint check a schemaless lake never runs for you: every
     * foreign-key edge of the star schema (lineitem→orders/part/

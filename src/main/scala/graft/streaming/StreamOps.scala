@@ -1625,6 +1625,60 @@ object StreamOps {
         .agg(sum(col("k")).as("k")))
   }
 
+  /** STREAMING REFERENTIAL-INTEGRITY monitor (q_stream_ri) — the
+    * events.user_id → customer edge of [[graft.operators.Pipeline
+    * .riAudit]] checked at ingest, the CDC-feed pattern that catches an
+    * out-of-order load (child arriving before parent) the moment it
+    * happens instead of at the nightly audit: per micro-batch, the
+    * batch's events pre-aggregate to per-user counts, left-join the
+    * FROZEN customer dimension (broadcast — dimension-sized), and the
+    * per-key (n_rows, n_orphan_rows) land under a deterministic
+    * batch=N dir. Both counts are additive on the key and orphan-ness
+    * is per-key static, so the drained store merges by sum into
+    * exactly the batch key counts and the census assembles through the
+    * SAME [[graft.operators.Pipeline.riFromKeyCounts]] core — the
+    * batch audit's events-edge oracle shared verbatim. State is
+    * distinct-FK-cardinality (the q_stream_profile distinct-store
+    * class), never event-cardinality; the per-batch dirs double as the
+    * per-ingest violation report.
+    */
+  def streamRiMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_ri/$runId/store"
+    val ck = s"$tmp/graft_stream_ri/$runId/ck"
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "user_id")
+    val parentKeys = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("_pk"))
+    val root = stageRanges(ev, "event_id", 3)
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/src")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col("user_id").cast("long").as("_fk"))
+            .groupBy("_fk").agg(count(lit(1)).as("n_rows"))
+            .join(broadcast(parentKeys), col("_fk") === col("_pk"), "left")
+            .select(col("_fk"), col("n_rows"),
+              when(col("_pk").isNull, col("n_rows")).otherwise(lit(0L))
+                .as("n_orphan_rows"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Pipeline.riFromKeyCounts("events.user_id -> customer",
+      spark.read.parquet(store)
+        .groupBy("_fk")
+        .agg(sum(col("n_rows")).as("n_rows"),
+          sum(col("n_orphan_rows")).as("n_orphan_rows")))
+  }
+
   /** STREAMING TABLE PROFILE (q_stream_profile) — the ANALYZE census
     * ([[graft.operators.Pipeline.profileTable]]) maintained at ingest,
     * the data-quality monitor pattern (profile every arriving batch,

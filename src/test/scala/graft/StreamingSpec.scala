@@ -561,6 +561,23 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch QI class counts must merge to the batch census")
   }
 
+  test("streaming RI monitor equals the batch audit's events edge") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("constraint_name"), r.getAs[Long]("n_child"),
+        r.getAs[Long]("n_orphan"), r.getAs[Long]("n_orphan_keys"),
+        r.getAs[Int]("is_ok"))
+    }.toSet
+    val batchEdge = graft.operators.Pipeline.riAudit(
+      Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.part(spark, sf0001), Tables.supplier(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.region(spark, sf0001), Tables.events(spark, sf0001))
+      .filter(org.apache.spark.sql.functions.col("constraint_name") ===
+        "events.user_id -> customer")
+    assert(rows(StreamOps.streamRiMonitor(spark, sf0001)) === rows(batchEdge),
+      "drained per-batch FK key counts must merge to the batch audit edge")
+  }
+
   test("streaming forecast backtest equals the batch backtest (additive count merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("event_type"), r.getAs[Long]("n_backtests"),

@@ -1197,6 +1197,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1L to 60L).exists(d => s0(d) != s1(d)))
   }
 
+  test("riFromKeyCounts merge law: summed per-batch key counts == anti-join census") {
+    val sp = spark
+    import sp.implicits._
+    // two "batches" of per-key counts; user 7 is an orphan seen in both
+    val b0 = Seq((1L, 3L, 0L), (7L, 2L, 2L)).toDF("_fk", "n_rows", "n_orphan_rows")
+    val b1 = Seq((1L, 1L, 0L), (7L, 4L, 4L), (9L, 1L, 1L))
+      .toDF("_fk", "n_rows", "n_orphan_rows")
+    val merged = b0.unionByName(b1).groupBy("_fk")
+      .agg(org.apache.spark.sql.functions.sum("n_rows").as("n_rows"),
+        org.apache.spark.sql.functions.sum("n_orphan_rows").as("n_orphan_rows"))
+    val got = graft.operators.Pipeline
+      .riFromKeyCounts("events.user_id -> customer", merged).collect().head
+    assert((got.getAs[Long]("n_child"), got.getAs[Long]("n_orphan"),
+      got.getAs[Long]("n_orphan_keys"), got.getAs[Int]("is_ok")) ===
+      ((11L, 7L, 2L, 0)))
+  }
+
   test("fdAudit measures g3 confidence: kept = sum of per-LHS max") {
     val sp = spark
     import sp.implicits._
