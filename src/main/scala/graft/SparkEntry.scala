@@ -166,6 +166,8 @@ object SparkEntry {
     "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
     "q_stream_ri" -> ((s, d) => streaming.StreamOps.streamRiMonitor(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
+    "q_crossmodal_search" -> ((s, d) =>
+      Multimodal.crossModalSearch(documents(s, d), embeddings(s, d))),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
@@ -1491,6 +1493,45 @@ object SparkEntry {
     // census can never drift from the nightly audit
     "q_stream_ri" -> riOracleOne("events.user_id -> customer", "events",
       "user_id", "customer", "c_custkey"),
+    // the projection head is closed-form, the stand-in payloads are pure
+    // ASCII (the q_multimodal_features trick), and both engines build the
+    // projected vector component-by-component in the same order, so the
+    // whole media->features->head->cosine chain is oracle-reproducible
+    "q_crossmodal_search" ->
+      """WITH cmf AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ascii(c) for c in string_split(text, '')])
+        |         AS DOUBLE) / strlen(text) AS f_mean,
+        |    CAST(list_max([ascii(c) for c in string_split(text, '')])
+        |       - list_min([ascii(c) for c in string_split(text, '')])
+        |         AS DOUBLE) AS f_range,
+        |    CAST(strlen(text) % 256 AS DOUBLE) AS f_mod
+        |  FROM documents WHERE doc_id < 5),
+        |cmq AS (
+        |  SELECT doc_id AS query_id,
+        |    [ f_mean * (((( 0*31 + j*17) % 13) - 6) / 6.0)
+        |      + f_range * (((( 1*31 + j*17) % 13) - 6) / 6.0)
+        |      + f_mod * (((( 2*31 + j*17) % 13) - 6) / 6.0)
+        |      for j in range(0, 64) ] AS q_emb
+        |  FROM cmf),
+        |cmqn AS (SELECT query_id, q_emb,
+        |         sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM cmq),
+        |cmb AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |          AS nrm
+        |        FROM embeddings),
+        |cmp AS (
+        |  SELECT q.query_id, b.vec_id AS neighbor_id,
+        |         list_dot_product(q.q_emb, b.emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM cmb b, cmqn q),
+        |cmr AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM cmp)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim
+        |FROM cmr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_dp_counts" ->
       """WITH dpc AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -304,4 +304,57 @@ object Multimodal {
         md5(all).as("digest"))
       .orderBy("doc_id")
   }
+
+  /** The deterministic ALIGNMENT HEAD standing in for a trained
+    * cross-modal projection (CLIP's image tower + linear head): maps the
+    * media feature triple into the text-embedding space. Closed-form
+    * weights so the SQL oracle reproduces the projection bit-exactly; a
+    * trained head is a drop-in — same (features → dim-D vector) shape,
+    * broadcast the real weight matrix instead of inlining constants.
+    */
+  private def alignmentWeight(i: Int, j: Int): Double =
+    (((i * 31 + j * 17) % 13) - 6) / 6.0
+
+  /** CROSS-MODAL retrieval (q_crossmodal_search) — media-to-text search,
+    * the composition a multimodal corpus actually serves ("find the
+    * documents nearest this image"): decoded media features
+    * ([[extractFeatures]] — the stub seat a real image/audio encoder
+    * occupies) pass through the [[alignmentWeight]] head into the
+    * embedding space and rank against the embeddings table by cosine
+    * under the suite's ONE ranked-top-k contract
+    * ([[Similarity.rankedTopK]] — same tie-break and rounding as every
+    * other search, so swapping a real encoder/head changes scores, never
+    * rank semantics).
+    *
+    * Scale shape: the media scan prunes to (id, bytes), features are a
+    * zero-shuffle partition-wise pass, the projected queries broadcast
+    * (query-count-sized), and the corpus side is one scan + bounded
+    * partial top-k per query — the [[Similarity.bruteForceTopK]] plan
+    * with the query side fed by another modality; a corpus that
+    * outgrows brute force graduates the same projected vectors onto the
+    * IVF-PQ serving stack unchanged.
+    */
+  def crossModalSearch(documents: DataFrame, embeddings: DataFrame,
+                       nQueries: Int = 5, k: Int = 10,
+                       dim: Int = 64): DataFrame = {
+    import graft.functions.VectorMath.{asDouble, dot, l2Norm}
+    val feats = extractFeatures(mediaFromDocuments(documents))
+      .filter(col("doc_id") < nQueries)
+    val proj = array((0 until dim).map { j =>
+      (col("f_mean") * lit(alignmentWeight(0, j))) +
+        (col("f_range").cast("double") * lit(alignmentWeight(1, j))) +
+        (col("f_mod").cast("double") * lit(alignmentWeight(2, j)))
+    }: _*)
+    val queries = feats
+      .select(col("doc_id").as("query_id"), proj.as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val scored = base.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .as("s"))
+    Similarity.rankedTopK(scored, k, "sim")
+  }
 }

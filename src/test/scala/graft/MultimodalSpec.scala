@@ -118,6 +118,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("crossModalSearch ranks embeddings by cosine to the projected media features") {
+    val docs = Tables.documents(spark, sf0001)
+    val embs = Tables.embeddings(spark, sf0001)
+    val got = Multimodal.crossModalSearch(docs, embs, nQueries = 2, k = 5)
+      .collect()
+    assert(got.length === 10)
+    // recompute the whole chain in plain Scala for query 0
+    val text = docs.filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    val vals = text.getBytes("UTF-8").map(_ & 0xff)
+    val f = Array(vals.map(_.toLong).sum.toDouble / vals.length,
+      (vals.max - vals.min).toDouble, (vals.length % 256).toDouble)
+    def w(i: Int, j: Int): Double = (((i * 31 + j * 17) % 13) - 6) / 6.0
+    val q = (0 until 64).map(j => f(0) * w(0, j) + f(1) * w(1, j) + f(2) * w(2, j))
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val sims = embs.collect().map { r =>
+      val e = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val d = e.zip(q).map { case (a, b) => a * b }.sum
+      r.getAs[Long]("vec_id") -> d / (math.sqrt(e.map(x => x * x).sum) * qn)
+    }
+    val expected = sims.sortBy { case (id, s) => (-s, id) }.take(5)
+    val gotQ0 = got.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+    assert(gotQ0.map(_.getAs[Long]("neighbor_id")).toSeq ===
+      expected.map(_._1).toSeq)
+    gotQ0.zip(expected).foreach { case (r, (_, s)) =>
+      assert(math.abs(r.getAs[Double]("sim") - s) < 1e-6)
+    }
+  }
+
   test("frame sampling yields n fixed-width slices inside the payload") {
     val frames = Multimodal.frameSample(media, nFrames = 4, frameBytes = 16)
     val r = frames.limit(5).collect()
