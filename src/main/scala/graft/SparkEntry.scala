@@ -1539,9 +1539,9 @@ object SparkEntry {
         |  FROM events GROUP BY 1,2),
         |dph AS (
         |  SELECT event_type, day, n_true,
-        |    CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15))
+        |    least(CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15))
         |         ::UBIGINT::BIGINT + 1 AS DOUBLE)
-        |      / 1152921504606846976.0 AS u
+        |      / 1152921504606846976.0, 0.999999999) AS u
         |  FROM dpc),
         |dpn AS (
         |  SELECT event_type, day, n_true,

@@ -149,10 +149,12 @@ object Landing {
                   nBuckets: Int = 16): DataFrame = {
     val baseDir = s"${sys.props("java.io.tmpdir")}/graft_forget/" +
       java.util.UUID.randomUUID().toString
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(baseDir)): Unit))
-    forgetUsersAt(events, victimMod, nBuckets, baseDir)
+    // the census is localCheckpoint-materialized, so the scratch store
+    // can be deleted EAGERLY — a long-lived session (bench rounds) must
+    // not accumulate a table-sized copy and a shutdown hook per call
+    try forgetUsersAt(events, victimMod, nBuckets, baseDir).localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(baseDir)): Unit
   }
 
   private[graft] def forgetUsersAt(events: DataFrame, victimMod: Long,

@@ -797,13 +797,20 @@ object Pipeline {
   def dpCountRelease(events: DataFrame, epsilon: Double = 1.0): DataFrame = {
     import graft.operators.Similarity.quant6
     val b = 1.0 / epsilon
-    events.repartition(col("event_id"))
+    // no repartition spread: the per-row work is one date_format, so the
+    // groupBy's own exchange is the only shuffle this release needs
+    events
       .select(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n_true"))
       .withColumn("_u",
-        (NearDup.md5Hash60(concat_ws("|", col("event_type"), col("day")))
-          + lit(1L)).cast("double") / lit(1.152921504606846976e18))
+        // clamped to (0,1): h = 2^60-1 maps (h+1)/2^60 to exactly 1.0,
+        // where the upper inverse-CDF branch would blow up to +Inf —
+        // least() caps it one literal below (2^60+1 is not a double, so
+        // a wider divisor cannot fix the endpoint)
+        least((NearDup.md5Hash60(concat_ws("|", col("event_type"), col("day")))
+          + lit(1L)).cast("double") / lit(1.152921504606846976e18),
+          lit(0.999999999)))
       .withColumn("noise", quant6(
         when(col("_u") < 0.5, lit(b) * log(col("_u") * lit(2.0)))
           .otherwise(lit(-b) * log((lit(1.0) - col("_u")) * lit(2.0)))))

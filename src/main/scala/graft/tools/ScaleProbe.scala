@@ -323,8 +323,11 @@ object ScaleProbe {
     // nothing for the day band; the z-layout is near-best on BOTH.
     // right-to-be-forgotten: the one-time landing is corpus-sized, but
     // the ERASURE rewrite must track the victims' buckets, not the
-    // corpus — timed separately so the claim is measured
-    time("forget_erase") {
+    // corpus — so the bucketed landing, the before-census, and the
+    // victim-list derivation (request-queue stand-ins) all run OUTSIDE
+    // the timed block; only eraseVictims + the post-erasure census are
+    // measured, which is the cost the claim is about
+    locally {
       val ev = graft.Tables.events(spark, sfDir)
       val nev = ev.count()
       val amp = (0 until factor).map { k =>
@@ -332,7 +335,21 @@ object ScaleProbe {
           (col("user_id") + lit(k * 100000L)).as("user_id"),
           col("event_type"))
       }.reduce(_ unionByName _)
-      graft.operators.Landing.forgetUsers(amp).count()
+      val baseDir = s"${sys.props("java.io.tmpdir")}/graft_forget_probe_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.operators.Landing.landUserBucketed(amp, 16, baseDir)
+      val before = spark.read.parquet(baseDir)
+        .groupBy("event_type").agg(count(lit(1)).as("n_before"))
+        .localCheckpoint()
+      val victims = spark.read.parquet(baseDir)
+        .filter(pmod(col("user_id"), lit(97L)) === 0)
+        .select("user_id").distinct().localCheckpoint()
+      time("forget_erase") {
+        graft.operators.Landing.eraseVictims(spark, baseDir, victims, 16)
+        graft.operators.Landing.forgetCensus(spark, baseDir, before).count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(baseDir))
     }
     time("zorder_layout") {
       import graft.functions.ZOrder
