@@ -217,8 +217,10 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(documents(s, d))),
     "q_diverse_topk" -> ((s, d) => Similarity.diverseTopK(documents(s, d))),
     "q_hybrid_wsum" -> ((s, d) => Similarity.hybridWeighted(documents(s, d))),
-    "q_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(documents(s, d))),
-    "q_retrieval_ndcg" -> ((s, d) => Similarity.retrievalNdcg(documents(s, d))),
+    "q_retrieval_eval" -> ((s, d) =>
+      Similarity.retrievalEval(documents(s, d), corpusKey = Some(d))),
+    "q_retrieval_ndcg" -> ((s, d) =>
+      Similarity.retrievalNdcg(documents(s, d), corpusKey = Some(d))),
     "q_hard_negatives" -> ((s, d) => Similarity.hardNegatives(documents(s, d))),
     "q_mmr_topk" -> ((s, d) => Similarity.mmrTopK(documents(s, d))),
     "q_ql_dirichlet" -> ((s, d) => TextAnalysis.qlDirichletTopK(documents(s, d))),
