@@ -656,7 +656,9 @@ object Pipeline {
     * engines square and divide bit-identical operands.
     */
   def chi2Independence(documents: DataFrame): DataFrame =
-    chi2FromCounts(documents.repartition(col("doc_id"))
+    // no repartition spread: per-row work is a 2-column projection, so
+    // the contingency groupBy's own exchange is the only shuffle needed
+    chi2FromCounts(documents
       .groupBy("lang", "source").agg(count(lit(1)).as("n_obs")))
 
   /** The χ² core over an already-aggregated (lang, source, n_obs)
@@ -703,7 +705,9 @@ object Pipeline {
     * exact integer counting.
     */
   def kAnonymityCensus(customer: DataFrame): DataFrame =
-    kanonFromClasses(customer.repartition(col("c_custkey"))
+    // no repartition spread: one floor-divide per row — the QI groupBy's
+    // exchange subsumes it
+    kanonFromClasses(customer
       .select(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
       .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
@@ -748,7 +752,9 @@ object Pipeline {
     * bucket is one IEEE divide + floor; all else is exact counting.
     */
   def lDiversityCensus(customer: DataFrame): DataFrame = {
-    val classes = customer.repartition(col("c_custkey"))
+    // no repartition spread: one floor-divide per row — the QI groupBy's
+    // exchange subsumes it
+    val classes = customer
       .select(col("c_nationkey"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
         col("c_mktsegment"))

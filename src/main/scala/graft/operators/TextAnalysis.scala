@@ -2122,7 +2122,9 @@ object TextAnalysis {
     */
   def epochShuffle(documents: DataFrame, epochs: Int = 3,
                    shards: Int = 8): DataFrame =
-    documents.repartition(col("doc_id"))
+    // no repartition spread: the row work is one short-string hash, and
+    // withGroupedPrefix range-repartitions on its own keys anyway
+    documents
       .select(col("doc_id"))
       .withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
       .withColumn("shuffle_key",

@@ -179,14 +179,14 @@ object Warehouse {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
 
-  /** Full scalar-aggregate suite incl. exact count(distinct). The
-    * repartition spreads the partial-aggregation work (8 aggregates +
-    * the count-distinct expand) across cores — the warehouse ships
-    * lineitem as one parquet file, i.e. one input split, which would
-    * otherwise serialize the whole partial phase on a single task.
+  /** Full scalar-aggregate suite incl. exact count(distinct). No
+    * repartition spread: the per-row partial-agg work is cheap scalar
+    * accumulation, and at warehouse scale the scan arrives in many
+    * splits — the count-distinct's own expand/exchange is the only
+    * shuffle this aggregate needs.
     */
   def aggSuite(lineitem: DataFrame): DataFrame =
-    lineitem.repartition(col("l_orderkey")).groupBy("l_returnflag")
+    lineitem.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
