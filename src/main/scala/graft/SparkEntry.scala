@@ -164,6 +164,7 @@ object SparkEntry {
       orders(s, d), part(s, d), customer(s, d), nation(s, d),
       documents(s, d))),
     "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
+    "q_dp_counts_user" -> ((s, d) => Pipeline.dpCountReleaseUser(events(s, d))),
     "q_stream_ri" -> ((s, d) => streaming.StreamOps.streamRiMonitor(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
     "q_crossmodal_search" -> ((s, d) =>
@@ -1555,6 +1556,49 @@ object SparkEntry {
         |  CAST(greatest(0.0, floor(n_true + noise + 0.5)) AS BIGINT)
         |    AS n_released
         |FROM dpn ORDER BY event_type, day""".stripMargin,
+    // user-level DP: contribution clamp (lowest `cap` event_ids per
+    // user), Laplace b = cap/eps salted "user|", cap census broadcast
+    "q_dp_counts_user" ->
+      """WITH dpu AS (
+        |  SELECT user_id, event_id, event_type,
+        |         strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events),
+        |dpk AS (
+        |  SELECT event_type, day FROM (
+        |    SELECT event_type, day,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY event_id) AS rn
+        |    FROM dpu) WHERE rn <= 4),
+        |dpb AS (SELECT event_type, day, count(*) AS n_true
+        |        FROM dpu GROUP BY 1,2),
+        |dpcl AS (SELECT event_type, day, count(*) AS n_clamped
+        |         FROM dpk GROUP BY 1,2),
+        |dpcc AS (
+        |  SELECT CAST(sum(CASE WHEN nu > 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_capped_users,
+        |         CAST(sum(greatest(nu - 4, 0)) AS BIGINT) AS n_clipped_rows
+        |  FROM (SELECT user_id, count(*) AS nu FROM dpu GROUP BY 1)),
+        |dpj AS (
+        |  SELECT b.event_type, b.day, b.n_true,
+        |         coalesce(c.n_clamped, 0) AS n_clamped,
+        |    least(CAST(('0x' || substr(md5('user' || '|' || b.event_type
+        |           || '|' || b.day), 1, 15))
+        |         ::UBIGINT::BIGINT + 1 AS DOUBLE)
+        |      / 1152921504606846976.0, 0.999999999) AS u
+        |  FROM dpb b LEFT JOIN dpcl c
+        |    ON b.event_type = c.event_type AND b.day = c.day),
+        |dpun AS (
+        |  SELECT event_type, day, n_true, n_clamped,
+        |    floor((CASE WHEN u < 0.5 THEN 4.0 * ln(2.0 * u)
+        |           ELSE -4.0 * ln(2.0 * (1.0 - u)) END) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS noise
+        |  FROM dpj)
+        |SELECT event_type, day, n_true, n_clamped, noise,
+        |  CAST(greatest(0.0, floor(n_clamped + noise + 0.5)) AS BIGINT)
+        |    AS n_released,
+        |  cc.n_capped_users, cc.n_clipped_rows
+        |FROM dpun CROSS JOIN dpcc cc
+        |ORDER BY event_type, day""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH esh AS (
         |  SELECT doc_id, e.epoch,

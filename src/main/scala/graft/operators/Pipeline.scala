@@ -828,6 +828,68 @@ object Pipeline {
       .orderBy("event_type", "day")
   }
 
+  /** USER-LEVEL differentially-private count release (q_dp_counts_user;
+    * Dwork 2006 §bounded-contribution) — the release a privacy review
+    * actually signs off: [[dpCountRelease]] protects EVENTS (removing
+    * one event moves one cell by 1), but a user who contributed 500
+    * events is protected only 1/500th as much. Bounding each user to at
+    * most `cap` events — kept deterministically, the lowest event_ids,
+    * so the clamp is replayable — makes the whole histogram's L1
+    * sensitivity to removing a USER at most `cap`, and one
+    * Laplace(b = cap/ε) draw per cell then gives user-level ε-DP. The
+    * release carries the clamp audit alongside: per cell the unclamped
+    * and clamped counts, and the global cap census (how many users were
+    * clipped, how much mass the clamp removed) — the knob report that
+    * tells the analyst whether `cap` is biting (a production release
+    * would publish only day/event_type/n_released).
+    *
+    * Determinism seam: same seeded inverse-CDF as the event-level
+    * release, salted "user|" so the two releases never share noise;
+    * swap a true RNG per release epoch for production privacy. Scale
+    * shape: the clamp is one user_id-led window (corpus-cardinality
+    * key — parallel), both histograms are hash aggs on the cell key,
+    * the cap census collapses to ONE broadcast row, and the noise is
+    * per-cell scalar math — no shuffle beyond the aggs' own.
+    */
+  def dpCountReleaseUser(events: DataFrame, epsilon: Double = 1.0,
+                         cap: Int = 4): DataFrame = {
+    import graft.operators.Similarity.quant6
+    import org.apache.spark.sql.expressions.Window
+    val b = cap.toDouble / epsilon
+    val perUser = events.select(col("user_id"), col("event_id"),
+      col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val kept = perUser
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("user_id").orderBy("event_id")))
+      .filter(col("_rn") <= cap)
+    val base = perUser.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_true"))
+    val clamped = kept.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_clamped"))
+    val capCensus = perUser.groupBy("user_id")
+      .agg(count(lit(1)).as("_nu"))
+      .agg(sum((col("_nu") > cap).cast("long")).as("n_capped_users"),
+        sum(greatest(col("_nu") - cap, lit(0L))).as("n_clipped_rows"))
+    base.join(clamped, Seq("event_type", "day"), "left")
+      .withColumn("n_clamped", coalesce(col("n_clamped"), lit(0L)))
+      .withColumn("_u",
+        least((NearDup.md5Hash60(
+            concat_ws("|", lit("user"), col("event_type"), col("day")))
+          + lit(1L)).cast("double") / lit(1.152921504606846976e18),
+          lit(0.999999999)))
+      .withColumn("noise", quant6(
+        when(col("_u") < 0.5, lit(b) * log(col("_u") * lit(2.0)))
+          .otherwise(lit(-b) * log((lit(1.0) - col("_u")) * lit(2.0)))))
+      .withColumn("n_released",
+        greatest(lit(0.0),
+          floor(col("n_clamped") + col("noise") + lit(0.5))).cast("long"))
+      .crossJoin(broadcast(capCensus))
+      .select(col("event_type"), col("day"), col("n_true"),
+        col("n_clamped"), col("noise"), col("n_released"),
+        col("n_capped_users"), col("n_clipped_rows"))
+      .orderBy("event_type", "day")
+  }
+
   /** One referential-integrity constraint census row: orphans are the
     * child rows whose FK value has no parent — a LEFT ANTI join, which
     * Spark plans as broadcast-anti for dimension-sized parents and

@@ -1169,6 +1169,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dpCountReleaseUser: contribution clamp bounds each user, cap census exact") {
+    val sp = spark
+    import sp.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 50 users x 8 events each, cap=4 -> every user clipped by 4; the
+    // kept rows are each user's 4 LOWEST event_ids, which here is
+    // exactly the id range 1..200
+    val events = (1L to 400L).map(i =>
+      (i, ts0, i % 50, s"type${i % 20}", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rel = graft.operators.Pipeline.dpCountReleaseUser(events, 1.0, cap = 4)
+      .collect()
+    assert(rel.length === 20)
+    rel.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 20L)
+      // ids 1..200 spread evenly over the 20 types -> 10 kept per cell:
+      // the clamp kept the lowest ids and no user exceeds cap anywhere
+      assert(r.getAs[Long]("n_clamped") === 10L)
+      assert(r.getAs[Long]("n_capped_users") === 50L)
+      assert(r.getAs[Long]("n_clipped_rows") === 200L)
+      assert(r.getAs[Long]("n_released") === math.max(0L,
+        math.floor(10L + r.getAs[Double]("noise") + 0.5).toLong))
+    }
+    // user-level sensitivity: removing ONE user moves the clamped
+    // histogram by at most cap rows in L1
+    val without = graft.operators.Pipeline.dpCountReleaseUser(
+      events.filter($"user_id" =!= 7L), 1.0, cap = 4).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Long]("n_clamped")).toMap
+    val l1 = rel.map { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      math.abs(r.getAs[Long]("n_clamped") - without.getOrElse(k, 0L))
+    }.sum
+    assert(l1 <= 4L)
+    // epsilon doubled -> noise halved (same salted u), within quant6
+    val e2 = graft.operators.Pipeline.dpCountReleaseUser(events, 2.0, cap = 4)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Double]("noise")).toMap
+    rel.foreach { r =>
+      val half = e2((r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(math.abs(r.getAs[Double]("noise") / 2.0 - half) <= 2e-6)
+    }
+  }
+
   test("epochShuffle: per-epoch permutations with contiguous shard positions") {
     val sp = spark
     import sp.implicits._
