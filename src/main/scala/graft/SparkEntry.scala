@@ -153,7 +153,14 @@ object SparkEntry {
     "q_chi2" -> ((s, d) => Pipeline.chi2Independence(documents(s, d))),
     "q_stream_chi2" -> ((s, d) => streaming.StreamOps.streamChi2(s, d)),
     "q_profile" -> ((s, d) => Pipeline.profileTable(lineitem(s, d))),
-    "q_stream_profile" -> ((s, d) => streaming.StreamOps.streamProfile(s, d)),
+    // exact distinct tier (opt-in, dimension-sized columns): shares
+    // q_profile's oracle verbatim
+    "q_stream_profile" -> ((s, d) =>
+      streaming.StreamOps.streamProfile(s, d, exactDistincts = true)),
+    // default sketch tier: mergeable per-column HLL state, rows-only +
+    // scalatest-error-bounded (estimates differ from exact by design)
+    "q_stream_profile_sketch" -> ((s, d) =>
+      streaming.StreamOps.streamProfile(s, d)),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_stream_kanon" -> ((s, d) => streaming.StreamOps.streamKanon(s, d)),
     "q_ldiv" -> ((s, d) => Pipeline.lDiversityCensus(customer(s, d))),

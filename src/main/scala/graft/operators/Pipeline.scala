@@ -630,12 +630,54 @@ object Pipeline {
         coalesce(col(c), lit(0L)).as(s"${c}_d")): _*)
 
   /** The per-part (col_name, v) distinct value rows feeding
-    * [[profileDistinctCounts]]. */
+    * [[profileDistinctCounts]] — the EXACT tier's state. For
+    * high-cardinality columns (keys, prices) this store converges on a
+    * several-× copy of the table, so it is the opt-in tier for
+    * dimension-sized columns; the default streaming tier is the
+    * sketch state below. */
   private[graft] def profileDistinctValues(part: DataFrame): DataFrame =
     profileAllCols.map { c =>
       part.select(lit(c).as("col_name"), col(c).cast("string").as("v"))
         .where(col(c).isNotNull).distinct()
     }.reduce(_ unionByName _)
+
+  /** log2 of the HLL register count for the sketch distinct tier —
+    * ±~1.6% standard relative error, ≤ ~2.5 KB serialized per column
+    * regardless of cardinality. */
+  private[graft] val profileSketchLgK = 12
+
+  /** SKETCH-tier distinct state: ONE row of per-column DataSketches HLL
+    * sketches per part/micro-batch — the mergeable replacement for the
+    * exact value store ([[profileDistinctValues]]), whose size is fixed
+    * by lgK, not by column cardinality. Sketches of parts union into
+    * the sketch of the whole (sketch-of-union = union-of-sketches at
+    * equal lgK), so per-batch rows merge exactly like the additive
+    * moment rows and replay overwrites are idempotent. Values are
+    * hashed the same way on every partitioning, so the estimate is
+    * deterministic for a given value SET — but it is an ESTIMATE, hence
+    * the rows-only correctness class (the q_approx_distinct precedent)
+    * with the error bound locked in scalatest instead of the oracle.
+    * Columns cast to string first, mirroring the exact tier's value
+    * domain (and null-skipping aggregation mirrors its isNotNull).
+    */
+  private[graft] def profileDistinctSketches(part: DataFrame): DataFrame = {
+    val aggs = profileAllCols.map(c =>
+      hll_sketch_agg(col(c).cast("string"), lit(profileSketchLgK))
+        .as(s"${c}_hll"))
+    part.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge accumulated per-batch sketch rows and estimate — the 1-row
+    * wide `${c}_d` shape [[profileAssemble]] consumes, like
+    * [[profileDistinctCounts]] but from sketch-sized state. */
+  private[graft] def profileDistinctCountsFromSketches(srows: DataFrame)
+      : DataFrame = {
+    val unions = profileAllCols.map(c =>
+      hll_union_agg(col(s"${c}_hll"), lit(true)).as(s"${c}_hll"))
+    srows.agg(unions.head, unions.tail: _*)
+      .select(profileAllCols.map(c =>
+        hll_sketch_estimate(col(s"${c}_hll")).as(s"${c}_d")): _*)
+  }
 
   /** CHI-SQUARE independence census (q_chi2) — Pearson's χ² over the
     * lang × source contingency table of the corpus: the audit that

@@ -1694,19 +1694,39 @@ object StreamOps {
     * q_profile's oracle is shared verbatim, and the per-batch moment
     * rows double as the per-ingest data-quality report.
     *
-    * 100 TB shape: per-batch moment state is ONE row; the distinct
-    * store is bounded by column cardinality, not row count — the price
-    * of EXACT distincts (the approx tier swaps the value store for a
-    * mergeable HLL sketch at sketch size, the q_approx_distinct
-    * precedent). Replayed batches overwrite their own dirs: both
+    * 100 TB shape: per-batch moment state is ONE row. The distinct
+    * stat is the one non-additive profile statistic, so it ships in
+    * two tiers: the DEFAULT is a mergeable per-column DataSketches HLL
+    * ([[graft.operators.Pipeline.profileDistinctSketches]]) — ONE
+    * sketch row per batch, ≤ ~2.5 KB per column at lgK=12 regardless
+    * of cardinality, so the accumulated state is (batches × columns ×
+    * sketch)-sized, never corpus-sized; estimates carry the HLL ±1.6%
+    * band and grade rows-only + scalatest-error-bounded (the
+    * q_approx_distinct class). The EXACT value store
+    * ([[graft.operators.Pipeline.profileDistinctValues]]) stays as the
+    * opt-in tier for dimension-sized columns, where it is both cheap
+    * and hash-matched against q_profile's shared oracle — at 100 TB it
+    * converges on a several-× copy of a key column, which is why it is
+    * not the default. Replayed batches overwrite their own dirs: all
     * stores are replay-idempotent.
     */
-  def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Pipeline
+  def streamProfile(spark: SparkSession, sfDir: String,
+                    exactDistincts: Boolean = false): DataFrame = {
     val runId = UUID.randomUUID().toString.take(8)
     val tmp = sys.props("java.io.tmpdir")
-    val store = s"$tmp/graft_stream_profile/$runId/store"
-    val ck = s"$tmp/graft_stream_profile/$runId/ck"
+    streamProfileAt(spark, sfDir,
+      s"$tmp/graft_stream_profile/$runId", exactDistincts)
+  }
+
+  /** [[streamProfile]] against a caller-chosen run root — the testable
+    * form: specs assert the accumulated distinct-state SIZE (the scale
+    * claim) directly on `root`/store. */
+  private[graft] def streamProfileAt(spark: SparkSession, sfDir: String,
+                                     root0: String,
+                                     exactDistincts: Boolean): DataFrame = {
+    import graft.operators.Pipeline
+    val store = s"$root0/store"
+    val ck = s"$root0/ck"
     val li = graft.Tables.lineitem(spark, sfDir)
     val root = stageRanges(li, "l_orderkey", 3)
     val q = spark.readStream.schema(li.schema)
@@ -1719,8 +1739,10 @@ object StreamOps {
           batch.agg(m.head, m.tail: _*)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$store/moments/batch=$batchId")
-          Pipeline.profileDistinctValues(batch)
-            .coalesce(1)
+          val dstate =
+            if (exactDistincts) Pipeline.profileDistinctValues(batch)
+            else Pipeline.profileDistinctSketches(batch)
+          dstate.coalesce(1)
             .write.mode("overwrite").parquet(s"$store/dvals/batch=$batchId")
           ()
         }
@@ -1731,11 +1753,15 @@ object StreamOps {
     q.awaitTermination()
     val moments = Pipeline.profileMergeMoments(
       spark.read.parquet(s"$store/moments"))
-    // profileDistinctCounts selects (col_name, v) first, which also
-    // drops the inferred batch=N partition column BEFORE the set-union
-    // dedup — every batch's copy would otherwise survive the distinct
-    val distincts = Pipeline.profileDistinctCounts(
-      spark.read.parquet(s"$store/dvals"))
+    // the drain selects its own columns first, which also drops the
+    // inferred batch=N partition column BEFORE merging — every batch's
+    // copy would otherwise survive the exact tier's distinct
+    val distincts =
+      if (exactDistincts) Pipeline.profileDistinctCounts(
+        spark.read.parquet(s"$store/dvals"))
+      else Pipeline.profileDistinctCountsFromSketches(
+        spark.read.parquet(s"$store/dvals").select(
+          Pipeline.profileAllCols.map(c => col(s"${c}_hll")): _*))
     Pipeline.profileAssemble(moments.crossJoin(distincts))
   }
 

@@ -351,6 +351,34 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(baseDir))
     }
+    // streaming-profile distinct-state economics: one micro-batch's
+    // accumulated distinct state for the exact value store vs the HLL
+    // sketch tier as the table (and its key cardinality) amplifies —
+    // the exact store must grow linearly with distinct keys while the
+    // sketch row stays flat at (columns × lgK-bounded sketch) bytes
+    time("profile_state") {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val amp = (0 until factor).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 1000000L))
+      }.reduce(_ unionByName _)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_profile_state_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.operators.Pipeline.profileDistinctValues(amp)
+        .write.parquet(s"$root/exact")
+      graft.operators.Pipeline.profileDistinctSketches(amp)
+        .write.parquet(s"$root/sketch")
+      val erows = spark.read.parquet(s"$root/exact").count()
+      val eb = org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(s"$root/exact"))
+      val sb = org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(s"$root/sketch"))
+      println(f"  exact state: $erows rows / $eb bytes; " +
+        f"sketch state: 1 row / $sb bytes")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      erows
+    }
     time("zorder_layout") {
       import graft.functions.ZOrder
       val ev = graft.Tables.events(spark, sfDir)

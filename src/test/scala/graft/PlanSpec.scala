@@ -21,7 +21,7 @@ class PlanSpec extends SparkSpec {
     // a typo'd key on either side would silently weaken the correctness
     // gate (driver records rows-only instead of hash-matching)
     val rowsOnlyByDesign = Set("q_ann_lsh", "q_approx_distinct", "q_approx_percentiles",
-      "q_stream_sliding_distinct")
+      "q_stream_sliding_distinct", "q_stream_profile_sketch")
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

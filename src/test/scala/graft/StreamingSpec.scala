@@ -599,10 +599,48 @@ class StreamingSpec extends SparkSpec {
         Option(r.getAs[java.lang.Long]("min_len")),
         Option(r.getAs[java.lang.Long]("max_len")))
     }.toSet
-    assert(rows(StreamOps.streamProfile(spark, sf0001)) ===
+    assert(rows(StreamOps.streamProfile(spark, sf0001, exactDistincts = true)) ===
       rows(graft.operators.Pipeline.profileTable(
         Tables.lineitem(spark, sf0001))),
       "merged per-batch moments + distinct sets must equal the one-pass profile")
+  }
+
+  test("sketch-tier streaming profile: exact moments, bounded-error distincts, sketch-sized state") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_sketch_profile_test_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val got = StreamOps.streamProfileAt(spark, sf0001, root,
+        exactDistincts = false)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val exact = graft.operators.Pipeline.profileTable(
+        Tables.lineitem(spark, sf0001))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val g = got(c)
+      // every additive moment is EXACT — only the distinct stat is approximate
+      assert(g.getAs[Long]("n_rows") === e.getAs[Long]("n_rows"))
+      assert(g.getAs[Long]("n_nulls") === e.getAs[Long]("n_nulls"))
+      assert(Option(g.getAs[java.lang.Double]("min_num")) ===
+        Option(e.getAs[java.lang.Double]("min_num")))
+      assert(Option(g.getAs[java.lang.Double]("max_num")) ===
+        Option(e.getAs[java.lang.Double]("max_num")))
+      assert(Option(g.getAs[java.lang.Double]("avg_num")) ===
+        Option(e.getAs[java.lang.Double]("avg_num")))
+      // HLL at lgK=12: ±1.6% standard error — lock a 3-sigma band
+      val (gd, ed) = (g.getAs[Long]("n_distinct"), e.getAs[Long]("n_distinct"))
+      assert(math.abs(gd - ed) <= math.max(1L, (0.05 * ed).toLong),
+        s"$c: sketch estimate $gd vs exact $ed beyond the HLL error band")
+    }
+    // the scale claim as code: accumulated distinct state is ONE sketch
+    // row per batch and sketch-sized in bytes (the exact tier's value
+    // store is cardinality-sized — corpus-shaped at 100 TB)
+    val dvals = spark.read.parquet(s"$root/store/dvals")
+    assert(dvals.count() === 3L, "one sketch row per micro-batch")
+    val stateBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+      new java.io.File(s"$root/store/dvals"))
+    assert(stateBytes < 11L * 4096 * 3 + 65536,
+      s"sketch state $stateBytes bytes — not sketch-sized")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   test("streaming drift monitor equals the batch divergence (additive tf merge)") {
