@@ -176,6 +176,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
     "q_crossmodal_search" -> ((s, d) =>
       Multimodal.crossModalSearch(documents(s, d), embeddings(s, d))),
+    "q_crossmodal_ivfpq" -> ((s, d) => Multimodal.crossModalIvfPq(s, d)),
     "q_pii_redact" -> ((s, d) => TextAnalysis.piiRedactCensus(documents(s, d))),
     "q_bottomk_sample" -> ((s, d) => TextAnalysis.bottomKSample(documents(s, d))),
     "q_weighted_sample" -> ((s, d) => TextAnalysis.weightedSample(documents(s, d))),
@@ -1508,28 +1509,8 @@ object SparkEntry {
     // projected vector component-by-component in the same order, so the
     // whole media->features->head->cosine chain is oracle-reproducible
     "q_crossmodal_search" ->
-      """WITH cmf AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([ascii(c) for c in string_split(text, '')])
-        |         AS DOUBLE) / strlen(text) AS f_mean,
-        |    CAST(list_max([ascii(c) for c in string_split(text, '')])
-        |       - list_min([ascii(c) for c in string_split(text, '')])
-        |         AS DOUBLE) AS f_range,
-        |    CAST(strlen(text) % 256 AS DOUBLE) AS f_mod
-        |  FROM documents WHERE doc_id < 5),
-        |cmq AS (
-        |  SELECT doc_id AS query_id,
-        |    [ f_mean * (((( 0*31 + j*17) % 13) - 6) / 6.0)
-        |      + f_range * (((( 1*31 + j*17) % 13) - 6) / 6.0)
-        |      + f_mod * (((( 2*31 + j*17) % 13) - 6) / 6.0)
-        |      for j in range(0, 64) ] AS q_emb
-        |  FROM cmf),
-        |cmqn AS (SELECT query_id, q_emb,
-        |         sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM cmq),
-        |cmb AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-        |          AS nrm
-        |        FROM embeddings),
+      ("WITH " + crossmodalQueryFrag(5) +
+        """,
         |cmp AS (
         |  SELECT q.query_id, b.vec_id AS neighbor_id,
         |         list_dot_product(q.q_emb, b.emb) / (b.nrm * q.q_nrm) AS sim
@@ -1541,7 +1522,30 @@ object SparkEntry {
         |  FROM cmp)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 6) AS sim
-        |FROM cmr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+        |FROM cmr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+    // cross-modal graduation: the SAME projected queries served from
+    // the IVF-PQ index over the embeddings table (index side + ext-q
+    // ADC chain shared verbatim), cosine-re-ranked on the shortlist
+    "q_crossmodal_ivfpq" ->
+      ("WITH " + crossmodalQueryFrag(5) + ",\n" +
+        ivfPqIndexSideFrag(2, "embeddings") +
+        ivfPqRankedExtQFrag(2, 6, "cmqn") +
+        """,
+        |xsh AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 200),
+        |xre AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         list_dot_product(q.q_emb, b.emb) / (b.nrm * q.q_nrm) AS sim
+        |  FROM xsh s
+        |    JOIN cmb b ON b.vec_id = s.neighbor_id
+        |    JOIN cmqn q ON q.query_id = s.query_id),
+        |xrk AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM xre)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim
+        |FROM xrk WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
     "q_dp_counts" ->
       """WITH dpc AS (
         |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
@@ -5722,8 +5726,44 @@ object SparkEntry {
     * the chunk-embedding CTE, so the serving chain and the RAG chain
     * can never drift.
     */
-  private def ivfPqRankedFrag(iters: Int, nprobe: Int, src: String,
-                              nq: Long, candPred: String = ""): String =
+  /** Cross-modal query CTEs: media features (the ASCII stand-in
+    * payloads) through the closed-form alignment head into projected
+    * query vectors with norms (`cmqn`), plus the embedding corpus with
+    * norms (`cmb`) — shared verbatim by q_crossmodal_search (brute
+    * cosine) and q_crossmodal_ivfpq (saved-index serve), so the two
+    * tiers rank the same queries against the same corpus.
+    */
+  private def crossmodalQueryFrag(nQueries: Int): String =
+    s"""cmf AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([ascii(c) for c in string_split(text, '')])
+       |         AS DOUBLE) / strlen(text) AS f_mean,
+       |    CAST(list_max([ascii(c) for c in string_split(text, '')])
+       |       - list_min([ascii(c) for c in string_split(text, '')])
+       |         AS DOUBLE) AS f_range,
+       |    CAST(strlen(text) % 256 AS DOUBLE) AS f_mod
+       |  FROM documents WHERE doc_id < $nQueries),
+       |cmq AS (
+       |  SELECT doc_id AS query_id,
+       |    [ f_mean * (((( 0*31 + j*17) % 13) - 6) / 6.0)
+       |      + f_range * (((( 1*31 + j*17) % 13) - 6) / 6.0)
+       |      + f_mod * (((( 2*31 + j*17) % 13) - 6) / 6.0)
+       |      for j in range(0, 64) ] AS q_emb
+       |  FROM cmf),
+       |cmqn AS (SELECT query_id, q_emb,
+       |         sqrt(list_dot_product(q_emb, q_emb)) AS q_nrm FROM cmq),
+       |cmb AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |          AS nrm
+       |        FROM embeddings)""".stripMargin
+
+  /** The query-independent half of the IVF-PQ oracle chain — coarse
+    * codebook training, vector halves, sub-codebooks, PQ codes, and
+    * cell assignment — shared verbatim by [[ivfPqRankedFrag]] (queries
+    * drawn from the indexed vectors) and [[ivfPqRankedExtQFrag]]
+    * (external query vectors, e.g. the cross-modal projection).
+    */
+  private def ivfPqIndexSideFrag(iters: Int, src: String): String =
     kmeansCentChainFrag(iters, src, "") +
       s""",
          |sp AS (
@@ -5777,7 +5817,12 @@ object SparkEntry {
          |  SELECT vec_id, clabel,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
          |  FROM scoredq),
-         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1),
+         |cells AS (SELECT vec_id, clabel AS cell FROM assignrk WHERE rk = 1)""".stripMargin
+
+  private def ivfPqRankedFrag(iters: Int, nprobe: Int, src: String,
+                              nq: Long, candPred: String = ""): String =
+    ivfPqIndexSideFrag(iters, src) +
+      s""",
          |probes AS (
          |  SELECT vec_id AS query_id, clabel AS pcell
          |  FROM assignrk WHERE vec_id < $nq AND rk <= $nprobe),
@@ -5805,6 +5850,53 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, est,
          |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
          |  FROM est)""".stripMargin
+
+  /** The external-query half of the IVF-PQ oracle chain: queries come
+    * from `qRel` (query_id, q_emb DOUBLE[]) instead of the indexed
+    * vectors — probes rank the trained coarse codebook, ADC tables come
+    * from the query halves, and there is no self-exclusion (external
+    * ids never collide with vec_ids; the Spark side guarantees that
+    * with an id offset). Same est/ranked emission as
+    * [[ivfPqRankedFrag]] so downstream suffixes compose unchanged.
+    */
+  private def ivfPqRankedExtQFrag(iters: Int, nprobe: Int,
+                                  qRel: String): String =
+    s""",
+       |qsp AS (
+       |  SELECT query_id, q_emb,
+       |    q_emb[1:len(q_emb)//2] AS q1,
+       |    q_emb[len(q_emb)//2+1:len(q_emb)] AS q2
+       |  FROM $qRel),
+       |probes AS (
+       |  SELECT query_id, clabel AS pcell FROM (
+       |    SELECT q.query_id, c.clabel,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             -2.0 * list_dot_product(q.q_emb, c.c) + list_dot_product(c.c, c.c),
+       |             c.clabel) AS rk
+       |    FROM qsp q CROSS JOIN cent$iters c) WHERE rk <= $nprobe),
+       |d1 AS (
+       |  SELECT q.query_id, c.clabel AS c1,
+       |         list_dot_product(q.q1, q.q1)
+       |           + (-2.0 * list_dot_product(q.q1, c.c) + list_dot_product(c.c, c.c)) AS d1
+       |  FROM qsp q CROSS JOIN cb1 c),
+       |d2 AS (
+       |  SELECT q.query_id, c.clabel AS c2,
+       |         list_dot_product(q.q2, q.q2)
+       |           + (-2.0 * list_dot_product(q.q2, c.c) + list_dot_product(c.c, c.c)) AS d2
+       |  FROM qsp q CROSS JOIN cb2 c),
+       |cand AS (
+       |  SELECT p.query_id, c.vec_id
+       |  FROM cells c JOIN probes p ON c.cell = p.pcell),
+       |est AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id, d1.d1 + d2.d2 AS est
+       |  FROM cand
+       |    JOIN codes ON codes.vec_id = cand.vec_id
+       |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = cand.query_id
+       |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = cand.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, est,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY est, neighbor_id) AS rk
+       |  FROM est)""".stripMargin
 
   /** PQ-ADC search with TRAINED sub-codebooks: one k-means CTE chain per
     * vector half (prefixes h1/h2), then the same code/lookup/rank SQL as

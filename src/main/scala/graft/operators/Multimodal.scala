@@ -338,15 +338,8 @@ object Multimodal {
                        nQueries: Int = 5, k: Int = 10,
                        dim: Int = 64): DataFrame = {
     import graft.functions.VectorMath.{asDouble, dot, l2Norm}
-    val feats = extractFeatures(mediaFromDocuments(documents))
-      .filter(col("doc_id") < nQueries)
-    val proj = array((0 until dim).map { j =>
-      (col("f_mean") * lit(alignmentWeight(0, j))) +
-        (col("f_range").cast("double") * lit(alignmentWeight(1, j))) +
-        (col("f_mod").cast("double") * lit(alignmentWeight(2, j)))
-    }: _*)
-    val queries = feats
-      .select(col("doc_id").as("query_id"), proj.as("q_emb"))
+    val queries = crossModalQueries(documents, nQueries, dim)
+      .select(col("query_id"), col("embedding").as("q_emb"))
       .withColumn("q_nrm", l2Norm(col("q_emb")))
     val base = embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -356,5 +349,64 @@ object Multimodal {
         (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
           .as("s"))
     Similarity.rankedTopK(scored, k, "sim")
+  }
+
+  /** The projected cross-modal query vectors as an embeddings-shaped
+    * (query_id, embedding) frame — the seam [[crossModalSearch]] and
+    * [[crossModalIvfPq]] share, so brute force and the index serve rank
+    * EXACTLY the same queries. */
+  private[graft] def crossModalQueries(documents: DataFrame, nQueries: Int,
+                                       dim: Int): DataFrame = {
+    val feats = extractFeatures(mediaFromDocuments(documents))
+      .filter(col("doc_id") < nQueries)
+    val proj = array((0 until dim).map { j =>
+      (col("f_mean") * lit(alignmentWeight(0, j))) +
+        (col("f_range").cast("double") * lit(alignmentWeight(1, j))) +
+        (col("f_mod").cast("double") * lit(alignmentWeight(2, j)))
+    }: _*)
+    feats.select(col("doc_id").as("query_id"), proj.as("embedding"))
+  }
+
+  /** CROSS-MODAL retrieval at index scale (q_crossmodal_ivfpq) — the
+    * "corpus outgrows brute force" graduation [[crossModalSearch]]'s
+    * scaladoc promises, as a query: the SAME projected media vectors
+    * served from the persisted IVF-PQ index over the embeddings table
+    * ([[Similarity.buildIvfPqIndex]]), through the from-files ADC
+    * shortlist, then exact-COSINE re-ranked on the shortlist so the
+    * emitted contract (query_id, rank, neighbor_id, sim) matches the
+    * brute tier's ranked-top-k semantics. Nothing cross-modal exists in
+    * the index machinery — the external queries are just another
+    * embeddings-shaped frame, which is the point.
+    *
+    * Query ids are offset out of the vec_id space during the serve (the
+    * serve's self-match guard compares ids; an external query id that
+    * happens to collide with a vec_id must not silently exclude that
+    * candidate) and mapped back on emission.
+    *
+    * Scale shape: index build is corpus-linear and amortized across
+    * releases; the serve probes nprobe cells, reads codes not vectors,
+    * and the cosine re-rank touches |Q|·m raw vectors — the |Q|·|D|
+    * brute cross join becomes cell-bounded candidate scoring. The
+    * shortlist runs deeper than the same-metric serves (m=200): the ADC
+    * stage estimates L2 while the emitted contract is cosine, so the
+    * re-rank needs headroom to recover cosine-top-k from an L2-ordered
+    * candidate list (recall floor locked in MultimodalSpec).
+    */
+  def crossModalIvfPq(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String, nQueries: Int = 5, k: Int = 10,
+                      m: Int = 200, nprobe: Int = 6, trainIters: Int = 2,
+                      dim: Int = 64): DataFrame = {
+    val off = 1000000000L
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val dir = Similarity.newIndexDir()
+    Similarity.buildIvfPqIndex(emb, dir, trainIters)
+    val queries = crossModalQueries(
+        graft.Tables.documents(spark, sfDir), nQueries, dim)
+      .select((col("query_id") + lit(off)).as("query_id"), col("embedding"))
+    Similarity.searchIvfPqIndexCosineRerank(spark, dir, emb, queries,
+        k, m, nprobe)
+      .select((col("query_id") - lit(off)).as("query_id"), col("rank"),
+        col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rank")
   }
 }

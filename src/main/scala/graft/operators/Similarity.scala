@@ -1041,6 +1041,41 @@ object Similarity {
     exactRerank(shortlist, vectors, nQueries, k)
   }
 
+  /** The saved-index serve for EXTERNAL query vectors ranked by cosine:
+    * [[searchIvfPqIndex]]'s from-files ADC scoring kept to the top `m`
+    * candidates per query, refined by an exact-cosine re-rank against
+    * the raw vector store — the serve plan a cross-modal (or any
+    * out-of-corpus-query) deployment runs, where the emitted contract
+    * is similarity, not distance. `queries` carries raw (query_id,
+    * embedding) vectors whose ids must not collide with vec_ids
+    * (callers offset; the ADC stage's self-match guard compares ids).
+    * Scale shape: identical to [[searchIvfPqIndexRerank]] — nprobe-cell
+    * candidates, codes on the wire, |Q|·m raw vectors in the re-rank.
+    */
+  def searchIvfPqIndexCosineRerank(spark: SparkSession, dir: String,
+                                   vectors: DataFrame, queries: DataFrame,
+                                   k: Int, m: Int = 30,
+                                   nprobe: Int = 2): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val shortlist =
+      rankedTopK(savedIndexScored(spark, dir, queries, nprobe, None),
+        m, "est_d2", sc => -sc)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = vectors.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = queries.select(col("query_id").as("qid"),
+        asDouble(col("embedding")).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val exact = shortlist
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(q), col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .as("s"))
+    rankedTopK(exact, k, "sim")
+  }
+
   /** From-files ADC scorer shared by the saved-index serves: candidates
     * from the saved cells (probed cells only, minus tombstones, minus
     * self-matches, minus rows failing the optional metadata predicate —
@@ -1322,7 +1357,7 @@ object Similarity {
     * runs do not leak artifact directories; the full UUID removes the
     * collision window an 8-char prefix left open.
     */
-  private def newIndexDir(): String = {
+  private[operators] def newIndexDir(): String = {
     val dir = new java.io.File(
       s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
         java.util.UUID.randomUUID().toString)

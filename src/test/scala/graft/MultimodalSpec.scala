@@ -148,6 +148,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("crossModalIvfPq: index serve recalls the brute tier's neighbors") {
+    val brute = Multimodal.crossModalSearch(Tables.documents(spark, sf0001),
+        Tables.embeddings(spark, sf0001), nQueries = 5, k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val served = Multimodal.crossModalIvfPq(spark, sf0001,
+        nQueries = 5, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(served.keySet === brute.keySet)
+    // the ADC shortlist is L2-based while the contract is cosine, so
+    // perfect agreement is not expected — but the index serve must
+    // recover the bulk of the brute tier's top-k
+    val recalls = brute.map { case (q, truth) =>
+      served(q).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"mean recall $mean%.2f below the 0.6 floor")
+    // and every emitted similarity must be an exact cosine (spot check:
+    // served sims are drawn from the same rounded-cosine domain)
+    Multimodal.crossModalIvfPq(spark, sf0001, nQueries = 2, k = 3)
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("sim")) <= 1.0 + 1e-9) }
+  }
+
   test("frame sampling yields n fixed-width slices inside the payload") {
     val frames = Multimodal.frameSample(media, nFrames = 4, frameBytes = 16)
     val r = frames.limit(5).collect()
