@@ -59,6 +59,7 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Events.winsorize(events(s, d))),
     "q_ewma" -> ((s, d) => Events.ewmaSmooth(events(s, d))),
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
+    "q_stream_mv" -> ((s, d) => streaming.StreamOps.streamMv(s, d)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -587,11 +588,11 @@ object SparkEntry {
         |  ON f.user_id = v.user_id AND v.valid_from_us <= f.asof_us
         |     AND (v.valid_to_us IS NULL OR v.valid_to_us > f.asof_us)
         |ORDER BY purchase_id""".stripMargin,
-    "q_mv_merge" ->
-      """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
-        |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    "q_mv_merge" -> mvOracleSql,
+    // the streaming maintainer's drained partials must merge to the
+    // same view one batch refresh cycle produces — oracle shared
+    // verbatim (the q_stream_profile device)
+    "q_stream_mv" -> mvOracleSql,
     "q_resample_ffill" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
         |obs AS (
@@ -3817,6 +3818,17 @@ object SparkEntry {
   // bottom-k sample oracle — shared verbatim by q_bottomk_sample and
   // the streaming sketch-merge twin q_stream_bottomk (bottom-k of a
   // union = bottom-k of the per-part bottom-k's)
+  /** The incremental-MV invariant, shared verbatim by q_mv_merge (batch
+    * refresh cycle) and q_stream_mv (at-ingest maintenance): however
+    * history was batched, the served view equals the one-shot GROUP BY
+    * over all of it.
+    */
+  private val mvOracleSql: String =
+    """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin
+
   private val profileOracleSql: String =
       """WITH pw AS (
         |  SELECT count(*) AS n,

@@ -1208,6 +1208,33 @@ object Events {
     * discipline); this view is group-cardinality-sized, so a plain
     * overwrite IS the bucketed write.
     */
+  /** One batch's partial aggregates in the MV store shape — the unit of
+    * state both the batch refresh ([[mvMergeBatch]]) and the streaming
+    * maintainer land; counts and DECIMAL sums are ADDITIVE, so partials
+    * merge by [[mvMergeRows]] regardless of how history was batched. */
+  private[graft] def mvPartial(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+
+  /** The count/sum merge law: union of partial rows re-aggregated —
+    * sums of sums, counts of counts, DECIMAL(18,2) throughout so merge
+    * order can never perturb the stored value. */
+  private[graft] def mvMergeRows(rows: DataFrame): DataFrame =
+    rows.groupBy("event_type", "day")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+
+  /** The served-view projection shared by the batch and streaming
+    * maintainers (the one display cast, applied after all merging). */
+  private[graft] def mvServe(view: DataFrame): DataFrame =
+    view.select(col("event_type"), col("day"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+
   def mvMergeBatch(batch: DataFrame, storeDir: String): Unit = {
     val spark = batch.sparkSession
     val mvSchema = StructType(Seq(
@@ -1221,16 +1248,7 @@ object Events {
         spark.read.schema(mvSchema).parquet(storeDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvSchema)
-    val partial = batch
-      .withColumn("day", dayofmonth(col("ts")))
-      .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("sum_value"))
-    val merged = store.unionByName(partial)
-      .groupBy("event_type", "day")
-      .agg(sum(col("n_events")).as("n_events"),
-        sum(col("sum_value")).cast("decimal(18,2)").as("sum_value"))
+    val merged = mvMergeRows(store.unionByName(mvPartial(batch)))
       .localCheckpoint() // materialize before overwriting what it reads
     merged.write.mode("overwrite").parquet(storeDir)
   }
@@ -1247,9 +1265,6 @@ object Events {
     Seq((1, 10), (11, 20), (21, 31)).foreach { case (lo, hi) =>
       mvMergeBatch(events.filter(dayofmonth(col("ts")).between(lo, hi)), dir)
     }
-    spark.read.parquet(dir)
-      .select(col("event_type"), col("day"), col("n_events"),
-        col("sum_value").cast("double").as("sum_value"))
-      .orderBy("event_type", "day")
+    mvServe(spark.read.parquet(dir))
   }
 }

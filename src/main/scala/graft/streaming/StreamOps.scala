@@ -1491,6 +1491,47 @@ object StreamOps {
         .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
   }
 
+  /** STREAMING MATERIALIZED VIEW (q_stream_mv) — the incremental
+    * aggregate view a warehouse actually runs: each micro-batch lands
+    * its partial (event_type, day) count/sum rows under a
+    * deterministic batch=N dir ([[graft.operators.Events.mvPartial]],
+    * the same partial unit the batch refresh merges), and the served
+    * view is the additive merge of the accumulated partials
+    * ([[graft.operators.Events.mvMergeRows]] + mvServe) — so the
+    * at-ingest view shares q_mv_merge's oracle verbatim and can never
+    * drift from the batch-refresh cycle. Replayed batches overwrite
+    * their own dirs (replay-idempotent, unlike merging into one live
+    * store inside the batch body, where a crash-replay would
+    * double-count its own partial).
+    *
+    * 100 TB shape: per-batch state is group-cardinality-sized (one
+    * partial row per touched (type, day) cell), the merge is a hash
+    * agg over partial rows — |batches|·|touched cells|, never the
+    * fact history — and serving is a projection of the merged view.
+    */
+  def streamMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_mv/$runId/store"
+    val ck = s"$tmp/graft_stream_mv/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.mvPartial(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.mvServe(
+      graft.operators.Events.mvMergeRows(spark.read.parquet(store)))
+  }
+
   /** STREAMING DELETION QUEUE (q_stream_forget) — right-to-be-forgotten
     * as it actually deploys: erasure requests ARRIVE OVER TIME, and each
     * micro-batch of requests is applied incrementally to the live

@@ -643,6 +643,17 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("streaming MV maintenance equals the batch refresh cycle (count/sum merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Int]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))
+    }.toSet
+    assert(rows(StreamOps.streamMv(spark, sf0001)) ===
+      rows(graft.operators.Events.mvIncremental(spark,
+        Tables.events(spark, sf0001))),
+      "drained per-batch MV partials must merge to the batch-refreshed view")
+  }
+
   test("streaming drift monitor equals the batch divergence (additive tf merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("lang"), r.getAs[Long]("n_terms"),
