@@ -173,6 +173,7 @@ object SparkEntry {
       documents(s, d))),
     "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
     "q_dp_counts_user" -> ((s, d) => Pipeline.dpCountReleaseUser(events(s, d))),
+    "q_stream_dp" -> ((s, d) => streaming.StreamOps.streamDpRelease(s, d)),
     "q_stream_ri" -> ((s, d) => streaming.StreamOps.streamRiMonitor(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
     "q_crossmodal_search" -> ((s, d) =>
@@ -1547,27 +1548,11 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 6) AS sim
         |FROM xrk WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
-    "q_dp_counts" ->
-      """WITH dpc AS (
-        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-        |         count(*) AS n_true
-        |  FROM events GROUP BY 1,2),
-        |dph AS (
-        |  SELECT event_type, day, n_true,
-        |    least(CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15))
-        |         ::UBIGINT::BIGINT + 1 AS DOUBLE)
-        |      / 1152921504606846976.0, 0.999999999) AS u
-        |  FROM dpc),
-        |dpn AS (
-        |  SELECT event_type, day, n_true,
-        |    floor((CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u)
-        |           ELSE -1.0 * ln(2.0 * (1.0 - u)) END) * 1000000.0 + 0.5)
-        |      / 1000000.0 AS noise
-        |  FROM dph)
-        |SELECT event_type, day, n_true, noise,
-        |  CAST(greatest(0.0, floor(n_true + noise + 0.5)) AS BIGINT)
-        |    AS n_released
-        |FROM dpn ORDER BY event_type, day""".stripMargin,
+    "q_dp_counts" -> dpOracleSql,
+    // the streaming release's drained cell counts merge additively into
+    // the same histogram the batch release noises — oracle shared
+    // verbatim (noise is drawn once per cell at release time on both)
+    "q_stream_dp" -> dpOracleSql,
     // user-level DP: contribution clamp (lowest `cap` event_ids per
     // user), Laplace b = cap/eps salted "user|", cap census broadcast
     "q_dp_counts_user" ->
@@ -3818,6 +3803,32 @@ object SparkEntry {
   // bottom-k sample oracle — shared verbatim by q_bottomk_sample and
   // the streaming sketch-merge twin q_stream_bottomk (bottom-k of a
   // union = bottom-k of the per-part bottom-k's)
+  /** The seeded Laplace release over the (event_type, day) histogram,
+    * shared verbatim by q_dp_counts (batch) and q_stream_dp (drained
+    * additive cell counts, noise at release time).
+    */
+  private val dpOracleSql: String =
+    """WITH dpc AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |         count(*) AS n_true
+      |  FROM events GROUP BY 1,2),
+      |dph AS (
+      |  SELECT event_type, day, n_true,
+      |    least(CAST(('0x' || substr(md5(event_type || '|' || day), 1, 15))
+      |         ::UBIGINT::BIGINT + 1 AS DOUBLE)
+      |      / 1152921504606846976.0, 0.999999999) AS u
+      |  FROM dpc),
+      |dpn AS (
+      |  SELECT event_type, day, n_true,
+      |    floor((CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u)
+      |           ELSE -1.0 * ln(2.0 * (1.0 - u)) END) * 1000000.0 + 0.5)
+      |      / 1000000.0 AS noise
+      |  FROM dph)
+      |SELECT event_type, day, n_true, noise,
+      |  CAST(greatest(0.0, floor(n_true + noise + 0.5)) AS BIGINT)
+      |    AS n_released
+      |FROM dpn ORDER BY event_type, day""".stripMargin
+
   /** The incremental-MV invariant, shared verbatim by q_mv_merge (batch
     * refresh cycle) and q_stream_mv (at-ingest maintenance): however
     * history was batched, the served view equals the one-shot GROUP BY

@@ -842,15 +842,28 @@ object Pipeline {
     * agg on the cell key; the noise is per-cell scalar math, no
     * further shuffle.
     */
-  def dpCountRelease(events: DataFrame, epsilon: Double = 1.0): DataFrame = {
-    import graft.operators.Similarity.quant6
-    val b = 1.0 / epsilon
+  def dpCountRelease(events: DataFrame, epsilon: Double = 1.0): DataFrame =
     // no repartition spread: the per-row work is one date_format, so the
     // groupBy's own exchange is the only shuffle this release needs
-    events
+    dpReleaseFromCells(events
       .select(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n_true"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_true")),
+      epsilon)
+
+  /** The Laplace release over an already-aggregated (event_type, day,
+    * n_true) histogram — cell counts are ADDITIVE, so the streaming
+    * twin's drained per-batch cell censuses merge by sum into exactly
+    * this input; the NOISE is drawn once per cell key at release time
+    * (never per batch — noise is not additive, and a per-batch draw
+    * would both break the privacy accounting and leak batch
+    * boundaries), so batch and at-ingest releases can never drift.
+    */
+  private[graft] def dpReleaseFromCells(cells: DataFrame,
+                                        epsilon: Double): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val b = 1.0 / epsilon
+    cells
       .withColumn("_u",
         // clamped to (0,1): h = 2^60-1 maps (h+1)/2^60 to exactly 1.0,
         // where the upper inverse-CDF branch would blow up to +Inf —

@@ -1491,6 +1491,51 @@ object StreamOps {
         .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
   }
 
+  /** STREAMING DP COUNT RELEASE (q_stream_dp) — the private histogram
+    * maintained at ingest: each micro-batch lands its (event_type, day)
+    * cell counts under a deterministic batch=N dir, and the RELEASE
+    * draws Laplace noise once per cell over the additively-merged
+    * counts ([[graft.operators.Pipeline.dpReleaseFromCells]] — noise at
+    * release time, never per batch: per-batch draws would break the
+    * privacy accounting, leak batch boundaries, and make replay
+    * non-idempotent). Shares q_dp_counts' oracle verbatim, so the
+    * at-ingest release can never drift from the batch release.
+    *
+    * 100 TB shape: per-batch state is one count row per touched cell
+    * (group-cardinality, never event-cardinality); the drain is a hash
+    * agg over |batches|·|touched cells| rows; the noise is per-cell
+    * scalar math.
+    */
+  def streamDpRelease(spark: SparkSession, sfDir: String,
+                      epsilon: Double = 1.0): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_dp/$runId/store"
+    val ck = s"$tmp/graft_stream_dp/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .select(col("event_type"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"))
+            .groupBy("event_type", "day").agg(count(lit(1)).as("n_true"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Pipeline.dpReleaseFromCells(
+      spark.read.parquet(store)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n_true")).as("n_true")),
+      epsilon)
+  }
+
   /** STREAMING MATERIALIZED VIEW (q_stream_mv) — the incremental
     * aggregate view a warehouse actually runs: each micro-batch lands
     * its partial (event_type, day) count/sum rows under a

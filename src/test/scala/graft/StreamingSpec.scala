@@ -654,6 +654,18 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch MV partials must merge to the batch-refreshed view")
   }
 
+  test("streaming DP release equals the batch release (additive cells, release-time noise)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("n_true"), r.getAs[Double]("noise"),
+        r.getAs[Long]("n_released"))
+    }.toSet
+    assert(rows(StreamOps.streamDpRelease(spark, sf0001)) ===
+      rows(graft.operators.Pipeline.dpCountRelease(
+        Tables.events(spark, sf0001))),
+      "drained per-batch cell counts + one release-time draw must equal the batch release")
+  }
+
   test("streaming drift monitor equals the batch divergence (additive tf merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("lang"), r.getAs[Long]("n_terms"),
