@@ -60,6 +60,7 @@ object SparkEntry {
     "q_ewma" -> ((s, d) => Events.ewmaSmooth(events(s, d))),
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_stream_mv" -> ((s, d) => streaming.StreamOps.streamMv(s, d)),
+    "q_mv_retract" -> ((s, d) => Events.mvRetract(events(s, d))),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -590,6 +591,17 @@ object SparkEntry {
         |     AND (v.valid_to_us IS NULL OR v.valid_to_us > f.asof_us)
         |ORDER BY purchase_id""".stripMargin,
     "q_mv_merge" -> mvOracleSql,
+    // retract-stream invariant: signed deltas (insert/retract/reinsert)
+    // must land on the one-shot GROUP BY over the CORRECTED history
+    "q_mv_retract" ->
+      """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_id % 10 = 0
+        |                THEN CAST(value AS DECIMAL(18,2))
+        |                     + CAST(5.00 AS DECIMAL(18,2))
+        |                ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
     // the streaming maintainer's drained partials must merge to the
     // same view one batch refresh cycle produces — oracle shared
     // verbatim (the q_stream_profile device)

@@ -1253,6 +1253,44 @@ object Events {
     merged.write.mode("overwrite").parquet(storeDir)
   }
 
+  /** RETRACTION-aware MV maintenance (q_mv_retract) — the change-stream
+    * form of the incremental view (the retract-stream model CDC
+    * pipelines and Flink-style dynamic tables use): the view consumes
+    * signed DELTAS — insert (+1, +value), retraction (−1, −value) — so
+    * an upstream CORRECTION (a revised fact) maintains the view as
+    * retract-old + insert-new instead of a full refresh. Scenario
+    * derived deterministically from the one driver table: every
+    * event_id ≡ 0 mod 10 is corrected to value + 5.00; the served view
+    * must equal the one-shot GROUP BY over the CORRECTED history — the
+    * invariant that catches a broken retraction (double-counted
+    * correction, sign error, non-associative sum). Deltas stay
+    * DECIMAL(18,2) end-to-end, so the ± cancellation is exact in any
+    * merge order.
+    *
+    * Scale shape: the change stream is three row-local projections of
+    * the fact scan (no join — the correction set is a predicate here;
+    * a real CDC feed arrives pre-signed), one hash agg on the group
+    * key. Retractions compose with [[mvMergeBatch]]'s store unchanged:
+    * a delta row IS a partial row.
+    */
+  def mvRetract(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"),
+      dayofmonth(col("ts")).as("day"), col("event_id"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val inserts = base.select(col("event_type"), col("day"),
+      lit(1L).as("dn"), col("v").as("dv"))
+    val corrected = base.filter(pmod(col("event_id"), lit(10L)) === 0)
+    val retractions = corrected.select(col("event_type"), col("day"),
+      lit(-1L).as("dn"), (-col("v")).as("dv"))
+    val reinserts = corrected.select(col("event_type"), col("day"),
+      lit(1L).as("dn"),
+      (col("v") + lit(5.00).cast("decimal(18,2)")).as("dv"))
+    mvServe(inserts.unionByName(retractions).unionByName(reinserts)
+      .groupBy("event_type", "day")
+      .agg(sum(col("dn")).as("n_events"),
+        sum(col("dv")).cast("decimal(18,2)").as("sum_value")))
+  }
+
   /** Oracle-facing incremental-view cycle: the events table arrives as
     * three day-range batches, each merged into the MV store; the served
     * view must equal the one-shot GROUP BY over all of history — the
