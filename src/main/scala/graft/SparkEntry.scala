@@ -213,6 +213,7 @@ object SparkEntry {
     "q_ann_recall_lifecycle" -> ((s, d) => Similarity.annRecallLifecycle(s, d)),
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(embeddings(s, d), 20, 10, nprobe = 2, trainIters = 2)),
+    "q_ivfpq_tune" -> ((s, d) => Similarity.ivfPqTuneCensus(embeddings(s, d))),
     "q_ivfpq_rerank" -> ((s, d) =>
       Similarity.ivfPqRerankSearch(embeddings(s, d), 20, 10, m = 30, nprobe = 2, trainIters = 2)),
     "q_ivfpq_residual" -> ((s, d) =>
@@ -1248,6 +1249,7 @@ object SparkEntry {
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ann_recall" -> annRecallOracleSql(2, 2),
+    "q_ivfpq_tune" -> ivfPqTuneOracleSql(2, Seq(1, 2, 4), 20L, 10, 30),
     // recall graded AFTER append+delete+compact, truth over the live
     // corpus — the lifecycle-bug detector
     "q_ann_recall_lifecycle" -> annRecallLifecycleOracleSql(2, 2, 100L),
@@ -4922,6 +4924,92 @@ object SparkEntry {
         |SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
         |       round(n_hit / 10.0, 6) AS recall
         |FROM hits ORDER BY query_id""".stripMargin
+
+  /** q_ivfpq_tune: one shared index-side chain, candidates carry their
+    * cell's probe rank `pr`, and each nprobe setting's ranked list is a
+    * rank over the pr ≤ np slice — per query, the candidates from the
+    * top-np cells with the same ADC estimates, so the per-setting lists
+    * are value-identical to running the serve at that nprobe.
+    */
+  private def ivfPqTuneOracleSql(iters: Int, nprobes: Seq[Int], nq: Long,
+                                 k: Int, m: Int): String =
+    "WITH " + ivfPqIndexSideFrag(iters, "embeddings") +
+      s""",
+         |probesa AS (
+         |  SELECT vec_id AS query_id, clabel AS pcell, rk AS pr
+         |  FROM assignrk WHERE vec_id < $nq AND rk <= ${nprobes.max}),
+         |d1 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c1,
+         |         list_dot_product(sp.e1, sp.e1)
+         |           + (-2.0 * list_dot_product(sp.e1, c.c) + list_dot_product(c.c, c.c)) AS d1
+         |  FROM sp CROSS JOIN cb1 c WHERE sp.vec_id < $nq),
+         |d2 AS (
+         |  SELECT sp.vec_id AS query_id, c.clabel AS c2,
+         |         list_dot_product(sp.e2, sp.e2)
+         |           + (-2.0 * list_dot_product(sp.e2, c.c) + list_dot_product(c.c, c.c)) AS d2
+         |  FROM sp CROSS JOIN cb2 c WHERE sp.vec_id < $nq),
+         |canda AS (
+         |  SELECT p.query_id, c.vec_id, p.pr
+         |  FROM cells c JOIN probesa p ON c.cell = p.pcell
+         |  WHERE c.vec_id <> p.query_id),
+         |esta AS (
+         |  SELECT canda.query_id, canda.vec_id AS neighbor_id, canda.pr,
+         |         d1.d1 + d2.d2 AS est
+         |  FROM canda
+         |    JOIN codes ON codes.vec_id = canda.vec_id
+         |    JOIN d1 ON codes.code1 = d1.c1 AND d1.query_id = canda.query_id
+         |    JOIN d2 ON codes.code2 = d2.c2 AND d2.query_id = canda.query_id),
+         |exd AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |         (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+         |            - 2.0 * list_dot_product(q.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+         |           + list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS d2
+         |  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $nq),
+         |exr AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rk
+         |  FROM exd),
+         |truth AS (SELECT query_id, neighbor_id FROM exr WHERE rk <= $k),
+         |""".stripMargin +
+      nprobes.map { np =>
+        s"""srt$np AS (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY est, neighbor_id) AS rk
+           |  FROM esta WHERE pr <= $np),
+           |ann$np AS (
+           |  SELECT query_id, neighbor_id FROM srt$np WHERE rk <= $k),
+           |annr$np AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT s.query_id, s.neighbor_id,
+           |           row_number() OVER (PARTITION BY s.query_id
+           |                              ORDER BY x.d2, s.neighbor_id) AS rrk
+           |    FROM srt$np s JOIN exd x
+           |      ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+           |    WHERE s.rk <= $m) WHERE rrk <= $k),
+           |cen$np AS (
+           |  SELECT $np AS nprobe, 'adc' AS serve,
+           |         CAST(count(*) AS BIGINT) AS n_queries,
+           |         round(sum(n_hit) / (count(*) * $k * 1.0), 6) AS mean_recall,
+           |         round(min(n_hit) / ($k * 1.0), 6) AS min_recall
+           |  FROM (SELECT t.query_id, count(a.neighbor_id) AS n_hit
+           |        FROM truth t LEFT JOIN ann$np a
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |        GROUP BY 1)),
+           |cenr$np AS (
+           |  SELECT $np AS nprobe, 'adc_rerank' AS serve,
+           |         CAST(count(*) AS BIGINT) AS n_queries,
+           |         round(sum(n_hit) / (count(*) * $k * 1.0), 6) AS mean_recall,
+           |         round(min(n_hit) / ($k * 1.0), 6) AS min_recall
+           |  FROM (SELECT t.query_id, count(a.neighbor_id) AS n_hit
+           |        FROM truth t LEFT JOIN annr$np a
+           |          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+           |        GROUP BY 1))""".stripMargin
+      }.mkString(",\n") + "\n" +
+      nprobes.map(np => s"SELECT * FROM cen$np UNION ALL SELECT * FROM cenr$np")
+        .mkString(" UNION ALL ") +
+      " ORDER BY nprobe, serve"
 
   private def ivfPqDeleteOracleSql(iters: Int, nprobe: Int): String =
     ivfPqOracleSql(iters, nprobe,

@@ -728,6 +728,60 @@ object Similarity {
     rankedTopK(ivfPqScored(embeddings, nQueries, nprobe, trainIters),
       k, "est_d2", sc => -sc)
 
+  /** IVF-PQ TUNING census (q_ivfpq_tune) — recall@k per nprobe setting,
+    * the knob table an ANN deployment reads before pinning its
+    * latency/recall tradeoff: nprobe is THE serving knob (candidates
+    * scanned scale linearly with probed cells), and the right value is
+    * an empirical property of the corpus, so a deployment measures it
+    * on a query sample exactly like this, then ships the smallest
+    * setting above its recall floor. Two serve tiers per setting — raw
+    * ADC and ADC + exact re-rank — because the knobs interact: the
+    * re-rank tier multiplies recall at every nprobe (it fixes ADC
+    * distortion inside the shortlist), but with a FIXED shortlist m,
+    * widening nprobe can lower BOTH tiers (more candidates ranked by
+    * the same distorted estimates dilute the shortlist). On this
+    * synthetic near-random corpus the census reads exactly that —
+    * recall is quantizer-limited, not probe-limited, so the right
+    * deployment action is retraining/refining the quantizer (the
+    * [[retrainIvfPqIndex]] path) or widening m, not more probes. That
+    * non-obvious reading is what the census is FOR. One row per
+    * (nprobe, serve): query count, mean and worst-query recall
+    * against exact-L2 truth.
+    *
+    * Scale shape: the truth pass is one exact scan (the price of
+    * ground truth, shared across all settings via localCheckpoint);
+    * each setting's serve is the standard nprobe-bounded ADC plan; the
+    * grading joins are k-bounded list-vs-list; the census is
+    * |settings| rows. Determinism: hit counts are exact integers, each
+    * census divides integer sums once, display-rounded.
+    */
+  def ivfPqTuneCensus(embeddings: DataFrame, nQueries: Int = 20,
+                      k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4),
+                      m: Int = 30, trainIters: Int = 2): DataFrame = {
+    val truth = exactL2TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    def grade(list: DataFrame, np: Int, serve: String): DataFrame =
+      truth
+        .join(list.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("n_hit")).cast("double") /
+            (count(lit(1)) * lit(k)).cast("double"), 6).as("mean_recall"),
+          round(min(col("n_hit")).cast("double") / lit(k.toDouble), 6)
+            .as("min_recall"))
+        .select(lit(np).as("nprobe"), lit(serve).as("serve"),
+          col("n_queries"), col("mean_recall"), col("min_recall"))
+    nprobes.flatMap { np => Seq(
+      grade(ivfPqSearch(embeddings, nQueries, k, np, trainIters),
+        np, "adc"),
+      grade(ivfPqRerankSearch(embeddings, nQueries, k, m, np, trainIters),
+        np, "adc_rerank"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "serve")
+  }
+
   /** FULL SERVING STACK: IVF-PQ candidate generation + exact re-ranking —
     * [[ivfPqSearch]]'s bounded-candidate ADC scoring kept to the top `m`
     * estimates per query, refined by [[exactRerank]]'s raw-vector fetch.
