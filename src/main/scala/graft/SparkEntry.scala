@@ -267,6 +267,8 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("label") % 2 === 0)),
     "q_semantic_dedup" -> ((s, d) =>
       Similarity.semanticDedup(embeddings(s, d), 0.3, trainIters = 2)),
+    "q_decontam_semantic" -> ((s, d) =>
+      Similarity.semanticDecontam(embeddings(s, d), 0.3, trainIters = 2)),
     "q_ts_parse" -> ((s, d) => Events.tsParseRoundtrip(events(s, d))),
     "q_salted_agg" -> ((s, d) => Events.saltedTypeRevenue(events(s, d), 16)),
     "q_csv_roundtrip" -> ((s, d) => sources.Formats.csvRoundtrip(events(s, d))),
@@ -1247,6 +1249,7 @@ object SparkEntry {
     "q_kmeans_train" -> kmeansTrainOracleSql(3),
     "q_ivf_search_trained" -> ivfTrainedOracleSql(2),
     "q_semantic_dedup" -> semanticDedupOracleSql(2, 0.3),
+    "q_decontam_semantic" -> semanticDecontamOracleSql(2, 0.3),
     "q_ivfpq_search" -> ivfPqOracleSql(2, 2),
     "q_ann_recall" -> annRecallOracleSql(2, 2),
     "q_ivfpq_tune" -> ivfPqTuneOracleSql(2, Seq(1, 2, 4), 20L, 10, 30),
@@ -4286,6 +4289,41 @@ object SparkEntry {
          |  coalesce(agg.n_near, 0) AS n_near,
          |  CAST(1 - coalesce(agg.dropped, 0) AS INT) AS kept
          |FROM b LEFT JOIN agg USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  /** q_decontam_semantic: the SemDeDup cell chain with the md5 split
+    * law, train×eval pairs within cells only, contaminated-eval census.
+    */
+  private def semanticDecontamOracleSql(iters: Int, tau: Double): String =
+    kmeansCentChain(iters) +
+      s""",
+         |scoredq AS (
+         |  SELECT e.vec_id, c.clabel,
+         |         -2.0 * list_dot_product(e.embedding::DOUBLE[], c.c)
+         |           + list_dot_product(c.c, c.c) AS s
+         |  FROM embeddings e CROSS JOIN cent$iters c),
+         |assignrk AS (
+         |  SELECT vec_id, clabel,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
+         |  FROM scoredq),
+         |bs AS (
+         |  SELECT e.vec_id, a.clabel AS cell, e.embedding::DOUBLE[] AS emb,
+         |         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+         |         CASE WHEN ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 15))
+         |                     ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+         |              WHEN ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 15))
+         |                     ::UBIGINT::BIGINT % 100 < 90 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM embeddings e
+         |  JOIN (SELECT vec_id, clabel FROM assignrk WHERE rk = 1) a USING (vec_id)),
+         |dpairs AS (
+         |  SELECT e.split, e.vec_id,
+         |         list_dot_product(e.emb, t.emb) / (e.nrm * t.nrm) AS sim
+         |  FROM bs e JOIN bs t ON e.cell = t.cell
+         |  WHERE e.split <> 'train' AND t.split = 'train')
+         |SELECT split, vec_id, CAST(count(*) AS BIGINT) AS n_near_train,
+         |       round(max(sim), 6) AS max_sim
+         |FROM dpairs WHERE sim >= $tau
+         |GROUP BY 1,2 ORDER BY split, vec_id""".stripMargin
 
   private val ivfAssignOracleSql: String =
     """WITH ex AS (

@@ -378,6 +378,57 @@ object Similarity {
   private def trainedCodebook(embeddings: DataFrame, iters: Int): DataFrame =
     lloydChain(embeddings, iters)._2
 
+  /** SEMANTIC decontamination (q_decontam_semantic) — the embedding-
+    * space member of the decontamination family: TextAnalysis'
+    * n-gram forms catch verbatim and near-verbatim leakage, this
+    * catches PARAPHRASED leakage — an eval item whose embedding sits
+    * cosine-≥τ from any train item leaked in meaning even when no
+    * 5-gram survived the rewording. Split law is the suite's shared
+    * md5(id) routing (the [[graft.operators.TextAnalysis
+    * .decontamination]] device on vec_id), blocking is the SemDeDup
+    * cell structure ([[semanticDedup]]'s trained Lloyd chain): pairs
+    * arise only within a k-means cell, train×eval only. Output: one
+    * row per CONTAMINATED eval vector with its split, how many train
+    * neighbors qualify, and the worst (highest) similarity — the
+    * evidence row an eval-suite audit files before dropping the item.
+    *
+    * Same honest caveat as SemDeDup: a cross-cell near pair is missed
+    * by construction (the blocking tradeoff that makes the operator
+    * corpus-linear); raise trainIters/cells or run the ANN index for
+    * recall-critical audits. Scale shape: codebook broadcast,
+    * within-cell train×eval join (never all-pairs), one hash agg on
+    * the eval id. Determinism: dots/norms are IEEE-exact; max picks
+    * one of identical doubles; one display round.
+    */
+  def semanticDecontam(embeddings: DataFrame, tau: Double = 0.3,
+                       trainIters: Int = 2): DataFrame = {
+    val cents = trainedCodebook(embeddings, trainIters)
+    val base = assignedVectors(embeddings, cents)
+      .withColumn("nrm", l2Norm(col("emb")))
+      .withColumn("h",
+        pmod(NearDup.md5Hash60(col("vec_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "valid")
+          .otherwise("test"))
+      .select(col("vec_id"), col("assigned").as("cell"), col("emb"),
+        col("nrm"), col("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val train = base.filter(col("split") === "train")
+      .select(col("cell"), col("emb").as("t_emb"), col("nrm").as("t_nrm"))
+    val eval = base.filter(col("split") =!= "train")
+      .select(col("cell"), col("split"), col("vec_id"),
+        col("emb").as("e_emb"), col("nrm").as("e_nrm"))
+    eval.join(train, Seq("cell"))
+      .withColumn("sim",
+        dot(col("e_emb"), col("t_emb")) / (col("e_nrm") * col("t_nrm")))
+      .filter(col("sim") >= tau)
+      .groupBy("split", "vec_id")
+      .agg(count(lit(1)).as("n_near_train"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .orderBy("split", "vec_id")
+  }
+
   /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embedding space, then WITHIN each cluster drop
     * every vector that has a cosine-≥τ neighbor closer to the cluster
