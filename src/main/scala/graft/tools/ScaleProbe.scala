@@ -351,6 +351,44 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(baseDir))
     }
+    // cross-modal serve economics: projected media queries against an
+    // amplified embedding corpus, brute cosine vs the saved IVF-PQ
+    // cosine-rerank serve, at GROWING QUERY VOLUME — the axis serving
+    // economics actually turns on (brute pays |Q|·|D| dot products per
+    // request wave; the index pays |Q|·(probed-cells + m) — build cost
+    // amortizes across every wave, timed separately)
+    time("crossmodal_serve") {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val m = emb.count()
+      val amp = (0 until factor).map { k =>
+        emb.select((col("vec_id") + lit(k * m)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val docs = graft.Tables.documents(spark, sfDir)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_xm_probe_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.buildIvfPqIndex(amp, dir, trainIters = 2)
+      println(f"  index build (amortized): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      var last = 0L
+      Seq(50, 500).foreach { nq =>
+        val t0 = System.nanoTime()
+        graft.operators.Multimodal.crossModalSearch(docs, amp,
+          nQueries = nq, k = 10).count()
+        val bs = (System.nanoTime() - t0) / 1e9
+        val queries = graft.operators.Multimodal
+          .crossModalQueries(docs, nq, 64)
+          .select((col("query_id") + lit(1000000000L)).as("query_id"),
+            col("embedding"))
+        val t2 = System.nanoTime()
+        last = graft.operators.Similarity.searchIvfPqIndexCosineRerank(
+          spark, dir, amp, queries, k = 10, m = 200, nprobe = 6).count()
+        println(f"  |Q|=$nq%4d: brute ${bs}%.1f s, " +
+          f"index serve ${(System.nanoTime() - t2) / 1e9}%.1f s")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      last
+    }
     // streaming-profile distinct-state economics: one micro-batch's
     // accumulated distinct state for the exact value store vs the HLL
     // sketch tier as the table (and its key cardinality) amplifies —
