@@ -1253,6 +1253,50 @@ object Events {
     merged.write.mode("overwrite").parquet(storeDir)
   }
 
+  /** JOIN-KEY SKEW audit (q_skew_audit) — the pre-join census that
+    * tells you WHETHER a key needs the salting treatment before the
+    * shuffle hits it (the suite ships the cure in [[saltedTypeRevenue]]
+    * and the AQE skew-join runtime net; this is the diagnosis): per
+    * audited key column, total rows, distinct keys, the largest group,
+    * the mean group, the heaviest key's row share, how many keys exceed
+    * 10× the mean, and a skew flag — the numbers that decide between a
+    * plain shuffle join, a broadcast, and a salted/AQE plan. A key
+    * whose top group holds 1% of a 100 TB fact table is a 1 TB straggler
+    * partition; this census is how you find it BEFORE the join does.
+    *
+    * Scale shape: per column one hash agg on the key (map-side partial
+    * combine — group sizes, not rows, cross the shuffle), then a
+    * one-row collapse and a broadcast-scalar re-join to count heavy
+    * keys; the union is |audited columns| one-row frames. Determinism:
+    * counts are exact; the mean divides once; share and the 10× cut
+    * compare IEEE-identical operands on both engines.
+    */
+  def skewAudit(events: DataFrame,
+                keys: Seq[String] = Seq("event_type", "user_id")): DataFrame =
+    keys.map { c =>
+      val groups = events.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+      val totals = groups.agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("n")).as("max_group"))
+      val heavy = groups.crossJoin(broadcast(totals))
+        .filter(col("n").cast("double") >
+          lit(10.0) * col("n_rows").cast("double") /
+            col("n_keys").cast("double"))
+        .agg(count(lit(1)).as("n_heavy_10x"))
+      totals.crossJoin(broadcast(heavy))
+        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_group"),
+          round(col("n_rows").cast("double") / col("n_keys").cast("double"),
+            6).as("avg_group"),
+          round(col("max_group").cast("double") / col("n_rows").cast("double"),
+            6).as("top_share"),
+          col("n_heavy_10x"),
+          (col("max_group").cast("double") >
+            lit(10.0) * col("n_rows").cast("double") /
+              col("n_keys").cast("double")).cast("int").as("is_skewed"))
+    }.reduce(_ unionByName _).orderBy("key_col")
+
   /** RETRACTION-aware MV maintenance (q_mv_retract) — the change-stream
     * form of the incremental view (the retract-stream model CDC
     * pipelines and Flink-style dynamic tables use): the view consumes
