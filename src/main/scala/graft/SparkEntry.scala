@@ -62,6 +62,7 @@ object SparkEntry {
     "q_stream_mv" -> ((s, d) => streaming.StreamOps.streamMv(s, d)),
     "q_mv_retract" -> ((s, d) => Events.mvRetract(events(s, d))),
     "q_skew_audit" -> ((s, d) => Events.skewAudit(events(s, d))),
+    "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -596,41 +597,10 @@ object SparkEntry {
         |ORDER BY purchase_id""".stripMargin,
     "q_mv_merge" -> mvOracleSql,
     // per audited key: group-size census + heavy-key count + skew flag
-    "q_skew_audit" ->
-      """WITH g1 AS (SELECT event_type AS k, count(*) AS n
-        |            FROM events GROUP BY 1),
-        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |              count(*) AS n_keys, max(n) AS max_group FROM g1),
-        |h1 AS (SELECT count(*) AS n_heavy_10x FROM g1 CROSS JOIN t1
-        |       WHERE CAST(n AS DOUBLE) >
-        |             10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)),
-        |g2 AS (SELECT user_id AS k, count(*) AS n
-        |            FROM events GROUP BY 1),
-        |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
-        |              count(*) AS n_keys, max(n) AS max_group FROM g2),
-        |h2 AS (SELECT count(*) AS n_heavy_10x FROM g2 CROSS JOIN t2
-        |       WHERE CAST(n AS DOUBLE) >
-        |             10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
-        |SELECT 'event_type' AS key_col, n_rows, n_keys, max_group,
-        |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
-        |    AS avg_group,
-        |  round(CAST(max_group AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
-        |    AS top_share,
-        |  n_heavy_10x,
-        |  CAST(CAST(max_group AS DOUBLE) >
-        |       10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
-        |       AS INT) AS is_skewed
-        |FROM t1 CROSS JOIN h1
-        |UNION ALL
-        |SELECT 'user_id', n_rows, n_keys, max_group,
-        |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6),
-        |  round(CAST(max_group AS DOUBLE) / CAST(n_rows AS DOUBLE), 6),
-        |  n_heavy_10x,
-        |  CAST(CAST(max_group AS DOUBLE) >
-        |       10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
-        |       AS INT)
-        |FROM t2 CROSS JOIN h2
-        |ORDER BY key_col""".stripMargin,
+    "q_skew_audit" -> skewOracleSql,
+    // additive key counts: the streaming monitor's drained merge is
+    // exactly the batch group table - oracle shared verbatim
+    "q_stream_skew" -> skewOracleSql,
     // retract-stream invariant: signed deltas (insert/retract/reinsert)
     // must land on the one-shot GROUP BY over the CORRECTED history
     "q_mv_retract" ->
@@ -3882,6 +3852,46 @@ object SparkEntry {
       |  CAST(greatest(0.0, floor(n_true + noise + 0.5)) AS BIGINT)
       |    AS n_released
       |FROM dpn ORDER BY event_type, day""".stripMargin
+
+  /** The join-key skew census, shared verbatim by q_skew_audit (batch)
+    * and q_stream_skew (drained additive key counts): group-size
+    * census + heavy-key count + skew flag per audited column.
+    */
+  private val skewOracleSql: String =
+    """WITH g1 AS (SELECT event_type AS k, count(*) AS n
+      |            FROM events GROUP BY 1),
+      |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |              count(*) AS n_keys, max(n) AS max_group FROM g1),
+      |h1 AS (SELECT count(*) AS n_heavy_10x FROM g1 CROSS JOIN t1
+      |       WHERE CAST(n AS DOUBLE) >
+      |             10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)),
+      |g2 AS (SELECT user_id AS k, count(*) AS n
+      |            FROM events GROUP BY 1),
+      |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+      |              count(*) AS n_keys, max(n) AS max_group FROM g2),
+      |h2 AS (SELECT count(*) AS n_heavy_10x FROM g2 CROSS JOIN t2
+      |       WHERE CAST(n AS DOUBLE) >
+      |             10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+      |SELECT 'event_type' AS key_col, n_rows, n_keys, max_group,
+      |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+      |    AS avg_group,
+      |  round(CAST(max_group AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+      |    AS top_share,
+      |  n_heavy_10x,
+      |  CAST(CAST(max_group AS DOUBLE) >
+      |       10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+      |       AS INT) AS is_skewed
+      |FROM t1 CROSS JOIN h1
+      |UNION ALL
+      |SELECT 'user_id', n_rows, n_keys, max_group,
+      |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 6),
+      |  round(CAST(max_group AS DOUBLE) / CAST(n_rows AS DOUBLE), 6),
+      |  n_heavy_10x,
+      |  CAST(CAST(max_group AS DOUBLE) >
+      |       10.0 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+      |       AS INT)
+      |FROM t2 CROSS JOIN h2
+      |ORDER BY key_col""".stripMargin
 
   /** The incremental-MV invariant, shared verbatim by q_mv_merge (batch
     * refresh cycle) and q_stream_mv (at-ingest maintenance): however

@@ -1274,28 +1274,39 @@ object Events {
   def skewAudit(events: DataFrame,
                 keys: Seq[String] = Seq("event_type", "user_id")): DataFrame =
     keys.map { c =>
-      val groups = events.groupBy(col(c)).agg(count(lit(1)).as("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.CacheRegistry.track)
-      val totals = groups.agg(sum(col("n")).as("n_rows"),
-        count(lit(1)).as("n_keys"), max(col("n")).as("max_group"))
-      val heavy = groups.crossJoin(broadcast(totals))
-        .filter(col("n").cast("double") >
-          lit(10.0) * col("n_rows").cast("double") /
-            col("n_keys").cast("double"))
-        .agg(count(lit(1)).as("n_heavy_10x"))
-      totals.crossJoin(broadcast(heavy))
-        .select(lit(c).as("key_col"), col("n_rows"), col("n_keys"),
-          col("max_group"),
-          round(col("n_rows").cast("double") / col("n_keys").cast("double"),
-            6).as("avg_group"),
-          round(col("max_group").cast("double") / col("n_rows").cast("double"),
-            6).as("top_share"),
-          col("n_heavy_10x"),
-          (col("max_group").cast("double") >
-            lit(10.0) * col("n_rows").cast("double") /
-              col("n_keys").cast("double")).cast("int").as("is_skewed"))
+      skewCensusFromGroups(
+        events.groupBy(col(c)).agg(count(lit(1)).as("n")), c)
     }.reduce(_ unionByName _).orderBy("key_col")
+
+  /** The skew census over an already-aggregated (key, n) group table —
+    * group sizes are ADDITIVE on the key, so the streaming monitor's
+    * drained per-batch key counts merge by sum into exactly this input
+    * and the at-ingest census can never drift from [[skewAudit]]'s.
+    */
+  private[graft] def skewCensusFromGroups(groups0: DataFrame,
+                                          keyCol: String): DataFrame = {
+    val groups = groups0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val totals = groups.agg(sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("n")).as("max_group"))
+    val heavy = groups.crossJoin(broadcast(totals))
+      .filter(col("n").cast("double") >
+        lit(10.0) * col("n_rows").cast("double") /
+          col("n_keys").cast("double"))
+      .agg(count(lit(1)).as("n_heavy_10x"))
+    totals.crossJoin(broadcast(heavy))
+      .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+        col("max_group"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"),
+          6).as("avg_group"),
+        round(col("max_group").cast("double") / col("n_rows").cast("double"),
+          6).as("top_share"),
+        col("n_heavy_10x"),
+        (col("max_group").cast("double") >
+          lit(10.0) * col("n_rows").cast("double") /
+            col("n_keys").cast("double")).cast("int").as("is_skewed"))
+  }
 
   /** RETRACTION-aware MV maintenance (q_mv_retract) — the change-stream
     * form of the incremental view (the retract-stream model CDC

@@ -1536,6 +1536,52 @@ object StreamOps {
       epsilon)
   }
 
+  /** STREAMING SKEW MONITOR (q_stream_skew) — the join-key skew
+    * diagnosis ([[graft.operators.Events.skewAudit]]) maintained at
+    * ingest: per micro-batch, per audited key column, the batch's key
+    * counts land under batch=N dirs; group sizes are ADDITIVE across
+    * batches, so the drained merge reproduces exactly the batch
+    * audit's group table and the census shares q_skew_audit's oracle
+    * verbatim. This is the monitor that catches a hot key WHILE it is
+    * forming (a viral user, a bot storm) — before the nightly join
+    * discovers it as a straggler. State is key-cardinality per
+    * audited column, never row-cardinality.
+    */
+  def streamSkewMonitor(spark: SparkSession, sfDir: String,
+                        keys: Seq[String] = Seq("event_type", "user_id"))
+      : DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_skew/$runId/store"
+    val ck = s"$tmp/graft_stream_skew/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          keys.map { c =>
+            batch.groupBy(col(c).cast("string").as("k"))
+              .agg(count(lit(1)).as("n"))
+              .select(lit(c).as("key_col"), col("k"), col("n"))
+          }.reduce(_ unionByName _)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val merged = spark.read.parquet(store)
+      .groupBy("key_col", "k").agg(sum(col("n")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    keys.map { c =>
+      graft.operators.Events.skewCensusFromGroups(
+        merged.filter(col("key_col") === c).select(col("k"), col("n")), c)
+    }.reduce(_ unionByName _).orderBy("key_col")
+  }
+
   /** STREAMING MATERIALIZED VIEW (q_stream_mv) — the incremental
     * aggregate view a warehouse actually runs: each micro-batch lands
     * its partial (event_type, day) count/sum rows under a
