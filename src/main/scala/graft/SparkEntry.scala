@@ -109,6 +109,7 @@ object SparkEntry {
     "q_join_semi" -> ((s, d) => Warehouse.customersWithOrders(customer(s, d), orders(s, d))),
     "q_join_anti" -> ((s, d) => Warehouse.customersWithoutOrders(customer(s, d), orders(s, d))),
     "q_agg_suite" -> ((s, d) => Warehouse.aggSuite(lineitem(s, d))),
+    "q_histogram" -> ((s, d) => Warehouse.valueHistogram(lineitem(s, d))),
     "q_rollup" -> ((s, d) => Warehouse.rollupAcctBal(region(s, d), nation(s, d), customer(s, d))),
     "q_cube" -> ((s, d) => Warehouse.cubeOrders(orders(s, d))),
     "q_grouping_sets" -> ((s, d) => Warehouse.orderGroupingSets(orders(s, d))),
@@ -1037,6 +1038,37 @@ object SparkEntry {
         |  min(strftime(l_shipdate, '%Y-%m-%d')) AS first_ship,
         |  max(strftime(l_shipdate, '%Y-%m-%d')) AS last_ship
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // equi-width histogram: width/edges are IEEE arithmetic on exact
+    // min/max, the top cell is closed via least(), only observed
+    // buckets emit
+    "q_histogram" ->
+      """WITH s1 AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |                   CAST(max(l_extendedprice) AS DOUBLE) AS hi
+        |            FROM lineitem),
+        |c1 AS (
+        |  SELECT least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |           / ((hi - lo) / 16.0)), 15) AS bucket,
+        |         lo, (hi - lo) / 16.0 AS w, count(*) AS n_rows
+        |  FROM lineitem CROSS JOIN s1 GROUP BY 1,2,3),
+        |s2 AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo,
+        |              CAST(max(l_quantity) AS DOUBLE) AS hi
+        |       FROM lineitem),
+        |c2 AS (
+        |  SELECT least(floor((CAST(l_quantity AS DOUBLE) - lo)
+        |           / ((hi - lo) / 16.0)), 15) AS bucket,
+        |         lo, (hi - lo) / 16.0 AS w, count(*) AS n_rows
+        |  FROM lineitem CROSS JOIN s2 GROUP BY 1,2,3)
+        |SELECT col_name, bucket, lo_edge, hi_edge, n_rows FROM (
+        |  SELECT 'l_extendedprice' AS col_name, CAST(bucket AS BIGINT) AS bucket,
+        |         round(lo + bucket * w, 6) AS lo_edge,
+        |         round(lo + (bucket + 1) * w, 6) AS hi_edge, n_rows
+        |  FROM c1
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(bucket AS BIGINT),
+        |         round(lo + bucket * w, 6),
+        |         round(lo + (bucket + 1) * w, 6), n_rows
+        |  FROM c2)
+        |ORDER BY col_name, bucket""".stripMargin,
     "q_rollup" ->
       """SELECT r_name, n_name,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
