@@ -63,6 +63,8 @@ object SparkEntry {
     "q_mv_retract" -> ((s, d) => Events.mvRetract(events(s, d))),
     "q_skew_audit" -> ((s, d) => Events.skewAudit(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
+    "q_stream_percentiles" -> ((s, d) =>
+      streaming.StreamOps.streamPercentiles(s, d)),
     "q_window_tumbling" -> ((s, d) => Events.tumblingCounts(events(s, d), 6)),
     "q_window_sliding" -> ((s, d) => Events.slidingCounts(events(s, d), 12, 6)),
     "q_sliding_distinct" -> ((s, d) => Events.slidingDistinctUsers(events(s, d), 12, 6)),
@@ -602,6 +604,35 @@ object SparkEntry {
     // additive key counts: the streaming monitor's drained merge is
     // exactly the batch group table - oracle shared verbatim
     "q_stream_skew" -> skewOracleSql,
+    // streaming histogram-quantiles: the fixed-bin estimator is fully
+    // deterministic, so the SQL twin recomputes the same binned
+    // interpolation from raw events (bin counts are additive - however
+    // history was batched, the merged census is this census)
+    "q_stream_percentiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         least(CAST(floor(value / 4.0) AS BIGINT), 127) AS bin,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1,2),
+        |c AS (
+        |  SELECT event_type, bin, n,
+        |         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM b),
+        |t AS (SELECT event_type, sum(n) AS n_tot FROM b GROUP BY 1),
+        |x AS (
+        |  SELECT c.event_type, p.p, c.bin, c.n,
+        |         CAST(c.cum - c.n AS DOUBLE) AS cum_before,
+        |         p.p * CAST(t.n_tot AS DOUBLE) AS target,
+        |         row_number() OVER (PARTITION BY c.event_type, p.p
+        |                            ORDER BY c.bin) AS rk
+        |  FROM c JOIN t USING (event_type)
+        |  CROSS JOIN (VALUES (0.5), (0.95), (0.99)) AS p(p)
+        |  WHERE CAST(c.cum AS DOUBLE) >= p.p * CAST(t.n_tot AS DOUBLE))
+        |SELECT event_type, p,
+        |       round(CAST(bin AS DOUBLE) * 4.0 +
+        |             4.0 * (target - cum_before) / CAST(n AS DOUBLE), 6)
+        |         AS est
+        |FROM x WHERE rk = 1 ORDER BY event_type, p""".stripMargin,
     // retract-stream invariant: signed deltas (insert/retract/reinsert)
     // must land on the one-shot GROUP BY over the CORRECTED history
     "q_mv_retract" ->

@@ -1253,6 +1253,51 @@ object Events {
     merged.write.mode("overwrite").parquet(storeDir)
   }
 
+  /** Histogram-quantile estimation from an aggregated (event_type, bin,
+    * n) fixed-bin count table — the Prometheus histogram_quantile
+    * estimator: find the bin where the cumulative count crosses p·N,
+    * interpolate linearly inside it. Fixed a-priori bins are the whole
+    * trick: BIN COUNTS ARE ADDITIVE, so per-batch histograms merge by
+    * sum and the streaming estimate is bit-identical to the batch one
+    * — the property exact percentiles (which need the full sorted
+    * data) and floating bin edges (which depend on global min/max)
+    * both lack. The crossing-bin scan is a window over the BIN CENSUS
+    * (|types|·|bins| rows — census-sized, never row-cardinality), not
+    * over the data.
+    */
+  private[graft] def percentilesFromBins(bins: DataFrame, binW: Double,
+                                         ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wdw = Window.partitionBy("event_type").orderBy("bin")
+    val cum = bins
+      .withColumn("cum", sum(col("n")).over(wdw))
+      .withColumn("cum_before", col("cum") - col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val tot = bins.groupBy("event_type").agg(sum(col("n")).as("n_tot"))
+    ps.map { p =>
+      cum.join(broadcast(tot), "event_type")
+        .withColumn("target", lit(p) * col("n_tot").cast("double"))
+        .filter(col("cum").cast("double") >= col("target"))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number()
+          .over(Window.partitionBy("event_type").orderBy("bin")))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), lit(p).as("p"),
+          round(col("bin").cast("double") * lit(binW) + lit(binW) *
+            (col("target") - col("cum_before").cast("double")) /
+              col("n").cast("double"), 6).as("est"))
+    }.reduce(_ unionByName _).orderBy("event_type", "p")
+  }
+
+  /** The fixed-bin histogram of a batch — the mergeable state unit both
+    * the batch estimator and the streaming monitor land. */
+  private[graft] def valueBins(batch: DataFrame, binW: Double,
+                               nBins: Int): DataFrame =
+    batch.groupBy(col("event_type"),
+        least(floor(col("value") / lit(binW)).cast("long"),
+          lit((nBins - 1).toLong)).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** JOIN-KEY SKEW audit (q_skew_audit) — the pre-join census that
     * tells you WHETHER a key needs the salting treatment before the
     * shuffle hits it (the suite ships the cure in [[saltedTypeRevenue]]

@@ -1536,6 +1536,55 @@ object StreamOps {
       epsilon)
   }
 
+  /** STREAMING PERCENTILE MONITOR (q_stream_percentiles) — p50/p95/p99
+    * of the value column per event type, maintained at ingest the way
+    * an SLO dashboard maintains latency quantiles: each micro-batch
+    * lands its FIXED-BIN histogram (the Prometheus histogram_quantile
+    * design — bin counts are additive, so per-batch histograms merge
+    * by sum; exact percentiles need the sorted data and floating bin
+    * edges depend on global min/max, neither merges), and the drained
+    * estimate interpolates inside the crossing bin over the merged
+    * census ([[graft.operators.Events.percentilesFromBins]]). The
+    * estimator is DETERMINISTIC for a given dataset — unlike a sketch,
+    * it is fully oracle-reproducible, so this query hash-matches a SQL
+    * twin of the same binned computation. Error law (spec-locked): the
+    * crossing bin contains the ⌈p·N⌉-th order statistic, so the
+    * estimate lands within one bin width of that value; vs the
+    * INTERPOLATED quantile the gap can additionally span a sparse
+    * tail's distance between observations — bin width is the knob.
+    *
+    * 100 TB shape: per-batch state is |types|·|bins| count rows; the
+    * merge is a hash agg over censuses; the crossing scan is a window
+    * over the bin CENSUS, never the data.
+    */
+  def streamPercentiles(spark: SparkSession, sfDir: String,
+                        binW: Double = 4.0, nBins: Int = 128,
+                        ps: Seq[Double] = Seq(0.5, 0.95, 0.99))
+      : DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_pct/$runId/store"
+    val ck = s"$tmp/graft_stream_pct/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.valueBins(batch, binW, nBins)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.percentilesFromBins(
+      spark.read.parquet(store)
+        .groupBy("event_type", "bin").agg(sum(col("n")).as("n")),
+      binW, ps)
+  }
+
   /** STREAMING SKEW MONITOR (q_stream_skew) — the join-key skew
     * diagnosis ([[graft.operators.Events.skewAudit]]) maintained at
     * ingest: per micro-batch, per audited key column, the batch's key

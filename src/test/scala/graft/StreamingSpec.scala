@@ -666,6 +666,27 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch cell counts + one release-time draw must equal the batch release")
   }
 
+  test("streaming percentiles: within one bin width of the exact quantiles") {
+    val got = StreamOps.streamPercentiles(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("p")) ->
+        r.getAs[Double]("est")).toMap
+    // the estimator's crossing bin contains the ceil(p*N)-th order
+    // statistic, so the honest bound is one bin width around THAT
+    // value (the interpolated quantile can sit a sparse-tail gap away)
+    val byType = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
+    assert(got.keySet === byType.keySet.flatMap(t =>
+      Seq(0.5, 0.95, 0.99).map(p => (t, p))))
+    got.foreach { case ((t, p), est) =>
+      val vs = byType(t)
+      val k = math.min(vs.length - 1, math.ceil(p * vs.length).toInt - 1)
+      assert(math.abs(est - vs(k)) <= 4.0,
+        s"($t,$p): binned estimate $est vs order statistic ${vs(k)} " +
+          "beyond one bin") }
+  }
+
   test("streaming drift monitor equals the batch divergence (additive tf merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("lang"), r.getAs[Long]("n_terms"),
