@@ -61,6 +61,8 @@ object SparkEntry {
     "q_mv_merge" -> ((s, d) => Events.mvIncremental(s, events(s, d))),
     "q_stream_mv" -> ((s, d) => streaming.StreamOps.streamMv(s, d)),
     "q_mv_retract" -> ((s, d) => Events.mvRetract(events(s, d))),
+    "q_stream_mv_retract" -> ((s, d) =>
+      streaming.StreamOps.streamMvRetract(s, d)),
     "q_skew_audit" -> ((s, d) => Events.skewAudit(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
@@ -634,16 +636,10 @@ object SparkEntry {
         |         AS est
         |FROM x WHERE rk = 1 ORDER BY event_type, p""".stripMargin,
     // retract-stream invariant: signed deltas (insert/retract/reinsert)
-    // must land on the one-shot GROUP BY over the CORRECTED history
-    "q_mv_retract" ->
-      """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
-        |       count(*) AS n_events,
-        |       CAST(sum(CASE WHEN event_id % 10 = 0
-        |                THEN CAST(value AS DECIMAL(18,2))
-        |                     + CAST(5.00 AS DECIMAL(18,2))
-        |                ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
-        |         AS sum_value
-        |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin,
+    // must land on the one-shot GROUP BY over the CORRECTED history -
+    // shared verbatim with the streaming CDC maintainer
+    "q_mv_retract" -> mvRetractOracleSql,
+    "q_stream_mv_retract" -> mvRetractOracleSql,
     // the streaming maintainer's drained partials must merge to the
     // same view one batch refresh cycle produces — oracle shared
     // verbatim (the q_stream_profile device)
@@ -3955,6 +3951,21 @@ object SparkEntry {
       |       AS INT)
       |FROM t2 CROSS JOIN h2
       |ORDER BY key_col""".stripMargin
+
+  /** The retract-stream invariant, shared verbatim by q_mv_retract
+    * (batch change stream) and q_stream_mv_retract (per-batch signed
+    * delta partials): the merged view equals the one-shot GROUP BY
+    * over the CORRECTED history.
+    */
+  private val mvRetractOracleSql: String =
+    """SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
+      |       count(*) AS n_events,
+      |       CAST(sum(CASE WHEN event_id % 10 = 0
+      |                THEN CAST(value AS DECIMAL(18,2))
+      |                     + CAST(5.00 AS DECIMAL(18,2))
+      |                ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+      |         AS sum_value
+      |FROM events GROUP BY 1,2 ORDER BY event_type, day""".stripMargin
 
   /** The incremental-MV invariant, shared verbatim by q_mv_merge (batch
     * refresh cycle) and q_stream_mv (at-ingest maintenance): however

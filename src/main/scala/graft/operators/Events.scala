@@ -1373,7 +1373,18 @@ object Events {
     * key. Retractions compose with [[mvMergeBatch]]'s store unchanged:
     * a delta row IS a partial row.
     */
-  def mvRetract(events: DataFrame): DataFrame = {
+  def mvRetract(events: DataFrame): DataFrame =
+    mvServe(retractDeltas(events)
+      .groupBy("event_type", "day")
+      .agg(sum(col("dn")).as("n_events"),
+        sum(col("dv")).cast("decimal(18,2)").as("sum_value")))
+
+  /** The signed change stream of [[mvRetract]]'s scenario — one delta
+    * row per insert/retract/reinsert, the unit both the batch view and
+    * the streaming maintainer consume (a delta row is shape-compatible
+    * with an MV partial row, so the additive merge law carries over
+    * with sums of signed DECIMALs). */
+  private[graft] def retractDeltas(events: DataFrame): DataFrame = {
     val base = events.select(col("event_type"),
       dayofmonth(col("ts")).as("day"), col("event_id"),
       col("value").cast("decimal(18,2)").as("v"))
@@ -1385,10 +1396,7 @@ object Events {
     val reinserts = corrected.select(col("event_type"), col("day"),
       lit(1L).as("dn"),
       (col("v") + lit(5.00).cast("decimal(18,2)")).as("dv"))
-    mvServe(inserts.unionByName(retractions).unionByName(reinserts)
-      .groupBy("event_type", "day")
-      .agg(sum(col("dn")).as("n_events"),
-        sum(col("dv")).cast("decimal(18,2)").as("sum_value")))
+    inserts.unionByName(retractions).unionByName(reinserts)
   }
 
   /** Oracle-facing incremental-view cycle: the events table arrives as

@@ -1672,6 +1672,44 @@ object StreamOps {
       graft.operators.Events.mvMergeRows(spark.read.parquet(store)))
   }
 
+  /** STREAMING RETRACT-STREAM MV (q_stream_mv_retract) — the CDC form
+    * of [[streamMv]]: each micro-batch emits its SIGNED delta partials
+    * ([[graft.operators.Events.retractDeltas]] — inserts for the
+    * batch's facts, retract+reinsert pairs for its corrections),
+    * pre-aggregated per cell and landed under batch=N dirs; the served
+    * view is the additive merge of signed DECIMAL partials. However the
+    * change stream was batched — and wherever a correction lands
+    * relative to the fact it corrects — the merged view equals the
+    * one-shot GROUP BY over the corrected history: q_mv_retract's
+    * oracle shared verbatim. Replay-idempotent per batch (own-dir
+    * overwrite); state is group-cardinality signed partials.
+    */
+  def streamMvRetract(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_mvr/$runId/store"
+    val ck = s"$tmp/graft_stream_mvr/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.retractDeltas(batch)
+            .groupBy("event_type", "day")
+            .agg(sum(col("dn")).as("n_events"),
+              sum(col("dv")).cast("decimal(18,2)").as("sum_value"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.mvServe(
+      graft.operators.Events.mvMergeRows(spark.read.parquet(store)))
+  }
+
   /** STREAMING DELETION QUEUE (q_stream_forget) — right-to-be-forgotten
     * as it actually deploys: erasure requests ARRIVE OVER TIME, and each
     * micro-batch of requests is applied incrementally to the live
