@@ -64,6 +64,8 @@ object SparkEntry {
     "q_stream_mv_retract" -> ((s, d) =>
       streaming.StreamOps.streamMvRetract(s, d)),
     "q_skew_audit" -> ((s, d) => Events.skewAudit(events(s, d))),
+    "q_period_over_period" -> ((s, d) =>
+      Events.periodOverPeriod(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
       streaming.StreamOps.streamPercentiles(s, d)),
@@ -601,6 +603,29 @@ object SparkEntry {
         |     AND (v.valid_to_us IS NULL OR v.valid_to_us > f.asof_us)
         |ORDER BY purchase_id""".stripMargin,
     "q_mv_merge" -> mvOracleSql,
+    // period-over-period: lag-7 over the day census, NULL baseline
+    // when the week-ago day is absent
+    "q_period_over_period" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(extract(day FROM ts) AS INT) AS day,
+        |         count(*) AS n_events,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1,2),
+        |lagged AS (
+        |  SELECT event_type, day, n_events, sv,
+        |         lag(day, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS prev_day,
+        |         lag(sv, 7) OVER (PARTITION BY event_type ORDER BY day)
+        |           AS prev_sv
+        |  FROM daily)
+        |SELECT event_type, day, n_events, CAST(sv AS DOUBLE) AS sum_value,
+        |  CASE WHEN prev_day = day - 7 THEN CAST(prev_sv AS DOUBLE) END
+        |    AS prev_sum_value,
+        |  round(CASE WHEN prev_day = day - 7
+        |        THEN CAST(sv - prev_sv AS DOUBLE)
+        |             / CAST(prev_sv AS DOUBLE) * 100.0 END, 6)
+        |    AS pct_change
+        |FROM lagged ORDER BY event_type, day""".stripMargin,
     // per audited key: group-size census + heavy-key count + skew flag
     "q_skew_audit" -> skewOracleSql,
     // additive key counts: the streaming monitor's drained merge is

@@ -1253,6 +1253,45 @@ object Events {
     merged.write.mode("overwrite").parquet(storeDir)
   }
 
+  /** PERIOD-OVER-PERIOD census (q_period_over_period) — the BI staple
+    * every revenue dashboard leads with: per (event_type, day), the
+    * day's event count and DECIMAL-exact value sum next to the
+    * week-ago (lag-7) figures and the percent change. The lag rides a
+    * window over the DAY CENSUS (|types|·|days| rows — the corpus
+    * collapses to census size in the first hash agg, so the
+    * small-key-partitioned window is census-sized, never
+    * row-cardinality; the suite's window law is about corpus-sized
+    * frames). Days without a week-ago counterpart emit NULL change —
+    * absence of a baseline is information, not zero.
+    *
+    * Determinism: counts and DECIMAL(18,2) sums are exact; the percent
+    * change divides two exact decimals once as doubles,
+    * display-rounded.
+    */
+  def periodOverPeriod(events: DataFrame, lagDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("sum_value"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("_prev_day", lag(col("day"), lagDays).over(w))
+      .withColumn("_prev_sum", lag(col("sum_value"), lagDays).over(w))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+        // the lag-N row only counts as the week-ago baseline when the
+        // day arithmetic agrees (a gap-free grid makes them equal; a
+        // sparse one must not compare against the wrong week)
+        when(col("_prev_day") === col("day") - lagDays,
+          col("_prev_sum").cast("double")).as("prev_sum_value"),
+        round(when(col("_prev_day") === col("day") - lagDays,
+          (col("sum_value") - col("_prev_sum")).cast("double") /
+            col("_prev_sum").cast("double") * 100.0), 6).as("pct_change"))
+      .orderBy("event_type", "day")
+  }
+
   /** Histogram-quantile estimation from an aggregated (event_type, bin,
     * n) fixed-bin count table — the Prometheus histogram_quantile
     * estimator: find the bin where the cumulative count crosses p·N,
