@@ -19,6 +19,9 @@ import scala.collection.mutable
   */
 object CacheRegistry {
   private val tracked = mutable.ListBuffer.empty[DataFrame]
+  private val memos = mutable.ListBuffer
+    .empty[java.util.concurrent.ConcurrentHashMap[String, DataFrame]]
+  private val memoHooked = mutable.Set.empty[Int]
 
   /** Register a persisted DataFrame; returns it unchanged for chaining.
     * Entries whose cache was already reclaimed elsewhere (storageLevel
@@ -36,12 +39,49 @@ object CacheRegistry {
 
   def trackedCount: Int = synchronized(tracked.size)
 
-  /** Unpersist every registered cache and forget it. Safe to call at any
-    * eager boundary; already-unpersisted entries (e.g. after a session
-    * clearCache) are a no-op.
+  /** Register a per-process localCheckpoint memo (the pretrainPacked /
+    * retrievalTiers device: a ConcurrentHashMap whose keys lead with
+    * `${session.hashCode}|`). Two lifetimes are managed: [[release]]
+    * clears every memo outright, and a per-session listener drops that
+    * session's entries when its SparkContext ends — so a stopped test
+    * session's materialized frames are not pinned on the driver heap for
+    * the rest of the JVM. (The checkpoint BLOCKS die with the session's
+    * block manager; what leaks without this is the driver-side plan
+    * references keyed by a dead session's hashCode.)
+    */
+  def trackMemo(session: org.apache.spark.sql.SparkSession,
+                memo: java.util.concurrent.ConcurrentHashMap[String, DataFrame])
+      : Unit = synchronized {
+    if (!memos.exists(_ eq memo)) memos += memo
+    val h = session.hashCode
+    if (!memoHooked.contains(h)) {
+      memoHooked += h
+      session.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = dropMemoSession(h)
+        })
+    }
+  }
+
+  private def dropMemoSession(h: Int): Unit = synchronized {
+    val prefix = s"$h|"
+    memos.foreach(_.keySet.removeIf(_.startsWith(prefix)))
+    memoHooked -= h
+  }
+
+  private[graft] def memoEntryCount: Int =
+    synchronized(memos.map(_.size).sum)
+
+  /** Unpersist every registered cache, clear every registered memo, and
+    * forget them. Safe to call at any eager boundary;
+    * already-unpersisted entries (e.g. after a session clearCache) are a
+    * no-op.
     */
   def release(): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
+    memos.foreach(_.clear())
   }
 }

@@ -182,7 +182,10 @@ object SparkEntry {
       orders(s, d), part(s, d), customer(s, d), nation(s, d),
       documents(s, d))),
     "q_dp_counts" -> ((s, d) => Pipeline.dpCountRelease(events(s, d))),
-    "q_dp_counts_user" -> ((s, d) => Pipeline.dpCountReleaseUser(events(s, d))),
+    // audit = true: the oracle grades the full clamp-audit shape; the
+    // operator's DEFAULT emits only the publishable (type, day, released)
+    "q_dp_counts_user" ->
+      ((s, d) => Pipeline.dpCountReleaseUser(events(s, d), audit = true)),
     "q_stream_dp" -> ((s, d) => streaming.StreamOps.streamDpRelease(s, d)),
     "q_stream_ri" -> ((s, d) => streaming.StreamOps.streamRiMonitor(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TextAnalysis.epochShuffle(documents(s, d))),
@@ -200,6 +203,9 @@ object SparkEntry {
 
     // --- similarity search on embeddings (J5/F10, north-star) ---
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
+    "q_binary_quant" -> ((s, d) => Similarity.binaryQuantize(embeddings(s, d))),
+    "q_hamming_search" -> ((s, d) => Similarity.hammingRerankSearch(embeddings(s, d))),
+    "q_matryoshka_search" -> ((s, d) => Similarity.matryoshkaSearch(embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshAnnTopK(embeddings(s, d), 4, 8, 10)),
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
@@ -1098,16 +1104,18 @@ object SparkEntry {
         |                   CAST(max(l_extendedprice) AS DOUBLE) AS hi
         |            FROM lineitem),
         |c1 AS (
-        |  SELECT least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
-        |           / ((hi - lo) / 16.0)), 15) AS bucket,
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |         ELSE least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+        |           / ((hi - lo) / 16.0)), 15) END AS bucket,
         |         lo, (hi - lo) / 16.0 AS w, count(*) AS n_rows
         |  FROM lineitem CROSS JOIN s1 GROUP BY 1,2,3),
         |s2 AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS lo,
         |              CAST(max(l_quantity) AS DOUBLE) AS hi
         |       FROM lineitem),
         |c2 AS (
-        |  SELECT least(floor((CAST(l_quantity AS DOUBLE) - lo)
-        |           / ((hi - lo) / 16.0)), 15) AS bucket,
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |         ELSE least(floor((CAST(l_quantity AS DOUBLE) - lo)
+        |           / ((hi - lo) / 16.0)), 15) END AS bucket,
         |         lo, (hi - lo) / 16.0 AS w, count(*) AS n_rows
         |  FROM lineitem CROSS JOIN s2 GROUP BY 1,2,3)
         |SELECT col_name, bucket, lo_edge, hi_edge, n_rows FROM (
@@ -2590,6 +2598,98 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // sign-bit binary quantization: two 32-bit packed halves (one
+    // 64-bit word would overflow SIGNED addition, which DuckDB rejects)
+    "q_binary_quant" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-1)
+        |                 ELSE 0 END for i in range(1,33)]) AS BIGINT) AS code_lo,
+        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-33)
+        |                 ELSE 0 END for i in range(33,65)]) AS BIGINT) AS code_hi
+        |  FROM v)
+        |SELECT vec_id, code_lo, code_hi,
+        |  CAST(bit_count(code_lo) + bit_count(code_hi) AS BIGINT) AS n_bits
+        |FROM c ORDER BY vec_id""".stripMargin,
+    // two-stage binary serve: XOR-popcount Hamming shortlist (ham asc,
+    // id asc — the TopKAgg total order) -> exact cosine re-rank
+    "q_hamming_search" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-1)
+        |                 ELSE 0 END for i in range(1,33)]) AS BIGINT) AS code_lo,
+        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-33)
+        |                 ELSE 0 END for i in range(33,65)]) AS BIGINT) AS code_hi
+        |  FROM v),
+        |hq AS (SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+        |       FROM c WHERE vec_id < 20),
+        |ham AS (
+        |  SELECT hq.query_id, c.vec_id AS neighbor_id,
+        |         bit_count(xor(c.code_lo, hq.q_lo))
+        |           + bit_count(xor(c.code_hi, hq.q_hi)) AS ham
+        |  FROM c, hq WHERE c.vec_id <> hq.query_id),
+        |sl AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY ham, neighbor_id) AS rk
+        |  FROM ham),
+        |b AS (SELECT vec_id, e,
+        |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |qq AS (SELECT vec_id AS qid, e AS q_emb, nrm AS q_nrm
+        |       FROM b WHERE vec_id < 20),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         list_dot_product(b.e, qq.q_emb) / (b.nrm * qq.q_nrm) AS sim
+        |  FROM sl s JOIN b ON s.neighbor_id = b.vec_id
+        |            JOIN qq ON s.query_id = qq.qid
+        |  WHERE s.rk <= 50),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM re)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim
+        |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Matryoshka prefix-dim serve: cosine on the first 16 components
+    // bounds the shortlist, full-dim cosine re-ranks it
+    "q_matryoshka_search" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |         sqrt(list_dot_product(embedding::DOUBLE[],
+        |                               embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, emb, nrm, emb[1:16] AS pre,
+        |        sqrt(list_dot_product(emb[1:16], emb[1:16])) AS pnrm
+        |      FROM b),
+        |qp AS (SELECT vec_id AS query_id, pre AS q_pre, pnrm AS q_pnrm
+        |       FROM p WHERE vec_id < 20),
+        |ps AS (
+        |  SELECT qp.query_id, p.vec_id AS neighbor_id,
+        |         list_dot_product(p.pre, qp.q_pre)
+        |           / (p.pnrm * qp.q_pnrm) AS psim
+        |  FROM p, qp WHERE p.vec_id <> qp.query_id AND p.pnrm > 0),
+        |sl AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY psim DESC, neighbor_id) AS rk
+        |  FROM ps),
+        |qq AS (SELECT vec_id AS qid, emb AS q_emb, nrm AS q_nrm
+        |       FROM b WHERE vec_id < 20),
+        |re AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         list_dot_product(b.emb, qq.q_emb) / (b.nrm * qq.q_nrm) AS sim
+        |  FROM sl s JOIN b ON s.neighbor_id = b.vec_id
+        |            JOIN qq ON s.query_id = qq.qid
+        |  WHERE s.rk <= 50),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM re)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim
+        |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_embed_quantize" -> sq8CensusOracleSql,
     // per-vector census is stateless, so the drained micro-batch union is
     // bit-identical to the batch census — same oracle (the q_cms device)

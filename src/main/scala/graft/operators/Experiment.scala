@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A/B EXPERIMENT ANALYSIS over the clickstream — the reference's domain
+  * (page-view events, `record.json`) is exactly the data an
+  * experimentation platform reads, and the analysis queries every such
+  * platform ships are deterministic aggregations this engine can oracle
+  * end-to-end: hash-based variant assignment, per-variant conversion and
+  * revenue metrics with the classical test statistics (two-proportion z,
+  * Welch t), the sample-ratio-mismatch guardrail, and CUPED variance
+  * reduction. (Kohavi et al., "Trustworthy Online Controlled
+  * Experiments" — the method canon; all arithmetic here follows the
+  * suite's quant6/DECIMAL determinism discipline so every statistic
+  * hash-matches the DuckDB oracle.)
+  *
+  * Scale shape: everything is user-keyed — one hash agg on user_id
+  * (corpus-cardinality, parallel), then a |variants|-row census and
+  * scalar statistic math. No windows, no joins beyond broadcast-scalar;
+  * the per-user stage is the only corpus-sized pass.
+  */
+object Experiment {
+
+  import graft.operators.Similarity.quant6
+
+  /** Deterministic hash-based variant assignment — how production
+    * platforms bucket users (stable across sessions/replays, no
+    * coordination): variant = md5₆₀("exp1|user_id") mod 2. The same
+    * rand()-free coordinated-assignment law as the hash split
+    * (TextAnalysis.hashSplit), keyed by experiment salt so concurrent
+    * experiments get independent bucketings.
+    */
+  private[operators] def variantOf(userId: Column): Column =
+    when(pmod(NearDup.md5Hash60(
+        concat_ws("|", lit("exp1"), userId)), lit(2L)) === 0L,
+      lit("control")).otherwise(lit("treatment"))
+
+  /** Per-user experiment facts: variant, conversion flag (any purchase),
+    * and purchase revenue in exact DECIMAL(18,2). The shared first stage
+    * of [[abMetrics]] and the streaming monitor (whose per-batch user
+    * partials merge additively into exactly this frame).
+    */
+  private[graft] def abUserStats(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("revenue"))
+      .select(col("user_id"), variantOf(col("user_id")).as("variant"),
+        (col("n_purchases") > 0L).cast("long").as("converted"),
+        col("revenue").cast("decimal(18,2)").as("revenue"))
+
+  /** The experiment read-out from an already-built per-user frame
+    * (user_id, variant, converted, revenue) — shared by the batch query
+    * and the streaming monitor so the two can never drift. ONE row:
+    * per-variant sample sizes, conversion rates, revenue means/variances,
+    * the two-proportion z statistic on conversion, and the Welch t
+    * statistic on per-user revenue.
+    *
+    * Determinism: per-user revenue is exact DECIMAL; squares are
+    * quantized (quant6) then DECIMAL-summed so the variance inputs are
+    * order-independent; every derived statistic is a FIXED chain of IEEE
+    * ops on those exact operands, mirrored operation-for-operation in
+    * the oracle, and display-rounded at emission.
+    */
+  private[graft] def abMetricsFromUsers(users: DataFrame): DataFrame = {
+    val perVariant = users
+      .withColumn("rev_d", col("revenue").cast("double"))
+      .withColumn("rev_sq", quant6(col("rev_d") * col("rev_d")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"),
+        sum(col("revenue")).as("sum_rev"),
+        sum(col("rev_sq").cast("decimal(38,6)")).as("sum_rev_sq"))
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = perVariant.agg(
+      side("control", "n_users").as("n_c"),
+      side("treatment", "n_users").as("n_t"),
+      side("control", "n_conv").as("conv_c"),
+      side("treatment", "n_conv").as("conv_t"),
+      side("control", "sum_rev").cast("double").as("sr_c"),
+      side("treatment", "sum_rev").cast("double").as("sr_t"),
+      side("control", "sum_rev_sq").cast("double").as("sq_c"),
+      side("treatment", "sum_rev_sq").cast("double").as("sq_t"))
+    val nC = col("n_c").cast("double")
+    val nT = col("n_t").cast("double")
+    val pC = col("conv_c").cast("double") / nC
+    val pT = col("conv_t").cast("double") / nT
+    val pPool = (col("conv_c") + col("conv_t")).cast("double") / (nC + nT)
+    val mC = col("sr_c") / nC
+    val mT = col("sr_t") / nT
+    val varC = (col("sq_c") - col("sr_c") * col("sr_c") / nC) / (nC - lit(1.0))
+    val varT = (col("sq_t") - col("sr_t") * col("sr_t") / nT) / (nT - lit(1.0))
+    wide.select(
+      col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+      round(pC, 6).as("conv_rate_c"),
+      round(pT, 6).as("conv_rate_t"),
+      round((pT - pC) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT)), 6)
+        .as("z_conv"),
+      round(mC, 6).as("mean_rev_c"),
+      round(mT, 6).as("mean_rev_t"),
+      round(varC, 6).as("var_rev_c"),
+      round(varT, 6).as("var_rev_t"),
+      round((mT - mC) / sqrt(varT / nT + varC / nC), 6).as("t_rev"))
+  }
+
+  /** A/B METRICS census (q_ab_metrics): hash-assigned variants, per-user
+    * conversion + revenue, the z/t read-out — see [[abMetricsFromUsers]].
+    */
+  def abMetrics(events: DataFrame): DataFrame =
+    abMetricsFromUsers(abUserStats(events))
+
+  /** SAMPLE-RATIO-MISMATCH check (q_srm_check) — the guardrail every
+    * experiment readout runs FIRST: if the observed variant split
+    * deviates from the designed 50/50 beyond chance, the assignment or
+    * logging pipeline is broken and every downstream metric is suspect
+    * (the single most common source of bogus experiment wins). χ²
+    * goodness-of-fit of observed user counts against equal expectation;
+    * flagged at the df=1 95% critical value 3.841459.
+    *
+    * Scale shape: one distinct-users agg (user-keyed), a 2-row census, a
+    * 1-row broadcast total. Determinism: expected = n/2 is one IEEE
+    * divide; contributions quantized then DECIMAL-summed (the q_chi2
+    * law).
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val perVariant = events.select(col("user_id")).distinct()
+      .select(variantOf(col("user_id")).as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("n_users"))
+    val tot = perVariant.agg(sum(col("n_users")).as("n_total"))
+    val rows = perVariant.crossJoin(broadcast(tot))
+      .withColumn("expected", col("n_total").cast("double") / lit(2.0))
+      .withColumn("contribution", quant6(
+        (col("n_users").cast("double") - col("expected")) *
+        (col("n_users").cast("double") - col("expected")) / col("expected")))
+    val chi = rows.agg(
+      sum(col("contribution").cast("decimal(18,6)")).cast("double")
+        .as("chi2_total"))
+    rows.crossJoin(broadcast(chi))
+      .select(col("variant"), col("n_users"), round(col("expected"), 6)
+          .as("expected"),
+        round(col("contribution"), 6).as("contribution"),
+        round(col("chi2_total"), 6).as("chi2_total"),
+        (col("chi2_total") > 3.841459).cast("int").as("srm_flag"))
+      .orderBy("variant")
+  }
+
+  /** CUPED variance reduction (q_cuped; Deng et al. 2013) — the standard
+    * sensitivity boost: each user's post-period revenue is adjusted by
+    * its PRE-experiment revenue (a covariate independent of assignment),
+    * y' = y − θ·(x − x̄) with θ = cov(x,y)/var(x) pooled across variants.
+    * Emits per variant the raw and adjusted means/variances and the
+    * variance-reduction fraction — the number that says how much smaller
+    * an effect this experiment can now detect.
+    *
+    * Scale shape: one user-keyed hash agg builds (x, y); θ and x̄ are a
+    * 1-row broadcast; the adjustment is per-row scalar math; the census
+    * is 2 rows. Determinism: x, y in exact DECIMAL; cross-moments
+    * quantized then DECIMAL-summed; θ and x̄ quantized BEFORE the per-row
+    * multiply (they feed further arithmetic — the quant6 law); adjusted
+    * values re-quantized before the variant sums.
+    */
+  def cuped(events: DataFrame, cutover: String = "2024-01-16"): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+            col("ts") < to_timestamp(lit(cutover)),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+            col("ts") >= to_timestamp(lit(cutover)),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+      .select(col("user_id"), variantOf(col("user_id")).as("variant"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    val moments = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+      sum(quant6(col("x") * col("y")).cast("decimal(38,6)")).cast("double")
+        .as("sxy"),
+      sum(quant6(col("x") * col("x")).cast("decimal(38,6)")).cast("double")
+        .as("sxx"))
+      .select(col("n"),
+        quant6(col("sx") / col("n").cast("double")).as("xbar"),
+        quant6(when(
+            col("sxx") - col("sx") * col("sx") / col("n").cast("double") > 0,
+          (col("sxy") - col("sx") * col("sy") / col("n").cast("double")) /
+          (col("sxx") - col("sx") * col("sx") / col("n").cast("double")))
+          .otherwise(lit(0.0))).as("theta"))
+    perUser.crossJoin(broadcast(moments))
+      .withColumn("y_adj",
+        quant6(col("y") - col("theta") * (col("x") - col("xbar"))))
+      .withColumn("y_sq", quant6(col("y") * col("y")))
+      .withColumn("ya_sq", quant6(col("y_adj") * col("y_adj")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        max(col("theta")).as("_th"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("_sy"),
+        sum(col("y_adj").cast("decimal(18,6)")).cast("double").as("_sya"),
+        sum(col("y_sq").cast("decimal(38,6)")).cast("double").as("_sq"),
+        sum(col("ya_sq").cast("decimal(38,6)")).cast("double").as("_sqa"))
+      .select(col("variant"), col("n_users"),
+        round(col("_th"), 6).as("theta"),
+        round(col("_sy") / col("n_users").cast("double"), 6).as("mean_rev"),
+        round(col("_sya") / col("n_users").cast("double"), 6)
+          .as("mean_rev_adj"),
+        round((col("_sq") - col("_sy") * col("_sy") /
+            col("n_users").cast("double")) /
+          (col("n_users").cast("double") - lit(1.0)), 6).as("var_rev"),
+        round((col("_sqa") - col("_sya") * col("_sya") /
+            col("n_users").cast("double")) /
+          (col("n_users").cast("double") - lit(1.0)), 6).as("var_rev_adj"),
+        round(lit(1.0) -
+          ((col("_sqa") - col("_sya") * col("_sya") /
+              col("n_users").cast("double")) /
+            (col("n_users").cast("double") - lit(1.0))) /
+          ((col("_sq") - col("_sy") * col("_sy") /
+              col("n_users").cast("double")) /
+            (col("n_users").cast("double") - lit(1.0))), 6)
+          .as("var_reduction"))
+      .orderBy("variant")
+  }
+}

@@ -231,11 +231,13 @@ object Pipeline {
     */
   def pretrainPackedCached(documents: DataFrame, corpusKey: String,
                            budget: Long = 2048L, repTau: Double = 0.08,
-                           buckets: Int = 1024): DataFrame =
+                           buckets: Int = 1024): DataFrame = {
+    graft.CacheRegistry.trackMemo(documents.sparkSession, packedMemo)
     packedMemo.computeIfAbsent(
       s"${documents.sparkSession.hashCode}|$corpusKey|$budget|$repTau|$buckets",
       _ => pretrainPacked(documents, budget, repTau, buckets)
         .localCheckpoint())
+  }
 
   /** Stages 1-4 of [[pretrain]] through packing, one row per SELECTED
     * document with (split, lang, doc_id, n_tok, cum_before, bin) —
@@ -905,9 +907,15 @@ object Pipeline {
     * key — parallel), both histograms are hash aggs on the cell key,
     * the cap census collapses to ONE broadcast row, and the noise is
     * per-cell scalar math — no shuffle beyond the aggs' own.
+    *
+    * By DEFAULT only (event_type, day, n_released) is emitted — the
+    * shape a real release could publish (n_true/n_clamped/noise are
+    * exact-revealing: released − noise recovers the clamped count).
+    * `audit = true` opts into the full clamp-audit shape the analyst's
+    * knob report (and the oracle-checked query) reads.
     */
   def dpCountReleaseUser(events: DataFrame, epsilon: Double = 1.0,
-                         cap: Int = 4): DataFrame = {
+                         cap: Int = 4, audit: Boolean = false): DataFrame = {
     import graft.operators.Similarity.quant6
     import org.apache.spark.sql.expressions.Window
     val b = cap.toDouble / epsilon
@@ -925,7 +933,7 @@ object Pipeline {
       .agg(count(lit(1)).as("_nu"))
       .agg(sum((col("_nu") > cap).cast("long")).as("n_capped_users"),
         sum(greatest(col("_nu") - cap, lit(0L))).as("n_clipped_rows"))
-    base.join(clamped, Seq("event_type", "day"), "left")
+    val noised = base.join(clamped, Seq("event_type", "day"), "left")
       .withColumn("n_clamped", coalesce(col("n_clamped"), lit(0L)))
       .withColumn("_u",
         least((NearDup.md5Hash60(
@@ -938,11 +946,15 @@ object Pipeline {
       .withColumn("n_released",
         greatest(lit(0.0),
           floor(col("n_clamped") + col("noise") + lit(0.5))).cast("long"))
-      .crossJoin(broadcast(capCensus))
-      .select(col("event_type"), col("day"), col("n_true"),
-        col("n_clamped"), col("noise"), col("n_released"),
-        col("n_capped_users"), col("n_clipped_rows"))
-      .orderBy("event_type", "day")
+    if (audit)
+      noised.crossJoin(broadcast(capCensus))
+        .select(col("event_type"), col("day"), col("n_true"),
+          col("n_clamped"), col("noise"), col("n_released"),
+          col("n_capped_users"), col("n_clipped_rows"))
+        .orderBy("event_type", "day")
+    else
+      noised.select(col("event_type"), col("day"), col("n_released"))
+        .orderBy("event_type", "day")
   }
 
   /** One referential-integrity constraint census row: orphans are the

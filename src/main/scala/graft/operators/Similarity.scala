@@ -756,6 +756,146 @@ object Similarity {
     rankedTopK(scored, k, "sim")
   }
 
+  /** Per-vector SIGN-BIT binary codes, packed as two 32-bit halves
+    * (code_lo = dims 1..32, code_hi = dims 33..64). Two halves — not
+    * one 64-bit word — because bit 63 would make the packed sum
+    * overflow SIGNED 64-bit arithmetic, which DuckDB rejects at
+    * runtime while Java wraps silently; 32-bit halves keep every
+    * value exact on both engines (and mirror the PQ half-split
+    * layout). The bit build is the [[withLshCells]] sum-of-disjoint-
+    * powers device applied to the raw component signs (hyperplanes =
+    * the standard basis), fully codegen'd.
+    */
+  private def withBinaryCodes(vecs: DataFrame): DataFrame = {
+    def half(lo: Int): Column =
+      (lo until lo + 32).map { j =>
+        when(element_at(col("emb"), j + 1) > lit(0.0),
+          lit(1L << (j - lo))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    vecs.withColumn("code_lo", half(0)).withColumn("code_hi", half(32))
+  }
+
+  /** BINARY (1-bit) QUANTIZATION census (q_binary_quant) — the 32×
+    * compression tier below SQ8's 4× ([[sq8Quantize]]): each dimension
+    * keeps only its sign, the whole vector becomes 64 bits, and
+    * similarity degrades to Hamming distance — the representation
+    * binary-embedding stores (and the re-rank-recoverable first stage
+    * of [[hammingRerankSearch]]) ship to keep a billion vectors in
+    * RAM. Emits per vector the two packed halves and the population
+    * count (the bit-balance statistic a store monitors: sign bits of
+    * centered embeddings should split ~50/50; drift toward all-ones
+    * means the encoder's output shifted and Hamming contrast is
+    * dying).
+    *
+    * Scale shape: one zero-shuffle scan, every bit a codegen'd
+    * sign-test expression — the q_embed_quantize class. Determinism:
+    * bit tests compare exact float-widened doubles against 0; the
+    * packed sums are integer arithmetic.
+    */
+  def binaryQuantize(embeddings: DataFrame): DataFrame =
+    withBinaryCodes(embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+      .select(col("vec_id"), col("code_lo"), col("code_hi"),
+        (expr("bit_count(code_lo)") + expr("bit_count(code_hi)"))
+          .cast("long").as("n_bits"))
+      .orderBy("vec_id")
+
+  /** Stage 2 shared by the two-stage COSINE searches
+    * ([[hammingRerankSearch]], [[matryoshkaSearch]]): fetch the
+    * shortlist's raw vectors and re-rank by exact cosine — the same
+    * skinny (query_id, neighbor_id) join + broadcast-queries +
+    * bounded-TopKAgg shape as [[exactRerank]], with the cosine
+    * arithmetic of [[bruteForceTopK]] so the refinement contract can
+    * never drift from the brute tier.
+    */
+  private def cosineRerank(shortlist: DataFrame, embeddings: DataFrame,
+                           nQueries: Int, k: Int): DataFrame = {
+    val vecs = withNorms(embeddings.select("vec_id", "embedding"))
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val exact = shortlist
+      .join(vecs, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(queries), col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        (dot(col("emb"), col("q_emb")) / (col("nrm") * col("q_nrm"))).as("s"))
+    rankedTopK(exact, k, "sim")
+  }
+
+  /** HAMMING-SHORTLIST serving search (q_hamming_search) — the binary
+    * deployment pattern: stage 1 ranks candidates by Hamming distance
+    * between packed sign-bit codes (two XOR-popcounts per candidate —
+    * 16 bytes of code traffic where the float scan moves 512), stage 2
+    * re-ranks only the top-`m` shortlist by exact cosine on the raw
+    * vectors. The binary twin of [[pqRerankSearch]]: codes bound the
+    * scan bytes, `m` bounds the random reads, and the emitted contract
+    * is the shared [[rankedTopK]] ranked-cosine shape, so the oracle
+    * checks the full two-stage composition.
+    *
+    * Scale shape: stage 1 is a broadcast-queries code scan into the
+    * bounded TopKAgg (never a pair shuffle); stage 2 touches |Q|·m raw
+    * vectors. Determinism: Hamming is integer arithmetic; ties rank by
+    * cand_id under the TopKAgg total order; cosine re-rank is the
+    * brute tier's IEEE chain.
+    */
+  def hammingRerankSearch(embeddings: DataFrame, nQueries: Int = 20,
+                          k: Int = 10, m: Int = 50): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val codes = withBinaryCodes(embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+      .select("vec_id", "code_lo", "code_hi")
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code_lo").as("q_lo"),
+        col("code_hi").as("q_hi"))
+    val scored = codes.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (lit(0L) - (expr("bit_count(code_lo ^ q_lo)") +
+          expr("bit_count(code_hi ^ q_hi)"))).cast("double").as("s"))
+    val shortlist = rankedTopK(scored, m, "hamming", sc => -sc)
+      .select(col("query_id"), col("neighbor_id"))
+    cosineRerank(shortlist, embeddings, nQueries, k)
+  }
+
+  /** MATRYOSHKA (MRL) PREFIX-DIMENSION serving search
+    * (q_matryoshka_search; Kusupati et al. 2022) — the adaptive-
+    * retrieval pattern matryoshka-trained encoders enable: stage 1
+    * ranks by cosine over only the FIRST `prefixDim` components (the
+    * nested sub-embedding — 4× less scan traffic at prefixDim = 16 of
+    * 64), stage 2 re-ranks the top-`m` shortlist with full-dimension
+    * cosine. On the synthetic embeddings the prefix is just a
+    * truncation (they are not MRL-trained), which is exactly what the
+    * recall-floor spec measures against the brute tier; the plan —
+    * skinny prefix scan, then |Q|·m full-vector reads — is the
+    * production shape regardless of encoder.
+    *
+    * Scale shape and determinism: both stages are the established
+    * broadcast-queries + bounded-TopKAgg cosine chain; the prefix is
+    * slice(), zero extra shuffles. A zero prefix norm (all 16 leading
+    * components exactly 0) has no direction in the prefix space and is
+    * dropped from stage-1 candidates, mirrored in the oracle.
+    */
+  def matryoshkaSearch(embeddings: DataFrame, nQueries: Int = 20,
+                       k: Int = 10, m: Int = 50,
+                       prefixDim: Int = 16): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("pre", slice(col("emb"), 1, prefixDim))
+      .withColumn("pnrm", l2Norm(col("pre")))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pre").as("q_pre"),
+        col("pnrm").as("q_pnrm"))
+    val scored = base.filter(col("pnrm") > 0)
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("pre"), col("q_pre")) / (col("pnrm") * col("q_pnrm")))
+          .as("s"))
+    val shortlist = rankedTopK(scored, m, "pre_sim")
+      .select(col("query_id"), col("neighbor_id"))
+    cosineRerank(shortlist, embeddings, nQueries, k)
+  }
+
   /** IVF-PQ COMPOSED search — the index a production ANN system actually
     * deploys: a k-means-trained coarse quantizer bounds the candidate set
     * (each query probes only its `nprobe` nearest cells), and PQ
@@ -1457,21 +1597,31 @@ object Similarity {
       k, nprobe)
   }
 
-  /** A fresh per-run index directory under java.io.tmpdir, registered
-    * for recursive deletion at JVM exit so repeated roundtrip/bench
-    * runs do not leak artifact directories; the full UUID removes the
-    * collision window an 8-char prefix left open.
+  /** Per-JVM root for throwaway index artifacts, registered for
+    * recursive deletion at JVM exit by ONE shared shutdown hook (one
+    * hook per newIndexDir call accumulated JVM threads for the
+    * session's lifetime). The root carries its own UUID so a
+    * concurrently-running JVM's live indexes are never deleted; eager
+    * per-call deletion stays unsafe because returned DataFrames read
+    * the artifact files lazily.
     */
-  private[operators] def newIndexDir(): String = {
-    val dir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index/" +
+  private lazy val indexRoot: String = {
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_ivfpq_index_" +
         java.util.UUID.randomUUID().toString)
     val hook = new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(root)
       catch { case scala.util.control.NonFatal(_) => () })
     Runtime.getRuntime.addShutdownHook(hook)
-    dir.toString
+    root.toString
   }
+
+  /** A fresh per-invocation index directory under the shared
+    * [[indexRoot]]; the full UUID removes the collision window an
+    * 8-char prefix left open.
+    */
+  private[operators] def newIndexDir(): String =
+    s"$indexRoot/${java.util.UUID.randomUUID().toString}"
 
   /** Oracle-facing incremental round-trip: TRAIN the index on the
     * vec_id >= `splitId` slice only, APPEND the rest against the frozen
@@ -2253,6 +2403,9 @@ object Similarity {
     * chains, so the second census should pay a localCheckpoint read,
     * not a full recompute. localCheckpoint blocks live outside the SQL
     * cache, immune to the harness's between-query clearCache().
+    * Registered with [[graft.CacheRegistry]]: entries evict when their
+    * session's SparkContext ends, and `CacheRegistry.release()` clears
+    * the memo outright.
     */
   private val tiersMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
@@ -2265,9 +2418,11 @@ object Similarity {
                                    k: Int, corpusKey: Option[String])
       : DataFrame =
     corpusKey match {
-      case Some(ck) => tiersMemo.computeIfAbsent(
-        s"${documents.sparkSession.hashCode}|$ck|$nQueries|$k",
-        _ => retrievalTiers(documents, nQueries, k).localCheckpoint())
+      case Some(ck) =>
+        graft.CacheRegistry.trackMemo(documents.sparkSession, tiersMemo)
+        tiersMemo.computeIfAbsent(
+          s"${documents.sparkSession.hashCode}|$ck|$nQueries|$k",
+          _ => retrievalTiers(documents, nQueries, k).localCheckpoint())
       case None => retrievalTiers(documents, nQueries, k)
     }
 

@@ -194,7 +194,11 @@ object Warehouse {
     * partial-agg friendly, no window, no join beyond the 1-row
     * broadcast. Determinism: width and edges are IEEE arithmetic on
     * exact inputs, identical cross-engine; counts exact; edges
-    * display-rounded.
+    * display-rounded. Degenerate range (a constant column, hi == lo)
+    * is guarded: w would be 0 and (v-lo)/w = 0/0 = NaN — engines
+    * diverge on floor/least over NaN and rows silently vanish — so a
+    * constant column emits the single bucket 0 with lo_edge = hi_edge
+    * = the constant and n_rows = count.
     */
   def valueHistogram(lineitem: DataFrame, buckets: Int = 16,
                      cols: Seq[String] = Seq("l_extendedprice", "l_quantity"))
@@ -206,8 +210,9 @@ object Warehouse {
         .crossJoin(broadcast(stats))
         .withColumn("w", (col("hi") - col("lo")) / lit(buckets.toDouble))
         .withColumn("bucket",
-          least(floor((col("v") - col("lo")) / col("w")),
-            lit((buckets - 1).toLong)))
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("v") - col("lo")) / col("w")),
+              lit((buckets - 1).toLong))))
         .groupBy("bucket", "lo", "w")
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(c).as("col_name"), col("bucket"),

@@ -29,6 +29,76 @@ class SimilaritySpec extends SparkSpec {
       f"recall $recall%.3f below floor — LSH bucketing no longer overlaps the true neighbors")
   }
 
+  test("binaryQuantize: packed halves match a reference bit loop, n_bits = popcount") {
+    val sp = spark
+    import sp.implicits._
+    // hand vectors: alternating signs, an all-negative, a zero-component
+    val vecs = Seq(
+      0L -> Array.tabulate(64)(j => if (j % 2 == 0) 0.5f else -0.5f),
+      1L -> Array.fill(64)(-1.0f),
+      2L -> Array.tabulate(64)(j => if (j < 3) 0.0f else 1.0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.binaryQuantize(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    vecs.foreach { case (id, e) =>
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach(j => if (e(j) > 0) lo |= (1L << j))
+      (32 until 64).foreach(j => if (e(j) > 0) hi |= (1L << (j - 32)))
+      val bits = java.lang.Long.bitCount(lo) + java.lang.Long.bitCount(hi)
+      assert(got(id) === ((lo, hi, bits.toLong)), s"vec $id codes drifted")
+    }
+    // zero components are NOT positive: vec 2 has exactly 61 bits
+    assert(got(2L)._3 === 61L)
+    assert(got(1L) === ((0L, 0L, 0L)))
+  }
+
+  test("hammingRerankSearch: full-corpus shortlist equals brute force; default m recall floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    // m covering every candidate makes stage 1 a no-op: the two-stage
+    // serve must then equal the exact brute tier VERBATIM (same cosine
+    // chain, same rank contract) — the lossless-composition law
+    val full = Similarity.hammingRerankSearch(emb, 20, 10, m = n).collect()
+    val brute = Similarity.bruteForceTopK(emb, 20, 10).collect()
+    assert(full.map(_.toString).toSeq === brute.map(_.toString).toSeq,
+      "m = corpus must reduce to the brute tier exactly")
+    // at the default m the sign-bit prefilter must still carry signal
+    val exact = pairs(Similarity.bruteForceTopK(emb, 20, 10))
+    val ham = pairs(Similarity.hammingRerankSearch(emb, 20, 10, 50))
+    val recall = (exact & ham).size.toDouble / exact.size
+    info(f"hamming recall@10 (m=50) = $recall%.3f")
+    assert(recall >= 0.45,
+      f"recall $recall%.3f below floor — the Hamming shortlist lost its correlation with cosine")
+    // re-ranked sims are EXACT cosine: any pair surviving both tiers
+    // carries the identical rounded sim
+    val bruteSims = Similarity.bruteForceTopK(emb, 20, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.hammingRerankSearch(emb, 20, 10, 50).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      bruteSims.get(k).foreach(s => assert(s === r.getDouble(3),
+        s"$k: re-ranked sim diverged from the exact tier"))
+    }
+  }
+
+  test("matryoshkaSearch: full-corpus shortlist equals brute force; prefix recall floor") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count().toInt
+    val full = Similarity.matryoshkaSearch(emb, 20, 10, m = n).collect()
+    val brute = Similarity.bruteForceTopK(emb, 20, 10).collect()
+    assert(full.map(_.toString).toSeq === brute.map(_.toString).toSeq,
+      "m = corpus must reduce to the brute tier exactly")
+    val exact = pairs(Similarity.bruteForceTopK(emb, 20, 10))
+    val mrl = pairs(Similarity.matryoshkaSearch(emb, 20, 10, 50))
+    val recall = (exact & mrl).size.toDouble / exact.size
+    info(f"matryoshka recall@10 (m=50, prefix 16/64) = $recall%.3f")
+    // the synthetic embeddings are NOT MRL-trained, so the 16-dim prefix
+    // is an untrained truncation — the floor catches a broken slice (a
+    // wrong prefix collapses toward random: recall ~ m/n ~ 0.1)
+    assert(recall >= 0.35,
+      f"recall $recall%.3f below floor — the prefix stage lost its correlation with full-dim cosine")
+  }
+
   test("doc-tier IVF-PQ graduation recalls the exact-L2 doc neighbors") {
     val docs = Tables.documents(spark, sf0001)
     // ground truth = exact squared-L2 top-5 over the SAME pooled vectors
@@ -851,6 +921,21 @@ class SimilaritySpec extends SparkSpec {
     // exactly 1 — the eval harness's self-consistency anchor
     assert(vec.getDouble(2) === 1.0 && vec.getDouble(3) === 1.0,
       "vector tier not perfect against its own truth — the eval join is broken")
+  }
+
+  test("tiers memo: corpus-keyed entries registered and cleared by CacheRegistry.release") {
+    val docs = Tables.documents(spark, sf0001)
+    CacheRegistry.release()
+    assert(CacheRegistry.memoEntryCount === 0)
+    val a = Similarity.retrievalEval(docs, corpusKey = Some(sf0001)).collect()
+    assert(CacheRegistry.memoEntryCount >= 1,
+      "corpus-keyed eval did not register its memo entry")
+    // second census reads the memoized tiers frame — values identical
+    val b = Similarity.retrievalEval(docs, corpusKey = Some(sf0001)).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq)
+    CacheRegistry.release()
+    assert(CacheRegistry.memoEntryCount === 0,
+      "release() must clear the localCheckpoint memos (ADVICE r11: unbounded map)")
   }
 
   test("diverseTopK: per-language cap holds, ranks dense, results from the pool") {

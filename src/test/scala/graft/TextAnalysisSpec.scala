@@ -1179,7 +1179,8 @@ class TextAnalysisSpec extends SparkSpec {
     val events = (1L to 400L).map(i =>
       (i, ts0, i % 50, s"type${i % 20}", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val rel = graft.operators.Pipeline.dpCountReleaseUser(events, 1.0, cap = 4)
+    val rel = graft.operators.Pipeline.dpCountReleaseUser(events, 1.0, cap = 4,
+        audit = true)
       .collect()
     assert(rel.length === 20)
     rel.foreach { r =>
@@ -1195,7 +1196,7 @@ class TextAnalysisSpec extends SparkSpec {
     // user-level sensitivity: removing ONE user moves the clamped
     // histogram by at most cap rows in L1
     val without = graft.operators.Pipeline.dpCountReleaseUser(
-      events.filter($"user_id" =!= 7L), 1.0, cap = 4).collect()
+      events.filter($"user_id" =!= 7L), 1.0, cap = 4, audit = true).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
         r.getAs[Long]("n_clamped")).toMap
     val l1 = rel.map { r =>
@@ -1204,13 +1205,25 @@ class TextAnalysisSpec extends SparkSpec {
     }.sum
     assert(l1 <= 4L)
     // epsilon doubled -> noise halved (same salted u), within quant6
-    val e2 = graft.operators.Pipeline.dpCountReleaseUser(events, 2.0, cap = 4)
+    val e2 = graft.operators.Pipeline.dpCountReleaseUser(events, 2.0, cap = 4,
+        audit = true)
       .collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
         r.getAs[Double]("noise")).toMap
     rel.foreach { r =>
       val half = e2((r.getAs[String]("event_type"), r.getAs[String]("day")))
       assert(math.abs(r.getAs[Double]("noise") / 2.0 - half) <= 2e-6)
+    }
+    // default (audit = false) shape is the publishable release only:
+    // no exact counts, no noise column to subtract back out
+    val pub = graft.operators.Pipeline.dpCountReleaseUser(events, 1.0, cap = 4)
+    assert(pub.columns.toSeq === Seq("event_type", "day", "n_released"))
+    val pubMap = pub.collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        r.getAs[Long]("n_released")).toMap
+    rel.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[String]("day"))
+      assert(pubMap(k) === r.getAs[Long]("n_released"))
     }
   }
 
