@@ -66,6 +66,11 @@ object SparkEntry {
     "q_skew_audit" -> ((s, d) => Events.skewAudit(events(s, d))),
     "q_period_over_period" -> ((s, d) =>
       Events.periodOverPeriod(events(s, d))),
+    // --- A/B experimentation (the clickstream domain's read-out) ---
+    "q_ab_metrics" -> ((s, d) => Experiment.abMetrics(events(s, d))),
+    "q_stream_ab" -> ((s, d) => streaming.StreamOps.streamAb(s, d)),
+    "q_srm_check" -> ((s, d) => Experiment.srmCheck(events(s, d))),
+    "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
       streaming.StreamOps.streamPercentiles(s, d)),
@@ -632,6 +637,116 @@ object SparkEntry {
         |             / CAST(prev_sv AS DOUBLE) * 100.0 END, 6)
         |    AS pct_change
         |FROM lagged ORDER BY event_type, day""".stripMargin,
+    // A/B read-out: hash-assigned variants, per-user conversion/revenue,
+    // two-proportion z + Welch t (squares quant6'd then DECIMAL-summed;
+    // every statistic a fixed IEEE chain mirrored op-for-op)
+    "q_ab_metrics" -> abOracleSql,
+    // drained per-user partials merge additively into the one-shot
+    // per-user frame -> same read-out, oracle shared verbatim
+    "q_stream_ab" -> abOracleSql,
+    // SRM guardrail: chi-square goodness-of-fit of the variant user
+    // split against 50/50, flagged at the df=1 95% critical value
+    "q_srm_check" ->
+      """WITH su AS (SELECT DISTINCT user_id FROM events),
+        |sv AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |             CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |             % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM su),
+        |pv AS (SELECT variant, count(*) AS n_users FROM sv GROUP BY 1),
+        |tot AS (SELECT sum(n_users) AS n_total FROM pv),
+        |rws AS (
+        |  SELECT variant, n_users,
+        |    CAST(n_total AS DOUBLE) / 2.0 AS expected,
+        |    floor((CAST(n_users AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+        |          * (CAST(n_users AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+        |          / (CAST(n_total AS DOUBLE) / 2.0) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS contribution
+        |  FROM pv CROSS JOIN tot),
+        |chi AS (
+        |  SELECT CAST(sum(CAST(contribution AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS chi2_total
+        |  FROM rws)
+        |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+        |  round(expected, 6) AS expected,
+        |  round(contribution, 6) AS contribution,
+        |  round(chi2_total, 6) AS chi2_total,
+        |  CAST(chi2_total > 3.841459 AS INT) AS srm_flag
+        |FROM rws CROSS JOIN chi ORDER BY variant""".stripMargin,
+    // CUPED: theta = cov(x,y)/var(x) pooled, x̄ and theta quant6'd
+    // BEFORE the per-user adjustment, adjusted values re-quantized
+    "q_cuped" ->
+      """WITH cu0 AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x0,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y0
+        |  FROM events GROUP BY user_id),
+        |cu AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |           % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant,
+        |    CAST(x0 AS DOUBLE) AS x, CAST(y0 AS DOUBLE) AS y
+        |  FROM cu0),
+        |mom AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(floor(x * y * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(floor(x * x * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM cu),
+        |par AS (
+        |  SELECT
+        |    floor(sx / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |      AS xbar,
+        |    floor((CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0
+        |           THEN (sxy - sx * sy / CAST(n AS DOUBLE))
+        |                / (sxx - sx * sx / CAST(n AS DOUBLE))
+        |           ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS theta
+        |  FROM mom),
+        |adj AS (
+        |  SELECT variant,
+        |    y,
+        |    floor((y - theta * (x - xbar)) * 1000000.0 + 0.5) / 1000000.0
+        |      AS y_adj,
+        |    floor(y * y * 1000000.0 + 0.5) / 1000000.0 AS y_sq,
+        |    theta
+        |  FROM cu CROSS JOIN par),
+        |adj2 AS (
+        |  SELECT variant, y, y_adj, y_sq, theta,
+        |    floor(y_adj * y_adj * 1000000.0 + 0.5) / 1000000.0 AS ya_sq
+        |  FROM adj),
+        |agg AS (
+        |  SELECT variant, count(*) AS n_users, max(theta) AS th,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syv,
+        |    CAST(sum(CAST(y_adj AS DECIMAL(18,6))) AS DOUBLE) AS sya,
+        |    CAST(sum(CAST(y_sq AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(ya_sq AS DECIMAL(38,6))) AS DOUBLE) AS sqa
+        |  FROM adj2 GROUP BY variant)
+        |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+        |  round(th, 6) AS theta,
+        |  round(syv / CAST(n_users AS DOUBLE), 6) AS mean_rev,
+        |  round(sya / CAST(n_users AS DOUBLE), 6) AS mean_rev_adj,
+        |  round((sq - syv * syv / CAST(n_users AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) - 1.0), 6) AS var_rev,
+        |  round((sqa - sya * sya / CAST(n_users AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) - 1.0), 6) AS var_rev_adj,
+        |  round(1.0 -
+        |    ((sqa - sya * sya / CAST(n_users AS DOUBLE))
+        |       / (CAST(n_users AS DOUBLE) - 1.0))
+        |    / ((sq - syv * syv / CAST(n_users AS DOUBLE))
+        |       / (CAST(n_users AS DOUBLE) - 1.0)), 6) AS var_reduction
+        |FROM agg ORDER BY variant""".stripMargin,
     // per audited key: group-size census + heavy-key count + skew flag
     "q_skew_audit" -> skewOracleSql,
     // additive key counts: the streaming monitor's drained merge is
@@ -4015,6 +4130,78 @@ object SparkEntry {
     * shared verbatim by q_dp_counts (batch) and q_stream_dp (drained
     * additive cell counts, noise at release time).
     */
+  private val abOracleSql: String =
+    """WITH abu AS (
+      |  SELECT user_id,
+      |    CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+      |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+      |           % 2 = 0
+      |         THEN 'control' ELSE 'treatment' END AS variant,
+      |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                       AND value >= 150.0 THEN 1
+      |                  ELSE 0 END) > 0 THEN 1 ELSE 0 END AS converted,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(value AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+      |  FROM events GROUP BY user_id),
+      |pv AS (
+      |  SELECT variant, count(*) AS n_users, sum(converted) AS n_conv,
+      |    sum(revenue) AS sum_rev,
+      |    sum(CAST(floor(CAST(revenue AS DOUBLE) * CAST(revenue AS DOUBLE)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6)))
+      |      AS sum_rev_sq
+      |  FROM abu GROUP BY variant),
+      |w AS (
+      |  SELECT
+      |    max(CASE WHEN variant = 'control' THEN n_users END) AS n_c,
+      |    max(CASE WHEN variant = 'treatment' THEN n_users END) AS n_t,
+      |    max(CASE WHEN variant = 'control' THEN n_conv END) AS conv_c,
+      |    max(CASE WHEN variant = 'treatment' THEN n_conv END) AS conv_t,
+      |    CAST(max(CASE WHEN variant = 'control' THEN sum_rev END)
+      |      AS DOUBLE) AS sr_c,
+      |    CAST(max(CASE WHEN variant = 'treatment' THEN sum_rev END)
+      |      AS DOUBLE) AS sr_t,
+      |    CAST(max(CASE WHEN variant = 'control' THEN sum_rev_sq END)
+      |      AS DOUBLE) AS sq_c,
+      |    CAST(max(CASE WHEN variant = 'treatment' THEN sum_rev_sq END)
+      |      AS DOUBLE) AS sq_t
+      |  FROM pv)
+      |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+      |  CAST(conv_c AS BIGINT) AS conv_c, CAST(conv_t AS BIGINT) AS conv_t,
+      |  round(CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+      |    AS conv_rate_c,
+      |  round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE), 6)
+      |    AS conv_rate_t,
+      |  round(CASE WHEN CAST(conv_c + conv_t AS DOUBLE)
+      |                  / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) > 0.0
+      |             AND CAST(conv_c + conv_t AS DOUBLE)
+      |                  / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) < 1.0
+      |        THEN (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |         - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+      |    / sqrt(CAST(conv_c + conv_t AS DOUBLE)
+      |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE))
+      |           * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+      |                    / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+      |           * (1.0 / CAST(n_c AS DOUBLE)
+      |              + 1.0 / CAST(n_t AS DOUBLE))) END, 6) AS z_conv,
+      |  round(sr_c / CAST(n_c AS DOUBLE), 6) AS mean_rev_c,
+      |  round(sr_t / CAST(n_t AS DOUBLE), 6) AS mean_rev_t,
+      |  round((sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
+      |        / (CAST(n_c AS DOUBLE) - 1.0), 6) AS var_rev_c,
+      |  round((sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
+      |        / (CAST(n_t AS DOUBLE) - 1.0), 6) AS var_rev_t,
+      |  round(CASE WHEN (sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
+      |             / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
+      |           + (sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
+      |             / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE) > 0.0
+      |        THEN (sr_t / CAST(n_t AS DOUBLE) - sr_c / CAST(n_c AS DOUBLE))
+      |    / sqrt((sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
+      |             / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
+      |           + (sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
+      |             / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE)) END,
+      |    6) AS t_rev
+      |FROM w""".stripMargin
+
   private val dpOracleSql: String =
     """WITH dpc AS (
       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

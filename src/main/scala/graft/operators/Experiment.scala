@@ -36,21 +36,47 @@ object Experiment {
         concat_ws("|", lit("exp1"), userId)), lit(2L)) === 0L,
       lit("control")).otherwise(lit("treatment"))
 
-  /** Per-user experiment facts: variant, conversion flag (any purchase),
-    * and purchase revenue in exact DECIMAL(18,2). The shared first stage
-    * of [[abMetrics]] and the streaming monitor (whose per-batch user
-    * partials merge additively into exactly this frame).
+  /** Per-user experiment facts: variant, conversion flag, and purchase
+    * revenue in exact DECIMAL(18,2). Conversion is a HIGH-VALUE purchase
+    * (value >= `convThreshold`): with ~67 events per user at every SF,
+    * an any-purchase flag saturates to 100% at any scale (pPool = 1
+    * zeroes the z denominator) — a premium-purchase goal is the realistic
+    * conversion that stays non-degenerate as the corpus grows. The shared
+    * first stage of [[abMetrics]] and the streaming monitor (whose
+    * per-batch user partials merge additively into exactly this frame).
     */
-  private[graft] def abUserStats(events: DataFrame): DataFrame =
+  private[graft] def abUserStats(events: DataFrame,
+                                 convThreshold: Double = 150.0): DataFrame =
+    abUsersFromPartials(abUserPartial(events, convThreshold))
+
+  /** The ADDITIVE per-user partial (user_id, n_events, n_conversions,
+    * revenue): counts and DECIMAL sums, so per-micro-batch partials
+    * merge by user-keyed sum into exactly the one-shot frame — the unit
+    * the streaming monitor lands under batch=N dirs.
+    */
+  private[graft] def abUserPartial(events: DataFrame,
+                                   convThreshold: Double = 150.0): DataFrame =
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase" &&
+            col("value") >= convThreshold, 1L).otherwise(0L))
+          .as("n_conversions"),
         sum(when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)"))
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("revenue"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("revenue"))
+
+  /** Merge per-user partials (one or many per user) by additive sum and
+    * derive the experiment facts — the drain side of the streaming
+    * monitor, and the second half of [[abUserStats]] (batch = the
+    * single-partial case), so the two can never drift.
+    */
+  private[graft] def abUsersFromPartials(partials: DataFrame): DataFrame =
+    partials.groupBy("user_id")
+      .agg(sum(col("n_conversions")).as("n_conversions"),
+        sum(col("revenue")).as("revenue"))
       .select(col("user_id"), variantOf(col("user_id")).as("variant"),
-        (col("n_purchases") > 0L).cast("long").as("converted"),
+        (col("n_conversions") > 0L).cast("long").as("converted"),
         col("revenue").cast("decimal(18,2)").as("revenue"))
 
   /** The experiment read-out from an already-built per-user frame
@@ -95,25 +121,30 @@ object Experiment {
     val mT = col("sr_t") / nT
     val varC = (col("sq_c") - col("sr_c") * col("sr_c") / nC) / (nC - lit(1.0))
     val varT = (col("sq_t") - col("sr_t") * col("sr_t") / nT) / (nT - lit(1.0))
+    // degenerate-sample guards: a saturated (or empty) conversion pool
+    // zeroes the z denominator, and a zero-variance revenue pool zeroes
+    // the t denominator — both report NULL (no statistic computable),
+    // never an ANSI division error
     wide.select(
       col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
       round(pC, 6).as("conv_rate_c"),
       round(pT, 6).as("conv_rate_t"),
-      round((pT - pC) /
-        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT)), 6)
-        .as("z_conv"),
+      round(when(pPool > 0.0 && pPool < 1.0, (pT - pC) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT))),
+        6).as("z_conv"),
       round(mC, 6).as("mean_rev_c"),
       round(mT, 6).as("mean_rev_t"),
       round(varC, 6).as("var_rev_c"),
       round(varT, 6).as("var_rev_t"),
-      round((mT - mC) / sqrt(varT / nT + varC / nC), 6).as("t_rev"))
+      round(when(varT / nT + varC / nC > 0.0,
+        (mT - mC) / sqrt(varT / nT + varC / nC)), 6).as("t_rev"))
   }
 
   /** A/B METRICS census (q_ab_metrics): hash-assigned variants, per-user
     * conversion + revenue, the z/t read-out — see [[abMetricsFromUsers]].
     */
-  def abMetrics(events: DataFrame): DataFrame =
-    abMetricsFromUsers(abUserStats(events))
+  def abMetrics(events: DataFrame, convThreshold: Double = 150.0): DataFrame =
+    abMetricsFromUsers(abUserStats(events, convThreshold))
 
   /** SAMPLE-RATIO-MISMATCH check (q_srm_check) — the guardrail every
     * experiment readout runs FIRST: if the observed variant split

@@ -1710,6 +1710,47 @@ object StreamOps {
       graft.operators.Events.mvMergeRows(spark.read.parquet(store)))
   }
 
+  /** STREAMING A/B MONITOR (q_stream_ab) — the experiment read-out kept
+    * live as events arrive (the dashboard every running experiment is
+    * watched on): each micro-batch lands its ADDITIVE per-user partials
+    * ([[graft.operators.Experiment.abUserPartial]] — event counts,
+    * conversion counts, DECIMAL revenue) under a deterministic batch=N
+    * dir (replay overwrites, never double-counts); the drained partials
+    * merge by user-keyed sum into exactly the one-shot per-user frame,
+    * and the SAME [[graft.operators.Experiment.abMetricsFromUsers]]
+    * read-out runs over it — q_ab_metrics' oracle shared VERBATIM, so
+    * the at-ingest z/t statistics can never drift from the batch
+    * analysis.
+    *
+    * 100 TB shape: per-batch state is touched-user rows (the partials
+    * are user-keyed counts/sums); the drain is one user-keyed hash agg
+    * over |batches|·|touched users| partial rows, never the event
+    * history; the statistic math is a 1-row reduction.
+    */
+  def streamAb(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_ab/$runId/store"
+    val ck = s"$tmp/graft_stream_ab/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Experiment.abUserPartial(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Experiment.abMetricsFromUsers(
+      graft.operators.Experiment.abUsersFromPartials(
+        spark.read.parquet(store)))
+  }
+
   /** STREAMING DELETION QUEUE (q_stream_forget) — right-to-be-forgotten
     * as it actually deploys: erasure requests ARRIVE OVER TIME, and each
     * micro-batch of requests is applied incrementally to the live

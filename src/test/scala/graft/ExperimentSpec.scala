@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.Experiment
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the A/B experimentation family: assignment
+  * determinism and balance, statistic arithmetic against a driver-side
+  * recompute, degenerate-sample guards, the SRM flag, and CUPED's
+  * perfect-covariate limit.
+  */
+class ExperimentSpec extends SparkSpec {
+
+  private def syntheticEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us") * 1000000L))
+      .drop("us")
+      .withColumn("props", lit("{}"))
+  }
+
+  private def quant6(x: Double): Double =
+    math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("abUserStats: assignment is deterministic, both variants populated, facts exact") {
+    val events = Tables.events(spark, sf0001)
+    val a = Experiment.abUserStats(events).collect()
+    val b = Experiment.abUserStats(events).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq,
+      "hash assignment must be replay-stable")
+    val byVariant = a.groupBy(_.getAs[String]("variant"))
+    assert(byVariant.keySet === Set("control", "treatment"),
+      "both variants must be populated on the real corpus")
+    // per-user facts recomputed driver-side
+    val perUser = events.collect().groupBy(_.getAs[Long]("user_id"))
+    a.foreach { r =>
+      val rows = perUser(r.getAs[Long]("user_id"))
+      val conv = rows.exists(e => e.getAs[String]("event_type") == "purchase"
+        && e.getAs[Double]("value") >= 150.0)
+      assert(r.getAs[Long]("converted") === (if (conv) 1L else 0L))
+      val rev = rows.filter(_.getAs[String]("event_type") == "purchase")
+        .map(e => BigDecimal(e.getAs[Double]("value"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(r.getAs[java.math.BigDecimal]("revenue").doubleValue
+        === rev.toDouble, s"user ${r.getAs[Long]("user_id")} revenue drifted")
+    }
+  }
+
+  test("abMetrics: z and t match a driver-side recompute of the same arithmetic") {
+    val events = Tables.events(spark, sf0001)
+    val got = Experiment.abMetrics(events).collect().head
+    val users = Experiment.abUserStats(events).collect()
+    val by = users.groupBy(_.getAs[String]("variant"))
+    def stats(v: String): (Long, Long, Double, Double) = {
+      val rs = by(v)
+      val n = rs.length.toLong
+      val conv = rs.map(_.getAs[Long]("converted")).sum
+      val sr = rs.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("revenue")))
+        .sum.toDouble
+      val sq = rs.map { r =>
+        val d = r.getAs[java.math.BigDecimal]("revenue").doubleValue
+        BigDecimal(quant6(d * d)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      (n, conv, sr, sq)
+    }
+    val (nc, cc, src, sqc) = stats("control")
+    val (nt, ct, srt, sqt) = stats("treatment")
+    val (ncd, ntd) = (nc.toDouble, nt.toDouble)
+    val (pc, pt) = (cc / ncd, ct / ntd)
+    val pPool = (cc + ct).toDouble / (ncd + ntd)
+    val z = (pt - pc) / math.sqrt(pPool * (1.0 - pPool) * (1.0 / ncd + 1.0 / ntd))
+    val (mc, mt) = (src / ncd, srt / ntd)
+    val vc = (sqc - src * src / ncd) / (ncd - 1.0)
+    val vt = (sqt - srt * srt / ntd) / (ntd - 1.0)
+    val t = (mt - mc) / math.sqrt(vt / ntd + vc / ncd)
+    assert(got.getAs[Long]("n_c") === nc && got.getAs[Long]("n_t") === nt)
+    assert(math.abs(got.getAs[Double]("z_conv") - z) < 1e-6)
+    assert(math.abs(got.getAs[Double]("t_rev") - t) < 1e-6)
+    assert(math.abs(got.getAs[Double]("var_rev_c") - vc) < 1e-6)
+  }
+
+  test("abMetrics: saturated conversion reports NULL z, never a division error") {
+    // every user converts (one high-value purchase each) -> pPool = 1
+    val events = syntheticEvents((1L to 12L).map(i =>
+      (i, i * 3600L, i, "purchase", 200.0 + i)))
+    val row = Experiment.abMetrics(events).collect().head
+    assert(row.isNullAt(row.fieldIndex("z_conv")),
+      "pPool = 1 must yield NULL z_conv (guarded), not an ANSI error")
+    assert(row.getAs[Double]("conv_rate_c") === 1.0)
+    assert(row.getAs[Double]("conv_rate_t") === 1.0)
+  }
+
+  test("srmCheck: balanced split passes, a dropped variant's users trip the flag") {
+    val balanced = Experiment.srmCheck(Tables.events(spark, sf0001)).collect()
+    assert(balanced.length === 2)
+    val total = balanced.map(_.getAs[Long]("n_users")).sum
+    balanced.foreach { r =>
+      assert(r.getAs[Double]("expected") === total.toDouble / 2.0)
+      // contribution law: (n - e)^2 / e quantized
+      val d = r.getAs[Long]("n_users").toDouble - r.getAs[Double]("expected")
+      assert(math.abs(r.getAs[Double]("contribution") -
+        quant6(d * d / r.getAs[Double]("expected"))) < 1e-9)
+    }
+    assert(balanced.map(_.getAs[Int]("srm_flag")).distinct.toSeq === Seq(0),
+      "a hash-balanced 50/50 split must not trip SRM on the real corpus")
+    // simulate a logging bug on a 200-user synthetic corpus: drop ~90%
+    // of one variant's users (sf0.001's 15 users are too few for the
+    // chi-square to clear the critical value even when fully imbalanced)
+    val events = syntheticEvents((1L to 200L).map(i =>
+      (i, 1704067200L + i * 60L, i, "view", 1.0)))
+    val broken = events.join(
+      Experiment.abUserStats(events)
+        .filter(col("variant") === "control" ||
+          pmod(col("user_id"), lit(10L)) === 0L)
+        .select("user_id"), Seq("user_id"))
+    val flagged = Experiment.srmCheck(broken).collect()
+    assert(flagged.nonEmpty && flagged.forall(_.getAs[Int]("srm_flag") === 1),
+      "a 10x variant imbalance must trip the SRM flag")
+  }
+
+  test("cuped: a perfectly predictive covariate drives variance reduction to ~1") {
+    // per user: one pre-period purchase (value 10i) and one post-period
+    // purchase (value 20i) -> y = 2x exactly, theta = 2, y_adj constant
+    // 2024-01-01 = 1704067200s epoch (pre-period); 2024-01-17 post
+    val pre = (1L to 12L).map(i =>
+      (i, 1704067200L + i * 3600L, i, "purchase", 10.0 * i))
+    val post = (1L to 12L).map(i =>
+      (100L + i, 1705449600L + i * 3600L, i, "purchase", 20.0 * i))
+    val events = syntheticEvents(pre ++ post)
+    val rows = Experiment.cuped(events, cutover = "2024-01-16").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("theta") === 2.0,
+        "theta must recover the exact linear coefficient")
+      assert(r.getAs[Double]("var_rev_adj") <= 1e-6,
+        "a perfect covariate must collapse adjusted variance")
+      assert(r.getAs[Double]("var_reduction") >= 0.999999)
+      // CUPED preserves the pooled mean structure: adjusted values are
+      // the constant 2*xbar, so each variant's adjusted mean equals it
+      assert(r.getAs[Double]("mean_rev_adj") ===
+        rows.head.getAs[Double]("mean_rev_adj"))
+    }
+    // on the real corpus theta is pooled-optimal, so per-variant
+    // variance may wiggle slightly but must not materially increase
+    val real = Experiment.cuped(Tables.events(spark, sf0001)).collect()
+    real.foreach(r =>
+      assert(r.getAs[Double]("var_reduction") >= -0.1,
+        s"${r.getAs[String]("variant")}: CUPED materially increased variance"))
+  }
+}

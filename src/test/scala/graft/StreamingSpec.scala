@@ -654,6 +654,14 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch MV partials must merge to the batch-refreshed view")
   }
 
+  test("streaming A/B monitor equals the batch read-out (additive user partials)") {
+    val live = StreamOps.streamAb(spark, sf0001).collect().head
+    val batch = graft.operators.Experiment.abMetrics(
+      Tables.events(spark, sf0001)).collect().head
+    assert(live.toString === batch.toString,
+      "drained per-user partials must merge to the batch z/t read-out exactly")
+  }
+
   test("streaming DP release equals the batch release (additive cells, release-time noise)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("event_type"), r.getAs[String]("day"),
