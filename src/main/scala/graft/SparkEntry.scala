@@ -45,6 +45,8 @@ object SparkEntry {
     "q_asof_forward" -> ((s, d) => Events.asofPurchaseNextView(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d), 30)),
     "q_attribution" -> ((s, d) => Events.lastTouchAttribution(events(s, d))),
+    "q_attribution_position" ->
+      ((s, d) => Events.positionAttribution(events(s, d))),
     "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
     "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
     "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
@@ -332,6 +334,7 @@ object SparkEntry {
     "q_nb_calibration" -> ((s, d) => TextAnalysis.nbCalibration(documents(s, d))),
     "q_pmi_pairs" -> ((s, d) => TextAnalysis.pmiPairs(documents(s, d))),
     "q_pagerank_terms" -> ((s, d) => TextAnalysis.pagerankTerms(documents(s, d))),
+    "q_bfs_hops" -> ((s, d) => TextAnalysis.bfsHops(documents(s, d))),
     "q_triangles" -> ((s, d) => TextAnalysis.triangleCensus(documents(s, d))),
     "q_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(documents(s, d))),
     "q_mixture" -> ((s, d) => TextAnalysis.mixtureSample(documents(s, d))),
@@ -893,6 +896,55 @@ object SparkEntry {
     // last-touch attribution: user-led sessionization (the q_sessionize
     // gap law), running last non-purchase touch per session, empty
     // preceding frame → 'direct'
+    // U-shaped multi-touch: first/last 40%, middles share 20%; the
+    // touch-position windows key on the purchase id
+    "q_attribution_position" ->
+      """WITH pe AS (SELECT user_id, event_id, event_type, value,
+        |                   epoch_us(ts) AS us FROM events),
+        |psn AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+        |                   OR lag(us) OVER w IS NULL
+        |            THEN 1 ELSE 0 END AS new_session
+        |  FROM pe WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |pses AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM psn),
+        |pp AS (SELECT user_id, session_no, event_id AS p_eid, us AS p_us,
+        |              value AS p_val
+        |       FROM pses WHERE event_type = 'purchase'),
+        |pt AS (SELECT user_id AS t_uid, session_no AS t_sno,
+        |              event_id AS t_eid, us AS t_us, event_type AS t_type
+        |       FROM pses WHERE event_type <> 'purchase'),
+        |pj AS (
+        |  SELECT pp.p_eid, pp.p_val, pt.t_eid, pt.t_us, pt.t_type
+        |  FROM pp LEFT JOIN pt
+        |    ON pp.user_id = pt.t_uid AND pp.session_no = pt.t_sno
+        |       AND (pt.t_us < pp.p_us
+        |            OR (pt.t_us = pp.p_us AND pt.t_eid < pp.p_eid))),
+        |pk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY p_eid
+        |              ORDER BY t_us, t_eid) AS rk,
+        |         count(*) OVER (PARTITION BY p_eid) AS n
+        |  FROM pj),
+        |pc AS (
+        |  SELECT coalesce(t_type, 'direct') AS attributed,
+        |    CASE WHEN t_eid IS NULL OR n = 1 THEN 1.0
+        |         WHEN rk = 1 OR rk = n THEN
+        |           CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+        |         ELSE floor(0.2 / CAST(n - 2 AS DOUBLE) * 1000000.0 + 0.5)
+        |              / 1000000.0 END AS credit,
+        |    p_val
+        |  FROM pk),
+        |pcq AS (
+        |  SELECT attributed, credit,
+        |    floor(credit * p_val * 1000000.0 + 0.5) / 1000000.0 AS credited
+        |  FROM pc)
+        |SELECT attributed, count(*) AS n_credits,
+        |  CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS credit_mass,
+        |  CAST(sum(CAST(credited AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS credited_value
+        |FROM pcq GROUP BY 1 ORDER BY attributed""".stripMargin,
     "q_attribution" ->
       """WITH ae AS (SELECT user_id, event_id, event_type, value,
         |                   epoch_us(ts) AS us FROM events),
@@ -3518,6 +3570,9 @@ object SparkEntry {
     // damped update re-quantized each step (the SQL twin of
     // TextAnalysis.pagerankTerms' localCheckpoint loop)
     "q_pagerank_terms" -> pagerankOracleSql(4, 5L, 3, 20),
+    // BFS min-hop from the max-count seed term over the same edges;
+    // frontier rounds exclude everything already reached
+    "q_bfs_hops" -> bfsOracleSql(4, 5L, 3),
     // triangle census: degree-ordered orientation — each triangle closes
     // at its lowest-(deg, name) vertex exactly once; corners unioned for
     // per-node counts; cc is one integer ratio
@@ -4550,6 +4605,47 @@ object SparkEntry {
        |FROM b
        |WINDOW w AS (PARTITION BY user_id ORDER BY slot_us)
        |ORDER BY user_id, slot_us""".stripMargin
+  }
+
+  /** Generated BFS oracle: the pagerank edge chain + `maxHops` unrolled
+    * frontier CTEs, each excluding everything already reached.
+    */
+  private def bfsOracleSql(window: Int, minCount: Long,
+                           maxHops: Int): String = {
+    val steps = (1 to maxHops).map { h =>
+      val seen = (0 until h).map(i => s"SELECT term FROM bfh$i")
+        .mkString(" UNION ALL ")
+      s"""bfh$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS term, $h AS hop
+         |  FROM bfe e JOIN bfh${h - 1} f ON f.term = e.src
+         |  WHERE e.dst NOT IN ($seen))""".stripMargin
+    }.mkString(",\n")
+    val all = (0 to maxHops).map(h => s"SELECT term, hop FROM bfh$h")
+      .mkString(" UNION ALL ")
+    s"""WITH bfb AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                t -> t <> '') AS toks
+       |  FROM documents),
+       |bft AS MATERIALIZED (
+       |  SELECT doc_id, pos, toks[pos] AS t FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS pos
+       |    FROM bfb)),
+       |bfu AS (
+       |  SELECT least(a.t, b.t) AS t1, greatest(a.t, b.t) AS t2,
+       |         count(*) AS n_ab
+       |  FROM bft a JOIN bft b ON a.doc_id = b.doc_id AND b.pos > a.pos
+       |       AND b.pos <= a.pos + $window AND a.t <> b.t
+       |  GROUP BY 1,2 HAVING count(*) >= $minCount),
+       |bfe AS MATERIALIZED (SELECT t1 AS src, t2 AS dst FROM bfu
+       |       UNION ALL SELECT t2 AS src, t1 AS dst FROM bfu),
+       |bfh0 AS MATERIALIZED (
+       |  SELECT t AS term, 0 AS hop FROM (
+       |    SELECT t, count(*) AS n FROM bft GROUP BY 1
+       |    ORDER BY n DESC, t LIMIT 1)),
+       |$steps
+       |SELECT CAST(hop AS INT) AS hop, term FROM ($all)
+       |ORDER BY hop, term""".stripMargin
   }
 
   private def pagerankOracleSql(window: Int, minCount: Long, iters: Int,

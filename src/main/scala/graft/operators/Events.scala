@@ -491,6 +491,72 @@ object Events {
       .orderBy("attributed")
   }
 
+  /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION
+    * (q_attribution_position) — the multi-touch companion to
+    * [[lastTouchAttribution]]'s single-credit model: each purchase's
+    * value is SPLIT across every preceding touchpoint in its own
+    * session — first touch 40%, last touch 40%, the middle touches
+    * share the remaining 20% equally (n = 1 → 100%, n = 2 → 50/50,
+    * no touch → 'direct' at 100%) — the standard U-shaped rule
+    * marketing analytics runs when neither first- nor last-touch
+    * deserves all the credit. Census per attributed type: credit rows,
+    * total credit mass, and credited value.
+    *
+    * Scale shape: the same user-led sessionization as [[sessionize]];
+    * the touch×purchase fan-out is bounded by session size (the
+    * q_funnel device — sessions are gap-bounded, never corpus-sized);
+    * the position windows key on the PURCHASE id (event-cardinality —
+    * parallel). Determinism: integer-microsecond ordering with
+    * event_id tie-breaks; credits are exact literals or one quantized
+    * integer-ratio divide; credited value quantized after the one
+    * multiply, then DECIMAL-summed.
+    */
+  def positionAttribution(events: DataFrame,
+                          gapMinutes: Int = 30): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+             lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_session")).over(wRun))
+    val purchases = sessioned.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_no"),
+        col("event_id").as("p_eid"), col("us").as("p_us"),
+        col("value").as("p_val"))
+    val touches = sessioned.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_uid"), col("session_no").as("t_sno"),
+        col("event_id").as("t_eid"), col("us").as("t_us"),
+        col("event_type").as("t_type"))
+    val joined = purchases.join(touches,
+      col("user_id") === col("t_uid") && col("session_no") === col("t_sno")
+        && (col("t_us") < col("p_us") ||
+            (col("t_us") === col("p_us") && col("t_eid") < col("p_eid"))),
+      "left")
+    val wp = Window.partitionBy("p_eid").orderBy(col("t_us"), col("t_eid"))
+    val credit = joined
+      .withColumn("rk", row_number().over(wp))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_eid")))
+      .withColumn("attributed", coalesce(col("t_type"), lit("direct")))
+      .withColumn("credit",
+        when(col("t_eid").isNull || col("n") === 1, lit(1.0))
+          .when(col("rk") === 1 || col("rk") === col("n"),
+            when(col("n") === 2, lit(0.5)).otherwise(lit(0.4)))
+          .otherwise(quant6(
+            lit(0.2) / (col("n") - lit(2)).cast("double"))))
+      .withColumn("credited", quant6(col("credit") * col("p_val")))
+    credit.groupBy("attributed")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit").cast("decimal(18,6)")).cast("double")
+          .as("credit_mass"),
+        sum(col("credited").cast("decimal(18,6)")).cast("double")
+          .as("credited_value"))
+      .orderBy("attributed")
+  }
+
   /** Array-operator suite (F8-full) over the synthesized
     * message_event_types tags: sort, distinct-union with a constant tag
     * set, membership position, per-row existential/universal predicates,

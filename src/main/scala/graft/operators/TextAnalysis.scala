@@ -1941,6 +1941,66 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** BFS HOP DISTANCE (q_bfs_hops) — the fourth graph read next to
+    * PageRank's centrality, the triangles' cohesion, and LPA's
+    * clusters: breadth-first shortest-hop distance from the corpus's
+    * most frequent term (deterministic seed: max global count, term-asc
+    * tie-break) over the window-`window` co-occurrence graph — the
+    * neighborhood-expansion query a term-graph explorer ("what is
+    * within k hops of X?") runs, and the building block of
+    * graph-distance features. `maxHops` unrolled frontier rounds, each
+    * one edge join + distinct + anti-join against the visited set,
+    * localCheckpoint-truncated (the pagerankTerms device) — no GraphX,
+    * no driver loop over vertices.
+    *
+    * Scale shape: the pair space is positional (≤ window·n rows per
+    * doc); each round's frontier join is edge-bounded and the visited
+    * anti-join is node-bounded; state between rounds is the (term, hop)
+    * frontier — vocabulary-sized, never corpus-sized. Determinism: pure
+    * set algebra on exact counts; BFS min-hop is join-order-independent
+    * by construction. On the driver's 31-term uniform-vocabulary corpus
+    * one dense component is the CORRECT answer (everything lands at hop
+    * 1) — multi-hop separation is proven on a constructed chain corpus
+    * in TextAnalysisSpec.
+    */
+  def bfsHops(documents: DataFrame, window: Int = 4, minCount: Long = 5,
+              maxHops: Int = 3): DataFrame = {
+    val tp = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val und = tp.as("a").join(tp.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") &&
+        col("b.pos") <= col("a.pos") + window &&
+        col("a.t") =!= col("b.t"))
+      .select(least(col("a.t"), col("b.t")).as("t1"),
+              greatest(col("a.t"), col("b.t")).as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val edges = und.select(col("t1").as("src"), col("t2").as("dst"))
+      .unionByName(und.select(col("t2").as("src"), col("t1").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    // seed: bounded TakeOrdered (count desc, term asc), stays a 1-row frame
+    val seed = tp.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(1)
+      .select(col("t").as("term"))
+    var visited = seed.withColumn("hop", lit(0)).localCheckpoint()
+    var frontier = visited.select("term")
+    for (h <- 1 to maxHops) {
+      val nxt = frontier.withColumnRenamed("term", "src")
+        .join(edges, "src")
+        .select(col("dst").as("term")).distinct()
+        .join(visited.select("term"), Seq("term"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      visited = visited.unionByName(nxt).localCheckpoint()
+      frontier = nxt.select("term")
+    }
+    visited.select(col("hop").cast("int").as("hop"), col("term"))
+      .orderBy("hop", "term")
+  }
+
   /** CALIBRATION / discrimination curve for the NB quality classifier
     * (q_nb_calibration) — the reliability-by-decile table an ML-ops
     * review reads before trusting a filter in production: held-out

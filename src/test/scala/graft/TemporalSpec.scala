@@ -209,6 +209,41 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq(("cart", 1L, 5.0), ("direct", 3L, 12.0)))
   }
 
+  test("positionAttribution: U-shaped credit splits by hand oracle, mass conserves") {
+    val m = 60L * 1000000L
+    val ev = syntheticEvents(Seq(
+      // user 1: 3 touches -> 0.4 / 0.2 / 0.4 of the 8.0 purchase
+      (1L, 0L, 1L, "view", 1.0), (2L, 10 * m, 1L, "cart", 1.0),
+      (3L, 20 * m, 1L, "click", 1.0), (4L, 30 * m, 1L, "purchase", 8.0),
+      // user 2: single touch -> full credit
+      (5L, 0L, 2L, "view", 1.0), (6L, 10 * m, 2L, "purchase", 5.0),
+      // user 3: two touches -> 0.5 each
+      (7L, 0L, 3L, "view", 1.0), (8L, 10 * m, 3L, "cart", 1.0),
+      (9L, 20 * m, 3L, "purchase", 2.0),
+      // user 4: no touch -> direct
+      (10L, 0L, 4L, "purchase", 7.0),
+      // user 5: 4 touches -> 0.4 / 0.1 / 0.1 / 0.4 of 10.0
+      (11L, 0L, 5L, "view", 1.0), (12L, 5 * m, 5L, "cart", 1.0),
+      (13L, 10 * m, 5L, "click", 1.0), (14L, 15 * m, 5L, "search", 1.0),
+      (15L, 20 * m, 5L, "purchase", 10.0)))
+    val got = Events.positionAttribution(ev).collect()
+      .map(r => (r.getAs[String]("attributed"), r.getAs[Long]("n_credits"),
+        r.getAs[Double]("credit_mass"), r.getAs[Double]("credited_value")))
+      .toSeq
+    assert(got === Seq(
+      ("cart", 3L, 0.8, 3.6), ("click", 2L, 0.5, 4.2),
+      ("direct", 1L, 1.0, 7.0), ("search", 1L, 0.4, 4.0),
+      ("view", 4L, 2.3, 13.2)))
+    // conservation on the real corpus: each purchase hands out exactly
+    // 1.0 of credit (up to quantization dust on the 0.2/(n-2) middles)
+    val events = Tables.events(spark, sf0001)
+    val nPurch = events.filter(col("event_type") === "purchase").count()
+    val mass = Events.positionAttribution(events).collect()
+      .map(_.getAs[Double]("credit_mass")).sum
+    assert(math.abs(mass - nPurch.toDouble) < nPurch * 1e-3,
+      f"credit mass $mass%.4f drifted from the $nPurch purchases")
+  }
+
   test("seasonalDecompose: hour-of-day means and residual variance (hand oracle)") {
     val h = 3600L * 1000000L
     val ev = syntheticEvents(Seq(

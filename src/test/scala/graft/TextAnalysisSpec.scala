@@ -958,6 +958,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("en", 1L, 2L), ("en", 2L, 1L), ("fr", 1L, 3L)))
   }
 
+  test("bfsHops: hop distances separate on a chain corpus, maxHops bounds the reach") {
+    val sp = spark
+    import sp.implicits._
+    // path graph aa-bb-cc-dd-ee-ff: doc i repeats its edge's two terms
+    // 5 times (minCount = 5); middle terms count 10, tie-asc seed = bb
+    val chain = Seq("aa bb", "bb cc", "cc dd", "dd ee", "ee ff")
+    val docs = chain.zipWithIndex.map { case (pair, i) =>
+      (i.toLong, (pair + " ") * 5, "en", "s0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bfsHops(docs, maxHops = 3).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Int]("hop")).toMap
+    assert(got === Map("bb" -> 0, "aa" -> 1, "cc" -> 1, "dd" -> 2, "ee" -> 3),
+      "BFS must find exact shortest-hop distances along the chain")
+    assert(!got.contains("ff"),
+      "ff is 4 hops out — maxHops = 3 must bound the expansion")
+    // on the real corpus: seed at hop 0, every emitted hop <= maxHops,
+    // and hop sets are disjoint by construction of the anti-join
+    val real = TextAnalysis.bfsHops(Tables.documents(spark, sf0001)).collect()
+    assert(real.count(_.getAs[Int]("hop") === 0) === 1, "exactly one seed")
+    assert(real.map(_.getAs[String]("term")).distinct.length === real.length,
+      "a term must appear at exactly one hop")
+    assert(real.forall(_.getAs[Int]("hop") <= 3))
+  }
+
   test("labelPropagation separates two disjoint vocabulary clusters") {
     val sp = spark
     import sp.implicits._
