@@ -212,6 +212,9 @@ object SparkEntry {
     "q_similarity_topk" -> ((s, d) => Similarity.bruteForceTopK(embeddings(s, d), 20, 10)),
     "q_binary_quant" -> ((s, d) => Similarity.binaryQuantize(embeddings(s, d))),
     "q_hamming_search" -> ((s, d) => Similarity.hammingRerankSearch(embeddings(s, d))),
+    "q_binary_saved" -> ((s, d) => Similarity.binarySavedRoundtrip(s, d)),
+    "q_stream_binary_fresh" ->
+      ((s, d) => streaming.StreamOps.streamBinaryFresh(s, d)),
     "q_matryoshka_search" -> ((s, d) => Similarity.matryoshkaSearch(embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.lshAnnTopK(embeddings(s, d), 4, 8, 10)),
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
@@ -2780,44 +2783,11 @@ object SparkEntry {
         |FROM c ORDER BY vec_id""".stripMargin,
     // two-stage binary serve: XOR-popcount Hamming shortlist (ham asc,
     // id asc — the TopKAgg total order) -> exact cosine re-rank
-    "q_hamming_search" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c AS (SELECT vec_id,
-        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-1)
-        |                 ELSE 0 END for i in range(1,33)]) AS BIGINT) AS code_lo,
-        |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-33)
-        |                 ELSE 0 END for i in range(33,65)]) AS BIGINT) AS code_hi
-        |  FROM v),
-        |hq AS (SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
-        |       FROM c WHERE vec_id < 20),
-        |ham AS (
-        |  SELECT hq.query_id, c.vec_id AS neighbor_id,
-        |         bit_count(xor(c.code_lo, hq.q_lo))
-        |           + bit_count(xor(c.code_hi, hq.q_hi)) AS ham
-        |  FROM c, hq WHERE c.vec_id <> hq.query_id),
-        |sl AS (
-        |  SELECT query_id, neighbor_id,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY ham, neighbor_id) AS rk
-        |  FROM ham),
-        |b AS (SELECT vec_id, e,
-        |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
-        |qq AS (SELECT vec_id AS qid, e AS q_emb, nrm AS q_nrm
-        |       FROM b WHERE vec_id < 20),
-        |re AS (
-        |  SELECT s.query_id, s.neighbor_id,
-        |         list_dot_product(b.e, qq.q_emb) / (b.nrm * qq.q_nrm) AS sim
-        |  FROM sl s JOIN b ON s.neighbor_id = b.vec_id
-        |            JOIN qq ON s.query_id = qq.qid
-        |  WHERE s.rk <= 50),
-        |rr AS (
-        |  SELECT query_id, neighbor_id, sim,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY sim DESC, neighbor_id) AS rk
-        |  FROM re)
-        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
-        |       round(sim, 6) AS sim
-        |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_hamming_search" -> hammingOracleSql,
+    // serve-from-saved-codes and streamed upsert maintenance are
+    // value-identical to the inline serve -> oracle shared verbatim
+    "q_binary_saved" -> hammingOracleSql,
+    "q_stream_binary_fresh" -> hammingOracleSql,
     // Matryoshka prefix-dim serve: cosine on the first 16 components
     // bounds the shortlist, full-dim cosine re-ranks it
     "q_matryoshka_search" ->
@@ -4185,6 +4155,45 @@ object SparkEntry {
     * shared verbatim by q_dp_counts (batch) and q_stream_dp (drained
     * additive cell counts, noise at release time).
     */
+  private val hammingOracleSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c AS (SELECT vec_id,
+      |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-1)
+      |                 ELSE 0 END for i in range(1,33)]) AS BIGINT) AS code_lo,
+      |  CAST(list_sum([CASE WHEN e[i] > 0 THEN 1::BIGINT << (i-33)
+      |                 ELSE 0 END for i in range(33,65)]) AS BIGINT) AS code_hi
+      |  FROM v),
+      |hq AS (SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+      |       FROM c WHERE vec_id < 20),
+      |ham AS (
+      |  SELECT hq.query_id, c.vec_id AS neighbor_id,
+      |         bit_count(xor(c.code_lo, hq.q_lo))
+      |           + bit_count(xor(c.code_hi, hq.q_hi)) AS ham
+      |  FROM c, hq WHERE c.vec_id <> hq.query_id),
+      |sl AS (
+      |  SELECT query_id, neighbor_id,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY ham, neighbor_id) AS rk
+      |  FROM ham),
+      |b AS (SELECT vec_id, e,
+      |        sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      |qq AS (SELECT vec_id AS qid, e AS q_emb, nrm AS q_nrm
+      |       FROM b WHERE vec_id < 20),
+      |re AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         list_dot_product(b.e, qq.q_emb) / (b.nrm * qq.q_nrm) AS sim
+      |  FROM sl s JOIN b ON s.neighbor_id = b.vec_id
+      |            JOIN qq ON s.query_id = qq.qid
+      |  WHERE s.rk <= 50),
+      |rr AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM re)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
+      |       round(sim, 6) AS sim
+      |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
   private val abOracleSql: String =
     """WITH abu AS (
       |  SELECT user_id,

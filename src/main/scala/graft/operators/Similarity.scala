@@ -839,11 +839,22 @@ object Similarity {
     * brute tier's IEEE chain.
     */
   def hammingRerankSearch(embeddings: DataFrame, nQueries: Int = 20,
-                          k: Int = 10, m: Int = 50): DataFrame = {
+                          k: Int = 10, m: Int = 50): DataFrame =
+    hammingFromCodes(
+      withBinaryCodes(embeddings.repartition(col("vec_id"))
+          .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+        .select("vec_id", "code_lo", "code_hi"),
+      embeddings, nQueries, k, m)
+
+  /** The two-stage serve from an already-built (vec_id, code_lo,
+    * code_hi) code table — shared by [[hammingRerankSearch]] (codes
+    * computed inline) and [[searchBinaryIndex]] (codes read from the
+    * persisted store), so inline and from-files serves can never
+    * drift.
+    */
+  private def hammingFromCodes(codes: DataFrame, embeddings: DataFrame,
+                               nQueries: Int, k: Int, m: Int): DataFrame = {
     require(m >= k, s"shortlist m=$m must be >= k=$k")
-    val codes = withBinaryCodes(embeddings.repartition(col("vec_id"))
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
-      .select("vec_id", "code_lo", "code_hi")
     val queries = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("code_lo").as("q_lo"),
         col("code_hi").as("q_hi"))
@@ -855,6 +866,47 @@ object Similarity {
     val shortlist = rankedTopK(scored, m, "hamming", sc => -sc)
       .select(col("query_id"), col("neighbor_id"))
     cosineRerank(shortlist, embeddings, nQueries, k)
+  }
+
+  /** Persist the binary-code store (q_binary_saved's build half): one
+    * skinny (vec_id, code_lo, code_hi) row per vector — 16 bytes of
+    * index per 512-byte vector — written vec_id-bucketed, the SAME
+    * layout the streaming maintenance path upserts into (the
+    * buildLexicalIndex discipline), so offline build and live upsert
+    * are interchangeable producers of one artifact.
+    */
+  def buildBinaryIndex(embeddings: DataFrame, dir: String,
+                       nBuckets: Int = 16): Unit =
+    withBinaryCodes(embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
+      .select(col("vec_id"), col("code_lo"), col("code_hi"))
+      .withColumn("bucket",
+        pmod(col("vec_id"), lit(nBuckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Serve the Hamming-shortlist search FROM THE SAVED CODES — the
+    * deployed form of [[hammingRerankSearch]]: stage 1 scans the code
+    * artifacts (never re-quantizing the corpus), stage 2 re-ranks
+    * against the raw vector table. Value-identical to the inline serve
+    * by construction (q_binary_saved shares q_hamming_search's oracle
+    * verbatim).
+    */
+  def searchBinaryIndex(spark: SparkSession, dir: String,
+                        embeddings: DataFrame, nQueries: Int = 20,
+                        k: Int = 10, m: Int = 50): DataFrame =
+    hammingFromCodes(
+      spark.read.parquet(dir).select("vec_id", "code_lo", "code_hi"),
+      embeddings, nQueries, k, m)
+
+  /** Build + serve round-trip for the oracle harness. */
+  def binarySavedRoundtrip(spark: SparkSession, sfDir: String,
+                           nQueries: Int = 20, k: Int = 10,
+                           m: Int = 50): DataFrame = {
+    val dir = newIndexDir()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    buildBinaryIndex(emb, dir)
+    searchBinaryIndex(spark, dir, emb, nQueries, k, m)
   }
 
   /** MATRYOSHKA (MRL) PREFIX-DIMENSION serving search

@@ -730,21 +730,26 @@ object TextAnalysis {
       spark.read.parquet(dir).select("doc_id", "term", "tf"), nQueries, k)
   }
 
-  /** A fresh per-run artifact-store directory under java.io.tmpdir
-    * (posting stores, vector stores, MV stores), registered for
-    * recursive deletion at JVM exit (the same hygiene as Similarity's
-    * index dirs).
+  /** Per-JVM root for throwaway artifact stores (posting stores, vector
+    * stores, MV stores), deleted at JVM exit by ONE shared shutdown hook
+    * — the same fix as Similarity.indexRoot (one hook per call
+    * accumulated JVM threads); the root's own UUID keeps concurrent
+    * JVMs' live stores safe from each other.
     */
-  private[graft] def newStoreDir(): String = {
-    val dir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_store/" +
+  private lazy val storeRoot: String = {
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_store_" +
         java.util.UUID.randomUUID().toString)
     val hook = new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      try org.apache.commons.io.FileUtils.deleteDirectory(root)
       catch { case scala.util.control.NonFatal(_) => () })
     Runtime.getRuntime.addShutdownHook(hook)
-    dir.toString
+    root.toString
   }
+
+  /** A fresh per-run artifact-store directory under [[storeRoot]]. */
+  private[graft] def newStoreDir(): String =
+    s"$storeRoot/${java.util.UUID.randomUUID().toString}"
 
   /** Deterministic train/valid/test split (80/10/10) by content-stable
     * hash of the document key: the split a training-data pipeline needs

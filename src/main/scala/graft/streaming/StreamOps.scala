@@ -2396,6 +2396,74 @@ object StreamOps {
       spark, s"$root/store", nQueries, k)
   }
 
+  /** One micro-batch of BINARY-CODE-store maintenance —
+    * [[lexicalUpsertBatch]]'s storage discipline on the (vec_id,
+    * code_lo, code_hi) table: the batch's vectors are sign-bit
+    * quantized and REPLACE their code rows (anti-join by vec_id over
+    * touched buckets, dynamic-partition overwrite), so a re-delivered
+    * vector cannot leave a stale or duplicate code — a duplicate would
+    * surface a phantom candidate, which the shared serve hash would
+    * expose instantly.
+    */
+  def binaryUpsertBatch(batch: DataFrame, storeDir: String,
+                        nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val codeSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("code_lo", LongType),
+      StructField("code_hi", LongType), StructField("bucket", IntegerType)))
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(storePath))
+        spark.read.schema(codeSchema).parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codeSchema)
+    val fresh = graft.operators.Similarity.binaryQuantize(batch)
+      .select("vec_id", "code_lo", "code_hi")
+      .withColumn("bucket",
+        pmod(col("vec_id"), lit(nBuckets.toLong)).cast("int"))
+    val ids = batch.select("vec_id").distinct()
+    val touched = fresh.select("bucket").distinct()
+    val kept = store
+      .join(broadcast(touched), Seq("bucket"), "left_semi")
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+    val merged = kept.unionByName(fresh.select(kept.columns.map(col): _*))
+      .repartition(col("bucket"))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(storeDir)
+  }
+
+  /** STREAMING BINARY-INDEX FRESHNESS (q_stream_binary_fresh) — the
+    * quantize-at-ingest loop for the 1-bit tier: vectors arrive in
+    * micro-batches, each batch is sign-bit encoded and upserted into
+    * the vec_id-bucketed code store ([[binaryUpsertBatch]] — replace-
+    * not-duplicate; a staged final batch RE-DELIVERS every third id to
+    * exercise it), and the drained store serves the same two-stage
+    * Hamming-shortlist + cosine-re-rank search the offline build
+    * serves — q_hamming_search's oracle shared VERBATIM, so streamed
+    * maintenance provably loses nothing vs the one-shot build.
+    *
+    * 100 TB shape: per batch the encode is map-only over the batch,
+    * the upsert rewrites only touched buckets (batch-sized), and the
+    * serve scans 16-byte codes, never vectors.
+    */
+  def streamBinaryFresh(spark: SparkSession, sfDir: String,
+                        nBatches: Int = 3, nQueries: Int = 20,
+                        k: Int = 10, m: Int = 50): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val root = stageRanges(emb, "vec_id", nBatches)
+    stageLateBatch(emb.filter(col("vec_id") % 3 === 0), root, nBatches)
+    runStagedBatches(spark, emb.schema, s"$root/src", s"$root/ck") {
+      (batch, _) => binaryUpsertBatch(batch, s"$root/store")
+    }
+    graft.operators.Similarity.searchBinaryIndex(
+      spark, s"$root/store", emb, nQueries, k, m)
+  }
+
   /** STREAMING INDEX MAINTENANCE — the loop that keeps a persisted
     * IVF-PQ index fresh as vectors arrive: the index is built OFFLINE on
     * the historical slice (vec_id >= splitId), then each micro-batch of

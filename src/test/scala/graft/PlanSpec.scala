@@ -156,6 +156,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("binary + matryoshka serves: broadcasts kept, no cartesian, both TopK stages partial") {
+    // the two-stage cheap-shortlist serves must keep the serving-plan
+    // economics: query codes / prefix vectors broadcast, candidates
+    // stream, BOTH TopKAgg stages (shortlist m, exact top-k) keep their
+    // map-side partials, nothing degenerates into a cartesian — and the
+    // from-files serve (q_binary_saved) keeps the same shape reading the
+    // code store instead of quantizing inline
+    for (name <- Seq("q_hamming_search", "q_binary_saved",
+                     "q_matryoshka_search")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(p.contains("BroadcastExchange"),
+        s"$name: serve lost its query-side broadcast")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: serve degenerated to a cartesian product")
+      val partials = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(partials >= 4,
+        s"$name: $partials ObjectHashAggregate nodes — a TopKAgg stage lost partial aggregation")
+      CacheRegistry.release()
+    }
+  }
+
+  test("experiment read-outs: user-keyed hash aggs only — no window, no shuffle join") {
+    // the A/B family must stay one corpus pass + scalar math: the
+    // per-user stage is a hash agg on user_id (corpus-cardinality), the
+    // census/statistic stages are broadcast-scalar — a Window or a
+    // shuffle join here would serialize the experiment read-out
+    for (name <- Seq("q_ab_metrics", "q_srm_check", "q_cuped")) {
+      val p = planText(SparkEntry.queries(name)(spark, sf0001))
+      assert(!p.contains("Window"),
+        s"$name: experiment plan grew a window")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: experiment plan grew a shuffle join")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: experiment plan degenerated to a cartesian product")
+      CacheRegistry.release()
+    }
+  }
+
+  test("position attribution: windows lead with user_id or the purchase id only") {
+    // sessionization windows shard on the user key; the credit-position
+    // windows shard on the purchase event id (event-cardinality) — a
+    // type- or session-led window would serialize hot sessions
+    val p = planText(
+      SparkEntry.queries("q_attribution_position")(spark, sf0001))
+    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty, "expected window specs in the plan")
+    assert(specs.forall(s => s.contains("user_id") || s.contains("p_eid")),
+      s"found a window led by neither user_id nor p_eid: $specs")
+    CacheRegistry.release()
+  }
+
   test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {
     // same lock for the full rank-function family: q_window_ranks derives
     // dense_rank/percent_rank/cume_dist/ntile from (rk, n) arithmetic, so

@@ -81,6 +81,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("binary index: serve-from-saved-codes equals the inline serve verbatim") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val inline0 = Similarity.hammingRerankSearch(emb, 20, 10, 50).collect()
+    val saved = Similarity.binarySavedRoundtrip(spark, sf0001, 20, 10, 50)
+      .collect()
+    assert(saved.map(_.toString).toSeq === inline0.map(_.toString).toSeq,
+      "the from-files serve must lose nothing vs inline quantization")
+  }
+
   test("matryoshkaSearch: full-corpus shortlist equals brute force; prefix recall floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val n = emb.count().toInt

@@ -654,6 +654,27 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch MV partials must merge to the batch-refreshed view")
   }
 
+  test("streaming binary-code upsert: re-delivery replaces, serve equals inline") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val live = StreamOps.streamBinaryFresh(spark, sf0001).collect()
+    val inline0 = graft.operators.Similarity
+      .hammingRerankSearch(emb, 20, 10, 50).collect()
+    assert(live.map(_.toString).toSeq === inline0.map(_.toString).toSeq,
+      "streamed code maintenance must serve identically to the one-shot build")
+    // replace-not-duplicate, proven on the store itself: two range
+    // batches then a full re-delivery of every third id leave exactly
+    // one code row per vector
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_binstore_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    StreamOps.binaryUpsertBatch(emb.filter(col("vec_id") < 200), dir)
+    StreamOps.binaryUpsertBatch(emb.filter(col("vec_id") >= 200), dir)
+    StreamOps.binaryUpsertBatch(emb.filter(col("vec_id") % 3 === 0), dir)
+    val store = spark.read.parquet(dir)
+    assert(store.count() === emb.count(), "one live code row per vector")
+    assert(store.select("vec_id").distinct().count() === emb.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("streaming A/B monitor equals the batch read-out (additive user partials)") {
     val live = StreamOps.streamAb(spark, sf0001).collect().head
     val batch = graft.operators.Experiment.abMetrics(
