@@ -357,6 +357,33 @@ object ScaleProbe {
     // economics actually turns on (brute pays |Q|·|D| dot products per
     // request wave; the index pays |Q|·(probed-cells + m) — build cost
     // amortizes across every wave, timed separately)
+    // binary-serve economics: the float brute scan vs the sign-bit
+    // code scan + exact re-rank against an amplified corpus — the
+    // binary tier's stage 1 moves 16 bytes per candidate where the
+    // brute scan moves 512, so its edge must WIDEN as the corpus grows
+    locally {
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val m = emb.count()
+      val amp = (0 until factor).map { k =>
+        emb.select((col("vec_id") + lit(k * m)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bin_probe_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.buildBinaryIndex(amp, dir)
+      println(f"  binary index build (amortized): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.bruteForceTopK(amp, 50, 10).count()
+      val bs = (System.nanoTime() - t0) / 1e9
+      time("binary_serve") {
+        val n = graft.operators.Similarity.searchBinaryIndex(
+          spark, dir, amp, 50, 10, 50).count()
+        println(f"  |Q|=50: brute ${bs}%.1f s vs binary serve (timed block)")
+        n
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     // amplification + index build run OUTSIDE the timed block — the
     // build is the cost that amortizes across every query wave, so the
     // headline number must cover only the brute-vs-serve waves (its own
