@@ -793,12 +793,19 @@ object Similarity {
     * packed sums are integer arithmetic.
     */
   def binaryQuantize(embeddings: DataFrame): DataFrame =
+    binaryQuantizeUnordered(embeddings).orderBy("vec_id")
+
+  /** Unordered form for composition (StreamOps.binaryUpsertBatch) — the
+    * census query's oracle-determinism orderBy must not leak a range
+    * exchange into every maintenance batch (the sq8QuantizeUnordered
+    * discipline).
+    */
+  def binaryQuantizeUnordered(embeddings: DataFrame): DataFrame =
     withBinaryCodes(embeddings.repartition(col("vec_id"))
         .select(col("vec_id"), asDouble(col("embedding")).as("emb")))
       .select(col("vec_id"), col("code_lo"), col("code_hi"),
         (expr("bit_count(code_lo)") + expr("bit_count(code_hi)"))
           .cast("long").as("n_bits"))
-      .orderBy("vec_id")
 
   /** Stage 2 shared by the two-stage COSINE searches
     * ([[hammingRerankSearch]], [[matryoshkaSearch]]): fetch the

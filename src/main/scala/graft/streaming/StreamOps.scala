@@ -2419,7 +2419,7 @@ object StreamOps {
         spark.read.schema(codeSchema).parquet(storeDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], codeSchema)
-    val fresh = graft.operators.Similarity.binaryQuantize(batch)
+    val fresh = graft.operators.Similarity.binaryQuantizeUnordered(batch)
       .select("vec_id", "code_lo", "code_hi")
       .withColumn("bucket",
         pmod(col("vec_id"), lit(nBuckets.toLong)).cast("int"))
