@@ -72,6 +72,9 @@ object SparkEntry {
     "q_ab_metrics" -> ((s, d) => Experiment.abMetrics(events(s, d))),
     "q_stream_ab" -> ((s, d) => streaming.StreamOps.streamAb(s, d)),
     "q_srm_check" -> ((s, d) => Experiment.srmCheck(events(s, d))),
+    "q_ab_sequential" -> ((s, d) => Experiment.abSequential(events(s, d))),
+    "q_benford" -> ((s, d) => Pipeline.benfordAudit(events(s, d))),
+    "q_acf" -> ((s, d) => Events.autocorrelation(events(s, d))),
     "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
@@ -650,6 +653,93 @@ object SparkEntry {
     // drained per-user partials merge additively into the one-shot
     // per-user frame -> same read-out, oracle shared verbatim
     "q_stream_ab" -> abOracleSql,
+    // always-valid sequential monitoring: day-prefix cumulative counts
+    // from first-event/first-conversion days, mSPRT Lambda through the
+    // quant6 transcendental law (exp arg clamped at 700), p = 1/cummax;
+    // tau^2 written as 0.1*0.1 in DOUBLE (1 ulp off the literal 0.01)
+    "q_ab_sequential" ->
+      """WITH squ AS (
+        |  SELECT user_id,
+        |    min(strftime(ts, '%Y-%m-%d')) AS first_day,
+        |    min(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |        THEN strftime(ts, '%Y-%m-%d') END) AS first_conv_day
+        |  FROM events GROUP BY user_id),
+        |sqv AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |             CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |             % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant,
+        |         first_day, first_conv_day
+        |  FROM squ),
+        |sqd AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |sqg AS (SELECT day, variant FROM sqd CROSS JOIN
+        |          (SELECT 'control' AS variant
+        |           UNION ALL SELECT 'treatment')),
+        |squn AS (SELECT variant, first_day AS day, count(*) AS n_new_users
+        |         FROM sqv GROUP BY 1,2),
+        |sqcn AS (SELECT variant, first_conv_day AS day,
+        |                count(*) AS n_new_conv
+        |         FROM sqv WHERE first_conv_day IS NOT NULL GROUP BY 1,2),
+        |sqcum AS (
+        |  SELECT g.variant, g.day,
+        |    sum(coalesce(u.n_new_users, 0)) OVER (PARTITION BY g.variant
+        |      ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS cu,
+        |    sum(coalesce(c.n_new_conv, 0)) OVER (PARTITION BY g.variant
+        |      ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS cc
+        |  FROM sqg g
+        |  LEFT JOIN squn u ON u.variant = g.variant AND u.day = g.day
+        |  LEFT JOIN sqcn c ON c.variant = g.variant AND c.day = g.day),
+        |sqw AS (
+        |  SELECT day,
+        |    CAST(max(CASE WHEN variant = 'control' THEN cu END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(max(CASE WHEN variant = 'treatment' THEN cu END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(max(CASE WHEN variant = 'control' THEN cc END) AS BIGINT)
+        |      AS conv_c,
+        |    CAST(max(CASE WHEN variant = 'treatment' THEN cc END) AS BIGINT)
+        |      AS conv_t
+        |  FROM sqcum GROUP BY day),
+        |sqx AS (
+        |  SELECT day, n_c, n_t, conv_c, conv_t,
+        |    CAST(conv_c + conv_t AS DOUBLE)
+        |      / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS pp,
+        |    CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS theta,
+        |    CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE) AS tau2
+        |  FROM sqw),
+        |sqs AS (
+        |  SELECT day, n_c, n_t, conv_c, conv_t,
+        |    CASE WHEN n_c > 0 AND n_t > 0 AND pp > 0.0 AND pp < 1.0
+        |      THEN floor(theta / sqrt(pp * (1.0 - pp)
+        |             * (1.0 / CAST(n_c AS DOUBLE)
+        |                + 1.0 / CAST(n_t AS DOUBLE)))
+        |           * 1000000.0 + 0.5) / 1000000.0 END AS z,
+        |    CASE WHEN n_c > 0 AND n_t > 0 AND pp > 0.0 AND pp < 1.0
+        |      THEN floor(sqrt((pp * (1.0 - pp)
+        |              * (1.0 / CAST(n_c AS DOUBLE)
+        |                 + 1.0 / CAST(n_t AS DOUBLE)))
+        |             / ((pp * (1.0 - pp)
+        |              * (1.0 / CAST(n_c AS DOUBLE)
+        |                 + 1.0 / CAST(n_t AS DOUBLE))) + tau2))
+        |        * exp(least(theta * theta * tau2
+        |             / (2.0 * (pp * (1.0 - pp)
+        |                * (1.0 / CAST(n_c AS DOUBLE)
+        |                   + 1.0 / CAST(n_t AS DOUBLE)))
+        |               * ((pp * (1.0 - pp)
+        |                * (1.0 / CAST(n_c AS DOUBLE)
+        |                   + 1.0 / CAST(n_t AS DOUBLE))) + tau2)),
+        |             CAST(700.0 AS DOUBLE)))
+        |        * 1000000.0 + 0.5) / 1000000.0 END AS lambda
+        |  FROM sqx),
+        |sqr AS (
+        |  SELECT *, max(lambda) OVER (ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS lmax
+        |  FROM sqs)
+        |SELECT day, n_c, n_t, conv_c, conv_t, z, lambda,
+        |  round(least(1.0 / lmax, 1.0), 6) AS p_always_valid,
+        |  CAST(least(1.0 / lmax, 1.0) < 0.05 AS INT) AS decided
+        |FROM sqr ORDER BY day""".stripMargin,
     // SRM guardrail: chi-square goodness-of-fit of the variant user
     // split against 50/50, flagged at the df=1 95% critical value
     "q_srm_check" ->
@@ -1834,6 +1924,87 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 6) AS sim
         |FROM xrk WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+    // ACF over the dense zero-filled hourly census: mean through
+    // quant6, deviation products quant6'd then DECIMAL-summed, lag
+    // pairs via a dense-grid self-join (DuckDB lag needs a constant
+    // offset; the dense grid makes the two formulations identical)
+    "q_acf" ->
+      """WITH acb AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1,2),
+        |acg AS (
+        |  SELECT event_type, unnest(range(h0, h1 + 1)) AS hr
+        |  FROM (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+        |        FROM acb GROUP BY 1)),
+        |acd AS (
+        |  SELECT g.event_type, g.hr, coalesce(b.x, 0) AS x
+        |  FROM acg g LEFT JOIN acb b
+        |    ON g.event_type = b.event_type AND g.hr = b.hr),
+        |acs AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    floor(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS xbar
+        |  FROM acd GROUP BY 1),
+        |acv AS (
+        |  SELECT d.event_type, d.hr, CAST(d.x AS DOUBLE) - s.xbar AS dv
+        |  FROM acd d JOIN acs s ON d.event_type = s.event_type),
+        |aden AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(floor(dv * dv * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS den
+        |  FROM acv GROUP BY 1),
+        |acl AS (SELECT unnest(range(1, 13)) AS lg),
+        |acp AS (
+        |  SELECT a.event_type, l.lg,
+        |    CAST(sum(CAST(floor(a.dv * b.dv * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS num
+        |  FROM acv a CROSS JOIN acl l
+        |  JOIN acv b ON b.event_type = a.event_type AND b.hr = a.hr - l.lg
+        |  GROUP BY 1,2)
+        |SELECT p.event_type, CAST(p.lg AS INT) AS lag,
+        |  CAST(s.n_hours AS BIGINT) AS n_hours,
+        |  round(CASE WHEN d.den > 0.0 THEN p.num / d.den END, 6) AS acf
+        |FROM acp p JOIN aden d ON p.event_type = d.event_type
+        |JOIN acs s ON p.event_type = s.event_type
+        |ORDER BY p.event_type, lag""".stripMargin,
+    // Benford first-digit audit: digit from EXACT integer cents (never
+    // log10), expectations through the quant6 ln law, q_chi2 discipline
+    "q_benford" ->
+      """WITH bfd0 AS (
+        |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |bfd1 AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM bfd0 WHERE cents > 0),
+        |bfd AS (SELECT digit, count(*) AS n_obs FROM bfd1 GROUP BY 1),
+        |bft AS (SELECT sum(n_obs) AS n_total FROM bfd),
+        |bfr AS (
+        |  SELECT digit, n_obs, n_total,
+        |    floor(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)
+        |          * 1000000.0 + 0.5) / 1000000.0 AS p_benford
+        |  FROM bfd CROSS JOIN bft),
+        |bfx AS (
+        |  SELECT *, CAST(n_total AS DOUBLE) * p_benford AS expected
+        |  FROM bfr),
+        |bfc AS (
+        |  SELECT *,
+        |    floor((CAST(n_obs AS DOUBLE) - expected)
+        |          * (CAST(n_obs AS DOUBLE) - expected) / expected
+        |          * 1000000.0 + 0.5) / 1000000.0 AS contribution
+        |  FROM bfx),
+        |bfs AS (
+        |  SELECT CAST(sum(CAST(contribution AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS chi2_total
+        |  FROM bfc)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+        |  p_benford,
+        |  round(expected, 6) AS n_expected,
+        |  round(contribution, 6) AS contribution,
+        |  round(chi2_total, 6) AS chi2_total,
+        |  CAST(chi2_total > 15.507 AS INT) AS deviates
+        |FROM bfc CROSS JOIN bfs ORDER BY digit""".stripMargin,
     "q_dp_counts" -> dpOracleSql,
     // the streaming release's drained cell counts merge additively into
     // the same histogram the batch release noises — oracle shared

@@ -491,6 +491,66 @@ object Events {
       .orderBy("attributed")
   }
 
+  /** AUTOCORRELATION FUNCTION (q_acf) — the diagnostic read BEFORE
+    * choosing a seasonal period or a forecasting model (Box–Jenkins
+    * identification): per event type, the ACF of the hourly count
+    * series at lags 1..`maxLag` — a spike at lag 24 says "daily
+    * seasonality", slow decay says "trend, difference first". Computed
+    * over the DENSE hourly grid (zero-filled between each series'
+    * observed [min, max] hour — the resample device; ACF on a gappy
+    * grid is a different, wrong statistic).
+    *
+    * Scale shape: the corpus collapses to the (type, hour) census in
+    * the first hash agg; everything after (grid fill, lag windows,
+    * moment sums) runs on census rows — |types|·|hours| — per the
+    * q_period_over_period census-window precedent. Determinism: counts
+    * exact; the mean goes through quant6 (it feeds every deviation);
+    * deviation products quant6'd then DECIMAL-summed; a zero-variance
+    * series reports NULL (guarded), never a division error.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int = 12): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val buckets = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("x"))
+    val grid = buckets.groupBy("event_type")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val dense = grid.join(buckets, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("_sx"))
+      .select(col("event_type"), col("n_hours"),
+        quant6(col("_sx").cast("double") /
+          col("n_hours").cast("double")).as("xbar"))
+    val dev = dense.join(broadcast(stats), "event_type")
+      .withColumn("d", col("x").cast("double") - col("xbar"))
+    val den = dev.groupBy("event_type")
+      .agg(sum(quant6(col("d") * col("d")).cast("decimal(38,6)"))
+        .cast("double").as("den"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val lagCols = (1 to maxLag).map(k => lag(col("d"), k).over(w).as(s"d_$k"))
+    val lagged = dev.select(
+      (Seq(col("event_type"), col("d")) ++ lagCols): _*)
+    val pairs = lagged.select(col("event_type"), col("d"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(k => s"$k, d_$k").mkString(", ") +
+        ") as (lag, dl)"))
+      .filter(col("dl").isNotNull)
+    pairs
+      .groupBy("event_type", "lag")
+      .agg(sum(quant6(col("d") * col("dl")).cast("decimal(38,6)"))
+        .cast("double").as("num"))
+      .join(broadcast(den), "event_type")
+      .join(broadcast(stats.select("event_type", "n_hours")), "event_type")
+      .select(col("event_type"), col("lag"), col("n_hours"),
+        round(when(col("den") > 0.0, col("num") / col("den")), 6).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   /** POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION
     * (q_attribution_position) — the multi-touch companion to
     * [[lastTouchAttribution]]'s single-credit model: each purchase's

@@ -146,6 +146,96 @@ object Experiment {
   def abMetrics(events: DataFrame, convThreshold: Double = 150.0): DataFrame =
     abMetricsFromUsers(abUserStats(events, convThreshold))
 
+  /** SEQUENTIAL (always-valid) EXPERIMENT MONITORING (q_ab_sequential;
+    * Johari et al. 2017, mSPRT) — the fix for the single most famous
+    * experimentation pitfall: an analyst who checks a fixed-horizon z
+    * test daily and stops at the first |z| > 1.96 inflates the false-
+    * positive rate several-fold (the peeking problem). The mixture
+    * sequential probability ratio test gives a p-value that is valid at
+    * EVERY interim look: per day-prefix d, the conversion-rate
+    * difference θ̂_d and its pooled variance V_d feed
+    * Λ_d = √(V_d/(V_d+τ²)) · exp(θ̂_d²·τ²/(2·V_d·(V_d+τ²))), and the
+    * always-valid p is 1/cummax(Λ) clamped to 1 — monotone by
+    * construction, so "stop when p < α" is a valid rule however often
+    * the dashboard is refreshed. Emitted per day next to the naive z
+    * trajectory, so the table SHOWS what peeking would have done.
+    *
+    * Cumulative counts come from first-event/first-conversion days:
+    * per user ONE (variant, first_day, first_conv_day) row, then day-
+    * census cumsums — one corpus pass, every window over the |days|-row
+    * census (the q_period_over_period discipline), never fact rows.
+    * Determinism: counts exact; θ̂/V fixed IEEE chains on exact
+    * operands; Λ through quant6 (the suite's accepted transcendental
+    * law — exp here, ln elsewhere); the exp argument clamped at 700 on
+    * both engines so a vanishing variance saturates instead of
+    * overflowing; degenerate prefixes (no conversions yet, pPool ∈
+    * {0,1}) emit NULL and the running max skips them.
+    */
+  def abSequential(events: DataFrame, convThreshold: Double = 150.0,
+                   tau: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy("user_id")
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("first_day"),
+        min(when(col("event_type") === "purchase" &&
+            col("value") >= convThreshold,
+          date_format(col("ts"), "yyyy-MM-dd"))).as("first_conv_day"))
+      .select(variantOf(col("user_id")).as("variant"),
+        col("first_day"), col("first_conv_day"))
+    val days = events.select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val grid = days.crossJoin(
+      days.sparkSession.range(2).select(
+        when(col("id") === 0, lit("control")).otherwise(lit("treatment"))
+          .as("variant")))
+    val newU = perUser.groupBy(col("variant"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val newC = perUser.filter(col("first_conv_day").isNotNull)
+      .groupBy(col("variant"), col("first_conv_day").as("day"))
+      .agg(count(lit(1)).as("n_new_conv"))
+    val wCum = Window.partitionBy("variant").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .join(newU, Seq("variant", "day"), "left")
+      .join(newC, Seq("variant", "day"), "left")
+      .select(col("variant"), col("day"),
+        sum(coalesce(col("n_new_users"), lit(0L))).over(wCum).as("cu"),
+        sum(coalesce(col("n_new_conv"), lit(0L))).over(wCum).as("cc"))
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = cum.groupBy("day")
+      .agg(side("control", "cu").as("n_c"), side("treatment", "cu").as("n_t"),
+        side("control", "cc").as("conv_c"),
+        side("treatment", "cc").as("conv_t"))
+    val nC = col("n_c").cast("double")
+    val nT = col("n_t").cast("double")
+    val pPool = (col("conv_c") + col("conv_t")).cast("double") / (nC + nT)
+    val theta = col("conv_t").cast("double") / nT -
+      col("conv_c").cast("double") / nC
+    val v = pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT)
+    val tau2 = lit(tau * tau)
+    val ok = col("n_c") > 0L && col("n_t") > 0L &&
+      pPool > 0.0 && pPool < 1.0
+    val scored = wide
+      .withColumn("z", when(ok,
+        graft.operators.Similarity.quant6(theta / sqrt(v))))
+      .withColumn("lambda", when(ok, graft.operators.Similarity.quant6(
+        sqrt(v / (v + tau2)) *
+        exp(least(theta * theta * tau2 /
+          (lit(2.0) * v * (v + tau2)), lit(700.0))))))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("_lmax", max(col("lambda")).over(wRun))
+      .select(col("day"), col("n_c"), col("n_t"),
+        col("conv_c"), col("conv_t"), col("z"),
+        col("lambda"),
+        round(least(lit(1.0) / col("_lmax"), lit(1.0)), 6)
+          .as("p_always_valid"),
+        (least(lit(1.0) / col("_lmax"), lit(1.0)) < 0.05).cast("int")
+          .as("decided"))
+      .orderBy("day")
+  }
+
   /** SAMPLE-RATIO-MISMATCH check (q_srm_check) — the guardrail every
     * experiment readout runs FIRST: if the observed variant split
     * deviates from the designed 50/50 beyond chance, the assignment or

@@ -957,6 +957,59 @@ object Pipeline {
         .orderBy("event_type", "day")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT (q_benford) — the classic
+    * fabricated-numbers screen (Benford 1938; the forensic-accounting
+    * and data-quality staple): naturally occurring multi-scale amounts
+    * have first significant digits distributed log₁₀(1 + 1/d), and a
+    * column that deviates (uniform digits, a spike at a threshold
+    * digit) is a flag for synthetic padding, unit mix-ups, or fraud.
+    * Per digit 1..9: observed count/share, the Benford expectation,
+    * and the χ² contribution; the total χ² (df = 8, 95% critical value
+    * 15.507) rides every row with a flag.
+    *
+    * Determinism: the first digit is extracted in EXACT integer
+    * arithmetic — value·100 rounded to a long (the SQ8 floor(+0.5)
+    * law), first character of the integer's decimal rendering (both
+    * engines print integers identically) — never via log10, whose
+    * boundary behavior at exact powers of ten differs; expectations go
+    * through the quant6 ln law; contributions quantize before the
+    * DECIMAL total (the q_chi2 discipline). Scale: one scan + 9-row
+    * hash agg + scalar broadcasts.
+    */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    import graft.operators.Similarity.quant6
+    val digits = events
+      .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+        .as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val rows = digits.crossJoin(broadcast(tot))
+      .withColumn("p_benford", quant6(
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0))))
+      .withColumn("expected",
+        col("n_total").cast("double") * col("p_benford"))
+      .withColumn("contribution", quant6(
+        (col("n_obs").cast("double") - col("expected")) *
+        (col("n_obs").cast("double") - col("expected")) / col("expected")))
+    val chi = rows.agg(
+      sum(col("contribution").cast("decimal(18,6)")).cast("double")
+        .as("chi2_total"))
+    rows.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"),
+        col("p_benford"),
+        round(col("expected"), 6).as("n_expected"),
+        round(col("contribution"), 6).as("contribution"),
+        round(col("chi2_total"), 6).as("chi2_total"),
+        (col("chi2_total") > 15.507).cast("int").as("deviates"))
+      .orderBy("digit")
+  }
+
   /** One referential-integrity constraint census row: orphans are the
     * child rows whose FK value has no parent — a LEFT ANTI join, which
     * Spark plans as broadcast-anti for dimension-sized parents and

@@ -118,6 +118,44 @@ class ExperimentSpec extends SparkSpec {
       "a 10x variant imbalance must trip the SRM flag")
   }
 
+  test("abSequential: always-valid p is monotone, detects a planted effect, spares a null") {
+    val day = 86400L
+    val base = 1704067200L // 2024-01-01
+    // skeleton: 400 users, one view each on day 1 -> learn the hash
+    // assignment, then plant the effect on the treatment side only
+    val ids = (1L to 400L)
+    val skeleton = ids.map(i => (i, base + i, i, "view", 1.0))
+    val variants = Experiment.abUserStats(syntheticEvents(skeleton))
+      .collect().map(r =>
+        r.getAs[Long]("user_id") -> r.getAs[String]("variant")).toMap
+    val treatmentIds = ids.filter(variants(_) == "treatment")
+    // treatment users convert spread over days 3..12
+    val planted = treatmentIds.zipWithIndex.map { case (i, j) =>
+      (10000L + i, base + (3 + j % 10) * day + i, i, "purchase", 200.0)
+    }
+    val got = Experiment.abSequential(syntheticEvents(skeleton ++ planted))
+      .collect()
+    val ps = got.flatMap(r => Option(r.getAs[Double]("p_always_valid")))
+    assert(ps.nonEmpty)
+    ps.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, "always-valid p must be non-increasing")
+    }
+    val last = got.last
+    assert(last.getAs[Double]("p_always_valid") < 0.05 &&
+      last.getAs[Int]("decided") === 1,
+      "an every-treatment-user-converts effect must cross the 0.05 boundary")
+    assert(last.getAs[Double]("z") > 0.0, "effect direction must be positive")
+    // A/A: conversions split by id parity (independent of the hash) ->
+    // theta ~ 0, Lambda stays small, the monitor never fires
+    val aa = ids.filter(_ % 2 == 0).map(i =>
+      (20000L + i, base + 2 * day + i, i, "purchase", 200.0))
+    val nullRun = Experiment.abSequential(syntheticEvents(skeleton ++ aa))
+      .collect()
+    assert(nullRun.last.getAs[Double]("p_always_valid") > 0.05,
+      "a null effect must not be declared significant")
+    assert(nullRun.forall(_.getAs[Int]("decided") != 1))
+  }
+
   test("cuped: a perfectly predictive covariate drives variance reduction to ~1") {
     // per user: one pre-period purchase (value 10i) and one post-period
     // purchase (value 20i) -> y = 2x exactly, theta = 2, y_adj constant

@@ -209,6 +209,40 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq(("cart", 1L, 5.0), ("direct", 3L, 12.0)))
   }
 
+  test("autocorrelation: alternating series gives the exact +-(n-k)/n pattern, constant series guarded") {
+    val h = 3600L * 1000000L
+    // 'view': 10 events at even hours, 0 at odd, over 24 hours ->
+    // population ACF r_k = (-1)^k (n-k)/n; 'error': constant 3/hour ->
+    // zero variance -> NULL (guarded, not a division error)
+    val view = (0 until 24).filter(_ % 2 == 0).flatMap(hr =>
+      (1 to 10).map(j => ((hr * 100 + j).toLong, hr * h, 1L, "view", 1.0)))
+    val const = (0 until 24).flatMap(hr =>
+      (1 to 3).map(j => ((10000 + hr * 100 + j).toLong, hr * h, 2L, "error", 1.0)))
+    val got = Events.autocorrelation(syntheticEvents(view ++ const), maxLag = 4)
+      .collect()
+    val views = got.filter(_.getAs[String]("event_type") == "view")
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    // driver-side recompute of the same arithmetic over the dense grid
+    // (hours 0..22: the last observed hour bounds it; 12 even, 11 odd)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val xs = (0 to 22).map(hr => if (hr % 2 == 0) 10.0 else 0.0)
+    val xbar = q6(xs.sum / xs.length)
+    val d = xs.map(_ - xbar)
+    val den = d.map(v => q6(v * v)).sum
+    (1 to 4).foreach { k =>
+      val num = (k until d.length).map(t => q6(d(t) * d(t - k))).sum
+      val expect = num / den
+      assert(math.abs(views(k) - expect) < 1e-5,
+        s"lag $k: got ${views(k)}, want $expect")
+      // sign alternates with the lag parity — the seasonality signature
+      assert(math.signum(views(k)) === math.pow(-1.0, k))
+    }
+    got.filter(_.getAs[String]("event_type") == "error").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("acf")),
+        "a zero-variance series must report NULL acf")
+    }
+  }
+
   test("positionAttribution: U-shaped credit splits by hand oracle, mass conserves") {
     val m = 60L * 1000000L
     val ev = syntheticEvents(Seq(
