@@ -75,6 +75,9 @@ object SparkEntry {
     "q_ab_sequential" -> ((s, d) => Experiment.abSequential(events(s, d))),
     "q_benford" -> ((s, d) => Pipeline.benfordAudit(events(s, d))),
     "q_acf" -> ((s, d) => Events.autocorrelation(events(s, d))),
+    "q_ab_funnel" -> ((s, d) => Experiment.abFunnel(events(s, d))),
+    "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
+    "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
     "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
@@ -1924,6 +1927,163 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 6) AS sim
         |FROM xrk WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+    // per-variant ordered funnel + per-transition two-proportion z
+    "q_ab_funnel" ->
+      """WITH fe AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |            FROM events),
+        |fu AS (
+        |  SELECT DISTINCT user_id FROM fe),
+        |fv AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |           % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant
+        |  FROM fu),
+        |fs1 AS (SELECT user_id, min(us) AS t1 FROM fe
+        |        WHERE event_type = 'view' GROUP BY 1),
+        |fs2 AS (SELECT e.user_id, min(e.us) AS t2
+        |        FROM fe e JOIN fs1 s ON e.user_id = s.user_id
+        |        WHERE e.event_type = 'click' AND e.us > s.t1 GROUP BY 1),
+        |fs3 AS (SELECT e.user_id, min(e.us) AS t3
+        |        FROM fe e JOIN fs2 s ON e.user_id = s.user_id
+        |        WHERE e.event_type = 'purchase' AND e.us > s.t2 GROUP BY 1),
+        |ff AS (
+        |  SELECT v.variant, count(*) AS n0,
+        |    CAST(sum(CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n3
+        |  FROM fv v
+        |  LEFT JOIN fs1 s1 ON v.user_id = s1.user_id
+        |  LEFT JOIN fs2 s2 ON v.user_id = s2.user_id
+        |  LEFT JOIN fs3 s3 ON v.user_id = s3.user_id
+        |  GROUP BY 1),
+        |fst AS (
+        |  SELECT variant, stage, base, conv FROM (
+        |    SELECT variant, '1_view' AS stage, n0 AS base, n1 AS conv FROM ff
+        |    UNION ALL
+        |    SELECT variant, '2_click', n1, n2 FROM ff
+        |    UNION ALL
+        |    SELECT variant, '3_purchase', n2, n3 FROM ff)),
+        |fw AS (
+        |  SELECT stage,
+        |    max(CASE WHEN variant = 'control' THEN base END) AS base_c,
+        |    max(CASE WHEN variant = 'control' THEN conv END) AS conv_c,
+        |    max(CASE WHEN variant = 'treatment' THEN base END) AS base_t,
+        |    max(CASE WHEN variant = 'treatment' THEN conv END) AS conv_t
+        |  FROM fst GROUP BY 1)
+        |SELECT stage, CAST(base_c AS BIGINT) AS base_c,
+        |  CAST(conv_c AS BIGINT) AS conv_c,
+        |  round(CASE WHEN base_c > 0
+        |        THEN CAST(conv_c AS DOUBLE) / CAST(base_c AS DOUBLE) END, 6)
+        |    AS rate_c,
+        |  CAST(base_t AS BIGINT) AS base_t,
+        |  CAST(conv_t AS BIGINT) AS conv_t,
+        |  round(CASE WHEN base_t > 0
+        |        THEN CAST(conv_t AS DOUBLE) / CAST(base_t AS DOUBLE) END, 6)
+        |    AS rate_t,
+        |  round(CASE WHEN base_c > 0 AND base_t > 0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(base_c AS DOUBLE) + CAST(base_t AS DOUBLE)) > 0.0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(base_c AS DOUBLE) + CAST(base_t AS DOUBLE)) < 1.0
+        |    THEN (CAST(conv_t AS DOUBLE) / CAST(base_t AS DOUBLE)
+        |          - CAST(conv_c AS DOUBLE) / CAST(base_c AS DOUBLE))
+        |      / sqrt(CAST(conv_c + conv_t AS DOUBLE)
+        |               / (CAST(base_c AS DOUBLE) + CAST(base_t AS DOUBLE))
+        |             * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+        |                 / (CAST(base_c AS DOUBLE) + CAST(base_t AS DOUBLE)))
+        |             * (1.0 / CAST(base_c AS DOUBLE)
+        |                + 1.0 / CAST(base_t AS DOUBLE))) END, 6) AS z
+        |FROM fw ORDER BY stage""".stripMargin,
+    // MDE at alpha=0.05 two-sided, 80% power; z constants as exact
+    // double literals
+    "q_ab_power" ->
+      """WITH pwu AS (
+        |  SELECT user_id,
+        |    CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |           % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                       AND value >= 150.0 THEN 1
+        |                  ELSE 0 END) > 0 THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |pwv AS (SELECT variant, count(*) AS n_users,
+        |               sum(converted) AS n_conv
+        |        FROM pwu GROUP BY 1),
+        |pww AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 'control' THEN n_users END) AS n_c,
+        |    max(CASE WHEN variant = 'treatment' THEN n_users END) AS n_t,
+        |    max(CASE WHEN variant = 'control' THEN n_conv END) AS conv_c,
+        |    max(CASE WHEN variant = 'treatment' THEN n_conv END) AS conv_t
+        |  FROM pwv)
+        |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  round(CAST(conv_c + conv_t AS DOUBLE)
+        |        / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)), 6) AS p_pool,
+        |  round(CASE WHEN n_c > 0 AND n_t > 0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) > 0.0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) < 1.0
+        |    THEN (1.959964 + 0.841621)
+        |      * sqrt(CAST(conv_c + conv_t AS DOUBLE)
+        |               / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE))
+        |             * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+        |                 / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+        |             * (1.0 / CAST(n_c AS DOUBLE)
+        |                + 1.0 / CAST(n_t AS DOUBLE))) END, 6) AS mde_abs,
+        |  round(CASE WHEN n_c > 0 AND n_t > 0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) > 0.0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) < 1.0
+        |    THEN (1.959964 + 0.841621)
+        |      * sqrt(CAST(conv_c + conv_t AS DOUBLE)
+        |               / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE))
+        |             * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+        |                 / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+        |             * (1.0 / CAST(n_c AS DOUBLE)
+        |                + 1.0 / CAST(n_t AS DOUBLE)))
+        |      / (CAST(conv_c + conv_t AS DOUBLE)
+        |         / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE))) END, 6)
+        |    AS mde_rel
+        |FROM pww""".stripMargin,
+    // cohort LTV: DECIMAL revenue end-to-end, census-row windows only
+    "q_ltv_cohort" ->
+      """WITH le AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |         value
+        |  FROM events),
+        |lc AS (SELECT user_id, min(day) AS cohort_day FROM le GROUP BY 1),
+        |ls AS (SELECT cohort_day, count(*) AS cohort_size FROM lc
+        |       GROUP BY 1),
+        |ld AS (
+        |  SELECT c.cohort_day,
+        |    date_diff('day', CAST(c.cohort_day AS DATE),
+        |              CAST(e.day AS DATE)) AS age,
+        |    count(DISTINCT e.user_id) AS n_active,
+        |    sum(CASE WHEN e.event_type = 'purchase'
+        |        THEN CAST(e.value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+        |  FROM le e JOIN lc c ON e.user_id = c.user_id
+        |  GROUP BY 1,2),
+        |lw AS (
+        |  SELECT *, sum(revenue) OVER (PARTITION BY cohort_day ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING) AS cum_revenue
+        |  FROM ld)
+        |SELECT l.cohort_day, CAST(l.age AS INT) AS age,
+        |  CAST(l.n_active AS BIGINT) AS n_active,
+        |  CAST(l.revenue AS DOUBLE) AS revenue,
+        |  CAST(l.cum_revenue AS DOUBLE) AS cum_revenue,
+        |  round(CAST(l.cum_revenue AS DOUBLE)
+        |        / CAST(s.cohort_size AS DOUBLE), 6) AS ltv
+        |FROM lw l JOIN ls s ON l.cohort_day = s.cohort_day
+        |ORDER BY l.cohort_day, age""".stripMargin,
     // ACF over the dense zero-filled hourly census: mean through
     // quant6, deviation products quant6'd then DECIMAL-summed, lag
     // pairs via a dense-grid self-join (DuckDB lag needs a constant

@@ -491,6 +491,50 @@ object Events {
       .orderBy("attributed")
   }
 
+  /** COHORT LTV CURVE (q_ltv_cohort) — the BI read that joins the
+    * retention matrix to money: per acquisition cohort (a user's first
+    * active day) and cohort age in days, the active-user count, that
+    * day's purchase revenue, the running cumulative revenue, and
+    * LTV-to-date = cumulative revenue over cohort size — the payback
+    * curve a growth team reads against acquisition cost. Completes the
+    * clickstream-BI family (funnel orders steps, retention tracks
+    * return, attribution assigns credit, period-over-period trends it,
+    * THIS prices the cohort).
+    *
+    * Scale shape: one user-keyed first-day agg, one (cohort, age) hash
+    * agg over facts, then census-row windows (|cohorts|·|ages| — the
+    * q_period_over_period discipline) and a cohort-size broadcast.
+    * Determinism: revenue in exact DECIMAL end-to-end; the one divide
+    * is display-rounded.
+    */
+  def ltvCohorts(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("value"))
+    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    val daily = e.join(cohorts, "user_id")
+      .withColumn("age",
+        datediff(to_date(col("day")), to_date(col("cohort_day"))))
+      .groupBy("cohort_day", "age")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("revenue"))
+    val w = Window.partitionBy("cohort_day").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_revenue", sum(col("revenue")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("age"), col("n_active"),
+        col("revenue").cast("double").as("revenue"),
+        col("cum_revenue").cast("double").as("cum_revenue"),
+        round(col("cum_revenue").cast("double") /
+          col("cohort_size").cast("double"), 6).as("ltv"))
+      .orderBy("cohort_day", "age")
+  }
+
   /** AUTOCORRELATION FUNCTION (q_acf) — the diagnostic read BEFORE
     * choosing a seasonal period or a forecasting model (Box–Jenkins
     * identification): per event type, the ACF of the hourly count

@@ -271,6 +271,101 @@ object Experiment {
       .orderBy("variant")
   }
 
+  /** PER-VARIANT FUNNEL with stage-level significance (q_ab_funnel) —
+    * where in the journey the treatment moves the needle: the ordered
+    * view→click→purchase funnel (the q_funnel law: each stage strictly
+    * after the user's previous-stage completion) split by variant, with
+    * a two-proportion z on each TRANSITION rate (stage-k completions
+    * over stage-(k−1) entrants) — an experiment that wins overall but
+    * loses a stage is mis-targeted, and the per-stage table is how that
+    * is read.
+    *
+    * Scale shape: three narrow user-keyed join/agg shuffles (the funnel
+    * machinery) + per-variant flag sums + 3-row statistic math.
+    * Determinism: counts exact, rates/z fixed IEEE chains, degenerate
+    * transitions (empty base, pooled rate ∈ {0,1}) emit NULL.
+    */
+  def abFunnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val users = e.select(col("user_id")).distinct()
+      .select(col("user_id"), variantOf(col("user_id")).as("variant"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    val flags = users
+      .join(s1.select(col("user_id"), lit(1L).as("f1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1L).as("f2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1L).as("f3")), Seq("user_id"), "left")
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n0"),
+        sum(coalesce(col("f1"), lit(0L))).as("n1"),
+        sum(coalesce(col("f2"), lit(0L))).as("n2"),
+        sum(coalesce(col("f3"), lit(0L))).as("n3"))
+    val stages = flags.select(col("variant"),
+      expr("stack(3, '1_view', n0, n1, '2_click', n1, n2, " +
+        "'3_purchase', n2, n3) as (stage, base, conv)"))
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = stages.groupBy("stage")
+      .agg(side("control", "base").as("base_c"),
+        side("control", "conv").as("conv_c"),
+        side("treatment", "base").as("base_t"),
+        side("treatment", "conv").as("conv_t"))
+    val bC = col("base_c").cast("double")
+    val bT = col("base_t").cast("double")
+    val rC = col("conv_c").cast("double") / bC
+    val rT = col("conv_t").cast("double") / bT
+    val pPool = (col("conv_c") + col("conv_t")).cast("double") / (bC + bT)
+    val ok = col("base_c") > 0L && col("base_t") > 0L &&
+      pPool > 0.0 && pPool < 1.0
+    wide.select(col("stage"), col("base_c"), col("conv_c"),
+      round(when(col("base_c") > 0L, rC), 6).as("rate_c"),
+      col("base_t"), col("conv_t"),
+      round(when(col("base_t") > 0L, rT), 6).as("rate_t"),
+      round(when(ok, (rT - rC) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / bC + lit(1.0) / bT))),
+        6).as("z"))
+      .orderBy("stage")
+  }
+
+  /** POWER / MINIMUM-DETECTABLE-EFFECT census (q_ab_power) — the
+    * question asked BEFORE reading any result: at the current sample
+    * sizes and pooled conversion rate, what lift could this experiment
+    * even see? MDE at α = 0.05 (two-sided) and 80% power is
+    * (z_{α/2} + z_{β})·√(p(1−p)(1/n_c + 1/n_t)) with the z constants as
+    * exact double literals (1.959964, 0.841621); emitted absolute and
+    * relative. One per-user pass + a 1-row reduction.
+    */
+  def abPower(events: DataFrame,
+              convThreshold: Double = 150.0): DataFrame = {
+    val users = abUserStats(events, convThreshold)
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .agg(side("control", "n_users").as("n_c"),
+        side("treatment", "n_users").as("n_t"),
+        side("control", "n_conv").as("conv_c"),
+        side("treatment", "n_conv").as("conv_t"))
+    val nC = col("n_c").cast("double")
+    val nT = col("n_t").cast("double")
+    val pPool = (col("conv_c") + col("conv_t")).cast("double") / (nC + nT)
+    val mde = (lit(1.959964) + lit(0.841621)) *
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT))
+    val ok = col("n_c") > 0L && col("n_t") > 0L &&
+      pPool > 0.0 && pPool < 1.0
+    wide.select(col("n_c"), col("n_t"),
+      round(pPool, 6).as("p_pool"),
+      round(when(ok, mde), 6).as("mde_abs"),
+      round(when(ok, mde / pPool), 6).as("mde_rel"))
+  }
+
   /** CUPED variance reduction (q_cuped; Deng et al. 2013) — the standard
     * sensitivity boost: each user's post-period revenue is adjusted by
     * its PRE-experiment revenue (a covariate independent of assignment),

@@ -156,6 +156,44 @@ class ExperimentSpec extends SparkSpec {
     assert(nullRun.forall(_.getAs[Int]("decided") != 1))
   }
 
+  test("abFunnel: stages telescope per variant and reconcile with the pooled funnel") {
+    val events = Tables.events(spark, sf0001)
+    val got = Experiment.abFunnel(events).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    assert(got.keySet === Set("1_view", "2_click", "3_purchase"))
+    // telescoping: each stage's conversions are the next stage's base
+    Seq("control" -> ("base_c", "conv_c"), "treatment" -> ("base_t", "conv_t"))
+      .foreach { case (_, (b, c)) =>
+        assert(got("2_click").getAs[Long](b) === got("1_view").getAs[Long](c))
+        assert(got("3_purchase").getAs[Long](b) === got("2_click").getAs[Long](c))
+        got.values.foreach(r => assert(r.getAs[Long](c) <= r.getAs[Long](b)))
+      }
+    // variant split reconciles with the pooled q_funnel counts
+    val pooled = graft.operators.Events.funnelCounts(events).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users")).toMap
+    got.foreach { case (stage, r) =>
+      assert(r.getAs[Long]("conv_c") + r.getAs[Long]("conv_t") === pooled(stage),
+        s"$stage: variant conversions must sum to the pooled funnel")
+    }
+  }
+
+  test("abPower: MDE shrinks with sample size, relative form consistent") {
+    val base = 1704067200L
+    def corpus(n: Long) = syntheticEvents((1L to n).flatMap(i => Seq(
+      (i, base + i, i, "view", 1.0),
+      // every third user converts high-value
+      (1000 + i, base + 100 + i, i, "purchase",
+        if (i % 3 == 0) 200.0 else 10.0))))
+    val small = Experiment.abPower(corpus(60)).collect().head
+    val large = Experiment.abPower(corpus(600)).collect().head
+    assert(large.getAs[Double]("mde_abs") < small.getAs[Double]("mde_abs"),
+      "10x the sample must detect a smaller effect")
+    Seq(small, large).foreach { r =>
+      assert(math.abs(r.getAs[Double]("mde_rel") -
+        r.getAs[Double]("mde_abs") / r.getAs[Double]("p_pool")) < 1e-4)
+    }
+  }
+
   test("cuped: a perfectly predictive covariate drives variance reduction to ~1") {
     // per user: one pre-period purchase (value 10i) and one post-period
     // purchase (value 20i) -> y = 2x exactly, theta = 2, y_adj constant

@@ -209,6 +209,33 @@ class TemporalSpec extends SparkSpec {
     assert(got === Seq(("cart", 1L, 5.0), ("direct", 3L, 12.0)))
   }
 
+  test("ltvCohorts: cumulative telescopes, LTV monotone, revenue conserves") {
+    val events = Tables.events(spark, sf0001)
+    val got = Events.ltvCohorts(events).collect()
+      .groupBy(_.getAs[String]("cohort_day"))
+    var grandTotal = BigDecimal(0)
+    got.foreach { case (cohort, rows) =>
+      val byAge = rows.sortBy(_.getAs[Int]("age"))
+      var cum = 0.0
+      byAge.foreach { r =>
+        cum += r.getAs[Double]("revenue")
+        assert(math.abs(r.getAs[Double]("cum_revenue") - cum) < 1e-6,
+          s"$cohort age ${r.getAs[Int]("age")}: cumulative drifted")
+      }
+      // LTV monotone non-decreasing (revenue is non-negative)
+      val ltvs = byAge.map(_.getAs[Double]("ltv"))
+      ltvs.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-9) }
+      grandTotal += BigDecimal(byAge.last.getAs[Double]("cum_revenue"))
+    }
+    // conservation: cohort-final cumulative revenues sum to the corpus's
+    // total purchase revenue
+    val total = events.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)"))).collect()
+      .head.getDecimal(0)
+    assert((grandTotal - BigDecimal(total)).abs < 1e-4,
+      s"LTV curves lost revenue: $grandTotal vs $total")
+  }
+
   test("autocorrelation: alternating series gives the exact +-(n-k)/n pattern, constant series guarded") {
     val h = 3600L * 1000000L
     // 'view': 10 events at even hours, 0 at odd, over 24 hours ->
