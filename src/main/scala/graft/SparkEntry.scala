@@ -78,6 +78,8 @@ object SparkEntry {
     "q_ab_funnel" -> ((s, d) => Experiment.abFunnel(events(s, d))),
     "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
     "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
+    "q_stream_mv_join" ->
+      ((s, d) => streaming.StreamOps.streamMvJoin(s, d)),
     "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
@@ -1927,6 +1929,14 @@ object SparkEntry {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
         |       round(sim, 6) AS sim
         |FROM xrk WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin),
+    // incremental join-view maintenance: accumulated per-batch delta
+    // joins must union to exactly the one-shot join
+    "q_stream_mv_join" ->
+      """SELECT o.o_orderkey, CAST(l.l_linenumber AS INT) AS lnum,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY o.o_orderkey, lnum, price""".stripMargin,
     // per-variant ordered funnel + per-transition two-proportion z
     "q_ab_funnel" ->
       """WITH fe AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -2396,6 +2396,113 @@ object StreamOps {
       spark, s"$root/store", nQueries, k)
   }
 
+  /** STREAMING JOIN-VIEW MAINTENANCE (q_stream_mv_join) — incremental
+    * view maintenance for a JOIN, the capability the MV family's
+    * aggregate merges cannot express: the orders⋈lineitem enriched view
+    * is kept current as BOTH sides arrive interleaved across
+    * micro-batches (batch i carries orders range i and lineitem range
+    * i+1 mod n, so every pair has one side arriving after the other —
+    * both delta directions are exercised, not just the easy
+    * static-dimension case). Per batch the classic delta-join law:
+    * ΔV = ΔL ⋈ (O_prev ∪ ΔO)  ∪  L_prev ⋈ ΔO — each (order, line) pair
+    * joins in EXACTLY the batch where its later side lands, so the
+    * accumulated view deltas union to precisely the one-shot join (the
+    * oracle), with no pair duplicated and none lost.
+    *
+    * Replay idempotence: base-side partials and view deltas land under
+    * their own batch=N dirs (overwrite); "previous" state is the base
+    * store FILTERED to batch < N via the partition column, so a crashed
+    * batch that already wrote its own partials recomputes the identical
+    * delta. 100 TB shape: per batch two skinny hash joins of the BATCH
+    * against the accumulated key-partitioned base sides (an engine
+    * would bucket both stores on the join key to make these
+    * shuffle-free); history is never re-joined.
+    */
+  def streamMvJoin(spark: SparkSession, sfDir: String,
+                   nBatches: Int = 3): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val runId = UUID.randomUUID().toString.take(8)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_stream_mvj/$runId"
+    Files.createDirectories(Paths.get(s"$root/src"))
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(lit("o").as("tag"), col("o_orderkey").as("okey"),
+        lit(0).as("lnum"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        lit(null).cast("decimal(18,2)").as("price"))
+    val lines = graft.Tables.lineitem(spark, sfDir)
+      .select(lit("l").as("tag"), col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lnum"),
+        lit(null).cast("string").as("odate"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val bounds = orders.agg(min(col("okey")), max(col("okey"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (hi - lo + nBatches) / nBatches
+    def range(df: DataFrame, i: Int) =
+      df.filter(col("okey") >= lo + i * span && col("okey") < lo + (i + 1) * span)
+    (0 until nBatches).foreach { i =>
+      val stagedir = s"$root/stage$i"
+      range(orders, i).unionByName(range(lines, (i + 1) % nBatches))
+        .coalesce(1).write.parquet(stagedir)
+      val listing = Files.list(Paths.get(stagedir))
+      val part =
+        try listing.toArray.map(_.toString).find(_.endsWith(".parquet")).get
+        finally listing.close()
+      val target = Paths.get(s"$root/src/range$i.parquet")
+      Files.move(Paths.get(part), target)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stagedir))
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val envSchema = StructType(Seq(
+      StructField("tag", StringType), StructField("okey", LongType),
+      StructField("lnum", IntegerType), StructField("odate", StringType),
+      StructField("price", org.apache.spark.sql.types.DecimalType(18, 2))))
+    def readBase(dir: String, beforeBatch: Long): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(dir).filter(col("batch") < beforeBatch)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(envSchema.fields.filterNot(_.name == "tag") :+
+          StructField("batch", IntegerType)))
+    }
+    runStagedBatches(spark, envSchema, s"$root/src", s"$root/ck") {
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val oNew = batch.filter(col("tag") === "o")
+            .select(col("okey"), col("lnum"), col("odate"), col("price"))
+            .localCheckpoint()
+          val lNew = batch.filter(col("tag") === "l")
+            .select(col("okey"), col("lnum"), col("odate"), col("price"))
+            .localCheckpoint()
+          val oPrev = readBase(s"$root/obase", batchId)
+          val lPrev = readBase(s"$root/lbase", batchId)
+          val oAll = oPrev.select(col("okey"), col("odate"))
+            .unionByName(oNew.select(col("okey"), col("odate")))
+          val dv = lNew.select(col("okey"), col("lnum"), col("price"))
+              .join(oAll, Seq("okey"))
+            .unionByName(lPrev.select(col("okey"), col("lnum"), col("price"))
+              .join(oNew.select(col("okey"), col("odate")), Seq("okey")))
+          dv.select(col("okey"), col("lnum"), col("odate"), col("price"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
+          oNew.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/obase/batch=$batchId")
+          lNew.coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/lbase/batch=$batchId")
+          ()
+        }
+    }
+    // (okey, lnum, price) is a unique key of the view at every SF —
+    // (okey, lnum) alone is NOT, so price joins the sort to make the
+    // emitted order total (tie order would otherwise be plan-dependent)
+    spark.read.parquet(s"$root/view")
+      .select(col("okey").as("o_orderkey"), col("lnum"),
+        col("odate"), col("price").cast("double").as("price"))
+      .orderBy("o_orderkey", "lnum", "price")
+  }
+
   /** One micro-batch of BINARY-CODE-store maintenance —
     * [[lexicalUpsertBatch]]'s storage discipline on the (vec_id,
     * code_lo, code_hi) table: the batch's vectors are sign-bit

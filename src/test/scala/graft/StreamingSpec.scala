@@ -654,6 +654,28 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch MV partials must merge to the batch-refreshed view")
   }
 
+  test("streaming join-view maintenance: delta joins union to the one-shot join exactly once") {
+    val view = StreamOps.streamMvJoin(spark, sf0001).collect()
+    val li = Tables.lineitem(spark, sf0001)
+    val expect = li
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber").as("lnum"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("l_extendedprice").cast("decimal(18,2)").cast("double")
+          .as("price"))
+      .orderBy("o_orderkey", "lnum", "price").collect()
+    assert(view.map(_.toString).toSeq === expect.map(_.toString).toSeq,
+      "accumulated view deltas must equal the one-shot join")
+    // exactly-once: the view carries every MATCHED line exactly once
+    // (sf0.001 plants orphan lineitem rows — the join correctly drops
+    // them, so the baseline is the one-shot join's own count)
+    assert(view.length === expect.length)
+    assert(view.map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .distinct.length === view.length,
+      "a (order, line, price) key joined more than once")
+  }
+
   test("streaming binary-code upsert: re-delivery replaces, serve equals inline") {
     val emb = Tables.embeddings(spark, sf0001)
     val live = StreamOps.streamBinaryFresh(spark, sf0001).collect()
