@@ -76,6 +76,7 @@ object SparkEntry {
     "q_benford" -> ((s, d) => Pipeline.benfordAudit(events(s, d))),
     "q_acf" -> ((s, d) => Events.autocorrelation(events(s, d))),
     "q_ab_funnel" -> ((s, d) => Experiment.abFunnel(events(s, d))),
+    "q_ab_ratio" -> ((s, d) => Experiment.abRatio(events(s, d))),
     "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
     "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
     "q_stream_mv_join" ->
@@ -1937,6 +1938,71 @@ object SparkEntry {
         |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey, lnum, price""".stripMargin,
+    // delta-method ratio metric: per-user (sessions, revenue) moments,
+    // var(R) = (varY - 2R covXY + R^2 varX)/(n xbar^2); R and var(R)
+    // quant6'd before the z
+    "q_ab_ratio" ->
+      """WITH are AS (SELECT user_id, event_id, event_type, value,
+        |                    epoch_us(ts) AS us FROM events),
+        |ars AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+        |                   OR lag(us) OVER w IS NULL
+        |            THEN 1 ELSE 0 END AS new_session
+        |  FROM are WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |aru AS (
+        |  SELECT user_id, CAST(sum(new_session) AS DOUBLE) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(value AS DECIMAL(18,2))
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        |  FROM ars GROUP BY user_id),
+        |arv AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |             CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |             % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant, x, y
+        |  FROM aru),
+        |arm AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(floor(x * x * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(floor(y * y * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(floor(x * y * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM arv GROUP BY 1),
+        |arc AS (
+        |  SELECT variant, n,
+        |    round(sy / sx, 6) AS rps,
+        |    floor(sy / sx * 1000000.0 + 0.5) / 1000000.0 AS r_q,
+        |    floor((((syy - sy * sy / CAST(n AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) - 1.0)
+        |           - 2.0 * (sy / sx)
+        |             * ((sxy - sx * sy / CAST(n AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) - 1.0))
+        |           + (sy / sx) * (sy / sx)
+        |             * ((sxx - sx * sx / CAST(n AS DOUBLE))
+        |                / (CAST(n AS DOUBLE) - 1.0)))
+        |          / (CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE))
+        |             * (sx / CAST(n AS DOUBLE))))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS vr_q
+        |  FROM arm)
+        |SELECT
+        |  CAST(max(CASE WHEN variant = 'control' THEN n END) AS BIGINT)
+        |    AS n_c,
+        |  CAST(max(CASE WHEN variant = 'treatment' THEN n END) AS BIGINT)
+        |    AS n_t,
+        |  max(CASE WHEN variant = 'control' THEN rps END) AS rps_c,
+        |  max(CASE WHEN variant = 'treatment' THEN rps END) AS rps_t,
+        |  round(CASE WHEN max(CASE WHEN variant = 'control' THEN vr_q END)
+        |           + max(CASE WHEN variant = 'treatment' THEN vr_q END) > 0.0
+        |    THEN (max(CASE WHEN variant = 'treatment' THEN r_q END)
+        |          - max(CASE WHEN variant = 'control' THEN r_q END))
+        |      / sqrt(max(CASE WHEN variant = 'control' THEN vr_q END)
+        |             + max(CASE WHEN variant = 'treatment' THEN vr_q END))
+        |    END, 6) AS z_ratio
+        |FROM arc""".stripMargin,
     // per-variant ordered funnel + per-transition two-proportion z
     "q_ab_funnel" ->
       """WITH fe AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -271,6 +271,74 @@ object Experiment {
       .orderBy("variant")
   }
 
+  /** DELTA-METHOD RATIO METRIC (q_ab_ratio; Deng–Knoblich–Lu 2018) —
+    * the statistically honest treatment of a RATIO metric: revenue per
+    * SESSION is Σy/Σx over users, and because both numerator and
+    * denominator are random, the naive per-session t-test is wrong
+    * (sessions from one user are correlated). The delta method gives
+    * the variance of the user-level ratio estimator,
+    * var(R) ≈ (σ_y² − 2·R·σ_xy + R²·σ_x²)/(n·x̄²), from per-user
+    * moments, and the two-variant z follows. Sessions are the
+    * [[graft.operators.Events.sessionize]] 30-minute-gap law.
+    *
+    * Scale shape: one user-led sessionization window + one user-keyed
+    * agg; everything downstream is a 2-row census and scalar math.
+    * Determinism: y in exact DECIMAL, x integer; squares and
+    * cross-products quant6'd then DECIMAL-summed; the statistic chain
+    * mirrored op-for-op; degenerate variances emit NULL.
+    */
+  def abRatio(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val perUser = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+             lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("x"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("y"))
+      .select(variantOf(col("user_id")).as("variant"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    val moments = perUser
+      .withColumn("xx", quant6(col("x") * col("x")))
+      .withColumn("yy", quant6(col("y") * col("y")))
+      .withColumn("xy", quant6(col("x") * col("y")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(18,2)")).cast("double").as("sy"),
+        sum(col("xx").cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum(col("yy").cast("decimal(38,6)")).cast("double").as("syy"),
+        sum(col("xy").cast("decimal(38,6)")).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val xbar = col("sx") / nD
+    val r = col("sy") / col("sx")
+    val varX = (col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0))
+    val varY = (col("syy") - col("sy") * col("sy") / nD) / (nD - lit(1.0))
+    val covXY = (col("sxy") - col("sx") * col("sy") / nD) / (nD - lit(1.0))
+    val varR = (varY - lit(2.0) * r * covXY + r * r * varX) /
+      (nD * xbar * xbar)
+    val scored = moments.select(col("variant"), col("n"),
+      round(r, 6).as("rev_per_session"),
+      quant6(r).as("_r"), quant6(varR).as("_vr"))
+    def side(c: String): (Column, Column) =
+      (max(when(col("variant") === "control", col(c))),
+       max(when(col("variant") === "treatment", col(c))))
+    val (nc, nt) = side("n")
+    val (rc, rt) = side("_r")
+    val (vc, vt) = side("_vr")
+    val (rpsC, rpsT) = side("rev_per_session")
+    scored.agg(
+      nc.as("n_c"), nt.as("n_t"),
+      rpsC.as("rps_c"), rpsT.as("rps_t"),
+      round(when(vc + vt > 0.0, (rt - rc) / sqrt(vc + vt)), 6)
+        .as("z_ratio"))
+  }
+
   /** PER-VARIANT FUNNEL with stage-level significance (q_ab_funnel) —
     * where in the journey the treatment moves the needle: the ordered
     * view→click→purchase funnel (the q_funnel law: each stage strictly

@@ -177,6 +177,44 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("abRatio: one-session-per-user corpus degenerates to the per-user mean law") {
+    val base = 1704067200L
+    // every user: a view and a purchase 5 min apart -> exactly 1 session,
+    // x = 1, varX = covXY = 0, so var(R) = varY/n and R = mean revenue
+    val events = syntheticEvents((1L to 100L).flatMap(i => Seq(
+      (i, base + i * 7200, i, "view", 1.0),
+      (1000 + i, base + i * 7200 + 300, i, "purchase", (i % 10) * 10.0))))
+    val got = Experiment.abRatio(events).collect().head
+    // driver-side recompute with the same quantization
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val users = (1L to 100L).map { i =>
+      val v = Experiment.abUserStats(
+        syntheticEvents(Seq((i, base, i, "view", 1.0)))).collect()
+        .head.getAs[String]("variant")
+      (v, ((i % 10) * 10.0))
+    }
+    def stats(v: String) = {
+      val ys = users.filter(_._1 == v).map(_._2)
+      val n = ys.length.toDouble
+      val sy = ys.map(BigDecimal(_)).sum.toDouble
+      val syy = ys.map(y => BigDecimal(q6(y * y))).sum.toDouble
+      val r = sy / n // sx = n since x = 1 per user
+      val varY = (syy - sy * sy / n) / (n - 1.0)
+      (n, q6(r), q6(varY / (n * 1.0 * 1.0)))
+    }
+    val (nc, rc, vc) = stats("control")
+    val (nt, rt, vt) = stats("treatment")
+    assert(got.getAs[Long]("n_c") === nc.toLong)
+    assert(math.abs(got.getAs[Double]("rps_c") - rc) < 2e-6)
+    assert(math.abs(got.getAs[Double]("rps_t") - rt) < 2e-6)
+    val z = (rt - rc) / math.sqrt(vc + vt)
+    assert(math.abs(got.getAs[Double]("z_ratio") - z) < 1e-4,
+      s"z ${got.getAs[Double]("z_ratio")} vs recomputed $z")
+    // and on the real corpus the statistic exists (variances positive)
+    val real = Experiment.abRatio(Tables.events(spark, sf0001)).collect().head
+    assert(!real.isNullAt(real.fieldIndex("z_ratio")))
+  }
+
   test("abPower: MDE shrinks with sample size, relative form consistent") {
     val base = 1704067200L
     def corpus(n: Long) = syntheticEvents((1L to n).flatMap(i => Seq(
