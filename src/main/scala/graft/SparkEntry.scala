@@ -77,6 +77,7 @@ object SparkEntry {
     "q_acf" -> ((s, d) => Events.autocorrelation(events(s, d))),
     "q_ab_funnel" -> ((s, d) => Experiment.abFunnel(events(s, d))),
     "q_ab_ratio" -> ((s, d) => Experiment.abRatio(events(s, d))),
+    "q_ab_segments" -> ((s, d) => Experiment.abSegments(events(s, d))),
     "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
     "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
     "q_stream_mv_join" ->
@@ -1938,6 +1939,63 @@ object SparkEntry {
         |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey, lnum, price""".stripMargin,
+    // heterogeneous effects: equal-count activity terciles by
+    // (n_events, user_id) rank, per-segment two-proportion z
+    "q_ab_segments" ->
+      """WITH sgu AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                       AND value >= 150.0 THEN 1
+        |                  ELSE 0 END) > 0 THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY user_id),
+        |sgv AS (
+        |  SELECT user_id, n_events, converted,
+        |    CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |           CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |           % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant,
+        |    row_number() OVER (ORDER BY n_events, user_id) AS ark
+        |  FROM sgu),
+        |sgn AS (SELECT count(*) AS n FROM sgv),
+        |sgc AS (
+        |  SELECT CAST((3 * (ark - 1)) // n + 1 AS INT) AS segment,
+        |         variant, count(*) AS n_users,
+        |         sum(converted) AS n_conv
+        |  FROM sgv CROSS JOIN sgn GROUP BY 1, 2),
+        |sgw AS (
+        |  SELECT segment,
+        |    coalesce(max(CASE WHEN variant = 'control' THEN n_users END), 0)
+        |      AS n_c,
+        |    coalesce(max(CASE WHEN variant = 'treatment' THEN n_users END), 0)
+        |      AS n_t,
+        |    coalesce(max(CASE WHEN variant = 'control' THEN n_conv END), 0)
+        |      AS conv_c,
+        |    coalesce(max(CASE WHEN variant = 'treatment' THEN n_conv END), 0)
+        |      AS conv_t
+        |  FROM sgc GROUP BY 1)
+        |SELECT segment, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(conv_c AS BIGINT) AS conv_c, CAST(conv_t AS BIGINT) AS conv_t,
+        |  round(CASE WHEN n_c > 0
+        |        THEN CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) END, 6)
+        |    AS rate_c,
+        |  round(CASE WHEN n_t > 0
+        |        THEN CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) END, 6)
+        |    AS rate_t,
+        |  round(CASE WHEN n_c > 0 AND n_t > 0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) > 0.0
+        |         AND CAST(conv_c + conv_t AS DOUBLE)
+        |             / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) < 1.0
+        |    THEN (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |          - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / sqrt(CAST(conv_c + conv_t AS DOUBLE)
+        |               / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE))
+        |             * (1.0 - CAST(conv_c + conv_t AS DOUBLE)
+        |                 / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)))
+        |             * (1.0 / CAST(n_c AS DOUBLE)
+        |                + 1.0 / CAST(n_t AS DOUBLE))) END, 6) AS z
+        |FROM sgw ORDER BY segment""".stripMargin,
     // delta-method ratio metric: per-user (sessions, revenue) moments,
     // var(R) = (varY - 2R covXY + R^2 varX)/(n xbar^2); R and var(R)
     // quant6'd before the z

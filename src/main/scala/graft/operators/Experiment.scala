@@ -271,6 +271,68 @@ object Experiment {
       .orderBy("variant")
   }
 
+  /** HETEROGENEOUS TREATMENT EFFECTS by activity segment
+    * (q_ab_segments) — the follow-up question to every win: did it come
+    * from the heavy users or the casual ones? Users are cut into three
+    * equal-count ACTIVITY terciles (by total event count, user_id
+    * tie-break, on the scale-safe
+    * [[graft.operators.TextAnalysis.withGlobalRank]] device — never a
+    * global single-partition window), and the conversion z is read per
+    * segment. A treatment that wins overall but only in tercile 3 ships
+    * to a different audience than one that wins everywhere.
+    *
+    * Scale shape: one user-keyed agg, the range-partitioned global
+    * rank, a 6-cell census, scalar math. Determinism: tercile = integer
+    * arithmetic on (rank, n); statistics the q_ab_metrics chain;
+    * degenerate segment pools emit NULL.
+    */
+  def abSegments(events: DataFrame,
+                 convThreshold: Double = 150.0): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase" &&
+            col("value") >= convThreshold, 1L).otherwise(0L))
+          .as("n_conversions"))
+      .select(col("user_id"), col("n_events"),
+        variantOf(col("user_id")).as("variant"),
+        (col("n_conversions") > 0L).cast("long").as("converted"))
+    val ranked = perUser.transform(
+      graft.operators.TextAnalysis.withGlobalRank("ark",
+        col("n_events").asc, col("user_id").asc))
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    val cells = ranked.crossJoin(broadcast(n))
+      .withColumn("segment",
+        (expr("(3 * (ark - 1)) DIV _n") + lit(1L)).cast("int"))
+      .groupBy("segment", "variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = cells.groupBy("segment")
+      .agg(side("control", "n_users").as("n_c"),
+        side("treatment", "n_users").as("n_t"),
+        side("control", "n_conv").as("conv_c"),
+        side("treatment", "n_conv").as("conv_t"))
+    val nC = coalesce(col("n_c"), lit(0L)).cast("double")
+    val nT = coalesce(col("n_t"), lit(0L)).cast("double")
+    val rC = col("conv_c").cast("double") / nC
+    val rT = col("conv_t").cast("double") / nT
+    val pPool = (coalesce(col("conv_c"), lit(0L)) +
+      coalesce(col("conv_t"), lit(0L))).cast("double") / (nC + nT)
+    val ok = col("n_c") > 0L && col("n_t") > 0L &&
+      pPool > 0.0 && pPool < 1.0
+    wide.select(col("segment"),
+      coalesce(col("n_c"), lit(0L)).as("n_c"),
+      coalesce(col("n_t"), lit(0L)).as("n_t"),
+      coalesce(col("conv_c"), lit(0L)).as("conv_c"),
+      coalesce(col("conv_t"), lit(0L)).as("conv_t"),
+      round(when(col("n_c") > 0L, rC), 6).as("rate_c"),
+      round(when(col("n_t") > 0L, rT), 6).as("rate_t"),
+      round(when(ok, (rT - rC) /
+        sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / nC + lit(1.0) / nT))),
+        6).as("z"))
+      .orderBy("segment")
+  }
+
   /** DELTA-METHOD RATIO METRIC (q_ab_ratio; Deng–Knoblich–Lu 2018) —
     * the statistically honest treatment of a RATIO metric: revenue per
     * SESSION is Σy/Σx over users, and because both numerator and

@@ -177,6 +177,23 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("abSegments: terciles partition users equally, cells reconcile with the pooled read-out") {
+    val events = Tables.events(spark, sf0001)
+    val segs = Experiment.abSegments(events).collect()
+    assert(segs.map(_.getAs[Int]("segment")).toSeq === Seq(1, 2, 3))
+    val total = segs.map(r => r.getAs[Long]("n_c") + r.getAs[Long]("n_t")).sum
+    val nUsers = events.select("user_id").distinct().count()
+    assert(total === nUsers, "terciles must partition the user population")
+    // equal-count cut: tercile sizes differ by at most 1
+    val sizes = segs.map(r => r.getAs[Long]("n_c") + r.getAs[Long]("n_t"))
+    assert(sizes.max - sizes.min <= 1)
+    // cells reconcile with the pooled q_ab_metrics counts
+    val pooled = Experiment.abMetrics(events).collect().head
+    assert(segs.map(_.getAs[Long]("conv_c")).sum === pooled.getAs[Long]("conv_c"))
+    assert(segs.map(_.getAs[Long]("conv_t")).sum === pooled.getAs[Long]("conv_t"))
+    assert(segs.map(_.getAs[Long]("n_c")).sum === pooled.getAs[Long]("n_c"))
+  }
+
   test("abRatio: one-session-per-user corpus degenerates to the per-user mean law") {
     val base = 1704067200L
     // every user: a view and a purchase 5 min apart -> exactly 1 session,
