@@ -2419,17 +2419,23 @@ object StreamOps {
     * shuffle-free); history is never re-joined.
     */
   def streamMvJoin(spark: SparkSession, sfDir: String,
-                   nBatches: Int = 3): DataFrame = {
+                   nBatches: Int = 3): DataFrame =
+    streamMvJoinFrames(spark, graft.Tables.orders(spark, sfDir),
+      graft.Tables.lineitem(spark, sfDir), nBatches)
+
+  /** Frames-parametric core of [[streamMvJoin]] (the ScaleProbe seam). */
+  def streamMvJoinFrames(spark: SparkSession, ordersRaw: DataFrame,
+                         linesRaw: DataFrame, nBatches: Int = 3): DataFrame = {
     import java.nio.file.{Files, Paths}
     val runId = UUID.randomUUID().toString.take(8)
     val root = s"${sys.props("java.io.tmpdir")}/graft_stream_mvj/$runId"
     Files.createDirectories(Paths.get(s"$root/src"))
-    val orders = graft.Tables.orders(spark, sfDir)
+    val orders = ordersRaw
       .select(lit("o").as("tag"), col("o_orderkey").as("okey"),
         lit(0).as("lnum"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
         lit(null).cast("decimal(18,2)").as("price"))
-    val lines = graft.Tables.lineitem(spark, sfDir)
+    val lines = linesRaw
       .select(lit("l").as("tag"), col("l_orderkey").as("okey"),
         col("l_linenumber").as("lnum"),
         lit(null).cast("string").as("odate"),
@@ -2484,12 +2490,15 @@ object StreamOps {
               .join(oAll, Seq("okey"))
             .unionByName(lPrev.select(col("okey"), col("lnum"), col("price"))
               .join(oNew.select(col("okey"), col("odate")), Seq("okey")))
+          // NO coalesce(1): view deltas and base partials are
+          // fact-sized (unlike the census partials the other monitors
+          // land), so they write at natural parallelism — the probe
+          // caught a single-threaded write serializing 3M-row deltas
           dv.select(col("okey"), col("lnum"), col("odate"), col("price"))
-            .coalesce(1)
             .write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
-          oNew.coalesce(1).write.mode("overwrite")
+          oNew.write.mode("overwrite")
             .parquet(s"$root/obase/batch=$batchId")
-          lNew.coalesce(1).write.mode("overwrite")
+          lNew.write.mode("overwrite")
             .parquet(s"$root/lbase/batch=$batchId")
           ()
         }

@@ -357,6 +357,41 @@ object ScaleProbe {
     // economics actually turns on (brute pays |Q|·|D| dot products per
     // request wave; the index pays |Q|·(probed-cells + m) — build cost
     // amortizes across every wave, timed separately)
+    // join-view maintenance economics: the per-refresh cost of the
+    // incremental delta-join loop vs re-running the full join once per
+    // batch (what a view WITHOUT incremental maintenance pays) — the
+    // delta loop's per-batch work is batch-vs-store, so its advantage
+    // must widen as the accumulated history grows
+    locally {
+      val o = graft.Tables.orders(spark, sfDir)
+      val l = graft.Tables.lineitem(spark, sfDir)
+      val no = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val oAmp = (0 until factor).map { k =>
+        o.select((col("o_orderkey") + lit(k * no)).as("o_orderkey"),
+          col("o_orderdate"), col("o_custkey"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val lAmp = (0 until factor).map { k =>
+        l.select((col("l_orderkey") + lit(k * no)).as("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      // like-for-like: a refresh MATERIALIZES the view, so the
+      // non-incremental baseline writes its full join each cycle too
+      val base = s"${sys.props("java.io.tmpdir")}/graft_mvj_probe_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val t0 = System.nanoTime()
+      (1 to 3).foreach { i =>
+        lAmp.join(oAmp, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("l_linenumber"),
+            col("o_orderdate"), col("l_extendedprice"))
+          .write.mode("overwrite").parquet(s"$base/refresh")
+      }
+      println(f"  full re-join+rewrite x3 refreshes: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      time("mv_join_delta") {
+        graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 3)
+          .count()
+      }
+    }
     // binary-serve economics: the float brute scan vs the sign-bit
     // code scan + exact re-rank against an amplified corpus — the
     // binary tier's stage 1 moves 16 bytes per candidate where the

@@ -207,6 +207,42 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("experiment extras: ratio windows user-led, segments on _pid, Benford window-free") {
+    // q_ab_ratio's only window is the sessionization lag — user-led
+    // (corpus-cardinality); the census math after it is agg-only
+    val pr = planText(SparkEntry.queries("q_ab_ratio")(spark, sf0001))
+    val rSpecs = "windowspecdefinition\\([^,)]*".r.findAllIn(pr).toList
+    assert(rSpecs.nonEmpty && rSpecs.forall(_.contains("user_id")),
+      s"q_ab_ratio: window not user_id-led: $rSpecs")
+    // q_ab_segments ranks on the withGlobalRank device — every window
+    // _pid-led, never a single-partition global rank
+    val ps = planText(SparkEntry.queries("q_ab_segments")(spark, sf0001))
+    val sSpecs = "windowspecdefinition\\([^,)]*".r.findAllIn(ps).toList
+    assert(sSpecs.nonEmpty && sSpecs.forall(_.contains("_pid")),
+      s"q_ab_segments: found a non-_pid window: $sSpecs")
+    // q_benford is one scan + hash aggs + scalar broadcasts
+    val pb = planText(SparkEntry.queries("q_benford")(spark, sf0001))
+    assert(!pb.contains("Window"), "q_benford grew a window")
+    assert(!pb.contains("SortMergeJoin"), "q_benford grew a shuffle join")
+    CacheRegistry.release()
+  }
+
+  test("ltv + ltv-adjacent census plans: windows keyed by the series/cohort column") {
+    // q_ltv_cohort's windows run over the (cohort, age) CENSUS rows and
+    // must partition on cohort_day; q_acf's lag windows partition on
+    // event_type over the hourly census (the q_period_over_period
+    // precedent: census rows, never facts)
+    val pl = planText(SparkEntry.queries("q_ltv_cohort")(spark, sf0001))
+    val lSpecs = "windowspecdefinition\\([^,)]*".r.findAllIn(pl).toList
+    assert(lSpecs.nonEmpty && lSpecs.forall(_.contains("cohort_day")),
+      s"q_ltv_cohort: window not cohort-led: $lSpecs")
+    val pa = planText(SparkEntry.queries("q_acf")(spark, sf0001))
+    val aSpecs = "windowspecdefinition\\([^,)]*".r.findAllIn(pa).toList
+    assert(aSpecs.nonEmpty && aSpecs.forall(_.contains("event_type")),
+      s"q_acf: window not event_type-led: $aSpecs")
+    CacheRegistry.release()
+  }
+
   test("windowed top-k per priority rides the grouped-prefix device (no 5-class window)") {
     // same lock for the full rank-function family: q_window_ranks derives
     // dense_rank/percent_rank/cume_dist/ntile from (rk, n) arithmetic, so
