@@ -78,8 +78,10 @@ object SparkEntry {
     "q_ab_funnel" -> ((s, d) => Experiment.abFunnel(events(s, d))),
     "q_ab_ratio" -> ((s, d) => Experiment.abRatio(events(s, d))),
     "q_ab_segments" -> ((s, d) => Experiment.abSegments(events(s, d))),
+    "q_ab_winsorized" -> ((s, d) => Experiment.abWinsorized(events(s, d))),
     "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
     "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
+    "q_stream_ltv" -> ((s, d) => streaming.StreamOps.streamLtv(s, d)),
     "q_stream_mv_join" ->
       ((s, d) => streaming.StreamOps.streamMvJoin(s, d)),
     "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
@@ -1939,6 +1941,65 @@ object SparkEntry {
         |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY o.o_orderkey, lnum, price""".stripMargin,
+    // winsorized metric: pooled exact-interpolated p95 clip, clipped
+    // values + squares quant6'd then DECIMAL-summed, Welch t mirrored
+    "q_ab_winsorized" ->
+      """WITH awu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(value AS DECIMAL(18,2))
+        |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_d
+        |  FROM events GROUP BY user_id),
+        |awv AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('exp1' || '|' ||
+        |             CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT::BIGINT
+        |             % 2 = 0
+        |         THEN 'control' ELSE 'treatment' END AS variant, rev_d
+        |  FROM awu),
+        |awb AS (SELECT quantile_cont(rev_d, 0.95) AS clip_hi FROM awv),
+        |awc AS (
+        |  SELECT variant, rev_d, clip_hi,
+        |    CASE WHEN rev_d > clip_hi THEN clip_hi ELSE rev_d END AS w
+        |  FROM awv CROSS JOIN awb),
+        |awm AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(CASE WHEN rev_d > clip_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clip,
+        |    CAST(sum(CAST(floor(w * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(floor(w * w * 1000000.0 + 0.5) / 1000000.0
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS swsq,
+        |    min(clip_hi) AS clip_hi
+        |  FROM awc GROUP BY 1),
+        |aww AS (
+        |  SELECT
+        |    max(CASE WHEN variant = 'control' THEN n END) AS n_c,
+        |    max(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+        |    max(CASE WHEN variant = 'control' THEN n_clip END) AS n_clip_c,
+        |    max(CASE WHEN variant = 'treatment' THEN n_clip END) AS n_clip_t,
+        |    max(CASE WHEN variant = 'control' THEN sw END) AS sw_c,
+        |    max(CASE WHEN variant = 'treatment' THEN sw END) AS sw_t,
+        |    max(CASE WHEN variant = 'control' THEN swsq END) AS sq_c,
+        |    max(CASE WHEN variant = 'treatment' THEN swsq END) AS sq_t,
+        |    max(clip_hi) AS clip_hi
+        |  FROM awm)
+        |SELECT CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  round(clip_hi, 6) AS clip_hi,
+        |  n_clip_c, n_clip_t,
+        |  round(sw_c / CAST(n_c AS DOUBLE), 6) AS mean_w_c,
+        |  round(sw_t / CAST(n_t AS DOUBLE), 6) AS mean_w_t,
+        |  round(CASE WHEN (sq_t - sw_t * sw_t / CAST(n_t AS DOUBLE))
+        |             / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
+        |           + (sq_c - sw_c * sw_c / CAST(n_c AS DOUBLE))
+        |             / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE)
+        |           > 0.0
+        |    THEN (sw_t / CAST(n_t AS DOUBLE) - sw_c / CAST(n_c AS DOUBLE))
+        |      / sqrt((sq_t - sw_t * sw_t / CAST(n_t AS DOUBLE))
+        |               / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
+        |             + (sq_c - sw_c * sw_c / CAST(n_c AS DOUBLE))
+        |               / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE))
+        |    END, 6) AS t_wins
+        |FROM aww""".stripMargin,
     // heterogeneous effects: equal-count activity terciles by
     // (n_events, user_id) rank, per-segment two-proportion z
     "q_ab_segments" ->
@@ -2188,36 +2249,10 @@ object SparkEntry {
         |    AS mde_rel
         |FROM pww""".stripMargin,
     // cohort LTV: DECIMAL revenue end-to-end, census-row windows only
-    "q_ltv_cohort" ->
-      """WITH le AS (
-        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
-        |         value
-        |  FROM events),
-        |lc AS (SELECT user_id, min(day) AS cohort_day FROM le GROUP BY 1),
-        |ls AS (SELECT cohort_day, count(*) AS cohort_size FROM lc
-        |       GROUP BY 1),
-        |ld AS (
-        |  SELECT c.cohort_day,
-        |    date_diff('day', CAST(c.cohort_day AS DATE),
-        |              CAST(e.day AS DATE)) AS age,
-        |    count(DISTINCT e.user_id) AS n_active,
-        |    sum(CASE WHEN e.event_type = 'purchase'
-        |        THEN CAST(e.value AS DECIMAL(18,2))
-        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
-        |  FROM le e JOIN lc c ON e.user_id = c.user_id
-        |  GROUP BY 1,2),
-        |lw AS (
-        |  SELECT *, sum(revenue) OVER (PARTITION BY cohort_day ORDER BY age
-        |    ROWS UNBOUNDED PRECEDING) AS cum_revenue
-        |  FROM ld)
-        |SELECT l.cohort_day, CAST(l.age AS INT) AS age,
-        |  CAST(l.n_active AS BIGINT) AS n_active,
-        |  CAST(l.revenue AS DOUBLE) AS revenue,
-        |  CAST(l.cum_revenue AS DOUBLE) AS cum_revenue,
-        |  round(CAST(l.cum_revenue AS DOUBLE)
-        |        / CAST(s.cohort_size AS DOUBLE), 6) AS ltv
-        |FROM lw l JOIN ls s ON l.cohort_day = s.cohort_day
-        |ORDER BY l.cohort_day, age""".stripMargin,
+    "q_ltv_cohort" -> ltvOracleSql,
+    // drained user-day partials merge additively -> same assembly,
+    // oracle shared verbatim
+    "q_stream_ltv" -> ltvOracleSql,
     // ACF over the dense zero-filled hourly census: mean through
     // quant6, deviation products quant6'd then DECIMAL-summed, lag
     // pairs via a dense-grid self-join (DuckDB lag needs a constant
@@ -4658,6 +4693,37 @@ object SparkEntry {
       |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id,
       |       round(sim, 6) AS sim
       |FROM rr WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val ltvOracleSql: String =
+    """WITH le AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |         value
+      |  FROM events),
+      |lc AS (SELECT user_id, min(day) AS cohort_day FROM le GROUP BY 1),
+      |ls AS (SELECT cohort_day, count(*) AS cohort_size FROM lc
+      |       GROUP BY 1),
+      |ld AS (
+      |  SELECT c.cohort_day,
+      |    date_diff('day', CAST(c.cohort_day AS DATE),
+      |              CAST(e.day AS DATE)) AS age,
+      |    count(DISTINCT e.user_id) AS n_active,
+      |    sum(CASE WHEN e.event_type = 'purchase'
+      |        THEN CAST(e.value AS DECIMAL(18,2))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+      |  FROM le e JOIN lc c ON e.user_id = c.user_id
+      |  GROUP BY 1,2),
+      |lw AS (
+      |  SELECT *, sum(revenue) OVER (PARTITION BY cohort_day ORDER BY age
+      |    ROWS UNBOUNDED PRECEDING) AS cum_revenue
+      |  FROM ld)
+      |SELECT l.cohort_day, CAST(l.age AS INT) AS age,
+      |  CAST(l.n_active AS BIGINT) AS n_active,
+      |  CAST(l.revenue AS DOUBLE) AS revenue,
+      |  CAST(l.cum_revenue AS DOUBLE) AS cum_revenue,
+      |  round(CAST(l.cum_revenue AS DOUBLE)
+      |        / CAST(s.cohort_size AS DOUBLE), 6) AS ltv
+      |FROM lw l JOIN ls s ON l.cohort_day = s.cohort_day
+      |ORDER BY l.cohort_day, age""".stripMargin
 
   private val abOracleSql: String =
     """WITH abu AS (

@@ -507,21 +507,38 @@ object Events {
     * Determinism: revenue in exact DECIMAL end-to-end; the one divide
     * is display-rounded.
     */
-  def ltvCohorts(events: DataFrame): DataFrame = {
-    val e = events.select(col("user_id"),
-      date_format(col("ts"), "yyyy-MM-dd").as("day"),
-      col("event_type"), col("value"))
-    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+  def ltvCohorts(events: DataFrame): DataFrame =
+    ltvFromUserDays(ltvUserDays(events))
+
+  /** The ADDITIVE per-(user, day) partial (n_events, DECIMAL purchase
+    * revenue) — a user-day cell split across micro-batches merges by
+    * sum, so the streaming twin lands exactly this unit per batch.
+    */
+  private[graft] def ltvUserDays(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("decimal(18,2)").as("revenue"))
+
+  /** LTV assembly from merged (user_id, day, n_events, revenue) rows —
+    * the drain side of the streaming twin and the second half of
+    * [[ltvCohorts]], so the two can never drift. (user, day) rows are
+    * unique here, so per-(cohort, age) activity is a plain count.
+    */
+  private[graft] def ltvFromUserDays(ud: DataFrame): DataFrame = {
+    val cohorts = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day")
       .agg(count(lit(1)).as("cohort_size"))
-    val daily = e.join(cohorts, "user_id")
+    val daily = ud.join(cohorts, "user_id")
       .withColumn("age",
         datediff(to_date(col("day")), to_date(col("cohort_day"))))
       .groupBy("cohort_day", "age")
-      .agg(countDistinct(col("user_id")).as("n_active"),
-        sum(when(col("event_type") === "purchase",
-          col("value").cast("decimal(18,2)"))
-          .otherwise(lit(0).cast("decimal(18,2)"))).as("revenue"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("revenue")).cast("decimal(18,2)").as("revenue"))
     val w = Window.partitionBy("cohort_day").orderBy("age")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily

@@ -271,6 +271,62 @@ object Experiment {
       .orderBy("variant")
   }
 
+  /** WINSORIZED EXPERIMENT METRIC (q_ab_winsorized) — the heavy-tail
+    * defense every revenue experiment runs: one whale user can move a
+    * raw mean more than the treatment does, so per-user revenue is
+    * clipped at the POOLED exact interpolated p95 (pooled — a
+    * per-variant clip would let the treatment choose its own outlier
+    * definition, biasing the contrast) and the Welch t is read on the
+    * clipped metric next to the clip census. The established exact
+    * percentile law (Spark `percentile` ≡ DuckDB quantile_cont) makes
+    * the bound itself oracle-exact.
+    *
+    * Scale shape: one per-user agg + a 1-row percentile broadcast + the
+    * 2-row census. Determinism: clipped values and their squares
+    * quant6'd then DECIMAL-summed (the clip bound is an interpolated
+    * double); statistic chain mirrored op-for-op; degenerate variance
+    * emits NULL.
+    */
+  def abWinsorized(events: DataFrame, p: Double = 0.95): DataFrame = {
+    val rev = abUserStats(events)
+      .withColumn("rev_d", col("revenue").cast("double"))
+    val bound = rev.agg(expr(s"percentile(rev_d, $p)").as("clip_hi"))
+    val perVariant = rev.crossJoin(broadcast(bound))
+      .withColumn("w",
+        when(col("rev_d") > col("clip_hi"), col("clip_hi"))
+          .otherwise(col("rev_d")))
+      .withColumn("wq", quant6(col("w")))
+      .withColumn("wsq", quant6(col("w") * col("w")))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rev_d") > col("clip_hi")).cast("long")).as("n_clip"),
+        sum(col("wq").cast("decimal(18,6)")).cast("double").as("sw"),
+        sum(col("wsq").cast("decimal(38,6)")).cast("double").as("swsq"),
+        min(col("clip_hi")).as("clip_hi"))
+    def side(v: String, c: String): Column =
+      max(when(col("variant") === v, col(c)))
+    val wide = perVariant.agg(
+      side("control", "n").as("n_c"), side("treatment", "n").as("n_t"),
+      side("control", "n_clip").as("n_clip_c"),
+      side("treatment", "n_clip").as("n_clip_t"),
+      side("control", "sw").as("sw_c"), side("treatment", "sw").as("sw_t"),
+      side("control", "swsq").as("sq_c"),
+      side("treatment", "swsq").as("sq_t"),
+      max(col("clip_hi")).as("clip_hi"))
+    val nC = col("n_c").cast("double")
+    val nT = col("n_t").cast("double")
+    val mC = col("sw_c") / nC
+    val mT = col("sw_t") / nT
+    val vC = (col("sq_c") - col("sw_c") * col("sw_c") / nC) / (nC - lit(1.0))
+    val vT = (col("sq_t") - col("sw_t") * col("sw_t") / nT) / (nT - lit(1.0))
+    wide.select(col("n_c"), col("n_t"),
+      round(col("clip_hi"), 6).as("clip_hi"),
+      col("n_clip_c"), col("n_clip_t"),
+      round(mC, 6).as("mean_w_c"), round(mT, 6).as("mean_w_t"),
+      round(when(vT / nT + vC / nC > 0.0,
+        (mT - mC) / sqrt(vT / nT + vC / nC)), 6).as("t_wins"))
+  }
+
   /** HETEROGENEOUS TREATMENT EFFECTS by activity segment
     * (q_ab_segments) — the follow-up question to every win: did it come
     * from the heavy users or the casual ones? Users are cut into three

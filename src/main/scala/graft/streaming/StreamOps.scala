@@ -1751,6 +1751,42 @@ object StreamOps {
         spark.read.parquet(store)))
   }
 
+  /** STREAMING COHORT LTV (q_stream_ltv) — the payback dashboard kept
+    * current at ingest: each micro-batch lands its ADDITIVE
+    * per-(user, day) partials ([[graft.operators.Events.ltvUserDays]] —
+    * event counts + DECIMAL revenue; a user-day split across batches
+    * merges by sum) under a deterministic batch=N dir (replay
+    * overwrites); the drained partials merge by (user, day) and feed
+    * the SAME [[graft.operators.Events.ltvFromUserDays]] assembly —
+    * q_ltv_cohort's oracle shared VERBATIM. Per-batch state is
+    * touched-user-day rows, never the event history.
+    */
+  def streamLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_ltv/$runId/store"
+    val ck = s"$tmp/graft_stream_ltv/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.ltvUserDays(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.ltvFromUserDays(
+      spark.read.parquet(store)
+        .groupBy("user_id", "day")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("revenue")).cast("decimal(18,2)").as("revenue")))
+  }
+
   /** STREAMING DELETION QUEUE (q_stream_forget) — right-to-be-forgotten
     * as it actually deploys: erasure requests ARRIVE OVER TIME, and each
     * micro-batch of requests is applied incrementally to the live

@@ -194,6 +194,35 @@ class ExperimentSpec extends SparkSpec {
     assert(segs.map(_.getAs[Long]("n_c")).sum === pooled.getAs[Long]("n_c"))
   }
 
+  test("abWinsorized: the pooled clip catches a planted whale, bound matches quantile law") {
+    val base = 1704067200L
+    // 20 users with revenue 10..200; user 20 is a whale at 10000
+    val events = syntheticEvents((1L to 20L).map { i =>
+      val v = if (i == 20) 10000.0 else i * 10.0
+      (i, base + i * 3600, i, "purchase", v)
+    })
+    val got = Experiment.abWinsorized(events).collect().head
+    // driver-side interpolated p95 over the 20 per-user revenues
+    val xs = ((1L to 19L).map(_ * 10.0) :+ 10000.0).sorted
+    val pos = 0.95 * (xs.length - 1)
+    val (lo, frac) = (pos.toInt, pos - pos.toInt)
+    val expectHi = xs(lo) + frac * (xs(lo + 1) - xs(lo))
+    assert(math.abs(got.getAs[Double]("clip_hi") - expectHi) < 1e-6,
+      s"clip bound ${got.getAs[Double]("clip_hi")} vs quantile law $expectHi")
+    // exactly the whale is clipped (it's the only value above the bound)
+    assert(got.getAs[Long]("n_clip_c") + got.getAs[Long]("n_clip_t") === 1L)
+    // on the real corpus: clipped means never exceed raw means, t finite
+    val real = Experiment.abWinsorized(Tables.events(spark, sf0001))
+      .collect().head
+    val raw = Experiment.abMetrics(Tables.events(spark, sf0001))
+      .collect().head
+    assert(real.getAs[Double]("mean_w_c") <=
+      raw.getAs[Double]("mean_rev_c") + 1e-6)
+    assert(real.getAs[Double]("mean_w_t") <=
+      raw.getAs[Double]("mean_rev_t") + 1e-6)
+    assert(!real.isNullAt(real.fieldIndex("t_wins")))
+  }
+
   test("abRatio: one-session-per-user corpus degenerates to the per-user mean law") {
     val base = 1704067200L
     // every user: a view and a purchase 5 min apart -> exactly 1 session,

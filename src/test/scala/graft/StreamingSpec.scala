@@ -697,6 +697,14 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("streaming LTV equals the batch cohort curve (additive user-day partials)") {
+    val live = StreamOps.streamLtv(spark, sf0001).collect()
+    val batch = graft.operators.Events.ltvCohorts(
+      Tables.events(spark, sf0001)).collect()
+    assert(live.map(_.toString).toSeq === batch.map(_.toString).toSeq,
+      "drained user-day partials must assemble to the batch LTV curve exactly")
+  }
+
   test("streaming A/B monitor equals the batch read-out (additive user partials)") {
     val live = StreamOps.streamAb(spark, sf0001).collect().head
     val batch = graft.operators.Experiment.abMetrics(
