@@ -377,6 +377,7 @@ object SparkEntry {
     // --- streaming (S1/S3/S5/S6, T1-T5, T8): full pipelines executed via
     // Trigger.AvailableNow, results oracle-checked like any batch query ---
     "q_stream_land" -> ((s, d) => streaming.StreamOps.streamLandCounts(s, d)),
+    "q_stream_land_dsv2" -> ((s, d) => streaming.StreamOps.streamLandCountsShards(s, d)),
     "q_land_upsert" -> ((s, d) => streaming.StreamOps.streamLandUpsert(s, d)),
     "q_stream_histdedup" -> ((s, d) => streaming.StreamOps.streamHistDedup(s, d)),
     "q_stream_chunks" -> ((s, d) => streaming.StreamOps.streamChunks(s, d)),
@@ -842,15 +843,20 @@ object SparkEntry {
         |  round(th, 6) AS theta,
         |  round(syv / CAST(n_users AS DOUBLE), 6) AS mean_rev,
         |  round(sya / CAST(n_users AS DOUBLE), 6) AS mean_rev_adj,
-        |  round((sq - syv * syv / CAST(n_users AS DOUBLE))
-        |        / (CAST(n_users AS DOUBLE) - 1.0), 6) AS var_rev,
-        |  round((sqa - sya * sya / CAST(n_users AS DOUBLE))
-        |        / (CAST(n_users AS DOUBLE) - 1.0), 6) AS var_rev_adj,
-        |  round(1.0 -
+        |  round(CASE WHEN n_users > 1
+        |        THEN (sq - syv * syv / CAST(n_users AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) - 1.0) END, 6) AS var_rev,
+        |  round(CASE WHEN n_users > 1
+        |        THEN (sqa - sya * sya / CAST(n_users AS DOUBLE))
+        |        / (CAST(n_users AS DOUBLE) - 1.0) END, 6) AS var_rev_adj,
+        |  round(CASE WHEN n_users > 1
+        |             AND (sq - syv * syv / CAST(n_users AS DOUBLE))
+        |                 / (CAST(n_users AS DOUBLE) - 1.0) > 0.0
+        |        THEN 1.0 -
         |    ((sqa - sya * sya / CAST(n_users AS DOUBLE))
         |       / (CAST(n_users AS DOUBLE) - 1.0))
         |    / ((sq - syv * syv / CAST(n_users AS DOUBLE))
-        |       / (CAST(n_users AS DOUBLE) - 1.0)), 6) AS var_reduction
+        |       / (CAST(n_users AS DOUBLE) - 1.0)) END, 6) AS var_reduction
         |FROM agg ORDER BY variant""".stripMargin,
     // per audited key: group-size census + heavy-key count + skew flag
     "q_skew_audit" -> skewOracleSql,
@@ -1988,7 +1994,9 @@ object SparkEntry {
         |  n_clip_c, n_clip_t,
         |  round(sw_c / CAST(n_c AS DOUBLE), 6) AS mean_w_c,
         |  round(sw_t / CAST(n_t AS DOUBLE), 6) AS mean_w_t,
-        |  round(CASE WHEN (sq_t - sw_t * sw_t / CAST(n_t AS DOUBLE))
+        |  round(CASE WHEN CAST(n_c AS DOUBLE) > 1.0
+        |           AND CAST(n_t AS DOUBLE) > 1.0
+        |           AND (sq_t - sw_t * sw_t / CAST(n_t AS DOUBLE))
         |             / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
         |           + (sq_c - sw_c * sw_c / CAST(n_c AS DOUBLE))
         |             / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE)
@@ -2306,7 +2314,12 @@ object SparkEntry {
         |bfd1 AS (
         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
         |  FROM bfd0 WHERE cents > 0),
-        |bfd AS (SELECT digit, count(*) AS n_obs FROM bfd1 GROUP BY 1),
+        |bfdo AS (SELECT digit, count(*) AS n_obs FROM bfd1 GROUP BY 1),
+        |bfd AS (
+        |  SELECT CAST(sp.digit AS INT) AS digit,
+        |         CAST(coalesce(bfdo.n_obs, 0) AS BIGINT) AS n_obs
+        |  FROM generate_series(1, 9) AS sp(digit)
+        |  LEFT JOIN bfdo ON bfdo.digit = sp.digit),
         |bft AS (SELECT sum(n_obs) AS n_total FROM bfd),
         |bfr AS (
         |  SELECT digit, n_obs, n_total,
@@ -3300,7 +3313,7 @@ object SparkEntry {
         |        sqrt(list_dot_product(emb[1:16], emb[1:16])) AS pnrm
         |      FROM b),
         |qp AS (SELECT vec_id AS query_id, pre AS q_pre, pnrm AS q_pnrm
-        |       FROM p WHERE vec_id < 20),
+        |       FROM p WHERE vec_id < 20 AND pnrm > 0),
         |ps AS (
         |  SELECT qp.query_id, p.vec_id AS neighbor_id,
         |         list_dot_product(p.pre, qp.q_pre)
@@ -3377,6 +3390,12 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE)/count(*) AS mean_val
         |FROM ex GROUP BY 1,2 ORDER BY label, dim""".stripMargin,
     "q_stream_land" ->
+      """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+        |       count(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
+    // the DSv2 graft-shards source must land EXACTLY the events the file
+    // stand-in lands — oracle shared verbatim with q_stream_land
+    "q_stream_land_dsv2" ->
       """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
         |       count(DISTINCT event_id) AS n_events
         |FROM events GROUP BY 1,2,3,4 ORDER BY y, m, d, h""".stripMargin,
@@ -4042,7 +4061,7 @@ object SparkEntry {
     "q_pagerank_terms" -> pagerankOracleSql(4, 5L, 3, 20),
     // BFS min-hop from the max-count seed term over the same edges;
     // frontier rounds exclude everything already reached
-    "q_bfs_hops" -> bfsOracleSql(4, 5L, 3),
+    "q_bfs_hops" -> bfsOracleSql(4, 5L, 20),
     // triangle census: degree-ordered orientation — each triangle closes
     // at its lowest-(deg, name) vertex exactly once; corners unioned for
     // per-node counts; cc is one integer ratio
@@ -4781,11 +4800,15 @@ object SparkEntry {
       |              + 1.0 / CAST(n_t AS DOUBLE))) END, 6) AS z_conv,
       |  round(sr_c / CAST(n_c AS DOUBLE), 6) AS mean_rev_c,
       |  round(sr_t / CAST(n_t AS DOUBLE), 6) AS mean_rev_t,
-      |  round((sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
-      |        / (CAST(n_c AS DOUBLE) - 1.0), 6) AS var_rev_c,
-      |  round((sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
-      |        / (CAST(n_t AS DOUBLE) - 1.0), 6) AS var_rev_t,
-      |  round(CASE WHEN (sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
+      |  round(CASE WHEN CAST(n_c AS DOUBLE) > 1.0
+      |        THEN (sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
+      |        / (CAST(n_c AS DOUBLE) - 1.0) END, 6) AS var_rev_c,
+      |  round(CASE WHEN CAST(n_t AS DOUBLE) > 1.0
+      |        THEN (sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
+      |        / (CAST(n_t AS DOUBLE) - 1.0) END, 6) AS var_rev_t,
+      |  round(CASE WHEN CAST(n_c AS DOUBLE) > 1.0
+      |             AND CAST(n_t AS DOUBLE) > 1.0
+      |             AND (sq_t - sr_t * sr_t / CAST(n_t AS DOUBLE))
       |             / (CAST(n_t AS DOUBLE) - 1.0) / CAST(n_t AS DOUBLE)
       |           + (sq_c - sr_c * sr_c / CAST(n_c AS DOUBLE))
       |             / (CAST(n_c AS DOUBLE) - 1.0) / CAST(n_c AS DOUBLE) > 0.0
@@ -5147,22 +5170,14 @@ object SparkEntry {
        |ORDER BY user_id, slot_us""".stripMargin
   }
 
-  /** Generated BFS oracle: the pagerank edge chain + `maxHops` unrolled
-    * frontier CTEs, each excluding everything already reached.
+  /** Generated BFS oracle: the pagerank edge chain + a RECURSIVE
+    * min-hop walk bounded at `hopBudget`, plus the explicit
+    * hop = -1 emission for graph nodes the walk never reaches —
+    * mirroring the operator's iterate-until-empty-frontier semantics.
     */
   private def bfsOracleSql(window: Int, minCount: Long,
-                           maxHops: Int): String = {
-    val steps = (1 to maxHops).map { h =>
-      val seen = (0 until h).map(i => s"SELECT term FROM bfh$i")
-        .mkString(" UNION ALL ")
-      s"""bfh$h AS MATERIALIZED (
-         |  SELECT DISTINCT e.dst AS term, $h AS hop
-         |  FROM bfe e JOIN bfh${h - 1} f ON f.term = e.src
-         |  WHERE e.dst NOT IN ($seen))""".stripMargin
-    }.mkString(",\n")
-    val all = (0 to maxHops).map(h => s"SELECT term, hop FROM bfh$h")
-      .mkString(" UNION ALL ")
-    s"""WITH bfb AS (
+                           hopBudget: Int): String =
+    s"""WITH RECURSIVE bfb AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                t -> t <> '') AS toks
@@ -5183,10 +5198,20 @@ object SparkEntry {
        |  SELECT t AS term, 0 AS hop FROM (
        |    SELECT t, count(*) AS n FROM bft GROUP BY 1
        |    ORDER BY n DESC, t LIMIT 1)),
-       |$steps
-       |SELECT CAST(hop AS INT) AS hop, term FROM ($all)
+       |bfr(term, hop) AS (
+       |  SELECT term, hop FROM bfh0
+       |  UNION
+       |  SELECT e.dst, r.hop + 1
+       |  FROM bfr r JOIN bfe e ON e.src = r.term
+       |  WHERE r.hop < $hopBudget),
+       |bfm AS MATERIALIZED (
+       |  SELECT term, min(hop) AS hop FROM bfr GROUP BY 1),
+       |bfx AS (
+       |  SELECT term, -1 AS hop FROM (SELECT DISTINCT src AS term FROM bfe)
+       |  WHERE term NOT IN (SELECT term FROM bfm))
+       |SELECT CAST(hop AS INT) AS hop, term
+       |FROM (SELECT term, hop FROM bfm UNION ALL SELECT term, hop FROM bfx)
        |ORDER BY hop, term""".stripMargin
-  }
 
   private def pagerankOracleSql(window: Int, minCount: Long, iters: Int,
                                 topK: Int): String = {

@@ -73,9 +73,11 @@ object Experiment {
     */
   private[graft] def abUsersFromPartials(partials: DataFrame): DataFrame =
     partials.groupBy("user_id")
-      .agg(sum(col("n_conversions")).as("n_conversions"),
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_conversions")).as("n_conversions"),
         sum(col("revenue")).as("revenue"))
       .select(col("user_id"), variantOf(col("user_id")).as("variant"),
+        col("n_events"),
         (col("n_conversions") > 0L).cast("long").as("converted"),
         col("revenue").cast("decimal(18,2)").as("revenue"))
 
@@ -134,9 +136,10 @@ object Experiment {
         6).as("z_conv"),
       round(mC, 6).as("mean_rev_c"),
       round(mT, 6).as("mean_rev_t"),
-      round(varC, 6).as("var_rev_c"),
-      round(varT, 6).as("var_rev_t"),
-      round(when(varT / nT + varC / nC > 0.0,
+      round(when(nC > lit(1.0), varC), 6).as("var_rev_c"),
+      round(when(nT > lit(1.0), varT), 6).as("var_rev_t"),
+      round(when(nC > lit(1.0) && nT > lit(1.0) &&
+        varT / nT + varC / nC > 0.0,
         (mT - mC) / sqrt(varT / nT + varC / nC)), 6).as("t_rev"))
   }
 
@@ -323,7 +326,8 @@ object Experiment {
       round(col("clip_hi"), 6).as("clip_hi"),
       col("n_clip_c"), col("n_clip_t"),
       round(mC, 6).as("mean_w_c"), round(mT, 6).as("mean_w_t"),
-      round(when(vT / nT + vC / nC > 0.0,
+      round(when(nC > lit(1.0) && nT > lit(1.0) &&
+        vT / nT + vC / nC > 0.0,
         (mT - mC) / sqrt(vT / nT + vC / nC)), 6).as("t_wins"))
   }
 
@@ -612,19 +616,26 @@ object Experiment {
         round(col("_sy") / col("n_users").cast("double"), 6).as("mean_rev"),
         round(col("_sya") / col("n_users").cast("double"), 6)
           .as("mean_rev_adj"),
-        round((col("_sq") - col("_sy") * col("_sy") /
-            col("n_users").cast("double")) /
-          (col("n_users").cast("double") - lit(1.0)), 6).as("var_rev"),
-        round((col("_sqa") - col("_sya") * col("_sya") /
-            col("n_users").cast("double")) /
-          (col("n_users").cast("double") - lit(1.0)), 6).as("var_rev_adj"),
-        round(lit(1.0) -
+        round(when(col("n_users") > 1L,
+          (col("_sq") - col("_sy") * col("_sy") /
+              col("n_users").cast("double")) /
+            (col("n_users").cast("double") - lit(1.0))), 6).as("var_rev"),
+        round(when(col("n_users") > 1L,
+          (col("_sqa") - col("_sya") * col("_sya") /
+              col("n_users").cast("double")) /
+            (col("n_users").cast("double") - lit(1.0))), 6)
+          .as("var_rev_adj"),
+        round(when(col("n_users") > 1L &&
+          (col("_sq") - col("_sy") * col("_sy") /
+              col("n_users").cast("double")) /
+            (col("n_users").cast("double") - lit(1.0)) > 0.0,
+          lit(1.0) -
           ((col("_sqa") - col("_sya") * col("_sya") /
               col("n_users").cast("double")) /
             (col("n_users").cast("double") - lit(1.0))) /
           ((col("_sq") - col("_sy") * col("_sy") /
               col("n_users").cast("double")) /
-            (col("n_users").cast("double") - lit(1.0))), 6)
+            (col("n_users").cast("double") - lit(1.0)))), 6)
           .as("var_reduction"))
       .orderBy("variant")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,7 +234,7 @@ object Pipeline {
                            buckets: Int = 1024): DataFrame = {
     graft.CacheRegistry.trackMemo(documents.sparkSession, packedMemo)
     packedMemo.computeIfAbsent(
-      s"${documents.sparkSession.hashCode}|$corpusKey|$budget|$repTau|$buckets",
+      s"${graft.CacheRegistry.sessionToken(documents.sparkSession)}|$corpusKey|$budget|$repTau|$buckets",
       _ => pretrainPacked(documents, budget, repTau, buckets)
         .localCheckpoint())
   }
@@ -839,10 +839,12 @@ object Pipeline {
     * md5-derived uniform (the [[TextAnalysis.weightedSample]] device —
     * +1 in LONG before the double divide, then inverse-CDF
     * −b·sign·ln(…) through quant6), so the release is replayable and
-    * cross-engine reproducible — swap in a true RNG per release epoch
-    * for production privacy. Scale shape: one pruned scan + one hash
-    * agg on the cell key; the noise is per-cell scalar math, no
-    * further shuffle.
+    * cross-engine reproducible. The production path is the
+    * `noiseSource` seam on [[dpReleaseFromCells]]: pass
+    * [[randomLaplaceNoise]] for a fresh draw per release epoch
+    * (spec-tested distributionally — see PipelineSpec). Scale shape:
+    * one pruned scan + one hash agg on the cell key; the noise is
+    * per-cell scalar math, no further shuffle.
     */
   def dpCountRelease(events: DataFrame, epsilon: Double = 1.0): DataFrame =
     // no repartition spread: the per-row work is one date_format, so the
@@ -861,22 +863,51 @@ object Pipeline {
     * would both break the privacy accounting and leak batch
     * boundaries), so batch and at-ingest releases can never drift.
     */
-  private[graft] def dpReleaseFromCells(cells: DataFrame,
-                                        epsilon: Double): DataFrame = {
+  /** The SEEDED Laplace(b) noise source — the oracled default: key →
+    * hash-uniform u (md5₆₀ + 1 in LONG before the double divide,
+    * endpoint-clamped) → inverse CDF through quant6. Replayable and
+    * cross-engine reproducible by construction.
+    */
+  def seededLaplaceNoise(b: Double): Column => Column = key => {
     import graft.operators.Similarity.quant6
+    // clamped to (0,1): h = 2^60-1 maps (h+1)/2^60 to exactly 1.0,
+    // where the upper inverse-CDF branch would blow up to +Inf —
+    // least() caps it one literal below (2^60+1 is not a double, so
+    // a wider divisor cannot fix the endpoint)
+    val u = least((NearDup.md5Hash60(key) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18), lit(0.999999999))
+    quant6(when(u < 0.5, lit(b) * log(u * lit(2.0)))
+      .otherwise(lit(-b) * log((lit(1.0) - u) * lit(2.0))))
+  }
+
+  /** The PRODUCTION Laplace(b) noise source: a fresh uniform per cell
+    * per release epoch (Spark's per-query-seeded rand — swap in a
+    * SecureRandom-backed expression for crypto-grade draws; the seam is
+    * this function, nothing downstream changes). NOT oracle-matchable by
+    * design — a replayable release is exactly what a real DP deployment
+    * must never ship (the seeded twin exists for cross-engine
+    * verification); PipelineSpec asserts its distributional law (mean ≈
+    * 0, E|X| ≈ b) instead of values.
+    */
+  def randomLaplaceNoise(b: Double): Column => Column = _ =>
+    // BRANCHLESS on purpose: Laplace(b) = b·(Exp(1) − Exp(1)) as the
+    // log-ratio of two independent uniforms. The inverse-CDF form needs
+    // when/otherwise, and a CONDITIONAL branch evaluates its stateful
+    // rand() copy only when taken — desynchronizing it from the
+    // condition's copy row by row and silently corrupting the
+    // distribution (measured: E|X| collapses to b·ln2). Every stateful
+    // expression here evaluates exactly once per row.
+    lit(b) * (log(greatest(rand(), lit(1.0e-12))) -
+              log(greatest(rand(), lit(1.0e-12))))
+
+  private[graft] def dpReleaseFromCells(cells: DataFrame,
+                                        epsilon: Double,
+                                        noiseSource: Double => Column => Column
+                                          = seededLaplaceNoise): DataFrame = {
     val b = 1.0 / epsilon
     cells
-      .withColumn("_u",
-        // clamped to (0,1): h = 2^60-1 maps (h+1)/2^60 to exactly 1.0,
-        // where the upper inverse-CDF branch would blow up to +Inf —
-        // least() caps it one literal below (2^60+1 is not a double, so
-        // a wider divisor cannot fix the endpoint)
-        least((NearDup.md5Hash60(concat_ws("|", col("event_type"), col("day")))
-          + lit(1L)).cast("double") / lit(1.152921504606846976e18),
-          lit(0.999999999)))
-      .withColumn("noise", quant6(
-        when(col("_u") < 0.5, lit(b) * log(col("_u") * lit(2.0)))
-          .otherwise(lit(-b) * log((lit(1.0) - col("_u")) * lit(2.0)))))
+      .withColumn("noise", noiseSource(b)(
+        concat_ws("|", col("event_type"), col("day"))))
       .withColumn("n_released",
         greatest(lit(0.0),
           floor(col("n_true") + col("noise") + lit(0.5))).cast("long"))
@@ -902,7 +933,8 @@ object Pipeline {
     *
     * Determinism seam: same seeded inverse-CDF as the event-level
     * release, salted "user|" so the two releases never share noise;
-    * swap a true RNG per release epoch for production privacy. Scale
+    * the `noiseSource` parameter is the production seam — pass
+    * [[randomLaplaceNoise]] for a fresh draw per release epoch. Scale
     * shape: the clamp is one user_id-led window (corpus-cardinality
     * key — parallel), both histograms are hash aggs on the cell key,
     * the cap census collapses to ONE broadcast row, and the noise is
@@ -915,8 +947,9 @@ object Pipeline {
     * knob report (and the oracle-checked query) reads.
     */
   def dpCountReleaseUser(events: DataFrame, epsilon: Double = 1.0,
-                         cap: Int = 4, audit: Boolean = false): DataFrame = {
-    import graft.operators.Similarity.quant6
+                         cap: Int = 4, audit: Boolean = false,
+                         noiseSource: Double => Column => Column
+                           = seededLaplaceNoise): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = cap.toDouble / epsilon
     val perUser = events.select(col("user_id"), col("event_id"),
@@ -935,14 +968,8 @@ object Pipeline {
         sum(greatest(col("_nu") - cap, lit(0L))).as("n_clipped_rows"))
     val noised = base.join(clamped, Seq("event_type", "day"), "left")
       .withColumn("n_clamped", coalesce(col("n_clamped"), lit(0L)))
-      .withColumn("_u",
-        least((NearDup.md5Hash60(
-            concat_ws("|", lit("user"), col("event_type"), col("day")))
-          + lit(1L)).cast("double") / lit(1.152921504606846976e18),
-          lit(0.999999999)))
-      .withColumn("noise", quant6(
-        when(col("_u") < 0.5, lit(b) * log(col("_u") * lit(2.0)))
-          .otherwise(lit(-b) * log((lit(1.0) - col("_u")) * lit(2.0)))))
+      .withColumn("noise", noiseSource(b)(
+        concat_ws("|", lit("user"), col("event_type"), col("day"))))
       .withColumn("n_released",
         greatest(lit(0.0),
           floor(col("n_clamped") + col("noise") + lit(0.5))).cast("long"))
@@ -978,13 +1005,21 @@ object Pipeline {
     */
   def benfordAudit(events: DataFrame): DataFrame = {
     import graft.operators.Similarity.quant6
-    val digits = events
+    // Constant 1..9 digit spine: a digit with ZERO observations must
+    // still contribute its full (0-E)^2/E = E term — omitting absent
+    // digits understates chi2 precisely on the pathological data the
+    // audit exists to flag (df=8 critical value assumes all 9 cells).
+    val spine = events.sparkSession.range(1L, 10L)
+      .select(col("id").cast("int").as("digit"))
+    val observed = events
       .select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
         .as("cents"))
       .filter(col("cents") > 0L)
       .select(substring(col("cents").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val digits = spine.join(observed, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
     val tot = digits.agg(sum(col("n_obs")).as("n_total"))
     val rows = digits.crossJoin(broadcast(tot))
       .withColumn("p_benford", quant6(

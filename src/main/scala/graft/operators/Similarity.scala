@@ -942,7 +942,11 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("pre", slice(col("emb"), 1, prefixDim))
       .withColumn("pnrm", l2Norm(col("pre")))
-    val queries = base.filter(col("vec_id") < nQueries)
+    // zero-norm drop applies to BOTH sides: a query whose leading
+    // prefixDim components are all 0 has no direction in the prefix
+    // space either, and q_pnrm = 0 would divide to NaN/Inf
+    val queries = base.filter(col("vec_id") < nQueries &&
+        col("pnrm") > 0)
       .select(col("vec_id").as("query_id"), col("pre").as("q_pre"),
         col("pnrm").as("q_pnrm"))
     val scored = base.filter(col("pnrm") > 0)
@@ -2480,7 +2484,7 @@ object Similarity {
       case Some(ck) =>
         graft.CacheRegistry.trackMemo(documents.sparkSession, tiersMemo)
         tiersMemo.computeIfAbsent(
-          s"${documents.sparkSession.hashCode}|$ck|$nQueries|$k",
+          s"${graft.CacheRegistry.sessionToken(documents.sparkSession)}|$ck|$nQueries|$k",
           _ => retrievalTiers(documents, nQueries, k).localCheckpoint())
       case None => retrievalTiers(documents, nQueries, k)
     }

@@ -1340,15 +1340,44 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(t))))
 
+  /** Runaway guard for [[bpeChain]]'s k-jobs cost model (see scaladoc
+    * there): callers wanting a production-size vocabulary must opt in
+    * explicitly rather than silently schedule tens of thousands of
+    * Spark jobs.
+    */
+  val MaxBpeMerges: Int =
+    sys.env.get("SPARK_GRAFT_BPE_MAX_MERGES").map(_.toInt).getOrElse(1000)
+
   /** The ONE BPE loop behind [[bpeMerges]], [[bpeVocab]] and
     * [[bpeApply]]: k greedy merge steps, returning the merge table, the
     * final per-word symbol state, and the merge list itself (driver-side
     * — it IS driver state by construction, k scalar rows) for replay on
     * unseen text (same single-implementation discipline as the k-means
     * `lloydChain`).
+    *
+    * COST MODEL — k is a JOB count, not a row count: greedy BPE is
+    * inherently sequential (merge i+1's pair counts depend on merge i's
+    * rewrite), so each step is one distributed pair-count aggregation +
+    * a limit(1) argmax — one Spark job over the VOCABULARY (word, freq)
+    * frame (corpus-size-independent after [[wordChars]]). A 32k-vocab
+    * tokenizer therefore implies ~32k sequential Spark jobs (hours of
+    * scheduling floor even on an idle cluster); production trainers
+    * (HuggingFace tokenizers, SentencePiece) run this phase on a single
+    * node with a heap-maintained pair-count delta structure over the
+    * deduplicated vocabulary — the right architecture there too: the
+    * vocabulary fits one machine even at 100 TB corpus scale, and Spark's
+    * job is the word-histogram reduction that feeds it. The
+    * [[MaxBpeMerges]] guard (default 1000, env-overridable via
+    * SPARK_GRAFT_BPE_MAX_MERGES) makes that tradeoff explicit instead of
+    * letting a 32k-vocab call schedule 32k jobs unannounced.
     */
   private def bpeChain(documents: DataFrame, k: Int)
       : (DataFrame, DataFrame, Seq[(String, String)]) = {
+    require(k <= MaxBpeMerges,
+      s"k=$k BPE merges = $k sequential Spark jobs (one pair-count agg per " +
+      s"merge) — beyond MaxBpeMerges=$MaxBpeMerges. For production-size " +
+      "vocabularies run the merge loop driver-side over the word histogram " +
+      "(see bpeChain scaladoc) or raise SPARK_GRAFT_BPE_MAX_MERGES.")
     val spark = documents.sparkSession
     var words = wordChars(documents).localCheckpoint()
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
@@ -1953,23 +1982,31 @@ object TextAnalysis {
     * tie-break) over the window-`window` co-occurrence graph — the
     * neighborhood-expansion query a term-graph explorer ("what is
     * within k hops of X?") runs, and the building block of
-    * graph-distance features. `maxHops` unrolled frontier rounds, each
-    * one edge join + distinct + anti-join against the visited set,
-    * localCheckpoint-truncated (the pagerankTerms device) — no GraphX,
-    * no driver loop over vertices.
+    * graph-distance features. Frontier rounds iterate UNTIL THE
+    * FRONTIER EMPTIES (true convergence — a deeper graph can never
+    * silently truncate distances) under a `hopBudget` runaway guard;
+    * each round is one edge join + distinct + anti-join against the
+    * visited set, localCheckpoint-truncated (the pagerankTerms device)
+    * — no GraphX, no driver loop over vertices. Graph nodes the budget
+    * or a disconnected component leaves unreached are emitted
+    * EXPLICITLY with hop = -1, so the result always covers the whole
+    * node set and "missing" is a value, not an absence.
     *
     * Scale shape: the pair space is positional (≤ window·n rows per
     * doc); each round's frontier join is edge-bounded and the visited
     * anti-join is node-bounded; state between rounds is the (term, hop)
-    * frontier — vocabulary-sized, never corpus-sized. Determinism: pure
-    * set algebra on exact counts; BFS min-hop is join-order-independent
-    * by construction. On the driver's 31-term uniform-vocabulary corpus
+    * frontier — vocabulary-sized, never corpus-sized; the per-round
+    * emptiness probe is an isEmpty on the already-materialized
+    * checkpoint (take(1), not a count). Determinism: pure set algebra
+    * on exact counts; BFS min-hop is join-order-independent by
+    * construction. On the driver's 31-term uniform-vocabulary corpus
     * one dense component is the CORRECT answer (everything lands at hop
-    * 1) — multi-hop separation is proven on a constructed chain corpus
-    * in TextAnalysisSpec.
+    * 1, converging in 2 rounds) — multi-hop separation, convergence
+    * past round 3, and the unreached emission are proven on
+    * constructed chain/two-component corpora in TextAnalysisSpec.
     */
   def bfsHops(documents: DataFrame, window: Int = 4, minCount: Long = 5,
-              maxHops: Int = 3): DataFrame = {
+              hopBudget: Int = 20): DataFrame = {
     val tp = documents.repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val und = tp.as("a").join(tp.as("b"),
@@ -1992,17 +2029,29 @@ object TextAnalysis {
       .select(col("t").as("term"))
     var visited = seed.withColumn("hop", lit(0)).localCheckpoint()
     var frontier = visited.select("term")
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var drained = frontier.isEmpty
+    while (!drained && h <= hopBudget) {
       val nxt = frontier.withColumnRenamed("term", "src")
         .join(edges, "src")
         .select(col("dst").as("term")).distinct()
         .join(visited.select("term"), Seq("term"), "left_anti")
         .withColumn("hop", lit(h))
         .localCheckpoint()
-      visited = visited.unionByName(nxt).localCheckpoint()
-      frontier = nxt.select("term")
+      drained = nxt.isEmpty
+      if (!drained) {
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("term")
+      }
+      h += 1
     }
-    visited.select(col("hop").cast("int").as("hop"), col("term"))
+    // every graph node the walk never reached (other components, or past
+    // the budget) is emitted with the explicit sentinel hop = -1
+    val unreached = edges.select(col("src").as("term")).distinct()
+      .join(visited.select("term"), Seq("term"), "left_anti")
+      .withColumn("hop", lit(-1))
+    visited.unionByName(unreached)
+      .select(col("hop").cast("int").as("hop"), col("term"))
       .orderBy("hop", "term")
   }
 

@@ -229,6 +229,75 @@ object StreamOps {
       .orderBy("y", "m", "d", "h")
   }
 
+  /** The engine event stream read through the [[graft.sources.GraftShards]]
+    * DSv2 source instead of the parquet file stand-in — S1 as a real
+    * `MicroBatchStream`: per-shard envelope lines → payload parse →
+    * exactly the (event_id, ts, user_id, event_type, value, props,
+    * sequence_number, shard_id) frame [[withEnvelope]] produces, so every
+    * downstream stage (dedup, landing, windows) is byte-identical across
+    * the two sources. `batchSize` is the per-shard GetRecords cap
+    * (BATCH_SIZE, consumer.py:255) — with AvailableNow the source drains
+    * in ceil(maxShardLen/batchSize) micro-batches. `errorOpts` is the P7
+    * fault-injection surface (graft.errors.* reader options).
+    */
+  def shardsEventStream(spark: SparkSession, shardDir: String,
+                        batchSize: Option[Int] = None,
+                        errorOpts: Map[String, String] = Map.empty)
+      : DataFrame = {
+    configureStateStore(spark)
+    val reader = spark.readStream.format("graft-shards")
+      .option("path", shardDir)
+      .option("kinesis.startingPosition", "TRIM_HORIZON")
+      .options(errorOpts)
+    batchSize.foreach(b =>
+      reader.option("kinesis.maxFetchRecordsPerShard", b.toLong))
+    reader.load()
+      .select(
+        from_json(col("data").cast("string"),
+          graft.sources.GraftShards.payloadSchema).as("p"),
+        col("sequenceNumber"), col("shardId"))
+      .select(
+        col("p.event_id").as("event_id"),
+        timestamp_micros(col("p.ts_us")).as("ts"),
+        col("p.user_id").as("user_id"),
+        col("p.event_type").as("event_type"),
+        col("p.value").as("value"),
+        col("p.props").as("props"),
+        col("sequenceNumber").cast("long").as("sequence_number"),
+        substring(col("shardId"), 9, 12).cast("int").as("shard_id"))
+  }
+
+  /** [[streamLandCounts]] over the DSv2 source (q_stream_land_dsv2):
+    * stage the shard files, run dedup → idempotent landing through the
+    * real MicroBatchStream, and aggregate the landed layout — oracle
+    * shared VERBATIM with q_stream_land (both sources must land the same
+    * events). The 10k per-shard cap drains sf0.01 in one batch and sf0.1
+    * in three, so the bench-scale run provably pages through the offset
+    * log (the spec's BATCH_SIZE=tiny proof covers the many-batch case).
+    */
+  def streamLandCountsShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val shardDir = graft.sources.GraftShards.stageShardDir(spark, sfDir)
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val outDir = s"$tmp/graft_stream_land_dsv2/$runId"
+    val ckDir = s"$tmp/graft_stream_ck_dsv2/$runId"
+    val q = shardsEventStream(spark, shardDir, batchSize = Some(10000))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, outDir, batchId)
+      }
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(landedDataSchema).json(outDir)
+      .groupBy("y", "m", "d", "h")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("y", "m", "d", "h")
+  }
+
   /** One micro-batch of the MERGE-shaped LANDING UPSERT: late-corrected
     * events REPLACE their originals in the landed parquet layout, keyed
     * on event_id — the correction path the reference's append-only sink

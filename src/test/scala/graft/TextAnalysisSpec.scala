@@ -958,28 +958,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("en", 1L, 2L), ("en", 2L, 1L), ("fr", 1L, 3L)))
   }
 
-  test("bfsHops: hop distances separate on a chain corpus, maxHops bounds the reach") {
+  test("bpeChain guard: a vocabulary-scale k is refused before " +
+       "scheduling k sequential jobs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "aa bb")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMerges(docs, k = TextAnalysis.MaxBpeMerges + 1)
+    }
+    assert(ex.getMessage.contains("sequential Spark jobs"),
+      "the guard must explain the k-jobs cost model")
+  }
+
+  test("bfsHops: convergence on a 5-hop chain, budget truncation emits " +
+       "unreached, disconnected components emit unreached") {
     val sp = spark
     import sp.implicits._
     // path graph aa-bb-cc-dd-ee-ff: doc i repeats its edge's two terms
-    // 5 times (minCount = 5); middle terms count 10, tie-asc seed = bb
+    // 5 times (minCount = 5); middle terms count 10, tie-asc seed = bb.
+    // ff is 4 hops from bb — past the OLD 3-round unroll, so this chain
+    // is exactly the planted case convergence exists for.
     val chain = Seq("aa bb", "bb cc", "cc dd", "dd ee", "ee ff")
     val docs = chain.zipWithIndex.map { case (pair, i) =>
       (i.toLong, (pair + " ") * 5, "en", "s0", 10L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    val got = TextAnalysis.bfsHops(docs, maxHops = 3).collect()
+    val got = TextAnalysis.bfsHops(docs).collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Int]("hop")).toMap
-    assert(got === Map("bb" -> 0, "aa" -> 1, "cc" -> 1, "dd" -> 2, "ee" -> 3),
-      "BFS must find exact shortest-hop distances along the chain")
-    assert(!got.contains("ff"),
-      "ff is 4 hops out — maxHops = 3 must bound the expansion")
-    // on the real corpus: seed at hop 0, every emitted hop <= maxHops,
-    // and hop sets are disjoint by construction of the anti-join
+    assert(got === Map("bb" -> 0, "aa" -> 1, "cc" -> 1, "dd" -> 2,
+        "ee" -> 3, "ff" -> 4),
+      "iterate-until-empty-frontier must reach the WHOLE chain")
+    // a budget below the diameter cannot silently truncate: the nodes
+    // past it come back as explicit hop = -1 rows
+    val capped = TextAnalysis.bfsHops(docs, hopBudget = 3).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Int]("hop")).toMap
+    assert(capped("ff") === -1,
+      "past-budget nodes must be emitted as unreached, not dropped")
+    assert(capped.filter(_._2 >= 0) ===
+      Map("bb" -> 0, "aa" -> 1, "cc" -> 1, "dd" -> 2, "ee" -> 3))
+    // a second component (gg-hh, disconnected from the seed's) is
+    // unreached at ANY budget
+    val twoComp = (chain :+ "gg hh").zipWithIndex.map { case (pair, i) =>
+      (i.toLong, (pair + " ") * 5, "en", "s0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val comp = TextAnalysis.bfsHops(twoComp).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Int]("hop")).toMap
+    assert(comp("gg") === -1 && comp("hh") === -1,
+      "disconnected-component nodes must be explicit unreached rows")
+    assert(comp("ff") === 4)
+    // on the real corpus: seed at hop 0, terms unique across hops
     val real = TextAnalysis.bfsHops(Tables.documents(spark, sf0001)).collect()
     assert(real.count(_.getAs[Int]("hop") === 0) === 1, "exactly one seed")
     assert(real.map(_.getAs[String]("term")).distinct.length === real.length,
       "a term must appear at exactly one hop")
-    assert(real.forall(_.getAs[Int]("hop") <= 3))
   }
 
   test("labelPropagation separates two disjoint vocabulary clusters") {
@@ -1191,6 +1221,41 @@ class TextAnalysisSpec extends SparkSpec {
       val half = e2((r.getAs[String]("event_type"), r.getAs[String]("day")))
       assert(math.abs(r.getAs[Double]("noise") / 2.0 - half) <= 2e-6)
     }
+  }
+
+  test("randomLaplaceNoise seam: default hashes unchanged, the true-RNG " +
+       "path obeys the Laplace law distributionally") {
+    val sp = spark
+    import sp.implicits._
+    // 2000 cells through the seam: assert the LAW (mean ~ 0, E|X| ~ b),
+    // never values — a replayable release is what production must not be
+    val cells = (1L to 2000L).map(i => (s"t$i", "2024-01-01", 100L))
+      .toDF("event_type", "day", "n_true")
+    val b = 2.5
+    val noise = graft.operators.Pipeline
+      .dpReleaseFromCells(cells, 1.0 / b,
+        graft.operators.Pipeline.randomLaplaceNoise)
+      .select("noise").collect().map(_.getDouble(0))
+    assert(noise.length === 2000)
+    val mean = noise.sum / noise.length
+    val meanAbs = noise.map(math.abs).sum / noise.length
+    // Laplace(b): E[X] = 0 (se = b*sqrt(2/n) ~ 0.08), E|X| = b (se ~ 0.06)
+    assert(math.abs(mean) < 0.5, s"mean $mean should be ~0 for b=$b")
+    assert(meanAbs > 0.8 * b && meanAbs < 1.2 * b,
+      s"E|X| $meanAbs should be ~b=$b")
+    // two epochs draw different noise (the whole point of the seam)
+    val noise2 = graft.operators.Pipeline
+      .dpReleaseFromCells(cells, 1.0 / b,
+        graft.operators.Pipeline.randomLaplaceNoise)
+      .select("noise").collect().map(_.getDouble(0))
+    assert(!noise.sameElements(noise2),
+      "independent release epochs must not share noise")
+    // and the DEFAULT source still produces the seeded, replayable chain
+    val d1 = graft.operators.Pipeline.dpReleaseFromCells(cells, 1.0 / b)
+      .select("noise").collect().map(_.getDouble(0))
+    val d2 = graft.operators.Pipeline.dpReleaseFromCells(cells, 1.0 / b)
+      .select("noise").collect().map(_.getDouble(0))
+    assert(d1.sameElements(d2), "the seeded default must stay replayable")
   }
 
   test("dpCountReleaseUser: contribution clamp bounds each user, cap census exact") {
