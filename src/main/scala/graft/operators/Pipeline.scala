@@ -717,7 +717,10 @@ object Pipeline {
     val rowTot = obs.groupBy("lang").agg(sum("n_obs").as("rl"))
     val colTot = obs.groupBy("source").agg(sum("n_obs").as("cs"))
     val n = obs.agg(sum("n_obs").cast("double").as("nn"))
-    rowTot.crossJoin(colTot).crossJoin(broadcast(n))
+    // both marginals are |langs|- / |sources|-sized; the broadcast on the
+    // column marginal is the explicit boundedness claim the suite-wide
+    // plan sweep enforces on every no-equi-key join
+    rowTot.crossJoin(broadcast(colTot)).crossJoin(broadcast(n))
       .join(obs, Seq("lang", "source"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .withColumn("expected",

@@ -2515,18 +2515,100 @@ object StreamOps {
     * oracle), with no pair duplicated and none lost.
     *
     * Replay idempotence: base-side partials and view deltas land under
-    * their own batch=N dirs (overwrite); "previous" state is the base
-    * store FILTERED to batch < N via the partition column, so a crashed
-    * batch that already wrote its own partials recomputes the identical
-    * delta. 100 TB shape: per batch two skinny hash joins of the BATCH
-    * against the accumulated key-partitioned base sides (an engine
-    * would bucket both stores on the join key to make these
-    * shuffle-free); history is never re-joined.
+    * their own batch=N partitions (dynamic-overwrite insertInto);
+    * "previous" state is the base store FILTERED to batch < N via the
+    * partition column, so a crashed batch that already wrote its own
+    * partials recomputes the identical delta. 100 TB shape: BOTH base
+    * stores are BUCKETED TABLES on the join key (bucketBy(8, okey) +
+    * batch partitions), so the per-batch delta joins read the
+    * accumulated history WITHOUT an Exchange on the store side — only
+    * the batch-sized delta shuffles; history is never re-joined and
+    * never re-shuffled. The delta law is distributed over the union
+    * (ΔL⋈O_prev ∪ ΔL⋈ΔO ∪ L_prev⋈ΔO) so the bucketed sides join
+    * directly instead of losing their partitioning under a union.
+    * PlanSpec locks the zero-Exchange-above-store-scan property.
     */
   def streamMvJoin(spark: SparkSession, sfDir: String,
                    nBatches: Int = 3): DataFrame =
     streamMvJoinFrames(spark, graft.Tables.orders(spark, sfDir),
       graft.Tables.lineitem(spark, sfDir), nBatches)
+
+  /** Schema of one MV base-store side: the envelope minus the tag, plus
+    * the batch partition column.
+    */
+  private val mvBaseSchema = StructType(Seq(
+    StructField("okey", LongType), StructField("lnum", IntegerType),
+    StructField("odate", StringType),
+    StructField("price", org.apache.spark.sql.types.DecimalType(18, 2)),
+    StructField("batch", LongType)))
+
+  /** Create the two EMPTY bucketed base stores the join-view maintainer
+    * accumulates into: bucketBy(8, okey) + batch partitions. Bucketing
+    * on the JOIN KEY is what makes every later delta join read history
+    * WITHOUT an Exchange on the store side — the q_bucketed_join layout
+    * discipline applied at store level.
+    */
+  private[graft] def createMvBaseTables(spark: SparkSession,
+                                        oTable: String,
+                                        lTable: String): Unit = {
+    Seq(oTable, lTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // the in-memory catalog forgets tables across JVMs but dirs stay
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:") + s"/$t"))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvBaseSchema)
+        .write.mode("overwrite")
+        .bucketBy(8, "okey").sortBy("okey")
+        .partitionBy("batch")
+        .saveAsTable(t)
+    }
+  }
+
+  /** Land one batch's base partials under their batch=N partition:
+    * dynamic-overwrite insertInto — replay-idempotent (a crashed batch
+    * rewrites exactly its own partition) AND bucket-preserving (the
+    * files carry the bucket suffix; verified in LandingSpec).
+    * insertInto maps columns BY POSITION: partials first, batch last.
+    */
+  private[graft] def appendMvBase(partial: DataFrame, table: String,
+                                  batchId: Long): Unit = {
+    val spark = partial.sparkSession
+    // the SESSION conf is what insertInto honors — the writer-level
+    // option is ignored on the insertInto path (measured: each batch
+    // statically overwrote the WHOLE table, silently dropping the
+    // accumulated history; the oracle caught it as 1/3 missing pairs)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try partial.select(col("okey"), col("lnum"), col("odate"), col("price"))
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite")
+      .insertInto(table)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The per-batch delta-join law, distributed over the union so the
+    * BUCKETED store sides join directly (a union would erase their
+    * output partitioning): ΔV = ΔL⋈O_prev ∪ ΔL⋈ΔO ∪ L_prev⋈ΔO.
+    * O_prev/L_prev scans carry the bucket layout (no Exchange above
+    * them — PlanSpec-locked); only the batch-sized deltas shuffle.
+    */
+  private[graft] def mvDeltaJoin(oPrev: DataFrame, lPrev: DataFrame,
+                                 oNew: DataFrame, lNew: DataFrame)
+      : DataFrame = {
+    val lNewS = lNew.select(col("okey"), col("lnum"), col("price"))
+    val oNewS = oNew.select(col("okey"), col("odate"))
+    lNewS.join(oPrev.select(col("okey"), col("odate")), Seq("okey"))
+      .unionByName(lNewS.join(oNewS, Seq("okey")))
+      .unionByName(lPrev.select(col("okey"), col("lnum"), col("price"))
+        .join(oNewS, Seq("okey")))
+      .select(col("okey"), col("lnum"), col("odate"), col("price"))
+  }
 
   /** Frames-parametric core of [[streamMvJoin]] (the ScaleProbe seam). */
   def streamMvJoinFrames(spark: SparkSession, ordersRaw: DataFrame,
@@ -2568,16 +2650,8 @@ object StreamOps {
       StructField("tag", StringType), StructField("okey", LongType),
       StructField("lnum", IntegerType), StructField("odate", StringType),
       StructField("price", org.apache.spark.sql.types.DecimalType(18, 2))))
-    def readBase(dir: String, beforeBatch: Long): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        spark.read.parquet(dir).filter(col("batch") < beforeBatch)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(envSchema.fields.filterNot(_.name == "tag") :+
-          StructField("batch", IntegerType)))
-    }
+    val (oTable, lTable) = (s"graft_mvj_obase_$runId", s"graft_mvj_lbase_$runId")
+    createMvBaseTables(spark, oTable, lTable)
     runStagedBatches(spark, envSchema, s"$root/src", s"$root/ck") {
       (batch, batchId) =>
         if (!batch.isEmpty) {
@@ -2587,27 +2661,25 @@ object StreamOps {
           val lNew = batch.filter(col("tag") === "l")
             .select(col("okey"), col("lnum"), col("odate"), col("price"))
             .localCheckpoint()
-          val oPrev = readBase(s"$root/obase", batchId)
-          val lPrev = readBase(s"$root/lbase", batchId)
-          val oAll = oPrev.select(col("okey"), col("odate"))
-            .unionByName(oNew.select(col("okey"), col("odate")))
-          val dv = lNew.select(col("okey"), col("lnum"), col("price"))
-              .join(oAll, Seq("okey"))
-            .unionByName(lPrev.select(col("okey"), col("lnum"), col("price"))
-              .join(oNew.select(col("okey"), col("odate")), Seq("okey")))
+          val oPrev = spark.table(oTable).filter(col("batch") < batchId)
+          val lPrev = spark.table(lTable).filter(col("batch") < batchId)
+          val dv = mvDeltaJoin(oPrev, lPrev, oNew, lNew)
           // NO coalesce(1): view deltas and base partials are
           // fact-sized (unlike the census partials the other monitors
           // land), so they write at natural parallelism — the probe
           // caught a single-threaded write serializing 3M-row deltas
-          dv.select(col("okey"), col("lnum"), col("odate"), col("price"))
-            .write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
-          oNew.write.mode("overwrite")
-            .parquet(s"$root/obase/batch=$batchId")
-          lNew.write.mode("overwrite")
-            .parquet(s"$root/lbase/batch=$batchId")
+          dv.write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
+          // dynamic-overwrite insertInto = the replayable batch=N write
+          // that PRESERVES the table's bucket layout (bucket-suffixed
+          // files per partition — verified in LandingSpec)
+          appendMvBase(oNew, oTable, batchId)
+          appendMvBase(lNew, lTable, batchId)
           ()
         }
     }
+    // the view parquet is self-contained — the base tables are per-run
+    // working state and are dropped with the drain
+    Seq(oTable, lTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // (okey, lnum, price) is a unique key of the view at every SF —
     // (okey, lnum) alone is NOT, so price joins the sort to make the
     // emitted order total (tie order would otherwise be plan-dependent)

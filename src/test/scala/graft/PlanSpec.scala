@@ -29,6 +29,90 @@ class PlanSpec extends SparkSpec {
       s"queries without an oracle beyond the declared rows-only set: ${unoracled -- rowsOnlyByDesign}")
   }
 
+  test("suite-wide plan invariants: every query, one sweep — no cartesian " +
+       "product, no un-allowlisted nested-loop join or unpartitioned window") {
+    // PlanSpec's other tests lock invariants per-query; this sweep makes
+    // the three global scale laws UNIVERSAL: any future query pays them
+    // automatically by being in SparkEntry.queries. Executes every query
+    // at sf0.001 (streaming drains included — building the frame IS the
+    // run for those) and inspects the returned plan.
+    //
+    // The laws, with their justified exception classes:
+    //  1. No CartesianProduct, ever (text check on the physical plan).
+    //  2. Every nested-loop-SHAPED logical join (no equi key in its
+    //     condition → plans as BroadcastNestedLoopJoin) must have a
+    //     side that is either STATICALLY bounded (maxRows — scalar
+    //     censuses, limits, literal codebooks) or EXPLICITLY
+    //     broadcast()-hinted. The hint is the developer's reviewed claim
+    //     of boundedness where the planner can't prove it — and at
+    //     cluster scale a wrongly-hinted side fails fast on the
+    //     broadcast size limit instead of quietly becoming a cartesian.
+    //     Anything else needs a NAMED allowlist entry with a size-bound
+    //     comment.
+    //  3. No unpartitioned window outside the named census-size
+    //     allowlist.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    val nestedLoopAllowlist: Set[String] = Set.empty // none needed today
+    val globalWindowAllowlist: Set[String] = Set(
+      // Experiment.sequentialMonitor's running-max over the day census
+      // (<= |days| rows at any corpus scale) — Experiment.scala
+      "q_ab_sequential",
+      // vocabulary token-id assignment: the window runs over only the
+      // topK surviving rows of a TakeOrdered (k = the vocab budget, a
+      // parameter — bounded by construction) — TextAnalysis.vocabulary
+      "q_vocab", "q_vocab_coverage", "q_bpe_token_count")
+    def hasEquiKey(j: LJoin): Boolean = j.condition.exists(c => c.collect {
+      case e: EqualTo
+        if e.references.intersect(j.left.outputSet).nonEmpty &&
+           e.references.intersect(j.right.outputSet).nonEmpty => e
+      case e: EqualNullSafe
+        if e.references.intersect(j.left.outputSet).nonEmpty &&
+           e.references.intersect(j.right.outputSet).nonEmpty => e
+    }.nonEmpty)
+    def sideOk(j: LJoin, side: LogicalPlan,
+               hinted: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Boolean =
+      side.maxRows.exists(_ <= 100000L) ||
+        hinted.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    def unboundedNestedLoops(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if !hasEquiKey(j) &&
+            !sideOk(j, j.left, j.hint.leftHint) &&
+            !sideOk(j, j.right, j.hint.rightHint) =>
+          s"${j.joinType} join, no equi key, no provably small side " +
+            s"(left=${j.left.nodeName}, right=${j.right.nodeName})"
+      }
+    val unpartitionedSpec = "windowspecdefinition\\(([^,)]*)".r
+    def unpartitionedWindows(p: String): List[String] =
+      unpartitionedSpec.findAllMatchIn(p).map(_.group(1)).filter(first =>
+        first.contains(" ASC") || first.contains(" DESC") ||
+          first.startsWith("specifiedwindowframe")).toList
+    val violations = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val df = fn(spark, sf0001)
+        val p = planText(df)
+        if (p.contains("CartesianProduct"))
+          violations += s"$name: CartesianProduct"
+        val nl = unboundedNestedLoops(df)
+        if (nl.nonEmpty && !nestedLoopAllowlist.contains(name))
+          violations += s"$name: ${nl.mkString("; ")}"
+        val uw = unpartitionedWindows(p)
+        if (uw.nonEmpty && !globalWindowAllowlist.contains(name))
+          violations += s"$name: unpartitioned window(s): ${uw.mkString("; ")}"
+      } catch {
+        case e: Exception =>
+          violations += s"$name: failed to build plan: ${e.getMessage}"
+      }
+      CacheRegistry.release()
+      spark.catalog.clearCache()
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.size} plan-invariant violations:\n" +
+        violations.mkString("\n"))
+  }
+
   test("q5 join chain: dims broadcast, region filter pushed to the scan") {
     val p = planText(SparkEntry.queries("q5_local_supplier")(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
@@ -574,6 +658,59 @@ class PlanSpec extends SparkSpec {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
     }
+  }
+
+  test("mv-join base stores are bucketed on the join key: delta joins " +
+       "read history with NO Exchange above the store scans") {
+    val sp = spark
+    import sp.implicits._
+    val (oT, lT) = ("graft_mvj_test_o", "graft_mvj_test_l")
+    graft.streaming.StreamOps.createMvBaseTables(sp, oT, lT)
+    val oRows = (1L to 500L).map(i =>
+      (i, 0, s"2024-01-0${i % 9 + 1}", BigDecimal(i).setScale(2)))
+      .toDF("okey", "lnum", "odate", "price")
+    val lRows = (1L to 500L).map(i =>
+      (i % 200, i.toInt, null.asInstanceOf[String],
+        BigDecimal(i * 2).setScale(2)))
+      .toDF("okey", "lnum", "odate", "price")
+    graft.streaming.StreamOps.appendMvBase(oRows, oT, 0L)
+    graft.streaming.StreamOps.appendMvBase(lRows, lT, 0L)
+    val conf = sp.conf
+    val savedBt = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny deltas would broadcast and sidestep the layout; at store
+      // scale the delta exceeds the threshold and SMJ is what the
+      // bucketing must keep exchange-free on the STORE side
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val oPrev = sp.table(oT).filter(col("batch") < 1L)
+      val lPrev = sp.table(lT).filter(col("batch") < 1L)
+      val oNew = oRows.limit(50)
+      val lNew = lRows.limit(50)
+      val dv = graft.streaming.StreamOps.mvDeltaJoin(oPrev, lPrev, oNew, lNew)
+      val p = planText(dv)
+      assert("Bucketed: true".r.findAllIn(p).length === 2,
+        "both base-store scans must carry the bucket layout:\n" +
+          p.take(1500))
+      // 3 delta joins: ΔL⋈O_prev (1 exchange, delta side), ΔL⋈ΔO (2),
+      // L_prev⋈ΔO (1) — the two STORE scans contribute none. A plain
+      // parquet store would add one exchange per store scan (6 total).
+      // Count detail headers: formatted explain lists each node twice.
+      val exch = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exch <= 4,
+        s"store-side exchanges crept back in ($exch > 4):\n$p")
+      // and the distributed law equals the textbook ΔL⋈(O∪ΔO) ∪ L⋈ΔO
+      val oAll = oPrev.select("okey", "odate")
+        .unionByName(oNew.select("okey", "odate"))
+      val expected =
+        lNew.select("okey", "lnum", "price").join(oAll, Seq("okey")).count() +
+        lPrev.select("okey", "lnum", "price")
+          .join(oNew.select("okey", "odate"), Seq("okey")).count()
+      assert(dv.count() === expected)
+    } finally savedBt match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    Seq(oT, lT).foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("AQE splits a planted-skew sort-merge join (skew=true in the adaptive plan)") {
