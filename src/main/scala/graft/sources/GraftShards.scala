@@ -374,7 +374,8 @@ private[sources] class GraftShardsMicroBatchStream(conf: ShardsConf)
       if (hi > lo)
         Some(GraftShardsPartition(shard,
           files.getOrElse(shard, Seq.empty)
-            .map(p => p.toAbsolutePath.toString).toArray,
+            .map(p => (p.toAbsolutePath.toString,
+              GraftShards.lineCount(p))).toArray,
           lo, hi, conf.streamName): InputPartition)
       else None
     }.toArray
@@ -393,9 +394,10 @@ private[sources] class GraftShardsBatch(conf: ShardsConf) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val files = GraftShards.shardFiles(conf.path)
     files.toSeq.sortBy(_._1).map { case (shard, fs) =>
-      GraftShardsPartition(shard,
-        fs.map(_.toAbsolutePath.toString).toArray,
-        0L, fs.map(GraftShards.lineCount).sum,
+      val withCounts = fs.map(p =>
+        (p.toAbsolutePath.toString, GraftShards.lineCount(p))).toArray
+      GraftShardsPartition(shard, withCounts,
+        0L, withCounts.map(_._2).sum,
         conf.streamName): InputPartition
     }.toArray
   }
@@ -403,11 +405,14 @@ private[sources] class GraftShardsBatch(conf: ShardsConf) extends Batch {
     new GraftShardsReaderFactory
 }
 
-/** One shard's record range [start, end) over its ordered staged files —
-  * the shard → task mapping (T7).
+/** One shard's record range [start, end) over its ordered staged
+  * (file, lineCount) pairs — the shard → task mapping (T7). Counts ride
+  * along so a deep-offset reader SKIPS whole files instead of reading
+  * the prefix back (a capped drain would otherwise re-read O(n²) lines
+  * across its batches).
   */
 private[sources] case class GraftShardsPartition(
-    shard: Int, files: Array[String], start: Long, end: Long,
+    shard: Int, files: Array[(String, Long)], start: Long, end: Long,
     streamName: String) extends InputPartition
 
 private[sources] class GraftShardsReaderFactory
@@ -427,12 +432,19 @@ private[sources] class GraftShardsReader(p: GraftShardsPartition)
   private var globalIdx = 0L
   private var reader: java.io.BufferedReader = _
   private var current: InternalRow = _
+  // skip WHOLE files below the start index using the planned line
+  // counts — only the start-straddling file pays a line-by-line skip
+  while (fileIdx < p.files.length &&
+         globalIdx + p.files(fileIdx)._2 <= p.start) {
+    globalIdx += p.files(fileIdx)._2
+    fileIdx += 1
+  }
 
   private def nextLine(): String = {
     while (fileIdx < p.files.length) {
       if (reader == null)
         reader = Files.newBufferedReader(
-          Paths.get(p.files(fileIdx)), StandardCharsets.UTF_8)
+          Paths.get(p.files(fileIdx)._1), StandardCharsets.UTF_8)
       val line = reader.readLine()
       if (line != null) return line
       reader.close(); reader = null; fileIdx += 1
@@ -441,7 +453,7 @@ private[sources] class GraftShardsReader(p: GraftShardsPartition)
   }
 
   override def next(): Boolean = {
-    // skip to the partition's start index (files are record-ordered)
+    // skip to the partition's start index within the straddling file
     while (globalIdx < p.start) {
       if (nextLine() == null) return false
       globalIdx += 1

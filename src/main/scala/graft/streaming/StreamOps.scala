@@ -2548,9 +2548,20 @@ object StreamOps {
     * WITHOUT an Exchange on the store side — the q_bucketed_join layout
     * discipline applied at store level.
     */
+  /** Default MV-store bucket count: the session's shuffle parallelism.
+    * Bucket count is a SCALE knob, not a constant — each bucket is one
+    * task in every later history join, so 8 buckets on a 32-core
+    * machine (or a 1000-core cluster) caps the store-side read at 8-way
+    * parallelism. Measured at the 16× probe: 8 buckets regressed the
+    * delta loop ~60% vs matching the core count.
+    */
+  private def mvBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(8)
+
   private[graft] def createMvBaseTables(spark: SparkSession,
-                                        oTable: String,
-                                        lTable: String): Unit = {
+                                        oTable: String, lTable: String,
+                                        nBuckets: Int = 0): Unit = {
+    val buckets = if (nBuckets > 0) nBuckets else mvBuckets(spark)
     Seq(oTable, lTable).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // the in-memory catalog forgets tables across JVMs but dirs stay
@@ -2560,7 +2571,7 @@ object StreamOps {
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvBaseSchema)
         .write.mode("overwrite")
-        .bucketBy(8, "okey").sortBy("okey")
+        .bucketBy(buckets, "okey").sortBy("okey")
         .partitionBy("batch")
         .saveAsTable(t)
     }
@@ -2611,8 +2622,17 @@ object StreamOps {
   }
 
   /** Frames-parametric core of [[streamMvJoin]] (the ScaleProbe seam). */
+  /** `bucketedStores` selects the base-store layout: bucketed tables
+    * (default — zero Exchange above the history scans; total shuffle
+    * volume ≈ one pass over the facts regardless of batch count) vs
+    * plain batch=N parquet dirs (no write-side bucketing shuffle, but
+    * every batch re-shuffles the WHOLE accumulated history: total
+    * shuffle ≈ facts·(nBatches−1)/2 per side). The crossover is the
+    * history/batch ratio — ScaleProbe measures both at depth.
+    */
   def streamMvJoinFrames(spark: SparkSession, ordersRaw: DataFrame,
-                         linesRaw: DataFrame, nBatches: Int = 3): DataFrame = {
+                         linesRaw: DataFrame, nBatches: Int = 3,
+                         bucketedStores: Boolean = true): DataFrame = {
     import java.nio.file.{Files, Paths}
     val runId = UUID.randomUUID().toString.take(8)
     val root = s"${sys.props("java.io.tmpdir")}/graft_stream_mvj/$runId"
@@ -2651,7 +2671,15 @@ object StreamOps {
       StructField("lnum", IntegerType), StructField("odate", StringType),
       StructField("price", org.apache.spark.sql.types.DecimalType(18, 2))))
     val (oTable, lTable) = (s"graft_mvj_obase_$runId", s"graft_mvj_lbase_$runId")
-    createMvBaseTables(spark, oTable, lTable)
+    if (bucketedStores) createMvBaseTables(spark, oTable, lTable)
+    def readBaseDir(dir: String, beforeBatch: Long): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        spark.read.parquet(dir).filter(col("batch") < beforeBatch)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mvBaseSchema)
+    }
     runStagedBatches(spark, envSchema, s"$root/src", s"$root/ck") {
       (batch, batchId) =>
         if (!batch.isEmpty) {
@@ -2661,25 +2689,38 @@ object StreamOps {
           val lNew = batch.filter(col("tag") === "l")
             .select(col("okey"), col("lnum"), col("odate"), col("price"))
             .localCheckpoint()
-          val oPrev = spark.table(oTable).filter(col("batch") < batchId)
-          val lPrev = spark.table(lTable).filter(col("batch") < batchId)
+          val oPrev =
+            if (bucketedStores)
+              spark.table(oTable).filter(col("batch") < batchId)
+            else readBaseDir(s"$root/obase", batchId)
+          val lPrev =
+            if (bucketedStores)
+              spark.table(lTable).filter(col("batch") < batchId)
+            else readBaseDir(s"$root/lbase", batchId)
           val dv = mvDeltaJoin(oPrev, lPrev, oNew, lNew)
           // NO coalesce(1): view deltas and base partials are
           // fact-sized (unlike the census partials the other monitors
           // land), so they write at natural parallelism — the probe
           // caught a single-threaded write serializing 3M-row deltas
           dv.write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
-          // dynamic-overwrite insertInto = the replayable batch=N write
-          // that PRESERVES the table's bucket layout (bucket-suffixed
-          // files per partition — verified in LandingSpec)
-          appendMvBase(oNew, oTable, batchId)
-          appendMvBase(lNew, lTable, batchId)
+          if (bucketedStores) {
+            // dynamic-overwrite insertInto = the replayable batch=N
+            // write that PRESERVES the table's bucket layout (bucket-
+            // suffixed files per partition)
+            appendMvBase(oNew, oTable, batchId)
+            appendMvBase(lNew, lTable, batchId)
+          } else {
+            // batch=N dir supplies the partition value on read
+            oNew.write.mode("overwrite").parquet(s"$root/obase/batch=$batchId")
+            lNew.write.mode("overwrite").parquet(s"$root/lbase/batch=$batchId")
+          }
           ()
         }
     }
     // the view parquet is self-contained — the base tables are per-run
     // working state and are dropped with the drain
-    Seq(oTable, lTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    if (bucketedStores)
+      Seq(oTable, lTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // (okey, lnum, price) is a unique key of the view at every SF —
     // (okey, lnum) alone is NOT, so price joins the sort to make the
     // emitted order total (tie order would otherwise be plan-dependent)

@@ -391,6 +391,19 @@ object ScaleProbe {
         graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 3)
           .count()
       }
+      // the layout crossover: bucketed stores shuffle each batch ONCE at
+      // write (total ≈ one pass over the facts); plain dirs re-shuffle
+      // the whole accumulated history in every batch's delta join
+      // (total ≈ facts·(n−1)/2 per side). At depth the bucketed total
+      // must win; at 3 batches the write overhead can hide it.
+      time("mv_delta_deep_bucketed") {
+        graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 8,
+          bucketedStores = true).count()
+      }
+      time("mv_delta_deep_plain") {
+        graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 8,
+          bucketedStores = false).count()
+      }
     }
     // binary-serve economics: the float brute scan vs the sign-bit
     // code scan + exact re-rank against an amplified corpus — the

@@ -676,6 +676,22 @@ class StreamingSpec extends SparkSpec {
       "a (order, line, price) key joined more than once")
   }
 
+  test("mv-join store layouts agree: bucketed tables and plain batch " +
+       "dirs maintain the identical view") {
+    // the layout is a deployment knob (bucketed = cluster-right, plain =
+    // local-fast; the ScaleProbe documents the tradeoff) — it must never
+    // be a semantics knob
+    val o = Tables.orders(spark, sf0001)
+    val l = Tables.lineitem(spark, sf0001)
+    val bucketed = StreamOps
+      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = true)
+      .collect().map(_.toString).toSeq
+    val plain = StreamOps
+      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = false)
+      .collect().map(_.toString).toSeq
+    assert(bucketed === plain)
+  }
+
   test("streaming binary-code upsert: re-delivery replaces, serve equals inline") {
     val emb = Tables.embeddings(spark, sf0001)
     val live = StreamOps.streamBinaryFresh(spark, sf0001).collect()
