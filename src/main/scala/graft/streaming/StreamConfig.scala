@@ -92,16 +92,28 @@ object StreamConfig {
   /** The configured landing pipeline: the reference's main() loop
     * (consumer.py:282-314) under this engine. A SHARD_NUMBER pins the
     * query to one shard's records (parity mode); omitting it consumes
-    * every shard in one query.
+    * every shard in one query. `useDsv2Source = true` runs the SAME
+    * pipeline over the [[graft.sources.GraftShards]] MicroBatchStream,
+    * where BATCH_SIZE maps to the per-shard GetRecords Limit EXACTLY
+    * (consumer.py:118) instead of the file source's files-per-trigger
+    * approximation — the closest offline twin of the reference's loop.
     */
   def landConfigured(spark: SparkSession, sfDir: String,
-                     cfg: StreamConfig): Unit = {
-    val src = StreamOps.stageStreamDir(sfDir)
+                     cfg: StreamConfig,
+                     useDsv2Source: Boolean = false): Unit = {
     // BATCH_SIZE caps per-trigger input at the SOURCE (a sink would
     // silently ignore the option); the shard count must match the
     // envelope's routing or a high SHARD_NUMBER would match nothing
-    val base = StreamOps.dedupedEvents(spark, src,
-      maxFilesPerTrigger = Some(cfg.batchSize), nShards = cfg.nShards)
+    val base =
+      if (useDsv2Source)
+        StreamOps.shardsEventStream(spark,
+            graft.sources.GraftShards.stageShardDir(sfDir = sfDir,
+              spark = spark, nShards = cfg.nShards),
+            batchSize = Some(cfg.batchSize))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+      else StreamOps.dedupedEvents(spark, StreamOps.stageStreamDir(sfDir),
+        maxFilesPerTrigger = Some(cfg.batchSize), nShards = cfg.nShards)
     val routed = cfg.shardNumber match {
       case Some(s) => base.filter(col("shard_id") === s)
       case None => base

@@ -102,6 +102,7 @@ object StreamOps {
     */
   def stageStreamDir(sfDir: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
+    import scala.jdk.CollectionConverters._
     // readable prefix + a hash of the FULL path: the sanitized name alone
     // is non-injective (/a/sf-1 and /a/sf_1 collide) and a collision would
     // silently stream the wrong dataset
@@ -110,14 +111,26 @@ object StreamOps {
     val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + hash
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src", key)
     Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
     val target = Paths.get(sfDir, "events.parquet")
-    // NOFOLLOW: a dangling symlink must be replaced, not trip the create
-    if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
-        (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != target))
-      Files.delete(link)
-    if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-      Files.createSymbolicLink(link, target)
+    // the driver ships events as ONE file; amplified warehouses (MakeSf1)
+    // ship a DIRECTORY of part files. The file stream source lists files,
+    // not subdirs, so stage one symlink per data file either way.
+    val targets: Seq[(java.nio.file.Path, String)] =
+      if (Files.isDirectory(target))
+        Files.list(target).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString).zipWithIndex
+          .map { case (p, i) => (p, f"events_part$i%05d.parquet") }
+      else Seq((target, "events.parquet"))
+    targets.foreach { case (t, name) =>
+      val link = dir.resolve(name)
+      // NOFOLLOW: a dangling symlink must be replaced, not trip the create
+      if (Files.exists(link, LinkOption.NOFOLLOW_LINKS) &&
+          (!Files.isSymbolicLink(link) || Files.readSymbolicLink(link) != t))
+        Files.delete(link)
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(link, t)
+    }
     dir.toString
   }
 

@@ -105,4 +105,30 @@ class StreamConfigSpec extends SparkSpec {
       .filter(pmod(col("user_id"), lit(8)) === 3).count()
     assert(landed.count() === expected)
   }
+
+  test("the configured pipeline over the DSv2 source: SHARD_NUMBER " +
+       "parity + BATCH_SIZE as the exact per-shard GetRecords limit") {
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_test_cfg_${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(root)
+    // BATCH_SIZE=60: each shard holds ~125 of sf0.001's 1000 events
+    // (8 shards), so the drain must page through >= 3 offset-logged
+    // micro-batches — the reference's GetRecords(Limit) loop shape
+    val cfg = StreamConfig.fromEnv(Map(
+      "BUCKET_NAME" -> root.toString, "SHARD_NUMBER" -> "3",
+      "BATCH_SIZE" -> "60"))
+    StreamConfig.landConfigured(spark, sf0001, cfg, useDsv2Source = true)
+    val landed = spark.read
+      .schema(StreamOps.landedDataSchema).json(cfg.outDir)
+    assert(landed.count() > 0)
+    assert(landed.filter(col("shard_id") =!= 3).count() === 0)
+    val expected = Tables.events(spark, sf0001)
+      .filter(pmod(col("user_id"), lit(8)) === 3).count()
+    assert(landed.count() === expected,
+      "the DSv2-sourced pipeline must land exactly the pinned shard")
+    val batchDirs = Files.list(Paths.get(cfg.outDir)).toArray.map(_.toString)
+      .filter(_.contains("batch="))
+    assert(batchDirs.length >= 3,
+      s"BATCH_SIZE=60 must page the drain, got: ${batchDirs.length}")
+  }
 }
