@@ -147,23 +147,46 @@ object GraftShards {
     }
   }
 
+  /** List a directory with the stream CLOSED (Files.list holds an open
+    * directory handle until closed — on the per-micro-batch fetch path a
+    * leak here exhausts file descriptors under a ProcessingTime trigger).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Discover `shard=N` subdirs with their sorted data files. */
   private[sources] def shardFiles(root: String): Map[Int, Seq[Path]] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir))
       throw new GraftClientError("ResourceNotFoundException")
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("shard="))
       .map { p =>
         val id = p.getFileName.toString.stripPrefix("shard=").toInt
-        val files = Files.list(p).iterator().asScala
+        val files = listDir(p)
           .filter(f => Files.isRegularFile(f) &&
             !f.getFileName.toString.startsWith(".") &&
             !f.getFileName.toString.startsWith("_"))
-          .toSeq.sortBy(_.getFileName.toString)
+          .sortBy(_.getFileName.toString)
         id -> files
       }.toMap
+  }
+
+  /** Deterministic staging-dir key for a source path: readable sanitized
+    * prefix + a hash of the FULL path — the sanitized name alone is
+    * non-injective (/a/sf-1 and /a/sf_1 collide) and a collision would
+    * silently stage the wrong dataset. Shared by every staging device
+    * (this source's shard files, StreamOps.stageStreamDir's symlinks) so
+    * the collision guarantee has one implementation.
+    */
+  def stagingKey(parts: String*): String = {
+    val joined = parts.mkString("|")
+    val hash = java.util.UUID.nameUUIDFromBytes(joined.getBytes("UTF-8"))
+      .toString.take(8)
+    joined.replaceAll("[^a-zA-Z0-9]", "_") + "_" + hash
   }
 
   private[sources] def shardCounts(root: String): Map[Int, Long] =
@@ -182,12 +205,24 @@ object GraftShards {
     */
   def stageShardDir(spark: SparkSession, sfDir: String,
                     nShards: Int = 4): String = synchronized {
-    val hash = java.util.UUID.nameUUIDFromBytes(
-      s"$sfDir|$nShards".getBytes("UTF-8")).toString.take(8)
-    val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + s"_s${nShards}_$hash"
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_shards_src", key)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_shards_src",
+      stagingKey(sfDir, s"s$nShards"))
     val marker = dir.resolve("_STAGED")
-    if (Files.exists(marker)) return dir.toString
+    // the marker records the SOURCE fingerprint (size + mtime of the
+    // events table), not mere existence: a regenerated warehouse at the
+    // same path must re-stage, or this source would silently stream
+    // stale data while the file-source twin reads the live warehouse
+    def fingerprint(): String = {
+      val t = Paths.get(sfDir, "events.parquet")
+      val files = if (Files.isDirectory(t)) listDir(t).sortBy(_.toString)
+                  else Seq(t)
+      files.map(f => s"${f.getFileName}:${Files.size(f)}:" +
+        s"${Files.getLastModifiedTime(f).toMillis}").mkString("\n")
+    }
+    val fp = fingerprint()
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker), "UTF-8") == fp)
+      return dir.toString
     val ev = graft.Tables.events(spark, sfDir)
     val line = to_json(struct(
       format_string("%020d", col("event_id")).as("SequenceNumber"),
@@ -204,7 +239,7 @@ object GraftShards {
       .sortWithinPartitions("shard", "event_id")
       .select(col("shard"), col("value_line").as("value"))
       .write.mode("overwrite").partitionBy("shard").text(dir.toString)
-    Files.write(marker, Array.emptyByteArray)
+    Files.write(marker, fp.getBytes("UTF-8"))
     dir.toString
   }
 }

@@ -106,12 +106,10 @@ object StreamConfig {
     // envelope's routing or a high SHARD_NUMBER would match nothing
     val base =
       if (useDsv2Source)
-        StreamOps.shardsEventStream(spark,
-            graft.sources.GraftShards.stageShardDir(sfDir = sfDir,
-              spark = spark, nShards = cfg.nShards),
-            batchSize = Some(cfg.batchSize))
-          .withWatermark("ts", "1 hour")
-          .dropDuplicatesWithinWatermark("event_id")
+        StreamOps.dedupEventsFrame(StreamOps.shardsEventStream(spark,
+          graft.sources.GraftShards.stageShardDir(sfDir = sfDir,
+            spark = spark, nShards = cfg.nShards),
+          batchSize = Some(cfg.batchSize)))
       else StreamOps.dedupedEvents(spark, StreamOps.stageStreamDir(sfDir),
         maxFilesPerTrigger = Some(cfg.batchSize), nShards = cfg.nShards)
     val routed = cfg.shardNumber match {

@@ -103,25 +103,34 @@ object StreamOps {
   def stageStreamDir(sfDir: String): String = {
     import java.nio.file.{Files, LinkOption, Paths}
     import scala.jdk.CollectionConverters._
-    // readable prefix + a hash of the FULL path: the sanitized name alone
-    // is non-injective (/a/sf-1 and /a/sf_1 collide) and a collision would
-    // silently stream the wrong dataset
-    val hash = java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
-      .toString.take(8)
-    val key = sfDir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + hash
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src", key)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_src",
+      graft.sources.GraftShards.stagingKey(sfDir))
     Files.createDirectories(dir)
     val target = Paths.get(sfDir, "events.parquet")
     // the driver ships events as ONE file; amplified warehouses (MakeSf1)
     // ship a DIRECTORY of part files. The file stream source lists files,
     // not subdirs, so stage one symlink per data file either way.
+    def listClosing[A](p: java.nio.file.Path)(
+        f: Iterator[java.nio.file.Path] => A): A = {
+      val s = Files.list(p)
+      try f(s.iterator().asScala) finally s.close()
+    }
     val targets: Seq[(java.nio.file.Path, String)] =
       if (Files.isDirectory(target))
-        Files.list(target).iterator().asScala
+        listClosing(target)(_
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString).zipWithIndex
+          .toSeq).sortBy(_.getFileName.toString).zipWithIndex
           .map { case (p, i) => (p, f"events_part$i%05d.parquet") }
       else Seq((target, "events.parquet"))
+    // clear every staged link NOT in the current target set first: a
+    // source that shrank (fewer part files) or changed shape
+    // (single-file <-> directory) must not leave dangling links (a
+    // listing crash) or extra live ones (silent double-streaming)
+    val wanted = targets.map(_._2).toSet
+    listClosing(dir)(_
+      .filter(p => Files.isSymbolicLink(p) &&
+        !wanted.contains(p.getFileName.toString))
+      .toSeq).foreach(Files.delete(_))
     targets.foreach { case (t, name) =>
       val link = dir.resolve(name)
       // NOFOLLOW: a dangling symlink must be replaced, not trip the create
@@ -168,17 +177,25 @@ object StreamOps {
     withEnvelope(reader.parquet(streamDir), nShards)
   }
 
-  /** The watermarked, record-deduplicated event stream (T4 done right —
-    * the reference misses dups that straddle batch boundaries; state here
-    * covers the full watermark window and expires after it).
+  /** The ONE record-dedup discipline (T4 done right — the reference
+    * misses dups that straddle batch boundaries; state here covers the
+    * full watermark window and expires after it). Shared by every
+    * ingest source — file stand-in, DSv2 shards, the configured
+    * pipeline — so their dedup semantics can never drift while their
+    * outputs are asserted identical against a shared oracle.
+    */
+  def dedupEventsFrame(df: DataFrame): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The watermarked, record-deduplicated event stream over the file
+    * source.
     */
   def dedupedEvents(spark: SparkSession, streamDir: String,
                     maxFilesPerTrigger: Option[Int] = None,
                     nShards: Int = 8): DataFrame =
-    eventsStreamFromDir(spark, streamDir, nShards = nShards,
-        maxFilesPerTrigger = maxFilesPerTrigger)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    dedupEventsFrame(eventsStreamFromDir(spark, streamDir,
+      nShards = nShards, maxFilesPerTrigger = maxFilesPerTrigger))
 
   /** One micro-batch of the landing sink: partitioned JSON under a
     * DETERMINISTIC per-batch directory, written with overwrite. Replaying
@@ -294,9 +311,8 @@ object StreamOps {
     val tmp = sys.props("java.io.tmpdir")
     val outDir = s"$tmp/graft_stream_land_dsv2/$runId"
     val ckDir = s"$tmp/graft_stream_ck_dsv2/$runId"
-    val q = shardsEventStream(spark, shardDir, batchSize = Some(10000))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedupEventsFrame(
+        shardsEventStream(spark, shardDir, batchSize = Some(10000)))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         landBatch(batch, outDir, batchId)
