@@ -60,8 +60,11 @@ class PlanSpec extends SparkSpec {
       "q_ab_sequential",
       // vocabulary token-id assignment: the window runs over only the
       // topK surviving rows of a TakeOrdered (k = the vocab budget, a
-      // parameter — bounded by construction) — TextAnalysis.vocabulary
-      "q_vocab", "q_vocab_coverage", "q_bpe_token_count")
+      // parameter — bounded by construction) — TextAnalysis.vocabulary.
+      // (Its embedders q_vocab_coverage / q_bpe_token_count broadcast
+      // the vocab, which erases the window from their final plans — no
+      // entries needed.)
+      "q_vocab")
     def hasEquiKey(j: LJoin): Boolean = j.condition.exists(c => c.collect {
       case e: EqualTo
         if e.references.intersect(j.left.outputSet).nonEmpty &&
