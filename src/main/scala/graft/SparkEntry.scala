@@ -4440,15 +4440,65 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(sim, 6) AS sim
         |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
-    // q_ann_lsh has no oracle: the LSH cell assignment is seeded-
-    // deterministic but not SQL-expressible; scalatest bounds its recall
-    // against q_similarity_topk's exact baseline.
+    // q_ann_lsh IS oracled (round 14): the seeded hyperplanes are
+    // driver-side constants, so they inline into the SQL as literal
+    // arrays — the bucket is a sign test on the same left-to-right
+    // list_dot_product the q_similarity_topk oracle already proves
+    // cross-engine-exact. Built by [[lshOracleSql]] below (generated:
+    // 4 tables x 8 planes x 64 dims of literals).
+    "q_ann_lsh" -> lshOracleSql,
     // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
     // engine-specific; scalatest bounds it against the exact count instead.
     // q_approx_percentiles intentionally has no oracle: the approximate
     // rank sketch is engine-specific; PlanSpec bounds each estimate
     // against the exact percentile instead.
   )
+
+  /** The q_ann_lsh oracle, GENERATED: [[graft.operators.Similarity
+    * .hyperplanes]](4, 8, 64, seed=42) — the exact driver-side constants
+    * the Spark plan inlines — are printed as DuckDB literal arrays
+    * (Double.toString is round-trip exact, so DuckDB parses the
+    * identical double). Bucket bit j of table t is a sign test on
+    * list_dot_product(emb, hp[t][j]); both engines accumulate the dot
+    * left-to-right over the same doubles, so the sign — and therefore
+    * the candidate set — cannot diverge. Scoring/rank/tie-break then
+    * follow the q_similarity_topk oracle verbatim. dim=64 is the
+    * embeddings schema constant at every driver SF (TESTDATA.md); the
+    * Spark side derives it from the table, so a dim change would fail
+    * here loudly as a hash mismatch, not silently.
+    */
+  private def lshOracleSql: String = {
+    val hps = graft.operators.Similarity.hyperplanes(4, 8, 64, 42L)
+    def arr(hp: Seq[Double]): String = hp.mkString("[", ", ", "]")
+    val cellSelects = hps.zipWithIndex.map { case (table, t) =>
+      val bits = table.zipWithIndex.map { case (hp, j) =>
+        s"(CASE WHEN list_dot_product(emb, ${arr(hp)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"  SELECT vec_id, $t AS tbl, $bits AS bucket FROM b"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings),
+       |cells AS (
+       |$cellSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM cells a JOIN cells c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |  WHERE a.vec_id <> c.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.cand_id,
+       |         list_dot_product(qa.emb, ca.emb) / (qa.nrm * ca.nrm) AS sim
+       |  FROM pairs p JOIN b qa ON qa.vec_id = p.query_id
+       |               JOIN b ca ON ca.vec_id = p.cand_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rank, cand_id AS neighbor_id,
+       |       round(sim, 6) AS sim
+       |FROM ranked WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Probe terms for the Count-Min heavy-term audit (common corpus words
     * plus one guaranteed-absent term).

@@ -21,8 +21,10 @@ import graft.functions.VectorMath._
   *    LSH tables; vectors meet only inside a (table, bucket) cell, so the
   *    join is a hash shuffle on the cell key and the pair explosion is
   *    bounded by cell size. Hyperplanes are seeded-deterministic, so the
-  *    output is stable run-to-run (recall vs the exact baseline is bounded
-  *    in the scalatest suite, not by the SQL oracle).
+  *    output is stable run-to-run — deterministic enough that the full
+  *    census is DuckDB-oracled (SparkEntry.lshOracleSql inlines the
+  *    hyperplane constants as SQL literals); recall vs the exact baseline
+  *    is additionally bounded in the scalatest suite.
   */
 object Similarity {
 

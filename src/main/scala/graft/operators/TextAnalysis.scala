@@ -1346,7 +1346,19 @@ object TextAnalysis {
     * Spark jobs.
     */
   val MaxBpeMerges: Int =
-    sys.env.get("SPARK_GRAFT_BPE_MAX_MERGES").map(_.toInt).getOrElse(1000)
+    sys.env.get("SPARK_GRAFT_BPE_MAX_MERGES") match {
+      case None => 1000
+      case Some(v) =>
+        // parsed defensively: a bare toInt in a val initializer would
+        // surface a typo'd env value as ExceptionInInitializerError on
+        // first TextAnalysis use, far from the cause
+        scala.util.Try(v.trim.toInt).toOption.filter(_ > 0).getOrElse {
+          System.err.println(
+            s"[graft] WARNING: SPARK_GRAFT_BPE_MAX_MERGES='$v' is not a " +
+            "positive integer; using default 1000")
+          1000
+        }
+    }
 
   /** The ONE BPE loop behind [[bpeMerges]], [[bpeVocab]] and
     * [[bpeApply]]: k greedy merge steps, returning the merge table, the

@@ -189,7 +189,7 @@ object GraftShards {
     joined.replaceAll("[^a-zA-Z0-9]", "_") + "_" + hash
   }
 
-  private[sources] def shardCounts(root: String): Map[Int, Long] =
+  private[graft] def shardCounts(root: String): Map[Int, Long] =
     shardFiles(root).map { case (s, fs) => s -> fs.map(lineCount).sum }
 
   // ---- staging --------------------------------------------------------
@@ -205,13 +205,10 @@ object GraftShards {
     */
   def stageShardDir(spark: SparkSession, sfDir: String,
                     nShards: Int = 4): String = synchronized {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_shards_src",
-      stagingKey(sfDir, s"s$nShards"))
-    val marker = dir.resolve("_STAGED")
-    // the marker records the SOURCE fingerprint (size + mtime of the
-    // events table), not mere existence: a regenerated warehouse at the
-    // same path must re-stage, or this source would silently stream
-    // stale data while the file-source twin reads the live warehouse
+    // the fingerprint records the SOURCE identity (size + mtime of the
+    // events table): a regenerated warehouse at the same path must
+    // re-stage, or this source would silently stream stale data while
+    // the file-source twin reads the live warehouse
     def fingerprint(): String = {
       val t = Paths.get(sfDir, "events.parquet")
       val files = if (Files.isDirectory(t)) listDir(t).sortBy(_.toString)
@@ -220,9 +217,33 @@ object GraftShards {
         s"${Files.getLastModifiedTime(f).toMillis}").mkString("\n")
     }
     val fp = fingerprint()
+    // GENERATION dirs, named by the fingerprint hash: a re-stage never
+    // rewrites a directory a running query (or another JVM sharing
+    // java.io.tmpdir) may be draining — it builds a NEW sibling and
+    // readers keep their old file list intact. Old generations are
+    // deliberately not reaped: deleting one reintroduces the very race
+    // this layout removes (an in-flight drain holding its paths), and a
+    // generation only exists per (source-mutation × JVM lifetime), so
+    // the tmpdir residue is bounded and machine-reclaimed. The
+    // generation path also renews every staged file's absolute path, so
+    // lineCount's (size, mtime) cache can never serve a count from a
+    // previous staging of the same path (a same-size rewrite within
+    // mtime granularity used to alias).
+    val base = Paths.get(sys.props("java.io.tmpdir"), "graft_shards_src",
+      stagingKey(sfDir, s"s$nShards"))
+    val gen = java.util.UUID.nameUUIDFromBytes(fp.getBytes("UTF-8"))
+      .toString.take(16)
+    val dir = base.resolve(s"gen_$gen")
+    val marker = dir.resolve("_STAGED")
     if (Files.exists(marker) &&
         new String(Files.readAllBytes(marker), "UTF-8") == fp)
       return dir.toString
+    // build in a process-unique temp sibling, then ATOMICALLY rename
+    // into the generation path: no reader — in this JVM or another
+    // process polling the same tmpdir — can ever observe a half-built
+    // or mid-delete staging dir
+    val tmp = base.resolve(s"gen_$gen.tmp.${ProcessHandle.current.pid()}")
+    if (Files.exists(tmp)) deleteTree(tmp) // crashed earlier attempt
     val ev = graft.Tables.events(spark, sfDir)
     val line = to_json(struct(
       format_string("%020d", col("event_id")).as("SequenceNumber"),
@@ -238,9 +259,25 @@ object GraftShards {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "event_id")
       .select(col("shard"), col("value_line").as("value"))
-      .write.mode("overwrite").partitionBy("shard").text(dir.toString)
-    Files.write(marker, fp.getBytes("UTF-8"))
+      .write.mode("overwrite").partitionBy("shard").text(tmp.toString)
+    Files.write(tmp.resolve("_STAGED"), fp.getBytes("UTF-8"))
+    try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException |
+           _: java.nio.file.AccessDeniedException =>
+        // another process staged the same generation concurrently; the
+        // content is deterministic per fingerprint, so theirs is ours
+        deleteTree(tmp)
+    }
     dir.toString
+  }
+
+  /** Recursive delete (children before parents). */
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      listDir(p).foreach(deleteTree)
+    Files.deleteIfExists(p); ()
   }
 }
 
@@ -395,6 +432,17 @@ private[sources] class GraftShardsMicroBatchStream(conf: ShardsConf)
     val from = start.asInstanceOf[ShardOffsets].counts
     ShardOffsets(tails.map { case (shard, tail) =>
       val cur = from.getOrElse(shard, 0L)
+      // a tail BELOW the committed offset is a sequence-number
+      // regression (the staged dir was rebuilt smaller against a live
+      // checkpoint) — a real Kinesis source fails such a stream rather
+      // than silently re-emitting committed records on later growth,
+      // and so does this one
+      if (tail < cur)
+        throw new IllegalStateException(
+          s"graft-shards: shard $shard tail ($tail) is below the " +
+          s"committed offset ($cur) — the source at ${conf.path} shrank " +
+          "under an existing checkpoint; use a fresh checkpoint dir for " +
+          "the re-staged stream")
       shard -> math.min(tail, cur + conf.maxFetchPerShard)
     })
   }

@@ -2606,30 +2606,50 @@ object StreamOps {
     }
   }
 
+  /** Per-session MAINTAINER clone for [[appendMvBase]]: shared
+    * SparkContext and catalog, isolated SQLConf, with dynamic
+    * partition-overwrite set ONCE at creation. insertInto honors only
+    * the session conf (the writer-level option is ignored on that path
+    * — measured: each batch statically overwrote the WHOLE table), and
+    * toggling the conf around each batch on the caller's session would
+    * leak dynamic-overwrite semantics into any concurrent write on that
+    * session. Weak keys: a dropped caller session releases its clone.
+    */
+  private val maintainers =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def maintainerSession(spark: SparkSession): SparkSession =
+    maintainers.synchronized {
+      val existing = maintainers.get(spark)
+      if (existing != null) existing
+      else {
+        val m = spark.newSession()
+        m.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        maintainers.put(spark, m)
+        m
+      }
+    }
+
   /** Land one batch's base partials under their batch=N partition:
     * dynamic-overwrite insertInto — replay-idempotent (a crashed batch
     * rewrites exactly its own partition) AND bucket-preserving (the
     * files carry the bucket suffix; verified in LandingSpec).
     * insertInto maps columns BY POSITION: partials first, batch last.
+    * The write runs on the [[maintainerSession]] clone; the partial
+    * crosses sessions via a global temp view (context-scoped, unlike
+    * session temp views — the catalog tables are shared anyway).
     */
   private[graft] def appendMvBase(partial: DataFrame, table: String,
                                   batchId: Long): Unit = {
-    val spark = partial.sparkSession
-    // the SESSION conf is what insertInto honors — the writer-level
-    // option is ignored on the insertInto path (measured: each batch
-    // statically overwrote the WHOLE table, silently dropping the
-    // accumulated history; the oracle caught it as 1/3 missing pairs)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try partial.select(col("okey"), col("lnum"), col("odate"), col("price"))
+    val maint = maintainerSession(partial.sparkSession)
+    val vn = s"graft_mvj_partial_${batchId}_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    partial.createOrReplaceGlobalTempView(vn)
+    try maint.table(s"global_temp.$vn")
+      .select(col("okey"), col("lnum"), col("odate"), col("price"))
       .withColumn("batch", lit(batchId))
       .write.mode("overwrite")
       .insertInto(table)
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    finally { partial.sparkSession.catalog.dropGlobalTempView(vn); () }
   }
 
   /** The per-batch delta-join law, distributed over the union so the
@@ -2650,18 +2670,34 @@ object StreamOps {
       .select(col("okey"), col("lnum"), col("odate"), col("price"))
   }
 
+  /** DEPLOYMENT-AWARE base-store layout default: bucketed stores pay a
+    * write-side shuffle so every later history join is exchange-free —
+    * a NETWORK saving a single-JVM local master cannot realize (its
+    * Exchange is a memcpy while the layout's sort/merge costs stay
+    * real: 1.37× in-suite, 49-54 s vs 31 s at the 16× probe, 3.5× at
+    * sf1). Local masters therefore default to plain batch-dir stores;
+    * any distributed master keeps the bucketed layout. Both paths are
+    * oracle-equal (StreamingSpec locks the shared hash) and explicitly
+    * selectable via the parameter; PlanSpec locks the cluster layout's
+    * zero-Exchange property independently of this default.
+    */
+  private[graft] def defaultBucketedStores(spark: SparkSession): Boolean =
+    !spark.sparkContext.master.startsWith("local")
+
   /** Frames-parametric core of [[streamMvJoin]] (the ScaleProbe seam). */
   /** `bucketedStores` selects the base-store layout: bucketed tables
-    * (default — zero Exchange above the history scans; total shuffle
-    * volume ≈ one pass over the facts regardless of batch count) vs
-    * plain batch=N parquet dirs (no write-side bucketing shuffle, but
-    * every batch re-shuffles the WHOLE accumulated history: total
-    * shuffle ≈ facts·(nBatches−1)/2 per side). The crossover is the
-    * history/batch ratio — ScaleProbe measures both at depth.
+    * (cluster default — zero Exchange above the history scans; total
+    * shuffle volume ≈ one pass over the facts regardless of batch
+    * count) vs plain batch=N parquet dirs (local default — no
+    * write-side bucketing shuffle, but every batch re-shuffles the
+    * WHOLE accumulated history: total shuffle ≈ facts·(nBatches−1)/2
+    * per side). The crossover is the history/batch ratio — ScaleProbe
+    * measures both at depth; `None` picks by [[defaultBucketedStores]].
     */
   def streamMvJoinFrames(spark: SparkSession, ordersRaw: DataFrame,
                          linesRaw: DataFrame, nBatches: Int = 3,
-                         bucketedStores: Boolean = true): DataFrame = {
+                         bucketedStores: Option[Boolean] = None): DataFrame = {
+    val bucketed = bucketedStores.getOrElse(defaultBucketedStores(spark))
     import java.nio.file.{Files, Paths}
     val runId = UUID.randomUUID().toString.take(8)
     val root = s"${sys.props("java.io.tmpdir")}/graft_stream_mvj/$runId"
@@ -2700,7 +2736,7 @@ object StreamOps {
       StructField("lnum", IntegerType), StructField("odate", StringType),
       StructField("price", org.apache.spark.sql.types.DecimalType(18, 2))))
     val (oTable, lTable) = (s"graft_mvj_obase_$runId", s"graft_mvj_lbase_$runId")
-    if (bucketedStores) createMvBaseTables(spark, oTable, lTable)
+    if (bucketed) createMvBaseTables(spark, oTable, lTable)
     def readBaseDir(dir: String, beforeBatch: Long): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2719,11 +2755,11 @@ object StreamOps {
             .select(col("okey"), col("lnum"), col("odate"), col("price"))
             .localCheckpoint()
           val oPrev =
-            if (bucketedStores)
+            if (bucketed)
               spark.table(oTable).filter(col("batch") < batchId)
             else readBaseDir(s"$root/obase", batchId)
           val lPrev =
-            if (bucketedStores)
+            if (bucketed)
               spark.table(lTable).filter(col("batch") < batchId)
             else readBaseDir(s"$root/lbase", batchId)
           val dv = mvDeltaJoin(oPrev, lPrev, oNew, lNew)
@@ -2732,7 +2768,7 @@ object StreamOps {
           // land), so they write at natural parallelism — the probe
           // caught a single-threaded write serializing 3M-row deltas
           dv.write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
-          if (bucketedStores) {
+          if (bucketed) {
             // dynamic-overwrite insertInto = the replayable batch=N
             // write that PRESERVES the table's bucket layout (bucket-
             // suffixed files per partition)
@@ -2748,7 +2784,7 @@ object StreamOps {
     }
     // the view parquet is self-contained — the base tables are per-run
     // working state and are dropped with the drain
-    if (bucketedStores)
+    if (bucketed)
       Seq(oTable, lTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // (okey, lnum, price) is a unique key of the view at every SF —
     // (okey, lnum) alone is NOT, so price joins the sort to make the

@@ -398,11 +398,11 @@ object ScaleProbe {
       // must win; at 3 batches the write overhead can hide it.
       time("mv_delta_deep_bucketed") {
         graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 8,
-          bucketedStores = true).count()
+          bucketedStores = Some(true)).count()
       }
       time("mv_delta_deep_plain") {
         graft.streaming.StreamOps.streamMvJoinFrames(spark, oAmp, lAmp, 8,
-          bucketedStores = false).count()
+          bucketedStores = Some(false)).count()
       }
     }
     // binary-serve economics: the float brute scan vs the sign-bit
@@ -557,6 +557,46 @@ object ScaleProbe {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       0L
+    }
+    // DSv2 paging-knob economics: the drain cost curve vs the per-shard
+    // fetch cap, at the three deployment-meaningful settings — the
+    // reference's BATCH_SIZE default (1000), the Kinesis GetRecords
+    // RECORD cap (10,000), and the GetRecords BYTE cap equivalent
+    // (10 MB / measured staged record size). Local micro-batches cost a
+    // ~1 s scheduling floor each, so halving the batch COUNT is the
+    // whole game at any corpus size; the probe records where the curve
+    // flattens once the byte cap binds.
+    time("dsv2_paging") {
+      val shardDir = graft.sources.GraftShards.stageShardDir(spark, sfDir)
+      val recs = spark.read.format("graft-shards").load(shardDir).count()
+      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(shardDir))
+      val tenMbCap = ((10L << 20) * recs / math.max(bytes, 1L)).toInt.max(1)
+      println(f"  staged: $recs records, $bytes bytes " +
+        f"(~${bytes / math.max(recs, 1L)} B/rec); 10MB-cap = $tenMbCap rec/shard")
+      var last = 0L
+      for ((label, cap) <- Seq(("ref BATCH_SIZE", 1000),
+          ("Kinesis record cap", 10000),
+          ("10MB GetRecords equiv", tenMbCap))) {
+        val runId = java.util.UUID.randomUUID().toString.take(8)
+        val out = s"${sys.props("java.io.tmpdir")}/graft_dsv2_probe_$runId"
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamOps
+          .shardsEventStream(spark, shardDir, batchSize = Some(cap))
+          .writeStream.format("parquet").option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val nBatches = Option(new java.io.File(s"$out/ck/offsets").list())
+          .map(_.count(_.forall(_.isDigit))).getOrElse(0)
+        last = spark.read.parquet(s"$out/data").count()
+        println(f"  cap=$cap%6d ($label%-22s): $nBatches%3d batches, " +
+          f"$dt%6.1f s, $last rows")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      }
+      last
     }
     spark.stop()
   }

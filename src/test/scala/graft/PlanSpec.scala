@@ -20,7 +20,9 @@ class PlanSpec extends SparkSpec {
   test("driver contract: queries and oracleSql keys agree (rows-only set is explicit)") {
     // a typo'd key on either side would silently weaken the correctness
     // gate (driver records rows-only instead of hash-matching)
-    val rowsOnlyByDesign = Set("q_ann_lsh", "q_approx_distinct", "q_approx_percentiles",
+    // q_ann_lsh left this set in round 14: the seeded hyperplanes inline
+    // into generated SQL (SparkEntry.lshOracleSql), so it hash-matches
+    val rowsOnlyByDesign = Set("q_approx_distinct", "q_approx_percentiles",
       "q_stream_sliding_distinct", "q_stream_profile_sketch")
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
@@ -30,7 +32,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("suite-wide plan invariants: every query, one sweep — no cartesian " +
-       "product, no un-allowlisted nested-loop join or unpartitioned window") {
+       "product, no un-allowlisted nested-loop join, unpartitioned window, " +
+       "or single-partition funnel over an unbounded frame") {
     // PlanSpec's other tests lock invariants per-query; this sweep makes
     // the three global scale laws UNIVERSAL: any future query pays them
     // automatically by being in SparkEntry.queries. Executes every query
@@ -51,9 +54,28 @@ class PlanSpec extends SparkSpec {
     //     comment.
     //  3. No unpartitioned window outside the named census-size
     //     allowlist.
+    //  4. No single-partition funnel (coalesce(1) / repartition(1))
+    //     over a frame the optimizer cannot bound — the r12 bug class
+    //     where a fact-sized write serializes through one task. Scope
+    //     note, stated honestly: this law inspects the RETURNED plan;
+    //     coalesce(1) census writes that live INSIDE foreachBatch
+    //     drains never appear in it (they are locked by the per-batch
+    //     probes and the census-only convention documented at their
+    //     sites), so the allowlist below covers returned plans only.
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, EqualNullSafe}
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
     val nestedLoopAllowlist: Set[String] = Set.empty // none needed today
+    val singlePartitionAllowlist: Set[String] = Set.empty // none needed today
+    def singlePartitionFunnels(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+            if r.numPartitions == 1 && r.child.maxRows.forall(_ > 100000L) =>
+          s"coalesce/repartition(1) over unbounded ${r.child.nodeName}"
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+            if r.optNumPartitions.contains(1) &&
+               r.child.maxRows.forall(_ > 100000L) =>
+          s"repartition(1, expr) over unbounded ${r.child.nodeName}"
+      }
     val globalWindowAllowlist: Set[String] = Set(
       // Experiment.sequentialMonitor's running-max over the day census
       // (<= |days| rows at any corpus scale) — Experiment.scala
@@ -104,6 +126,9 @@ class PlanSpec extends SparkSpec {
         val uw = unpartitionedWindows(p)
         if (uw.nonEmpty && !globalWindowAllowlist.contains(name))
           violations += s"$name: unpartitioned window(s): ${uw.mkString("; ")}"
+        val sp = singlePartitionFunnels(df)
+        if (sp.nonEmpty && !singlePartitionAllowlist.contains(name))
+          violations += s"$name: ${sp.mkString("; ")}"
       } catch {
         case e: Exception =>
           violations += s"$name: failed to build plan: ${e.getMessage}"

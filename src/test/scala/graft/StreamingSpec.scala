@@ -684,10 +684,10 @@ class StreamingSpec extends SparkSpec {
     val o = Tables.orders(spark, sf0001)
     val l = Tables.lineitem(spark, sf0001)
     val bucketed = StreamOps
-      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = true)
+      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = Some(true))
       .collect().map(_.toString).toSeq
     val plain = StreamOps
-      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = false)
+      .streamMvJoinFrames(spark, o, l, 3, bucketedStores = Some(false))
       .collect().map(_.toString).toSeq
     assert(bucketed === plain)
   }
