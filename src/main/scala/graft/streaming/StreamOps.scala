@@ -2681,8 +2681,14 @@ object StreamOps {
     * selectable via the parameter; PlanSpec locks the cluster layout's
     * zero-Exchange property independently of this default.
     */
-  private[graft] def defaultBucketedStores(spark: SparkSession): Boolean =
-    !spark.sparkContext.master.startsWith("local")
+  private[graft] def defaultBucketedStores(spark: SparkSession): Boolean = {
+    // single-JVM masters only: local / local[K] / local[*]. The
+    // local-cluster[...] test master forks REAL executor JVMs with
+    // serialized Exchange traffic — it gets the cluster layout (the
+    // ClusterProbe tool measures exactly that boundary).
+    val m = spark.sparkContext.master
+    !(m == "local" || m.startsWith("local["))
+  }
 
   /** Frames-parametric core of [[streamMvJoin]] (the ScaleProbe seam). */
   /** `bucketedStores` selects the base-store layout: bucketed tables

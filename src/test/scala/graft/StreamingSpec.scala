@@ -690,6 +690,14 @@ class StreamingSpec extends SparkSpec {
       .streamMvJoinFrames(spark, o, l, 3, bucketedStores = Some(false))
       .collect().map(_.toString).toSeq
     assert(bucketed === plain)
+    // the deployment-aware default: single-JVM masters (this suite's)
+    // resolve to plain batch-dir stores — every single-box probe
+    // (local[32], local-cluster at 3 scales) measured the bucketed
+    // write overhead losing where exchange bytes are loopback-cheap;
+    // non-local[...] masters keep the bucketed layout (volume law:
+    // one pass over facts vs history x (n-1)/2 per side on the wire)
+    assert(!StreamOps.defaultBucketedStores(spark),
+      s"local master ${spark.sparkContext.master} must default to plain stores")
   }
 
   test("streaming binary-code upsert: re-delivery replaces, serve equals inline") {
