@@ -81,6 +81,7 @@ object SparkEntry {
     "q_ab_winsorized" -> ((s, d) => Experiment.abWinsorized(events(s, d))),
     "q_ab_power" -> ((s, d) => Experiment.abPower(events(s, d))),
     "q_ltv_cohort" -> ((s, d) => Events.ltvCohorts(events(s, d))),
+    "q_survival_km" -> ((s, d) => Events.survivalKm(events(s, d))),
     "q_stream_ltv" -> ((s, d) => streaming.StreamOps.streamLtv(s, d)),
     "q_stream_mv_join" ->
       ((s, d) => streaming.StreamOps.streamMvJoin(s, d)),
@@ -2258,6 +2259,63 @@ object SparkEntry {
         |FROM pww""".stripMargin,
     // cohort LTV: DECIMAL revenue end-to-end, census-row windows only
     "q_ltv_cohort" -> ltvOracleSql,
+    // Kaplan-Meier: integer durations/exits; hazard terms via the
+    // quant6-ln device, DECIMAL(18,6) running sum, one exp at emission
+    // (the q_ab_sequential cross-engine law)
+    "q_survival_km" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |fu AS (SELECT user_id, min(us) AS first_us, max(us) AS last_us
+        |       FROM e GROUP BY user_id),
+        |fe AS (SELECT user_id, event_type AS cohort FROM (
+        |         SELECT user_id, event_type,
+        |                row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY us, event_id) AS rn
+        |         FROM e) WHERE rn = 1),
+        |h AS (SELECT max(us) AS horizon FROM e),
+        |pu AS (
+        |  SELECT fe.cohort,
+        |         (f.last_us - f.first_us) // 86400000000 AS t_days,
+        |         CASE WHEN h.horizon - f.last_us >= 1 * 86400000000
+        |              THEN 1 ELSE 0 END AS churn
+        |  FROM fu f JOIN fe ON fe.user_id = f.user_id CROSS JOIN h),
+        |cells AS (
+        |  SELECT cohort, t_days,
+        |         CAST(sum(churn) AS BIGINT) AS n_event,
+        |         CAST(sum(1 - churn) AS BIGINT) AS n_censor,
+        |         CAST(count(*) AS BIGINT) AS n_exit
+        |  FROM pu GROUP BY cohort, t_days),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_total
+        |          FROM pu GROUP BY cohort),
+        |rk AS (
+        |  SELECT c.cohort, c.t_days, c.n_event, c.n_censor,
+        |         CAST(s.n_total - coalesce(sum(c.n_exit) OVER (
+        |           PARTITION BY c.cohort ORDER BY c.t_days
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n_risk
+        |  FROM cells c JOIN sizes s ON s.cohort = c.cohort),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN n_event < n_risk THEN
+        |      floor(ln(1.0 - CAST(n_event AS DOUBLE)
+        |                     / CAST(n_risk AS DOUBLE))
+        |            * 1000000.0 + 0.5) / 1000000.0 END AS term,
+        |    max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY cohort ORDER BY t_days
+        |      ROWS UNBOUNDED PRECEDING) AS dead
+        |  FROM rk),
+        |cum AS (
+        |  SELECT *, sum(CAST(term AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY cohort ORDER BY t_days
+        |    ROWS UNBOUNDED PRECEDING) AS cum_ln
+        |  FROM t)
+        |SELECT cohort, t_days, n_risk, n_event, n_censor,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE floor(exp(coalesce(CAST(cum_ln AS DOUBLE), 0.0))
+        |                  * 1000000.0 + 0.5) / 1000000.0 END AS survival
+        |FROM cum ORDER BY cohort, t_days""".stripMargin,
     // drained user-day partials merge additively -> same assembly,
     // oracle shared verbatim
     "q_stream_ltv" -> ltvOracleSql,

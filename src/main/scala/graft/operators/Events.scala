@@ -510,6 +510,73 @@ object Events {
   def ltvCohorts(events: DataFrame): DataFrame =
     ltvFromUserDays(ltvUserDays(events))
 
+  /** KAPLAN-MEIER survival census (q_survival_km) — time-to-churn with
+    * RIGHT CENSORING, the estimator retention analysis graduates to
+    * when "did the user come back" ([[retention]]) isn't enough and the
+    * question is "what fraction SURVIVES past t, given that still-active
+    * users tell us nothing about their eventual churn". Per user:
+    * duration t = whole days between first and last event; the user
+    * CHURNED if their last event precedes the corpus horizon by at least
+    * `censorDays` days, else they are censored (still active — their
+    * true lifetime exceeds t, which KM accounts for by keeping them in
+    * the at-risk set through t without counting a death). Cohort = the
+    * user's FIRST event type (the acquisition-channel analog in this
+    * schema). S(t) = Π_{u ≤ t} (1 − d_u / n_u) over event times.
+    *
+    * Determinism: durations and exits are integer micros; each hazard
+    * factor enters as quant6(ln(1 − d/n)) and the running product is an
+    * exact DECIMAL(18,6) sum of those terms, exponentiated once at
+    * emission — the same quant6-ln/exp device the hash-matched
+    * q_ab_sequential mSPRT and bm25 idf use, so the curve is
+    * engine-portable. A cell where d = n (everyone at risk churns)
+    * zeroes the curve explicitly rather than passing ln(0) to either
+    * engine.
+    *
+    * Scale shape: one user-keyed agg over facts (shuffle on user_id),
+    * then every window runs over the (cohort × distinct-duration)
+    * census — |cohorts|·|days| rows at any corpus size (the
+    * q_period_over_period discipline); cohort sizes broadcast back.
+    */
+  def survivalKm(events: DataFrame, censorDays: Int = 1): DataFrame = {
+    val dayUs = 86400000000L
+    val horizon = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val perUser = events
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("f"),
+        min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .select(col("f.event_type").as("cohort"),
+        expr(s"(last_us - first_us) DIV $dayUs").as("t_days"),
+        (lit(horizon) - col("last_us") >= lit(censorDays * dayUs))
+          .cast("long").as("churn"))
+    val cells = perUser.groupBy("cohort", "t_days")
+      .agg(sum(col("churn")).as("n_event"),
+        sum(lit(1L) - col("churn")).as("n_censor"),
+        count(lit(1)).as("n_exit"))
+    val sizes = perUser.groupBy("cohort").agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.partitionBy("cohort").orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("cohort").orderBy("t_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), "cohort")
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_exit")).over(wPrev), lit(0L)))
+      .withColumn("term", when(col("n_event") < col("n_risk"),
+        Similarity.quant6(log(lit(1.0) -
+          col("n_event").cast("double") / col("n_risk").cast("double")))))
+      .withColumn("dead",
+        max((col("n_event") === col("n_risk")).cast("int")).over(wCum))
+      .withColumn("cum_ln",
+        sum(col("term").cast("decimal(18,6)")).over(wCum))
+      .select(col("cohort"), col("t_days"), col("n_risk"),
+        col("n_event"), col("n_censor"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(Similarity.quant6(exp(
+            coalesce(col("cum_ln").cast("double"), lit(0.0)))))
+          .as("survival"))
+      .orderBy("cohort", "t_days")
+  }
+
   /** The ADDITIVE per-(user, day) partial (n_events, DECIMAL purchase
     * revenue) — a user-day cell split across micro-batches merges by
     * sum, so the streaming twin lands exactly this unit per batch.

@@ -103,6 +103,32 @@ class TemporalSpec extends SparkSpec {
       (2L, 5.0, 5.0, 5.0, 1L), (3L, 4.25, 2.0, 5.0, 2L)))
   }
 
+  test("survivalKm: hand-computed curve with interleaved censoring, and " +
+       "the everyone-churns cell zeroes the curve") {
+    val d = 86400000000L
+    // cohort "view": churn at t=0 (n=5), t=2 (n=4), t=3 (n=3), then two
+    // users censored at t=5 (last events AT the horizon). cohort
+    // "click": both users churn at t=2 -> d = n_risk -> survival 0.
+    val ev = syntheticEvents(Seq(
+      (1L, 0L, 1L, "view", 1.0), (2L, 2 * d, 1L, "view", 1.0),
+      (3L, 0L, 2L, "view", 1.0),
+      (4L, 0L, 3L, "view", 1.0), (5L, 3 * d, 3L, "view", 1.0),
+      (6L, 0L, 4L, "view", 1.0), (7L, 5 * d, 4L, "view", 1.0),
+      (8L, 0L, 5L, "view", 1.0), (9L, 5 * d, 5L, "view", 1.0),
+      (10L, 0L, 7L, "click", 1.0), (11L, 2 * d, 7L, "click", 1.0),
+      (12L, 0L, 8L, "click", 1.0), (13L, 2 * d, 8L, "click", 1.0)))
+    val got = Events.survivalKm(ev).collect().map(r =>
+      (r.getString(0), r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_event"), r.getAs[Long]("n_censor"),
+        r.getAs[Double]("survival")))
+    assert(got.toSeq === Seq(
+      ("click", 2L, 2L, 2L, 0L, 0.0),
+      ("view", 0L, 5L, 1L, 0L, 0.8),
+      ("view", 2L, 4L, 1L, 0L, 0.6),
+      ("view", 3L, 3L, 1L, 0L, 0.4),
+      ("view", 5L, 2L, 0L, 2L, 0.4)))
+  }
+
   test("winsorize: clip counts track the 5% tails, clipped sum never exceeds raw") {
     val ev = Tables.events(spark, sf0001)
     val raw = ev.groupBy("event_type")
