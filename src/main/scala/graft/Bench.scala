@@ -126,6 +126,11 @@ object Bench {
     val results = perQuery.map { case (k, (v, _)) => k -> v }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // locale-independent 3-decimal formatting: the f-interpolator uses
+    // the JVM default locale, and a comma-decimal locale (de_DE) would
+    // emit unparseable JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // per-query rep spread [min, median, max]: mover adjudication reads
     // oscillation width from the artifact instead of re-running isolated
     // pins. Only meaningful (and only emitted) at reps >= 2.
@@ -133,10 +138,49 @@ object Bench {
       if (reps < 2) ""
       else perQuery.map { case (k, (v, ts)) =>
         val s = ts.sorted
-        f""""$k":[${s.head}%.3f,$v%.3f,${s.last}%.3f]"""
+        s""""$k":[${d3(s.head)},${d3(v)},${d3(s.last)}]"""
       }.mkString(""","spread":{""", ",", "}")
+    // OUTLIER SELF-ADJUDICATION (reps=1 anchor-SF runs only): a
+    // single-rep timing that exceeds 2x the recorded 3-rep spread MAX
+    // for the same query (read from the repo's durable bench_out.json
+    // anchor) is re-measured once, cache-cleared, and BOTH timings land
+    // in the artifact — the official record adjudicates its own
+    // GC/codegen stalls in place (BENCH_r14 carried q_triangles at
+    // 16.8 s vs its own recorded spread max 4.25 with no way to tell a
+    // stall from a regression). The first timing stays in `queries`
+    // (honest measurement); `retried` discloses the rerun. Bounded to
+    // the 6 worst offenders above a 1 s floor so a pathological run
+    // cannot double the bench.
+    val retried: Seq[(String, (Double, Double))] =
+      if (reps >= 2 ||
+          new java.io.File(sfDir).getCanonicalFile.getName != "sf0.1") Nil
+      else {
+        val spreadMax: Map[String, Double] = try {
+          val txt = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("bench_out.json"))
+          val i = txt.indexOf("\"spread\":{")
+          if (i < 0) Map.empty
+          else """"([^"]+)":\[([-0-9.eE]+),([-0-9.eE]+),([-0-9.eE]+)\]""".r
+            .findAllMatchIn(txt.substring(i))
+            .map(m => m.group(1) -> m.group(4).toDouble).toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+        results.toSeq
+          .filter { case (k, v) =>
+            v > 1.0 && spreadMax.get(k).exists(mx => v > 2 * mx) }
+          .sortBy(-_._2).take(6)
+          .map { case (k, first) =>
+            System.err.println(s"[bench] outlier re-measure: $k first=" +
+              d3(first) + " s > 2x spread max " + d3(spreadMax(k)) + " s")
+            k -> (first, runOnce(k, selected(k)))
+          }
+      }
+    val retriedJson =
+      if (retried.isEmpty) ""
+      else retried.map { case (k, (f0, r)) =>
+        s""""$k":{"first":${d3(f0)},"rerun":${d3(r)}}"""
+      }.mkString(""","retried":{""", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spread,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$spread$retriedJson,"sf":"$sfDir"}"""
     // stdout gets a line that FITS THE CALLER'S CAPTURE: the driver
     // keeps only the last ~2000 chars of output, and the full 296-entry
     // map is ~8 KB — every BENCH_r* artifact through round 13 recorded
@@ -147,15 +191,17 @@ object Bench {
     // the omitted remainder disclosed. The COMPLETE map still lands in
     // bench_out.json below.
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
-    val budget = 1500
+    // the retried section rides the same capture-bounded line, so it
+    // spends from the same budget
+    val budget = 1500 - retriedJson.length
     val shown = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     for ((k, v) <- byTimeDesc) {
-      val e = f""""$k":$v%.3f"""
+      val e = s""""$k":${d3(v)}"""
       if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
     }
     val compactLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_total":${results.size},"queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries_total":${results.size},"queries_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}$retriedJson,"sf":"$sfDir"}"""
     println(compactLine)
     // durability: log tails get truncated and stdout parsing has lost the
     // per-query map before (BENCH_r05/r06 both recovered "parsed": null) —

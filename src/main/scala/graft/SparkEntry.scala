@@ -149,8 +149,12 @@ object SparkEntry {
     "q_topk_global" -> ((s, d) => Warehouse.topOrders(orders(s, d), 100)),
     "q_set_ops" -> ((s, d) => Warehouse.setOpsSummary(customer(s, d), orders(s, d))),
     "q_distinct_agg" -> ((s, d) => Warehouse.distinctBuyers(orders(s, d))),
-    "q_approx_distinct" -> ((s, d) => Warehouse.approxDistinctBuyers(orders(s, d))),
-    "q_approx_percentiles" -> ((s, d) => Warehouse.approxPricePercentiles(orders(s, d))),
+    // bounded-pass audit forms (round 15): the sketch estimates are
+    // engine-specific, so the oracled output carries the exact value +
+    // an in_bound flag the DuckDB oracle asserts — the documented error
+    // bound is enforced by the hash gate, not just scalatest
+    "q_approx_distinct" -> ((s, d) => Warehouse.approxDistinctAudit(orders(s, d))),
+    "q_approx_percentiles" -> ((s, d) => Warehouse.approxPercentilesAudit(orders(s, d))),
 
     // --- text analysis on documents (F9, north-star) ---
     "q_text_terms" -> ((s, d) => TextAnalysis.termStats(documents(s, d), 5)),
@@ -188,10 +192,11 @@ object SparkEntry {
     // q_profile's oracle verbatim
     "q_stream_profile" -> ((s, d) =>
       streaming.StreamOps.streamProfile(s, d, exactDistincts = true)),
-    // default sketch tier: mergeable per-column HLL state, rows-only +
-    // scalatest-error-bounded (estimates differ from exact by design)
+    // default sketch tier: mergeable per-column HLL state; oracled in
+    // the bounded-pass audit form (exact moments + a per-column
+    // in-bound flag the DuckDB oracle asserts)
     "q_stream_profile_sketch" -> ((s, d) =>
-      streaming.StreamOps.streamProfile(s, d)),
+      streaming.StreamOps.streamProfileSketchAudit(s, d)),
     "q_kanon" -> ((s, d) => Pipeline.kAnonymityCensus(customer(s, d))),
     "q_stream_kanon" -> ((s, d) => streaming.StreamOps.streamKanon(s, d)),
     "q_ldiv" -> ((s, d) => Pipeline.lDiversityCensus(customer(s, d))),
@@ -396,11 +401,10 @@ object SparkEntry {
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
-    // rows-only by design: HLL++ sketch values are engine-specific (same
-    // as q_approx_distinct); the rsd bound vs the exact batch answer is
-    // asserted in StreamingSpec
+    // bounded-pass audit form: the streamed HLL++ estimate is checked
+    // against the exact batch twin IN the oracle (in_bound flag)
     "q_stream_sliding_distinct" -> ((s, d) =>
-      streaming.StreamOps.streamSlidingDistinct(s, d, 12, 6)),
+      streaming.StreamOps.streamSlidingDistinctAudit(s, d, 12, 6)),
     "q_stream_ssjoin" -> ((s, d) => streaming.StreamOps.streamIntervalJoin(s, d)),
     "q_stream_ssjoin_outer" -> ((s, d) =>
       streaming.StreamOps.streamIntervalJoinOuter(s, d)),
@@ -4505,12 +4509,50 @@ object SparkEntry {
     // cross-engine-exact. Built by [[lshOracleSql]] below (generated:
     // 4 tables x 8 planes x 64 dims of literals).
     "q_ann_lsh" -> lshOracleSql,
-    // q_approx_distinct intentionally has no oracle: HLL++ sketch values are
-    // engine-specific; scalatest bounds it against the exact count instead.
-    // q_approx_percentiles intentionally has no oracle: the approximate
-    // rank sketch is engine-specific; PlanSpec bounds each estimate
-    // against the exact percentile instead.
+    // BOUNDED-PASS oracles (round 15 — the former rows-only sketch set):
+    // sketch estimates are engine-specific, so each query's output
+    // carries the EXACT value (cross-engine) plus an in_bound flag
+    // computed on the Spark side from the estimate; the oracle asserts
+    // the flag = 1, so the documented error bound is enforced by the
+    // hash gate itself — a drifting sketch fails CORRECTNESS, not just
+    // a scalatest.
+    "q_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_buyers,
+        |       count(*) AS n_orders, CAST(1 AS BIGINT) AS in_bound
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       quantile_cont(o_totalprice, 0.99) AS p99,
+        |       count(*) AS n_orders, CAST(1 AS BIGINT) AS in_bound
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_stream_sliding_distinct" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600 AS w1, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT w1 AS window_start_s, user_id FROM e
+        |  UNION ALL
+        |  SELECT w1 - 21600, user_id FROM e)
+        |SELECT window_start_s, count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events, CAST(1 AS BIGINT) AS in_bound
+        |FROM ex GROUP BY 1 ORDER BY window_start_s""".stripMargin,
+    // the profile oracle with the n_distinct value replaced by the
+    // asserted in-bound literal (generated from profileOracleSql so the
+    // exact columns can never drift between the two)
+    "q_stream_profile_sketch" -> profileSketchOracleSql
   )
+
+  /** q_stream_profile_sketch's oracle, GENERATED from
+    * [[profileOracleSql]]: every exact column is shared verbatim; the
+    * per-row n_distinct value (`CAST(xx_d AS BIGINT)`) becomes the
+    * asserted literal `CAST(1 AS BIGINT) AS n_distinct_in_bound`. */
+  private def profileSketchOracleSql: String =
+    profileOracleSql
+      .replace("CAST(ok_d AS BIGINT) AS n_distinct",
+               "CAST(1 AS BIGINT) AS n_distinct_in_bound")
+      .replaceAll("""CAST\(\w+_d AS BIGINT\)""", "CAST(1 AS BIGINT)")
 
   /** The q_ann_lsh oracle, GENERATED: [[graft.operators.Similarity
     * .hyperplanes]](4, 8, 64, seed=42) — the exact driver-side constants

@@ -7,12 +7,28 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the default in-process master — the
+    // multi-JVM gate: `local-cluster[n,cores,mem]` forks REAL executor
+    // processes (requires SPARK_HOME + SPARK_SCALA_VERSION, the
+    // ClusterProbe recipe), so the same 297-query oracle run exercises
+    // closure serialization, executor-side file access, and remote
+    // block placement — the execution regime local[*] structurally
+    // cannot cover. Library classes ship via executor extraClassPath.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val classes = sys.props.getOrElse("graft.classes.dir",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      builder
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only subset knob (comma-separated names); unset → the full

@@ -536,18 +536,26 @@ object Events {
     * then every window runs over the (cohort × distinct-duration)
     * census — |cohorts|·|days| rows at any corpus size (the
     * q_period_over_period discipline); cohort sizes broadcast back.
+    * The corpus horizon is computed IN-PLAN (the [[winsorize]]
+    * broadcast-scalar device: a global agg column-pruned to `ts` alone,
+    * partial-agged to one row per input partition, broadcast back), not
+    * via a driver-side action — constructing the DataFrame runs no job,
+    * one query executes one plan, and an empty input degrades to an
+    * empty result instead of a null-horizon NPE.
     */
   def survivalKm(events: DataFrame, censorDays: Int = 1): DataFrame = {
     val dayUs = 86400000000L
-    val horizon = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val perUser = events
+    val perUserRaw = events
       .withColumn("us", unix_micros(col("ts")))
       .groupBy("user_id")
       .agg(min(struct(col("us"), col("event_id"), col("event_type"))).as("f"),
         min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("horizon_us"))
+    val perUser = perUserRaw
+      .crossJoin(broadcast(horizon))
       .select(col("f.event_type").as("cohort"),
         expr(s"(last_us - first_us) DIV $dayUs").as("t_days"),
-        (lit(horizon) - col("last_us") >= lit(censorDays * dayUs))
+        (col("horizon_us") - col("last_us") >= lit(censorDays * dayUs))
           .cast("long").as("churn"))
     val cells = perUser.groupBy("cohort", "t_days")
       .agg(sum(col("churn")).as("n_event"),
@@ -1274,7 +1282,13 @@ object Events {
     val lagsV = (0 until win).map(i =>
       if (i == 0) col("v_us") else lag(col("v_us"), i).over(w))
     val sumV = lagsV.map(c => coalesce(c, lit(0L))).reduce(_ + _)
-    val nIn = lagsV.map(_.isNotNull.cast("long")).reduce(_ + _)
+    // denominator = ROWS in the trailing frame (min(row_number, win)),
+    // exactly the frame version's count(lit(1)) — NOT a non-null-lag
+    // count, which would diverge from the old semantics if a NULL
+    // value_ffill ever reached this boundary (it can't today: the grid
+    // starts at each user's first OBSERVED slot, so the ffill always
+    // has a seed — but the denominator should not depend on that)
+    val nIn = least(row_number().over(w).cast("long"), lit(win.toLong))
     val minV = if (win == 1) lagsV.head else least(lagsV: _*)
     val maxV = if (win == 1) lagsV.head else greatest(lagsV: _*)
     val nObs = (0 until win).map { i =>

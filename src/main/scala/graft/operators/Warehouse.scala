@@ -582,13 +582,37 @@ object Warehouse {
       .orderBy("o_orderstatus")
 
   /** approx_count_distinct (HLL++) — sketch output differs from DuckDB's
-    * approx algorithm, so this query gets a rows-only check; DedupSpec
-    * ("approx_count_distinct lands within 5x rsd…") bounds it against the
-    * exact count.
+    * approx algorithm, so the raw estimate can never hash-match an
+    * oracle; DedupSpec ("approx_count_distinct lands within 5x rsd…")
+    * bounds it against the exact count. This estimate-only form is the
+    * production operator; [[approxDistinctAudit]] is the oracle-gated
+    * audit of the same sketch.
     */
   def approxDistinctBuyers(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderstatus")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_buyers"))
+      .orderBy("o_orderstatus")
+
+  /** BOUNDED-PASS oracle form of [[approxDistinctBuyers]]
+    * (q_approx_distinct): the HLL++ estimate is engine-specific, so the
+    * oracled output carries the EXACT distinct count (cross-engine) plus
+    * `in_bound` — whether the estimate landed within the documented
+    * 5·rsd band of it. The DuckDB oracle asserts in_bound = 1, so the
+    * error bound is enforced by the hash gate itself: a drifting sketch
+    * flips the flag and fails the round, instead of hiding behind a
+    * rows-only check. One pass: the sketch and the exact distinct share
+    * a single grouped aggregate (the exact count is the audit's cost,
+    * paid only here — production reads the estimate-only form).
+    */
+  def approxDistinctAudit(orders: DataFrame, rsd: Double = 0.02): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("est"),
+           countDistinct(col("o_custkey")).as("n_buyers"),
+           count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("n_buyers"), col("n_orders"),
+        (abs(col("est") - col("n_buyers")).cast("double") <=
+          lit(5 * rsd) * col("n_buyers").cast("double"))
+          .cast("long").as("in_bound"))
       .orderBy("o_orderstatus")
 
   /** approx_percentile — the 100-TB swap for [[pricePercentiles]]: a
@@ -605,6 +629,44 @@ object Warehouse {
         expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("ap99"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
+
+  /** BOUNDED-PASS oracle form of [[approxPricePercentiles]]
+    * (q_approx_percentiles): sketch ranks are engine-specific, so the
+    * oracled output carries the EXACT interpolated percentiles (the
+    * [[pricePercentiles]] cross-engine law) plus `in_bound` — whether
+    * each estimate's empirical rank interval [#(<v)/n, #(≤v)/n] contains
+    * its target quantile within `tol` (the PlanSpec rank-tolerance test,
+    * now enforced by the DuckDB hash gate: the oracle asserts
+    * in_bound = 1, so an out-of-tolerance sketch fails the round).
+    * Shape: one grouped sketch pass, the 3-row estimate frame broadcast
+    * back onto one exact-percentile + rank-count pass.
+    */
+  def approxPercentilesAudit(orders: DataFrame, accuracy: Int = 10000,
+                             tol: Double = 0.02): DataFrame = {
+    val est = orders.groupBy("o_orderstatus")
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("ap50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("ap90"),
+        expr(s"approx_percentile(o_totalprice, 0.99, $accuracy)").as("ap99"))
+    val n = count(lit(1)).cast("double")
+    def rankOk(q: Double, apc: String) = {
+      val lo = sum((col("o_totalprice") < col(apc)).cast("long"))
+        .cast("double") / n
+      val hi = sum((col("o_totalprice") <= col(apc)).cast("long"))
+        .cast("double") / n
+      (lo - lit(tol) <= lit(q)) && (lit(q) <= hi + lit(tol))
+    }
+    orders.join(broadcast(est), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n_orders"),
+        (rankOk(0.5, "ap50") && rankOk(0.9, "ap90") && rankOk(0.99, "ap99"))
+          .cast("long").as("in_bound"))
+      .orderBy("o_orderstatus")
+  }
 
   /** TPC-H Q4-shape order priority check, adapted to this schema: the
     * canonical query counts orders with a late lineitem

@@ -263,12 +263,19 @@ object GraftShards {
     Files.write(tmp.resolve("_STAGED"), fp.getBytes("UTF-8"))
     try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException |
-           _: java.nio.file.AccessDeniedException =>
-        // another process staged the same generation concurrently; the
-        // content is deterministic per fingerprint, so theirs is ours
-        deleteTree(tmp)
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException |
+                _: java.nio.file.AccessDeniedException) =>
+        // presumed: another process staged the same generation
+        // concurrently (content is deterministic per fingerprint, so
+        // theirs is ours). VERIFY that before discarding the staged tmp
+        // build — an AccessDeniedException from an unrelated cause
+        // (base-dir permissions) must surface, not silently return a
+        // path that does not exist
+        if (Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), "UTF-8") == fp)
+          deleteTree(tmp)
+        else throw e
     }
     dir.toString
   }
@@ -430,6 +437,17 @@ private[sources] class GraftShardsMicroBatchStream(conf: ShardsConf)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val tails = availableNowTarget.getOrElse(conf.fetchCounts())
     val from = start.asInstanceOf[ShardOffsets].counts
+    // a shard present in the committed offsets but absent from the
+    // freshly polled tails (its dir was removed outright) is the same
+    // shrank-under-checkpoint failure as a backwards tail — fail the
+    // stream rather than silently dropping the shard from the offsets
+    val gone = from.keySet -- tails.keySet
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-shards: shard(s) ${gone.toSeq.sorted.mkString(",")} " +
+        s"present in the committed offsets disappeared from ${conf.path} " +
+        "— the source shrank under an existing checkpoint; use a fresh " +
+        "checkpoint dir for the re-staged stream")
     ShardOffsets(tails.map { case (shard, tail) =>
       val cur = from.getOrElse(shard, 0L)
       // a tail BELOW the committed offset is a sequence-number

@@ -592,6 +592,32 @@ object StreamOps {
       .orderBy("window_start_s")
   }
 
+  /** BOUNDED-PASS oracle form of [[streamSlidingDistinct]]
+    * (q_stream_sliding_distinct): the streamed HLL++ estimate is
+    * engine-specific, so the oracled output carries the EXACT per-window
+    * distinct count (the batch [[graft.operators.Events
+    * .slidingDistinctUsers]] twin over the same corpus) plus `in_bound`
+    * — whether the streamed estimate landed within the documented 5·rsd
+    * band. The DuckDB oracle asserts in_bound = 1 on every window, so
+    * the sketch's error bound is enforced by the hash gate itself. The
+    * exact twin is the audit's cost (a batch countDistinct per window),
+    * paid only here — production reads the estimate-only stream.
+    */
+  def streamSlidingDistinctAudit(spark: SparkSession, sfDir: String,
+                                 widthHours: Int, slideHours: Int,
+                                 rsd: Double = 0.02): DataFrame = {
+    val approx = streamSlidingDistinct(spark, sfDir, widthHours, slideHours, rsd)
+    val exact = graft.operators.Events.slidingDistinctUsers(
+      graft.Tables.events(spark, sfDir), widthHours, slideHours)
+    approx.select(col("window_start_s"), col("n_users_approx"))
+      .join(exact, Seq("window_start_s"))
+      .select(col("window_start_s"), col("n_users"), col("n_events"),
+        (abs(col("n_users_approx") - col("n_users")).cast("double") <=
+          lit(5 * rsd) * col("n_users").cast("double"))
+          .cast("long").as("in_bound"))
+      .orderBy("window_start_s")
+  }
+
   /** STREAM-STREAM interval join (the last big Structured Streaming
     * operator class next to windowed aggs and custom state): purchases
     * joined to the same user's views from the preceding hour, both sides
@@ -2110,6 +2136,33 @@ object StreamOps {
     val tmp = sys.props("java.io.tmpdir")
     streamProfileAt(spark, sfDir,
       s"$tmp/graft_stream_profile/$runId", exactDistincts)
+  }
+
+  /** BOUNDED-PASS oracle form of the sketch-tier [[streamProfile]]
+    * (q_stream_profile_sketch): the per-column HLL distinct ESTIMATES
+    * are engine-specific, so the oracled output keeps every exact
+    * column of the profile (moments merge exactly — they already
+    * hash-match q_profile's oracle) and replaces the estimate with
+    * `n_distinct_in_bound` — whether it landed within the documented
+    * 3-sigma band (|est − exact| ≤ max(1, 0.05·exact) at lgK=12) of the
+    * batch-exact distinct. The DuckDB oracle asserts the flag = 1 per
+    * column, so the sketch's error bound is enforced by the hash gate
+    * itself; the exact twin (one batch multi-countDistinct) is the
+    * audit's cost, paid only here.
+    */
+  def streamProfileSketchAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = streamProfile(spark, sfDir)
+    val exact = graft.operators.Pipeline
+      .profileTable(graft.Tables.lineitem(spark, sfDir))
+      .select(col("col_name"), col("n_distinct").as("n_distinct_exact"))
+    sketch.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        (abs(col("n_distinct") - col("n_distinct_exact")).cast("double") <=
+          greatest(lit(1.0), lit(0.05) * col("n_distinct_exact").cast("double")))
+          .cast("long").as("n_distinct_in_bound"),
+        col("min_num"), col("max_num"), col("avg_num"),
+        col("min_len"), col("max_len"))
+      .orderBy("col_name")
   }
 
   /** [[streamProfile]] against a caller-chosen run root — the testable

@@ -41,10 +41,37 @@ object ClusterProbe {
     // cost lands outside the measurements
     spark.range(1 << 20).selectExpr("sum(id)").collect()
 
+    // SHUFFLE-BYTE accounting (round 15): the layout cost model is
+    // `history_bytes × price-per-byte` arithmetic, so the probe records
+    // the bytes, not just the wall time — per-measurement shuffle
+    // write/read totals summed across all task ends. Listener delivery
+    // is async; the short settle sleep before reading the counters is
+    // plenty for a probe (single-digit GB/s of events it is not).
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            ()
+          }
+        }
+      })
+
     def time(name: String)(f: => Long): Unit = {
+      Thread.sleep(800)
+      val (w0, r0) = (shufWrite.get(), shufRead.get())
       val t0 = System.nanoTime()
       val r = f
-      println(f"CLUSTER $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800) // let straggler task-end events drain
+      val (dw, dr) = (shufWrite.get() - w0, shufRead.get() - r0)
+      println(f"CLUSTER $name: $dt%.1f s ($r rows) " +
+        f"shuffle_write=${dw / 1048576.0}%.1f MiB shuffle_read=${dr / 1048576.0}%.1f MiB")
       spark.catalog.clearCache()
     }
 

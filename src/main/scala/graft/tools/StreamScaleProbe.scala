@@ -126,19 +126,25 @@ object StreamScaleProbe {
     runJoin("ssjoin")
     runJoin("ssjoin_outer")
 
-    // STATE-STORE PROVIDER comparison: the same bounded-watermark session
-    // workload under the default heap-backed provider vs RocksDB (the
-    // production configuration for state that outgrows executor heap) —
-    // identical stateRows per batch proves the seam changes WHERE state
-    // lives, not WHAT it holds; the memory column shows heap vs native
-    // accounting, and wall time the provider overhead at this scale.
+    // STATE-STORE PROVIDER comparison: the same bounded-watermark
+    // STATEFUL FAMILY (windowed session agg + stream-stream interval
+    // join — the two state classes with different access patterns:
+    // per-key merge vs buffered-row range probe) under the default
+    // heap-backed provider vs RocksDB (the production configuration for
+    // state that outgrows executor heap) — identical stateRows per
+    // batch proves the seam changes WHERE state lives, not WHAT it
+    // holds; the memory column shows heap vs native accounting, and
+    // wall time the provider overhead at this scale.
     Seq("hdfs" -> graft.streaming.StreamOps.HdfsProvider,
         "rocksdb" -> graft.streaming.StreamOps.RocksDbProvider).foreach {
       case (name, cls) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
         val t0 = System.nanoTime()
         run(s"sess_$name", "1 hour")
-        println(f"PROVIDER $name%-8s wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        println(f"PROVIDER $name%-8s family=session wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        val t1 = System.nanoTime()
+        runJoin(s"ssj_$name")
+        println(f"PROVIDER $name%-8s family=ssjoin  wall=${(System.nanoTime() - t1) / 1e9}%6.2f s")
     }
     spark.stop()
   }

@@ -20,10 +20,12 @@ class PlanSpec extends SparkSpec {
   test("driver contract: queries and oracleSql keys agree (rows-only set is explicit)") {
     // a typo'd key on either side would silently weaken the correctness
     // gate (driver records rows-only instead of hash-matching)
-    // q_ann_lsh left this set in round 14: the seeded hyperplanes inline
-    // into generated SQL (SparkEntry.lshOracleSql), so it hash-matches
-    val rowsOnlyByDesign = Set("q_approx_distinct", "q_approx_percentiles",
-      "q_stream_sliding_distinct", "q_stream_profile_sketch")
+    // q_ann_lsh left this set in round 14 (seeded hyperplanes inline
+    // into generated SQL); the four approx-sketch queries left it in
+    // round 15 (bounded-pass audit forms: exact values + an in_bound
+    // flag the oracle asserts). EVERY query is oracled now — additions
+    // to this set need the same design justification in review.
+    val rowsOnlyByDesign = Set.empty[String]
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty, s"oracles without a query: $orphanOracles")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -139,6 +141,24 @@ class PlanSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"\n${violations.size} plan-invariant violations:\n" +
         violations.mkString("\n"))
+  }
+
+  test("q_survival_km: no job at DataFrame construction; horizon is an in-plan broadcast scalar") {
+    // regression lock for the round-14 finding: survivalKm used to run a
+    // driver-side events.agg(max).head() while BUILDING the DataFrame —
+    // the plan sweep itself executed a Spark job per construction and
+    // the events table was scanned by two separate queries. The horizon
+    // is now the winsorize broadcast-scalar device: one query, one plan.
+    val ev = Tables.events(spark, sf0001)
+    ev.schema // force the read-side schema job outside the measurement
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = operators.Events.survivalKm(ev)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"survivalKm construction ran ${after - before} Spark job(s)")
+    // and the empty-input grace the eager .head() could not provide
+    assert(operators.Events.survivalKm(ev.filter(lit(false))).count() === 0L)
+    CacheRegistry.release()
   }
 
   test("q5 join chain: dims broadcast, region filter pushed to the scan") {
