@@ -36,6 +36,18 @@ object ClusterProbe {
       .config("spark.executor.memory", "4g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROBE_NO_BROADCAST=1 models the regime a 100 TB deployment
+    // actually hits: a micro-batch delta LARGER than any broadcast
+    // budget. At every single-box-stageable scale the delta fits the
+    // (AQE) broadcast threshold, the history side of the plain-layout
+    // delta join never shuffles, and measured exchange bytes are ~0 for
+    // BOTH layouts (round-15 finding) — the byte-priced layout model
+    // only separates the two once broadcast is off the table.
+    if (sys.env.get("GRAFT_PROBE_NO_BROADCAST").contains("1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      println("broadcast joins DISABLED (delta-exceeds-budget regime)")
+    }
     println(s"master=$master executors coming up...")
     // materialize a trivial distributed job so executor registration
     // cost lands outside the measurements
