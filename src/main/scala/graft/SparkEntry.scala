@@ -50,6 +50,7 @@ object SparkEntry {
     "q_seasonal" -> ((s, d) => Events.seasonalDecompose(events(s, d))),
     "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
     "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
+    "q_conformal" -> ((s, d) => Events.conformalForecast(events(s, d))),
     "q_stream_forecast" -> ((s, d) => streaming.StreamOps.streamForecast(s, d)),
     "q_forget" -> ((s, d) => Landing.forgetUsers(events(s, d))),
     "q_stream_forget" -> ((s, d) => streaming.StreamOps.streamForget(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_stream_mv_join" ->
       ((s, d) => streaming.StreamOps.streamMvJoin(s, d)),
     "q_cuped" -> ((s, d) => Experiment.cuped(events(s, d))),
+    "q_bradley_terry" -> ((s, d) => Experiment.bradleyTerry(events(s, d))),
     "q_stream_skew" -> ((s, d) => streaming.StreamOps.streamSkewMonitor(s, d)),
     "q_stream_percentiles" -> ((s, d) =>
       streaming.StreamOps.streamPercentiles(s, d)),
@@ -111,6 +113,8 @@ object SparkEntry {
     "q12_urgent_lines" -> ((s, d) => Warehouse.urgentLineCounts(orders(s, d), lineitem(s, d))),
     "q_bucketed_join" -> ((s, d) =>
       Warehouse.bucketedOrderRevenue(s, orders(s, d), lineitem(s, d))),
+    "q_bloom_prune" -> ((s, d) =>
+      Warehouse.bloomPruneJoin(orders(s, d), customer(s, d))),
     "q_zorder_scan" -> ((s, d) => Events.zorderScan(s, events(s, d))),
     "q4_priority_exists" -> ((s, d) =>
       Warehouse.priorityExistsCheck(orders(s, d), lineitem(s, d))),
@@ -242,6 +246,7 @@ object SparkEntry {
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
     "q_kmeans_train" -> ((s, d) => Similarity.kmeansTrain(embeddings(s, d), 3)),
+    "q_pca_embed" -> ((s, d) => Similarity.pcaPower(embeddings(s, d), 3)),
     "q_pq_encode" -> ((s, d) => Similarity.pqEncode(embeddings(s, d))),
     "q_pq_search" -> ((s, d) => Similarity.pqSearch(embeddings(s, d), 20, 10)),
     "q_ann_rerank" -> ((s, d) => Similarity.pqRerankSearch(embeddings(s, d), 20, 10, 30)),
@@ -1847,6 +1852,22 @@ object SparkEntry {
     // of the same (type, hod) slot (prior-data-only by construction);
     // forecast and each error term through quant6, DECIMAL sums
     "q_forecast_naive" -> forecastOracleSql,
+    // split-conformal intervals on the same backtest: integer 4/5 split,
+    // pooled order-statistic q̂ (⌈(n+1)·9/10⌉-th smallest, ties on
+    // (hod, hr)), coverage census — all integer/quant6 arithmetic
+    "q_conformal" -> conformalOracleSql,
+    // Bradley-Terry preference strengths: exact-decimal per-user sums
+    // decide contests, 3 unrolled MM iterations of quant6 terms with
+    // decimal-summed denominators and normalizers
+    "q_bradley_terry" -> bradleyTerryOracleSql(3),
+    // Bloom-pruned semi-join: same two multiplicative hashes and 62-bit
+    // word packing; the oracle joins the word CTE where Spark broadcasts
+    // a map — representation differs, every census number matches
+    "q_bloom_prune" -> bloomPruneOracleSql,
+    // PCA power iteration: same centered one-pass covariance action,
+    // list_dot_product = vec_dot's strict fold, quant6/decimal per-dim
+    // accumulation, same largest-|component|-positive sign law
+    "q_pca_embed" -> pcaOracleSql(3),
     // streaming forecast: per-batch hourly counts merge additively into
     // the batch hourly table — the batch oracle shared verbatim
     "q_stream_forecast" -> forecastOracleSql,
@@ -5217,6 +5238,177 @@ object SparkEntry {
       |  round(CAST(sum(ape) AS DOUBLE) / count(*), 6) AS mape,
       |  round(CAST(sum(ae) AS DOUBLE) / count(*), 6) AS mae
       |FROM fne GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val conformalOracleSql: String =
+    """WITH cfh AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+      |  FROM events GROUP BY 1,2),
+      |cfp AS (
+      |  SELECT event_type, hr % 24 AS hod, hr, x,
+      |    row_number() OVER w AS t_idx,
+      |    coalesce(sum(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND 1 PRECEDING), 0) AS cumprev
+      |  FROM cfh
+      |  WINDOW w AS (PARTITION BY event_type, hr % 24 ORDER BY hr)),
+      |cfa AS (
+      |  SELECT event_type, hod, hr, t_idx - 1 AS bt_idx,
+      |    floor(abs(x - floor(CAST(cumprev AS DOUBLE) / (t_idx - 1)
+      |                        * 1000000.0 + 0.5) / 1000000.0)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS ae
+      |  FROM cfp WHERE t_idx > 1),
+      |cfn AS (SELECT event_type, hod, count(*) AS bt_n FROM cfa GROUP BY 1,2),
+      |cfs AS (
+      |  SELECT a.*, (a.bt_idx <= (n.bt_n * 4) // 5) AS is_cal
+      |  FROM cfa a JOIN cfn n USING (event_type, hod)),
+      |cfcn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+      |         FROM cfs WHERE is_cal GROUP BY 1),
+      |cfq AS (
+      |  SELECT event_type, n_cal, ae AS qhat FROM (
+      |    SELECT s.event_type, c.n_cal, s.ae,
+      |      row_number() OVER (PARTITION BY s.event_type
+      |                         ORDER BY s.ae, s.hod, s.hr) AS rk
+      |    FROM cfs s JOIN cfcn c USING (event_type) WHERE s.is_cal)
+      |  WHERE rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal))
+      |SELECT s.event_type, min(q.n_cal) AS n_cal,
+      |  CAST(count(*) AS BIGINT) AS n_test, min(q.qhat) AS qhat,
+      |  CAST(sum(CASE WHEN s.ae <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  round(CAST(sum(CASE WHEN s.ae <= q.qhat THEN 1 ELSE 0 END)
+      |             AS DOUBLE) / count(*), 6) AS coverage
+      |FROM cfs s JOIN cfq q USING (event_type)
+      |WHERE NOT s.is_cal
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "btp0" else s"btp${i - 1}"
+      s"""btd$i AS (
+         |  SELECT e.i, CAST(sum(CAST(floor(CAST(e.n AS DOUBLE)
+         |    / (pi.p + pj.p) * 1000000.0 + 0.5) / 1000000.0
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS den
+         |  FROM bte e JOIN $prev pi ON pi.i = e.i
+         |       JOIN $prev pj ON pj.i = e.j
+         |  GROUP BY 1),
+         |btr$i AS (
+         |  SELECT w.i, greatest(floor(CAST(w.wins AS DOUBLE) / d.den
+         |    * 1000000.0 + 0.5) / 1000000.0, 0.000001) AS praw
+         |  FROM btw w JOIN btd$i d ON d.i = w.i),
+         |bts$i AS (SELECT CAST(sum(CAST(praw AS DECIMAL(18,6))) AS DOUBLE)
+         |          AS s FROM btr$i),
+         |btp$i AS (SELECT i, floor(praw / s * 1000000.0 + 0.5) / 1000000.0
+         |          AS p FROM btr$i CROSS JOIN bts$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH btu AS (
+       |  SELECT user_id, event_type, sum(CAST(value AS DECIMAL(18,2))) AS sv
+       |  FROM events GROUP BY 1,2),
+       |btc AS (
+       |  SELECT a.event_type AS i, b.event_type AS j,
+       |    CASE WHEN a.sv > b.sv THEN 1 ELSE 0 END AS awin
+       |  FROM btu a JOIN btu b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type AND a.sv <> b.sv),
+       |btp AS (SELECT i, j, count(*) AS n,
+       |        CAST(sum(awin) AS BIGINT) AS wi FROM btc GROUP BY 1,2),
+       |bte AS (SELECT i, j, n, wi AS w FROM btp
+       |        UNION ALL SELECT j, i, n, n - wi FROM btp),
+       |btw AS (SELECT i, CAST(sum(n) AS BIGINT) AS contests,
+       |        CAST(sum(w) AS BIGINT) AS wins FROM bte GROUP BY 1),
+       |btk AS (SELECT count(*) AS k FROM btw),
+       |btp0 AS (SELECT i, floor(1.0 / k * 1000000.0 + 0.5) / 1000000.0 AS p
+       |         FROM btw CROSS JOIN btk),
+       |$steps
+       |SELECT CAST(row_number() OVER (ORDER BY round(p.p, 6) DESC, w.i)
+       |       AS BIGINT) AS rank,
+       |  w.i AS event_type, w.contests, w.wins, round(p.p, 6) AS bt_score
+       |FROM btw w JOIN btp$iters p ON p.i = w.i
+       |ORDER BY rank""".stripMargin
+  }
+
+  private val bloomPruneOracleSql: String =
+    """WITH bpk AS (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |bph AS (
+      |  SELECT (c_custkey * 2654435761) % 65536 AS h FROM bpk
+      |  UNION ALL
+      |  SELECT (c_custkey * 2246822519 + 3266489917) % 65536 FROM bpk),
+      |bpw AS (SELECT h // 62 AS w,
+      |        bit_or(1::BIGINT << CAST(h % 62 AS INT)) AS bits
+      |        FROM bph GROUP BY 1),
+      |bpm AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+      |        FROM bpw),
+      |bpo AS (
+      |  SELECT o_custkey, o_orderpriority, o_totalprice,
+      |    (o_custkey * 2654435761) % 65536 AS h1,
+      |    (o_custkey * 2246822519 + 3266489917) % 65536 AS h2
+      |  FROM orders),
+      |bpc AS (
+      |  SELECT o.*, k.c_custkey AS mk
+      |  FROM bpo o
+      |  JOIN bpw w1 ON w1.w = o.h1 // 62
+      |    AND ((w1.bits >> CAST(o.h1 % 62 AS INT)) & 1) = 1
+      |  JOIN bpw w2 ON w2.w = o.h2 // 62
+      |    AND ((w2.bits >> CAST(o.h2 % 62 AS INT)) & 1) = 1
+      |  LEFT JOIN bpk k ON k.c_custkey = o.o_custkey)
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(count(mk) AS BIGINT) AS n_matched,
+      |  CAST(count(*) - count(mk) AS BIGINT) AS n_false_pos,
+      |  coalesce(CAST(sum(CASE WHEN mk IS NOT NULL
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+      |    AS matched_revenue,
+      |  min(m.bits_set) AS bits_set,
+      |  round((CAST(min(m.bits_set) AS DOUBLE) / 65536)
+      |        * (CAST(min(m.bits_set) AS DOUBLE) / 65536), 6) AS fpp_est
+      |FROM bpc CROSS JOIN bpm m
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def pcaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "pcv0" else s"pcv${i - 1}"
+      s"""pcva$i AS (SELECT list(v ORDER BY dim) AS v FROM $prev),
+         |pcs$i AS (SELECT xc, list_dot_product(xc, v) AS s
+         |          FROM pcbase CROSS JOIN pcva$i),
+         |pcux$i AS (SELECT s,
+         |  unnest([{'dim': i-1, 'val': xc[i]}
+         |          for i in range(1, len(xc)+1)], recursive := true)
+         |  FROM pcs$i),
+         |pcu$i AS (SELECT dim,
+         |  CAST(sum(CAST(floor(val * s * 1000000.0 + 0.5) / 1000000.0
+         |    AS DECIMAL(28,6))) AS DOUBLE) AS u
+         |  FROM pcux$i GROUP BY 1),
+         |pcn$i AS (SELECT sqrt(CAST(sum(CAST(floor(u * u * 1000000.0 + 0.5)
+         |    / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+         |  FROM pcu$i),
+         |pcv$i AS (SELECT dim, floor(u / nrm * 1000000.0 + 0.5) / 1000000.0
+         |  AS v FROM pcu$i CROSS JOIN pcn$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pcex AS (
+       |  SELECT unnest([{'dim': i-1, 'val': embedding[i]}
+       |                 for i in range(1, len(embedding)+1)],
+       |                recursive := true)
+       |  FROM embeddings),
+       |pcmu AS (
+       |  SELECT dim,
+       |    floor(CAST(sum(CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS DECIMAL(18,9))) AS DOUBLE) / count(*)
+       |      * 1000000.0 + 0.5) / 1000000.0 AS mu
+       |  FROM pcex GROUP BY 1),
+       |pcmv AS (SELECT list(mu ORDER BY dim) AS mu FROM pcmu),
+       |pcbase AS (
+       |  SELECT list_transform(range(1, len(embedding)+1),
+       |           i -> embedding[i]::DOUBLE - mu[i]) AS xc
+       |  FROM embeddings CROSS JOIN pcmv),
+       |pcd AS (SELECT count(*) AS d FROM pcmu),
+       |pcv0 AS (SELECT dim, floor(1.0 / sqrt(d) * 1000000.0 + 0.5)
+       |         / 1000000.0 AS v FROM pcmu CROSS JOIN pcd),
+       |$steps,
+       |pcma AS (SELECT max(abs(v)) AS ma FROM pcv$iters),
+       |pcsg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+       |         FROM pcv$iters CROSS JOIN pcma WHERE abs(v) = ma
+       |         ORDER BY dim LIMIT 1)
+       |SELECT CAST(dim AS INT) AS dim,
+       |  floor(sgn * v * 1000000.0 + 0.5) / 1000000.0 AS loading
+       |FROM pcv$iters CROSS JOIN pcsg ORDER BY dim""".stripMargin
+  }
 
   private val distShiftOracleSql: String =
       """WITH dsa AS (SELECT lang, text FROM documents WHERE doc_id % 7 <> 0),

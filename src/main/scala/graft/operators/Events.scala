@@ -450,6 +450,69 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** SPLIT-CONFORMAL PREDICTION intervals on the walk-forward forecast
+    * (q_conformal; Vovk et al. 2005 / Angelopoulos & Bates 2023 survey
+    * form) — the distribution-free wrapper that turns ANY point
+    * forecaster into calibrated intervals: take the [[forecastNaive]]
+    * backtest residuals, split each (event_type, hour-of-day) series
+    * temporally into a calibration prefix (first 4/5 of backtests) and
+    * a test suffix, set q̂ to the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration |residual| (pooled per event type), and report how
+    * often the test actuals land inside forecast ± q̂ — the guarantee
+    * says ≥ 1−α coverage in expectation, and the census VERIFIES it
+    * per type instead of assuming it. The eval-rigor companion to the
+    * time-series family: [[forecastFromHourly]] scores point error,
+    * this calibrates uncertainty.
+    *
+    * Scale shape: the backtest reuses the grouped-prefix device (one
+    * skew-free pass), the split is integer arithmetic on per-group
+    * counts, and q̂ is one order statistic per event type over the
+    * calibration pool — a per-type sort of backtest-sized (not
+    * event-sized) data; everything downstream is broadcast of a
+    * |types|-row frame. Determinism: α = 1/10 and the 4/5 split are
+    * applied as INTEGER arithmetic (⌈(n+1)·9/10⌉ = ((n+1)·9+9) DIV 10),
+    * so no engine ever rounds a float rank; residuals are quant6;
+    * the order statistic tie-breaks on (hod, hr).
+    */
+  def conformalForecast(events: DataFrame): DataFrame = {
+    import Similarity.quant6
+    val bt = hourlyTypeCounts(events)
+      .withColumn("hod", col("hr") % 24)
+      .transform(TextAnalysis.withGroupedPrefix(
+        Seq("event_type", "hod"), "t_idx", "cum_prev", col("x"), col("hr")))
+      .filter(col("t_idx") > 1)
+      .withColumn("f", quant6(col("cum_prev").cast("double") /
+        (col("t_idx") - 1)))
+      .withColumn("ae", quant6(abs(col("x") - col("f"))))
+      .withColumn("bt_idx", col("t_idx") - 1)
+    val grpN = bt.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("bt_n"))
+    val split = bt.join(broadcast(grpN), Seq("event_type", "hod"))
+      .withColumn("is_cal", col("bt_idx") <= expr("bt_n * 4 div 5"))
+    val cal = split.filter(col("is_cal"))
+    val calN = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+    val wCal = Window.partitionBy("event_type")
+      .orderBy(col("ae"), col("hod"), col("hr"))
+    val qhat = cal
+      .withColumn("rk", row_number().over(wCal))
+      .join(broadcast(calN), "event_type")
+      .filter(col("rk") ===
+        least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+      .select(col("event_type"), col("n_cal"), col("ae").as("qhat"))
+    split.filter(!col("is_cal"))
+      .join(broadcast(qhat), "event_type")
+      .groupBy("event_type")
+      .agg(min(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        min(col("qhat")).as("qhat"),
+        sum((col("ae") <= col("qhat")).cast("long")).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / col("n_test"), 6))
+      .select("event_type", "n_cal", "n_test", "qhat", "n_covered",
+        "coverage")
+      .orderBy("event_type")
+  }
+
   /** LAST-TOUCH ATTRIBUTION census (q_attribution) — each purchase
     * credited to the last non-purchase touchpoint inside its own
     * 30-minute session (the attribution model conversion reporting

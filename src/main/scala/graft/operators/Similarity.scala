@@ -2850,4 +2850,80 @@ object Similarity {
       .agg((sum(quant6(col("x").cast("double")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
         .as("mean_val"))
       .orderBy("label", "dim")
+
+  /** PCA TOP COMPONENT by in-plan power iteration (q_pca_embed; the
+    * matrix-free power method — Golub & Van Loan §7.3 — applied to the
+    * centered covariance action): v ← Σ_x (x−μ)·((x−μ)·v), normalized,
+    * iterated a fixed 3 rounds from the uniform unit start. The
+    * embedding-analytics family's missing classic: quantization
+    * compresses, k-means partitions, drift census compares — PCA names
+    * the direction the collection actually varies along (whitening,
+    * drift attribution, index rotation all start here). Never
+    * materializes the d×d covariance: each iteration is one pass over
+    * the vectors computing the scalar projection s = (x−μ)·v and
+    * accumulating s·(x−μ) per dimension — exactly how a 100 TB corpus
+    * has to do it (the d×d Gram matrix is cheap, but the PASS structure
+    * — broadcast v, map-side partial sums, d-row result — is the shape
+    * that survives scale; per iteration: one broadcast of a d-vector,
+    * one shuffle of d·partitions partial rows).
+    *
+    * Determinism (the [[kmeansTrain]] discipline): means quantize
+    * through exact decimal sums; the projection is [[graft.functions
+    * .SketchExpressions.vecDot]]'s strict left-to-right fold (bit-equal
+    * to DuckDB's list_dot_product); every per-dim contribution passes
+    * quant6 and accumulates as DECIMAL; the norm is one IEEE sqrt of a
+    * decimal-exact sum; the final sign fixes to make the largest-|·|
+    * component positive (ties break to the lowest dim), so the loading
+    * vector is unique and hash-matches cross-engine.
+    */
+  def pcaPower(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val ex = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+    val mu = ex.groupBy("dim")
+      .agg(quant6(
+        sum(quant6(col("xf").cast("double")).cast("decimal(18,9)"))
+          .cast("double") / count(lit(1))).as("mu"))
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu"))))
+        .as("ms"))
+      .select(transform(col("ms"), s => s.getField("mu")).as("mu"))
+    val base = embeddings
+      .crossJoin(broadcast(muArr))
+      .select(zip_with(col("embedding").cast("array<double>"), col("mu"),
+        (a, b) => a - b).as("xc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    val d = mu.agg(count(lit(1)).as("d"))
+    var v = mu.crossJoin(broadcast(d))
+      .select(col("dim"),
+        quant6(lit(1.0) / sqrt(col("d").cast("double"))).as("v"))
+    for (_ <- 1 to iters) {
+      val vArr = v
+        .agg(array_sort(collect_list(struct(col("dim"), col("v"))))
+          .as("vs"))
+        .select(transform(col("vs"), s => s.getField("v")).as("v"))
+      val u = base.crossJoin(broadcast(vArr))
+        .withColumn("s", dot(col("xc"), col("v")))
+        .select(col("s"), posexplode(col("xc")).as(Seq("dim", "e")))
+        .groupBy("dim")
+        .agg(sum(quant6(col("e") * col("s")).cast("decimal(28,6)"))
+          .cast("double").as("u"))
+      val norm = u.agg(sqrt(
+        sum(quant6(col("u") * col("u")).cast("decimal(38,6)"))
+          .cast("double")).as("nrm"))
+      v = u.crossJoin(broadcast(norm))
+        .select(col("dim"), quant6(col("u") / col("nrm")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    }
+    val ma = v.agg(max(abs(col("v"))).as("ma"))
+    val sgn = v.crossJoin(broadcast(ma))
+      .filter(abs(col("v")) === col("ma"))
+      .orderBy("dim").limit(1)
+      .select(when(col("v") < 0, lit(-1.0)).otherwise(lit(1.0)).as("sgn"))
+    v.crossJoin(broadcast(sgn))
+      .select(col("dim").cast("int").as("dim"),
+        quant6(col("sgn") * col("v")).as("loading"))
+      .orderBy("dim")
+  }
 }

@@ -79,8 +79,16 @@ object StreamScaleProbe {
       }
     }
 
-    run("wm_1h", "1 hour")
-    run("wm_inf", "87600 hours") // ~10 years: nothing ever falls behind it
+    // SPARK_GRAFT_PROBE_ONLY=providers skips the growth-evidence runs and
+    // measures just the provider comparison — the multi-scale provider
+    // anchor wants clean walls without paying the wm_inf unbounded-state
+    // run again at every scale
+    val providersOnly =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("providers")
+    if (!providersOnly) {
+      run("wm_1h", "1 hour")
+      run("wm_inf", "87600 hours") // ~10 years: nothing ever falls behind it
+    }
 
     // Same instrument for the STREAM-STREAM interval join
     // (StreamOps.streamIntervalJoin's shape): both sides watermarked, the
@@ -123,8 +131,10 @@ object StreamScaleProbe {
         }
       }
     }
-    runJoin("ssjoin")
-    runJoin("ssjoin_outer")
+    if (!providersOnly) {
+      runJoin("ssjoin")
+      runJoin("ssjoin_outer")
+    }
 
     // STATE-STORE PROVIDER comparison: the same bounded-watermark
     // STATEFUL FAMILY (windowed session agg + stream-stream interval
@@ -135,16 +145,31 @@ object StreamScaleProbe {
     // batch proves the seam changes WHERE state lives, not WHAT it
     // holds; the memory column shows heap vs native accounting, and
     // wall time the provider overhead at this scale.
+    // providers-only runs skipped the growth-evidence passes, so the
+    // FIRST provider measured would otherwise absorb all one-time JIT /
+    // codegen / sink classloading cost (measured: +12 s on the first
+    // drain) — pay it in an untimed warmup pair instead
+    if (providersOnly) {
+      run("warmup_sess", "1 hour")
+      runJoin("warmup_ssj")
+    }
+    // SPARK_GRAFT_PROBE_REPS (default 3): drain walls at this scale
+    // fluctuate ±30% run-to-run (one GC pause on a 10-batch drain), so
+    // a single-measurement provider comparison can invert the sign;
+    // print every rep, the table takes the median (the Bench protocol)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "3").toInt.max(1)
     Seq("hdfs" -> graft.streaming.StreamOps.HdfsProvider,
         "rocksdb" -> graft.streaming.StreamOps.RocksDbProvider).foreach {
       case (name, cls) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
-        val t0 = System.nanoTime()
-        run(s"sess_$name", "1 hour")
-        println(f"PROVIDER $name%-8s family=session wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
-        val t1 = System.nanoTime()
-        runJoin(s"ssj_$name")
-        println(f"PROVIDER $name%-8s family=ssjoin  wall=${(System.nanoTime() - t1) / 1e9}%6.2f s")
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          run(s"sess_${name}_$r", "1 hour")
+          println(f"PROVIDER $name%-8s family=session rep=$r wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          val t1 = System.nanoTime()
+          runJoin(s"ssj_${name}_$r")
+          println(f"PROVIDER $name%-8s family=ssjoin  rep=$r wall=${(System.nanoTime() - t1) / 1e9}%6.2f s")
+        }
     }
     spark.stop()
   }

@@ -149,4 +149,38 @@ class DedupSpec extends SparkSpec {
         s"status $k: approx $a vs exact $e beyond 5x rsd")
     }
   }
+
+  test("bloomPruneJoin: zero false negatives (matches equal the exact " +
+       "semi-join), bounded false positives, exact matched revenue") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val got = operators.Warehouse.bloomPruneJoin(orders, customer)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_matched"),
+         r.getAs[Long]("n_false_pos"), r.getAs[Double]("matched_revenue")))
+      .toMap
+    val seg = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val exact = orders.join(seg,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("rev"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("rev"))).toMap
+    exact.foreach { case (prio, (n, rev)) =>
+      val (cand, matched, fp, mrev) = got(prio)
+      assert(matched === n, s"$prio: the Bloom pass dropped a true match")
+      assert(mrev === rev, s"$prio: matched revenue drifted")
+      assert(fp === cand - matched && fp >= 0L)
+    }
+    // an 8 KiB bitmap over ~hundreds of keys: false positives must be a
+    // small fraction of true matches at this fill (fpp ~ (fill)^2 << 1)
+    val (cands, matches) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(cands - matches <= (matches / 10).max(5L),
+      s"false-positive residue implausibly high: $cands candidates vs $matches matches")
+  }
 }

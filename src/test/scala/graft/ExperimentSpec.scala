@@ -307,4 +307,39 @@ class ExperimentSpec extends SparkSpec {
       assert(r.getAs[Double]("var_reduction") >= -0.1,
         s"${r.getAs[String]("variant")}: CUPED materially increased variance"))
   }
+
+  test("bradleyTerry: a total order by per-user value yields the same " +
+       "ranking, exact contest census, and normalized strengths") {
+    // 4 users, identical preference a > b > c (per-user value sums 3,2,1)
+    // -> each unordered pair contested once per user: n_ab=n_ac=n_bc=4,
+    // a wins all 8 of its contests, b wins 4, c wins 0.
+    val rows = for {
+      u <- 1L to 4L
+      (t, v) <- Seq(("a", 3.0), ("b", 2.0), ("c", 1.0))
+    } yield ((u * 10 + v.toLong), u * 1000000L, u, t, v)
+    val got = Experiment.bradleyTerry(syntheticEvents(rows)).collect()
+    assert(got.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    assert(got.map(_.getString(1)).toSeq === Seq("a", "b", "c"),
+      "strengths must recover the generating total order")
+    got.foreach { r =>
+      assert(r.getAs[Long]("contests") === 8L)
+    }
+    assert(got.map(_.getAs[Long]("wins")).toSeq === Seq(8L, 4L, 0L))
+    val scores = got.map(_.getAs[Double]("bt_score"))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x > y },
+      "scores strictly decrease down the ranking")
+    assert(math.abs(scores.sum - 1.0) < 1e-4,
+      "normalized strengths sum to ~1 (quant6 slack)")
+  }
+
+  test("bradleyTerry: per-user value TIES produce no contest") {
+    val rows = Seq(
+      (1L, 1000000L, 1L, "a", 2.0), (2L, 2000000L, 1L, "b", 2.0),
+      (3L, 1000000L, 2L, "a", 3.0), (4L, 2000000L, 2L, "b", 1.0))
+    val got = Experiment.bradleyTerry(syntheticEvents(rows)).collect()
+    // only user 2 contributes a contest
+    assert(got.map(r => (r.getString(1), r.getAs[Long]("contests"),
+      r.getAs[Long]("wins"))).toSeq ===
+      Seq(("a", 1L, 1L), ("b", 1L, 0L)))
+  }
 }

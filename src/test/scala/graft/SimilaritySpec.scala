@@ -1224,4 +1224,40 @@ class SimilaritySpec extends SparkSpec {
     assert(scores.tail.forall(_ < 4.0))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("pcaPower: recovers an exact axis-aligned principal component " +
+       "with unit norm and the positive-sign law") {
+    val sp = spark
+    import sp.implicits._
+    // variance lives entirely on dim 1 and sums to zero -> mean is the
+    // origin, one power step lands exactly on e1 and stays there
+    val vecs = Seq(-2.0f, -1.0f, 1.0f, 2.0f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Array(0.0f, t, 0.0f, 0.0f))
+    }
+    val got = Similarity.pcaPower(vecs.toDF("vec_id", "embedding"), 3)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("loading")).toMap
+    assert(got === Map(0 -> 0.0, 1 -> 1.0, 2 -> 0.0, 3 -> 0.0))
+  }
+
+  test("pcaPower: sf0.001 loading vector is unit-norm, sign-canonical, " +
+       "and iteration-stable at depth 3") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val v = Similarity.pcaPower(emb, 3).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("loading")).toMap
+    assert(v.size === 64)
+    val nrm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4, s"norm drifted: $nrm")
+    val dmax = v.minBy { case (d, x) => (-math.abs(x), d) }._1
+    assert(v(dmax) > 0.0, "largest-|component| must be positive")
+    // the power step is a contraction toward the dominant eigenvector:
+    // one more iteration must not move the direction materially. The
+    // synthetic embeddings are near-random (eigengap is small — the same
+    // property the ANN specs note), so "materially" is a loose 0.95, not
+    // machine epsilon; the operator is fixed-depth by design, like
+    // kmeansTrain's fixed Lloyd count.
+    val v4 = Similarity.pcaPower(emb, 4).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("loading")).toMap
+    val cos = v.keys.map(d => v(d) * v4(d)).sum
+    assert(cos > 0.95, s"iteration-3 direction unstable: cos=$cos")
+  }
 }

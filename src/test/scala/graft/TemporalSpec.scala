@@ -129,6 +129,41 @@ class TemporalSpec extends SparkSpec {
       ("view", 5L, 2L, 0L, 2L, 0.4)))
   }
 
+  test("conformalForecast: hand-computed split, order-statistic q-hat, and coverage") {
+    val h = 3600L * 1000000L
+    // one (type, hod) series: hours 0,24,48,... all land on hod 0 with
+    // counts 1,2,3,4,5,6 -> backtests at t_idx 2..6 have running-mean
+    // forecasts 1, 1.5, 2, 2.5, 3 and |residuals| 1, 1.5, 2, 2.5, 3.
+    // split: bt_n=5 -> cal = first (5*4 div 5)=4 backtests; q-hat rank =
+    // least(((4+1)*9+9) div 10, 4) = 4 -> 4th smallest cal residual 2.5.
+    // test = the last backtest, residual 3 > 2.5 -> uncovered.
+    val rows = for {
+      day <- 0 until 6
+      i <- 0 to day
+    } yield ((day * 10 + i).toLong, day * 24 * h + i * 1000L, 1L, "view", 1.0)
+    val got = Events.conformalForecast(syntheticEvents(rows)).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getString(0), r.getAs[Long]("n_cal"), r.getAs[Long]("n_test"),
+      r.getAs[Double]("qhat"), r.getAs[Long]("n_covered"),
+      r.getAs[Double]("coverage")) === (("view", 4L, 1L, 2.5, 0L, 0.0)))
+  }
+
+  test("conformalForecast: cal/test partition the backtest set; coverage bounded") {
+    val ev = Tables.events(spark, sf0001)
+    val bt = Events.forecastNaive(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_backtests")).toMap
+    Events.conformalForecast(ev).collect().foreach { r =>
+      val t = r.getString(0)
+      assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") === bt(t),
+        s"$t: split must tile the backtests")
+      assert(r.getAs[Double]("qhat") >= 0.0)
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
   test("winsorize: clip counts track the 5% tails, clipped sum never exceeds raw") {
     val ev = Tables.events(spark, sf0001)
     val raw = ev.groupBy("event_type")
