@@ -51,6 +51,8 @@ object SparkEntry {
     "q_cusum" -> ((s, d) => Events.cusumChangepoint(events(s, d))),
     "q_forecast_naive" -> ((s, d) => Events.forecastNaive(events(s, d))),
     "q_conformal" -> ((s, d) => Events.conformalForecast(events(s, d))),
+    "q_stream_conformal" ->
+      ((s, d) => streaming.StreamOps.streamConformal(s, d)),
     "q_stream_forecast" -> ((s, d) => streaming.StreamOps.streamForecast(s, d)),
     "q_forget" -> ((s, d) => Landing.forgetUsers(events(s, d))),
     "q_stream_forget" -> ((s, d) => streaming.StreamOps.streamForget(s, d)),
@@ -1856,6 +1858,9 @@ object SparkEntry {
     // pooled order-statistic q̂ (⌈(n+1)·9/10⌉-th smallest, ties on
     // (hod, hr)), coverage census — all integer/quant6 arithmetic
     "q_conformal" -> conformalOracleSql,
+    // streaming conformal: per-batch hourly counts merge additively into
+    // the batch hourly table — the batch oracle shared verbatim
+    "q_stream_conformal" -> conformalOracleSql,
     // Bradley-Terry preference strengths: exact-decimal per-user sums
     // decide contests, 3 unrolled MM iterations of quant6 terms with
     // decimal-summed denominators and normalizers

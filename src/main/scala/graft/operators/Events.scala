@@ -474,9 +474,19 @@ object Events {
     * so no engine ever rounds a float rank; residuals are quant6;
     * the order statistic tie-breaks on (hod, hr).
     */
-  def conformalForecast(events: DataFrame): DataFrame = {
+  def conformalForecast(events: DataFrame): DataFrame =
+    conformalFromHourly(hourlyTypeCounts(events))
+
+  /** The conformal assembly over an already-aggregated hourly count
+    * table — shared by [[conformalForecast]] and the streaming monitor
+    * ([[graft.streaming.StreamOps.streamConformal]]), the
+    * [[forecastFromHourly]] seam: per-batch counts merge additively
+    * into exactly this table, so at-ingest calibration can never drift
+    * from the batch computation.
+    */
+  private[graft] def conformalFromHourly(hourlyCounts: DataFrame): DataFrame = {
     import Similarity.quant6
-    val bt = hourlyTypeCounts(events)
+    val bt = hourlyCounts
       .withColumn("hod", col("hr") % 24)
       .transform(TextAnalysis.withGroupedPrefix(
         Seq("event_type", "hod"), "t_idx", "cum_prev", col("x"), col("hr")))

@@ -1615,6 +1615,41 @@ object StreamOps {
         .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
   }
 
+  /** STREAMING CONFORMAL CALIBRATION (q_stream_conformal) — the
+    * split-conformal interval census maintained at ingest: per-batch
+    * ADDITIVE hourly type counts land under batch=N dirs (the
+    * [[streamForecast]] state law — replay overwrites, a split hour
+    * merges by sum), and the drained merge feeds the SAME
+    * [[graft.operators.Events.conformalFromHourly]] assembly —
+    * q_conformal's oracle shared VERBATIM. A production monitor gets
+    * its calibrated forecast bands re-fit each ingest without
+    * rescanning event history; per-batch state is touched
+    * (type, hour) count rows, never event rows.
+    */
+  def streamConformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val runId = UUID.randomUUID().toString.take(8)
+    val tmp = sys.props("java.io.tmpdir")
+    val store = s"$tmp/graft_stream_conf/$runId/store"
+    val ck = s"$tmp/graft_stream_conf/$runId/ck"
+    val q = dedupedEvents(spark, stageStreamDir(sfDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Events.hourlyTypeCounts(batch)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Events.conformalFromHourly(
+      spark.read.parquet(store)
+        .groupBy("event_type", "hr").agg(sum(col("x")).as("x")))
+  }
+
   /** STREAMING DP COUNT RELEASE (q_stream_dp) — the private histogram
     * maintained at ingest: each micro-batch lands its (event_type, day)
     * cell counts under a deterministic batch=N dir, and the RELEASE

@@ -589,6 +589,18 @@ class StreamingSpec extends SparkSpec {
       "drained per-batch hourly counts must merge to the batch backtest")
   }
 
+  test("streaming conformal calibration equals the batch census (additive count merge)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_cal"),
+        r.getAs[Long]("n_test"), r.getAs[Double]("qhat"),
+        r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"))
+    }.toSet
+    assert(rows(StreamOps.streamConformal(spark, sf0001)) ===
+      rows(graft.operators.Events.conformalForecast(
+        Tables.events(spark, sf0001))),
+      "drained per-batch hourly counts must merge to the batch calibration")
+  }
+
   test("streaming profile equals the batch ANALYZE (exact moment + set-union merge)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
       (r.getAs[String]("col_name"), r.getAs[Long]("n_rows"),
