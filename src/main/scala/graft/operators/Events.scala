@@ -896,24 +896,32 @@ object Events {
     * as a post-filter. Each event lives in exactly one day bucket, so no
     * pair dedup is needed. Intervals: 60 windows of 36h, stepping 12h
     * from the corpus's first midnight (deterministic, derived from data).
+    *
+    * The corpus's first midnight is computed IN-PLAN (the [[survivalKm]]
+    * broadcast-scalar device: a global min column-pruned to `ts` alone,
+    * crossJoin(broadcast)-ed onto the 60-row interval frame) — not via a
+    * driver-side action: constructing the DataFrame runs no job, the
+    * events table is scanned by ONE query (the min pass reads only the
+    * ts column), and an empty input yields an empty result instead of a
+    * null-minDay NPE.
     */
   def rangeJoinCounts(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     val dayUs = 86400L * 1000000L
     val base = events.select(col("event_id"), unix_micros(col("ts")).as("us"),
       col("value"))
-    val minDay = base.agg(min(expr("us DIV 86400000000") * dayUs)).head().getLong(0)
-    val intervals = (0 until 60).map { k =>
-      val start = minDay + k * (dayUs / 2)
-      (k.toLong, start, start + 36L * 3600L * 1000000L)
-    }
-    import spark.implicits._
-    val intervalDays = intervals.toDF("interval_id", "start_us", "end_us")
+    val minDayDf = events.agg(
+      (min(expr("unix_micros(ts) DIV 86400000000")) * dayUs).as("min_day_us"))
+    val intervalDays = spark.range(60).toDF("interval_id")
+      .crossJoin(broadcast(minDayDf))
+      .select(col("interval_id"),
+        (col("min_day_us") + col("interval_id") * (dayUs / 2)).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(36L * 3600L * 1000000L))
       .withColumn("day", explode(sequence(
         expr("start_us DIV 86400000000"), expr("(end_us - 1) DIV 86400000000"))))
     base
       .withColumn("day", expr("us DIV 86400000000"))
-      .join(intervalDays, "day")
+      .join(broadcast(intervalDays), "day")
       .filter(col("us") >= col("start_us") && col("us") < col("end_us"))
       .groupBy("interval_id")
       .agg(count(lit(1)).as("n_events"),

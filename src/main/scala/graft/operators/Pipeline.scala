@@ -657,8 +657,10 @@ object Pipeline {
     * moment rows and replay overwrites are idempotent. Values are
     * hashed the same way on every partitioning, so the estimate is
     * deterministic for a given value SET — but it is an ESTIMATE, hence
-    * the rows-only correctness class (the q_approx_distinct precedent)
-    * with the error bound locked in scalatest instead of the oracle.
+    * the bounded-pass correctness class (the q_approx_distinct
+    * precedent): q_stream_profile_sketch's audit form carries an
+    * in-bound flag the DuckDB oracle asserts, and scalatest locks the
+    * error bound besides.
     * Columns cast to string first, mirroring the exact tier's value
     * domain (and null-skipping aggregation mirrors its isNotNull).
     */

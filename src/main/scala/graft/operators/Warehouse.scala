@@ -617,9 +617,13 @@ object Warehouse {
 
   /** approx_percentile — the 100-TB swap for [[pricePercentiles]]: a
     * mergeable bounded-memory sketch per group instead of a per-group
-    * sort. Sketch ranks are engine-specific, so this query gets a
-    * rows-only check; PlanSpec ("approx_percentile brackets the exact…")
-    * bounds each estimate against the exact percentile's rank tolerance.
+    * sort. Sketch ranks are engine-specific, so this estimate-only form
+    * is never hashed directly; it is the PRODUCTION operator Bench
+    * times (SparkEntry.benchForms), while q_approx_percentiles declares
+    * [[approxPercentilesAudit]] — the bounded-pass form whose in_bound
+    * flag the DuckDB oracle asserts. PlanSpec ("approx_percentile
+    * brackets the exact…") additionally bounds each estimate against
+    * the exact percentile's rank tolerance.
     */
   def approxPricePercentiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
     orders.groupBy("o_orderstatus")
@@ -943,24 +947,57 @@ object Warehouse {
     * 8 KiB broadcast → map-side prune → broadcast semi-join verify.
     *
     * Cross-engine determinism: hashes are plain 64-bit integer
-    * arithmetic ((key·A) mod m with A below 2^32 and keys below 2^31,
-    * so products stay under 2^63 — no overflow wrap on either engine);
-    * words pack 62 bits so no shift ever reaches the sign bit; the
-    * bitmap is bit_or-aggregated (idempotent, order-free); revenue is
-    * the exact-decimal [[dsum]]. Every census column is integer or
-    * decimal-exact, so the DuckDB twin (same hashes, words as a CTE
-    * joined instead of broadcast — representation differs, math
-    * doesn't) hash-matches bit for bit.
+    * arithmetic, overflow-safe for ANY bigint key (the key is reduced
+    * mod a prime FIRST, so products stay below p·A < 2^33 — no wrap on
+    * either engine); words pack 62 bits so no shift ever reaches the
+    * sign bit; the bitmap is bit_or-aggregated (idempotent, order-free);
+    * revenue is the exact-decimal [[dsum]]. Every census column is
+    * integer or decimal-exact, so the DuckDB twin (same hashes, words
+    * as a CTE joined instead of broadcast — representation differs,
+    * math doesn't) hash-matches bit for bit.
+    *
+    * Hash independence: each hash is a random QUADRATIC over a LARGE
+    * prime (≈2^31), reduced to the bitmap by a distinct small prime:
+    * h_i(k) = ((r²_i mod P_i)·A_i + r_i·B_i + C_i) mod P_i mod p_i with
+    * r_i = k mod P_i, P_1 = 2147483647, P_2 = 2147483629, p_i the two
+    * largest primes ≤ mBits. Three structural failure modes die here,
+    * and the DedupSpec decorrelation test pins them at key > 65536:
+    *  - a single small modulus ((k·A) mod 2^16 twice) factors both
+    *    hashes through k mod 65536 — every key congruent to a build key
+    *    is a GUARANTEED double collision;
+    *  - an AFFINE h (even over distinct small primes) has
+    *    h(k+c) − h(k) constant, so a shifted copy of a dense build-key
+    *    range wraps back into the dense build-RESIDUE interval and
+    *    re-hits build bits via neighboring keys (measured: 495/512);
+    *    the quadratic difference A·(2rc+c²)+B·c varies with r across
+    *    [0, P) and lands at the independence-model rate after the final
+    *    reduction;
+    *  - the two large primes differ, so by CRT the PAIR factors through
+    *    nothing below P1·P2 ≈ 4.6e18 — no bigint key range aliases.
+    * `fpp_est` = (fill)² is the independence-MODEL estimate (slightly
+    * conservative: bits in [p, m) never set).
     */
   def bloomPruneJoin(orders: DataFrame, customer: DataFrame,
                      segment: String = "BUILDING",
                      mBits: Int = 1 << 16): DataFrame = {
     val W = 62 // usable bits per packed word: stay clear of the sign bit
-    val A1 = 2654435761L // Knuth multiplicative constants (< 2^32)
-    val A2 = 2246822519L
-    val C2 = 3266489917L
-    def h1(k: Column): Column = (k * lit(A1)) % lit(mBits.toLong)
-    def h2(k: Column): Column = (k * lit(A2) + lit(C2)) % lit(mBits.toLong)
+    def largestPrimeAtMost(n: Int): Int = {
+      def isPrime(x: Int) =
+        x > 1 && !(2 to math.sqrt(x.toDouble).toInt).exists(x % _ == 0)
+      Iterator.from(n, -1).find(isPrime).get
+    }
+    val p1 = largestPrimeAtMost(mBits)      // 65521 at the default width
+    val p2 = largestPrimeAtMost(p1 - 1)     // 65519 at the default width
+    // overflow-safe for ANY positive bigint key: r < 2^31 so r² < 2^62;
+    // (r² mod P) < 2^31 and A < 2^16, so the mixed sum stays < 2^47
+    // (keys are positive surrogate ids, so % == pmod on both engines)
+    def quadHash(k: Column, bigP: Long, a: Long, b: Long, c: Long,
+                 p: Int): Column = {
+      val r = k % bigP
+      ((r * r % bigP) * lit(a) + r * lit(b) + lit(c)) % bigP % p
+    }
+    def h1(k: Column): Column = quadHash(k, 2147483647L, 48271L, 11L, 3L, p1)
+    def h2(k: Column): Column = quadHash(k, 2147483629L, 16807L, 23L, 7L, p2)
 
     val keys = customer.filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"))

@@ -564,11 +564,14 @@ object StreamOps {
     * genuinely expires each window's sketch once the watermark passes
     * its end — per-window state is a KB sketch either way; the mode only
     * decides whether closed windows are retained or evicted.
-    * rsd=0.02 bounds the relative error; the rows-only driver
-    * check plus the rsd-bound scalatest against the exact batch answer
-    * certify it (sketch internals are not oracle-reproducible, same as
-    * q_approx_distinct). n_events rides along exactly — the count agg
-    * is unaffected by the sketch.
+    * rsd=0.02 bounds the relative error; sketch internals are not
+    * oracle-reproducible, so this estimate-only form is the PRODUCTION
+    * operator Bench times (SparkEntry.benchForms), while
+    * q_stream_sliding_distinct declares [[streamSlidingDistinctAudit]]
+    * — the bounded-pass form whose in_bound flag the DuckDB oracle
+    * asserts (same design as q_approx_distinct); the rsd-bound
+    * scalatest certifies it besides. n_events rides along exactly —
+    * the count agg is unaffected by the sketch.
     */
   def streamSlidingDistinct(spark: SparkSession, sfDir: String,
                             widthHours: Int, slideHours: Int,
@@ -2156,8 +2159,11 @@ object StreamOps {
     * sketch row per batch, ≤ ~2.5 KB per column at lgK=12 regardless
     * of cardinality, so the accumulated state is (batches × columns ×
     * sketch)-sized, never corpus-sized; estimates carry the HLL ±1.6%
-    * band and grade rows-only + scalatest-error-bounded (the
-    * q_approx_distinct class). The EXACT value store
+    * band and grade BOUNDED-PASS (the q_approx_distinct class):
+    * q_stream_profile_sketch declares [[streamProfileSketchAudit]],
+    * whose in-bound flag the DuckDB oracle asserts, while Bench times
+    * this estimate-only form (SparkEntry.benchForms) — bench prices
+    * the production plan, Verify prices the gate. The EXACT value store
     * ([[graft.operators.Pipeline.profileDistinctValues]]) stays as the
     * opt-in tier for dimension-sized columns, where it is both cheap
     * and hash-matched against q_profile's shared oracle — at 100 TB it

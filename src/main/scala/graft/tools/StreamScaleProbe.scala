@@ -145,14 +145,6 @@ object StreamScaleProbe {
     // batch proves the seam changes WHERE state lives, not WHAT it
     // holds; the memory column shows heap vs native accounting, and
     // wall time the provider overhead at this scale.
-    // providers-only runs skipped the growth-evidence passes, so the
-    // FIRST provider measured would otherwise absorb all one-time JIT /
-    // codegen / sink classloading cost (measured: +12 s on the first
-    // drain) — pay it in an untimed warmup pair instead
-    if (providersOnly) {
-      run("warmup_sess", "1 hour")
-      runJoin("warmup_ssj")
-    }
     // SPARK_GRAFT_PROBE_REPS (default 3): drain walls at this scale
     // fluctuate ±30% run-to-run (one GC pause on a 10-batch drain), so
     // a single-measurement provider comparison can invert the sign;
@@ -162,6 +154,19 @@ object StreamScaleProbe {
         "rocksdb" -> graft.streaming.StreamOps.RocksDbProvider).foreach {
       case (name, cls) =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        // providers-only runs skipped the growth-evidence passes, so the
+        // first drain of EACH provider would otherwise absorb that
+        // provider's one-time cost — JIT/codegen/sink classloading for
+        // whichever runs first (measured: +12 s), plus RocksDB's native
+        // library/classload for the RocksDB leg specifically. One
+        // untimed warmup pair PER PROVIDER (under that provider's own
+        // store class) starts every timed rep JIT- and native-warm; a
+        // warmup outside the loop would run under the default heap
+        // provider and leave the RocksDB tax inside its rep 1.
+        if (providersOnly) {
+          run(s"warmup_sess_$name", "1 hour")
+          runJoin(s"warmup_ssj_$name")
+        }
         for (r <- 1 to reps) {
           val t0 = System.nanoTime()
           run(s"sess_${name}_$r", "1 hour")

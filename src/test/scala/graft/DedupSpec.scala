@@ -183,4 +183,37 @@ class DedupSpec extends SparkSpec {
     assert(cands - matches <= (matches / 10).max(5L),
       s"false-positive residue implausibly high: $cands candidates vs $matches matches")
   }
+
+  test("bloomPruneJoin hashes decorrelate above the bitmap width: keys " +
+       "congruent mod 65536 are not guaranteed false positives, true " +
+       "matches at key > 65536 still pass") {
+    val sp = spark
+    import sp.implicits._
+    // the pre-fix hash pair ((k*A1) % 2^16, (k*A2+C) % 2^16) factored
+    // through k mod 65536, so EVERY probe at k + 65536 of a build key k
+    // was a structural double collision — 512/512 false positives here.
+    // The distinct-prime-moduli pair must prune nearly all of them
+    // (independence-model fpp at this fill: (2*512/65536)^2 ~ 2.4e-4).
+    val build = (1 to 512).map(k => (k.toLong, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val congruent = (1 to 512).map(k => (k.toLong + 65536L, "SHIFT", 1.0))
+    val trueHits = (1 to 100).map(k => (k.toLong, "MATCH", 2.0))
+    val probes = (congruent ++ trueHits)
+      .toDF("o_custkey", "o_orderpriority", "o_totalprice")
+    val rows = operators.Warehouse.bloomPruneJoin(probes, build)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_matched"),
+         r.getAs[Long]("n_false_pos"))).toMap
+    // zero false negatives at key > 2^16: every true match survives
+    val (_, m, _) = rows.getOrElse("MATCH", (0L, 0L, 0L))
+    assert(m === 100L, s"true matches dropped by the Bloom pass: $rows")
+    // the 512 congruent probes must NOT be guaranteed positives; allow
+    // a generous 16 (>60x above the independence model, 32x below the
+    // pre-fix structural 512)
+    val (_, sm, sfp) = rows.getOrElse("SHIFT", (0L, 0L, 0L))
+    assert(sm === 0L, "a congruent non-member matched the exact join")
+    assert(sfp <= 16L,
+      s"$sfp/512 congruent-mod-65536 probes passed the Bloom pair — " +
+      "the hashes are still correlated through k mod 65536")
+  }
 }

@@ -249,6 +249,47 @@ class GraftShardsSpec extends SparkSpec {
       s"expected the sequence-regression failure, got: $root")
   }
 
+  test("a shard dir removed under a live checkpoint fails loudly: the " +
+       "committed shard must not silently vanish from the offsets") {
+    // stage two shards, drain fully, then delete one shard dir outright
+    // and drain from the same checkpoint: latestOffset must throw the
+    // shrank-under-checkpoint failure (the disappeared shard would
+    // otherwise just drop out of the offset map and the stream would
+    // keep running as if it never existed)
+    val src = tempDir("shards_gone")
+    def writeShard(s: Int, n: Int): Unit = {
+      val d = Paths.get(src, s"shard=$s"); Files.createDirectories(d)
+      val lines = (1 to n).map { i =>
+        val sn = f"$i%020d"
+        s"""{"SequenceNumber":"$sn","ApproximateArrivalTimestamp":${i}000000,"PartitionKey":"$i","Data":"{}"}"""
+      }
+      Files.write(d.resolve("part-0.txt"),
+        lines.mkString("\n").getBytes("UTF-8")); ()
+    }
+    writeShard(0, 5); writeShard(1, 5)
+    val ck = tempDir("shards_gone_ck")
+    val out = tempDir("shards_gone_out")
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-shards").load(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); ()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 10L)
+    val goneDir = Paths.get(src, "shard=1")
+    Files.delete(goneDir.resolve("part-0.txt"))
+    Files.delete(goneDir)
+    val ex = intercept[StreamingQueryException] { drain() }
+    val root = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).toSeq.last
+    assert(root.getMessage.contains("disappeared from"),
+      s"expected the disappeared-shard failure, got: $root")
+    assert(root.getMessage.contains("1"),
+      s"failure must name the missing shard: $root")
+  }
+
   test("offset json round-trip") {
     val o = graft.sources.ShardOffsets(Map(0 -> 12L, 3 -> 40L, 1 -> 0L))
     assert(o.json() === """{"0":12,"1":0,"3":40}""")

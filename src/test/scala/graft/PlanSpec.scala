@@ -31,6 +31,10 @@ class PlanSpec extends SparkSpec {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled === rowsOnlyByDesign,
       s"queries without an oracle beyond the declared rows-only set: ${unoracled -- rowsOnlyByDesign}")
+    // bench-form substitutes must shadow real declared queries — a
+    // typo'd key here would silently bench the audit form again
+    val orphanBench = SparkEntry.benchForms.keySet -- SparkEntry.queries.keySet
+    assert(orphanBench.isEmpty, s"benchForms without a query: $orphanBench")
   }
 
   test("suite-wide plan invariants: every query, one sweep — no cartesian " +
@@ -158,6 +162,24 @@ class PlanSpec extends SparkSpec {
       s"survivalKm construction ran ${after - before} Spark job(s)")
     // and the empty-input grace the eager .head() could not provide
     assert(operators.Events.survivalKm(ev.filter(lit(false))).count() === 0L)
+    CacheRegistry.release()
+  }
+
+  test("q_range_join: no job at DataFrame construction; first midnight " +
+       "is an in-plan broadcast scalar") {
+    // same device, same lock: rangeJoinCounts used to run a driver-side
+    // base.agg(min).head() to place the 60 interval windows — a Spark
+    // job at construction time, a second full events scan, and an NPE
+    // on empty input. The minimum day now rides crossJoin(broadcast(...))
+    // into the interval frame.
+    val ev = Tables.events(spark, sf0001)
+    ev.schema // force the read-side schema job outside the measurement
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = operators.Events.rangeJoinCounts(ev)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"rangeJoinCounts construction ran ${after - before} Spark job(s)")
+    assert(operators.Events.rangeJoinCounts(ev.filter(lit(false))).count() === 0L)
     CacheRegistry.release()
   }
 
