@@ -244,6 +244,8 @@ object SparkEntry {
     "q_similarity_join" -> ((s, d) => Similarity.cosineJoinBlocked(embeddings(s, d), 0.3)),
     "q_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
+    "q_cluster_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(embeddings(s, d))),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
@@ -3746,6 +3748,7 @@ object SparkEntry {
     // streaming ingest assigns against the SAME codebook with the same
     // argmin/tie-break — the census is bit-identical to the batch one
     "q_stream_ivf_assign" -> ivfAssignOracleSql,
+    "q_cluster_sample" -> clusterSampleOracleSql,
     "q_ivf_search" ->
       """WITH ex AS (
         |  SELECT label,
@@ -5800,7 +5803,11 @@ object SparkEntry {
          |FROM dpairs WHERE sim >= $tau
          |GROUP BY 1,2 ORDER BY split, vec_id""".stripMargin
 
-  private val ivfAssignOracleSql: String =
+  /** The coarse-assignment CTE chain (exact centroids → scores →
+    * per-vector argmin) — shared by q_ivf_assign / q_stream_ivf_assign
+    * and q_cluster_sample, which ranks within the assigned cells.
+    */
+  private val ivfAssignCtes: String =
     """WITH ex AS (
       |  SELECT label,
       |    unnest([{'dim': i-1, 'val': embedding[i]} for i in range(1, len(embedding)+1)],
@@ -5820,9 +5827,28 @@ object SparkEntry {
       |best AS (
       |  SELECT vec_id, label, clabel,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY s, clabel) AS rk
-      |  FROM scored)
-      |SELECT label, clabel AS assigned, count(*) AS n_vectors
+      |  FROM scored)""".stripMargin
+
+  private val ivfAssignOracleSql: String = ivfAssignCtes + "\n" +
+    """SELECT label, clabel AS assigned, count(*) AS n_vectors
       |FROM best WHERE rk = 1 GROUP BY 1,2 ORDER BY label, assigned""".stripMargin
+
+  private val clusterSampleOracleSql: String = ivfAssignCtes + ",\n" +
+    """asg AS (
+      |  SELECT vec_id, clabel AS assigned,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,15))::UBIGINT
+      |      AS BIGINT) AS h
+      |  FROM best WHERE rk = 1),
+      |sz AS (SELECT assigned, count(*) AS n_cell FROM asg GROUP BY 1),
+      |rkd AS (
+      |  SELECT assigned, vec_id, h,
+      |         row_number() OVER (PARTITION BY assigned ORDER BY h, vec_id)
+      |           AS rk
+      |  FROM asg)
+      |SELECT r.assigned, CAST(r.rk AS BIGINT) AS rk, r.vec_id, r.h,
+      |       s.n_cell
+      |FROM rkd r JOIN sz s USING (assigned)
+      |WHERE r.rk <= 40 ORDER BY assigned, rk""".stripMargin
 
   /** BPE merge-loop oracle: the same greedy spec as
     * TextAnalysis.bpeMerges, iterated as a generated CTE chain (like

@@ -273,6 +273,42 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("label", "assigned")
 
+  /** CLUSTER-BALANCED coordinated sample (q_cluster_sample): cap every
+    * coarse cell's contribution at `k` vectors, keeping the cell's k
+    * smallest id hashes — the topic-balancing downsample a curation
+    * pipeline runs after (semantic) dedup: over-represented regions of
+    * embedding space are clipped to the cap while sparse regions
+    * survive whole (the SemDeDup-follow-up / DataComp cluster-balancing
+    * recipe), and the bottom-k selection rule makes the sample
+    * deterministic, engine-portable (no rand()), and COORDINATED — a
+    * re-run on a grown corpus keeps the shared survivors, the
+    * [[graft.operators.TextAnalysis.bottomKSample]] law applied per
+    * cell instead of per language.
+    *
+    * Scale shape: assignment is the broadcast-codebook argmin scan
+    * (codebook is census-sized, each vector's |codebook| scored rows
+    * collapse map-side); the per-cell rank rides
+    * [[TextAnalysis.withGroupedPrefix]] — NEVER a window partitioned by
+    * the handful-of-cells key, which would funnel a cell's full corpus
+    * share through one task; the per-cell size census broadcasts back
+    * onto the ≤ |cells|·k kept rows. Output: every kept row with its
+    * cell rank and the cell's pre-sample population.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int = 40): DataFrame = {
+    val asg = assignedVectors(embeddings, centroidsDF(embeddings))
+      .select(col("vec_id"), col("assigned"),
+        NearDup.md5Hash60(col("vec_id").cast("string")).as("h"))
+    val sizes = asg.groupBy("assigned").agg(count(lit(1)).as("n_cell"))
+    asg
+      .transform(TextAnalysis.withGroupedPrefix(Seq("assigned"), "rk",
+        "_cum", lit(1L), col("h"), col("vec_id")))
+      .filter(col("rk") <= k)
+      .join(broadcast(sizes), "assigned")
+      .select(col("assigned"), col("rk"), col("vec_id"), col("h"),
+        col("n_cell"))
+      .orderBy("assigned", "rk")
+  }
+
   /** The coarse codebook rows (clabel, cvec, cnorm2) for callers outside
     * this object — StreamOps' streaming ingest collects it (codebook-sized
     * driver state) and inlines it as a literal scoring expression.

@@ -12,6 +12,42 @@ class SimilaritySpec extends SparkSpec {
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("clusterBalancedSample: per-cell kept = min(k, cell size), kept " +
+       "ids are the cell's bottom-k hashes, partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 7
+    val got = operators.Similarity.clusterBalancedSample(emb, k).collect()
+    // census law: every cell contributes exactly min(k, n_cell) rows,
+    // ranks are 1..kept with no gaps
+    val byCell = got.groupBy(_.getAs[Any]("assigned"))
+    byCell.foreach { case (cell, rows) =>
+      val nCell = rows.head.getAs[Long]("n_cell")
+      assert(rows.length.toLong === math.min(k.toLong, nCell),
+        s"cell $cell kept ${rows.length} of $nCell at cap $k")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq ===
+        (1L to rows.length.toLong), s"cell $cell ranks have gaps")
+      // bottom-k law: kept hashes are below every unkept rank's hash
+      // (ranks are assigned by ascending h, so max kept h is a bound)
+      val hs = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("h"))
+      assert(hs.toSeq === hs.sorted.toSeq, s"cell $cell not hash-ordered")
+    }
+    // cell populations reconcile with the corpus
+    val total = byCell.map(_._2.head.getAs[Long]("n_cell")).sum
+    assert(total === emb.count(), "cell sizes do not partition the corpus")
+    // determinism across physical layout: a re-partitioned input keeps
+    // the exact same sample (the coordinated-sample property)
+    val re = operators.Similarity
+      .clusterBalancedSample(emb.repartition(7, col("label")), k)
+      .collect()
+    assert(re.map(r => (r.getAs[Any]("assigned"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"))).toSet ===
+      got.map(r => (r.getAs[Any]("assigned"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"))).toSet,
+      "sample changed under repartitioning")
+    CacheRegistry.release()
+  }
+
   test("LSH ANN recall vs exact top-10 is above the design floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val nQ = 20
