@@ -7,16 +7,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // shuffle width stays FIXED at the core count — a global
+      // SESSION shuffle width stays FIXED at the core count — a global
       // initialPartitionNum=8x was measured (r16) to fix the one
       // spill-bound sf10 stage (components fixpoint: 803 GiB spill ->
       // 3.6 GiB, 798 -> 214 s) but to regress the sf0.1 suite 62%
       // (45% of queries >1.2x, q_dsir_weights 17x): AQE's coalescing
       // does not recover the wide-exchange overhead for range-
-      // partitioned/persisted stages. Width is a per-workload knob a
-      // deployment sizes per stage (CurateProbe's SPARK_GRAFT_SHUFFLE_
-      // PARTS measures it); the bench protocol keeps the fixed width
-      // its history was measured under.
+      // partitioned/persisted stages. The one stage that NEEDS width
+      // now sizes itself from its own input stats (r17:
+      // NearDup.fixpointWidth scopes the widening inside the
+      // components operator), so the session default keeps the width
+      // the bench history was measured under.
       .config("spark.ui.enabled", "false")
       // same pin as Verify: NTZ→timestamp casts are session-TZ-dependent,
       // so an unpinned bench on a non-UTC host would measure a different
@@ -73,7 +74,8 @@ object Bench {
     // unrelated queries don't pay it.
     val memoFamilies = Seq(
       Seq("q_retrieval_eval", "q_retrieval_ndcg"),     // tiersMemo
-      Seq("q_pipeline_pretrain", "q_pretrain_manifest")) // packedMemo
+      Seq("q_pipeline_pretrain", "q_pretrain_manifest"), // packedMemo
+      Seq("q_stream_doc_fresh"))                       // docIndexMemo
     for (fam <- memoFamilies; w <- fam.find(selected.contains).toSeq)
       try {
         System.err.println(s"[bench] untimed memo warmup: $w")

@@ -5354,18 +5354,23 @@ object SparkEntry {
        |ORDER BY rank""".stripMargin
   }
 
-  private val bloomPruneOracleSql: String =
-    """WITH bpk AS (
+  private val bloomPruneOracleSql: String = {
+    // the bitmap-reduction primes come from the SAME derivation the Scala
+    // side runs (Warehouse.bloomPrimes), so a non-default mBits could
+    // never silently diverge the twin from hardcoded literals; fpp_est
+    // divides by the per-hash probe ranges p1/p2 (matching bloomPruneJoin)
+    val (p1, p2) = operators.Warehouse.bloomPrimes(1 << 16)
+    s"""WITH bpk AS (
       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
       |bpr AS (
       |  SELECT c_custkey % 2147483647 AS r1, c_custkey % 2147483629 AS r2
       |  FROM bpk),
       |bph AS (
       |  SELECT ((r1 * r1 % 2147483647) * 48271 + r1 * 11 + 3)
-      |    % 2147483647 % 65521 AS h FROM bpr
+      |    % 2147483647 % $p1 AS h FROM bpr
       |  UNION ALL
       |  SELECT ((r2 * r2 % 2147483629) * 16807 + r2 * 23 + 7)
-      |    % 2147483629 % 65519 FROM bpr),
+      |    % 2147483629 % $p2 FROM bpr),
       |bpw AS (SELECT h // 62 AS w,
       |        bit_or(1::BIGINT << CAST(h % 62 AS INT)) AS bits
       |        FROM bph GROUP BY 1),
@@ -5376,11 +5381,11 @@ object SparkEntry {
       |    (((o_custkey % 2147483647) * (o_custkey % 2147483647)
       |        % 2147483647) * 48271
       |      + (o_custkey % 2147483647) * 11 + 3)
-      |      % 2147483647 % 65521 AS h1,
+      |      % 2147483647 % $p1 AS h1,
       |    (((o_custkey % 2147483629) * (o_custkey % 2147483629)
       |        % 2147483629) * 16807
       |      + (o_custkey % 2147483629) * 23 + 7)
-      |      % 2147483629 % 65519 AS h2
+      |      % 2147483629 % $p2 AS h2
       |  FROM orders),
       |bpc AS (
       |  SELECT o.*, k.c_custkey AS mk
@@ -5398,10 +5403,11 @@ object SparkEntry {
       |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
       |    AS matched_revenue,
       |  min(m.bits_set) AS bits_set,
-      |  round((CAST(min(m.bits_set) AS DOUBLE) / 65536)
-      |        * (CAST(min(m.bits_set) AS DOUBLE) / 65536), 6) AS fpp_est
+      |  round((CAST(min(m.bits_set) AS DOUBLE) / $p1)
+      |        * (CAST(min(m.bits_set) AS DOUBLE) / $p2), 6) AS fpp_est
       |FROM bpc CROSS JOIN bpm m
       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private def pcaOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>

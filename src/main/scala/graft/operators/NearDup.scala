@@ -198,8 +198,54 @@ object NearDup {
     * Output is the true fixpoint, so it is deterministic and oracled
     * against a DuckDB recursive CTE computing the same reachability.
     */
+  /** Shuffle width for the components stage, computed from the INPUT
+    * corpus's own size instead of inherited from the session conf — the
+    * round-16 CurateProbe finding made operator-adaptive: at the sf10
+    * decade the fixpoint's tokenize/band/label shuffles pushed 803 GiB
+    * through the task memory manager at the session's core-count width
+    * (~25 GiB sorted per task → 798 s walls dominated by spill), while
+    * 256 partitions cut spill 224× and wall to 214 s; the same width
+    * applied globally regressed the sf0.1 suite 62%, so the widening
+    * must live INSIDE the operator that needs it.
+    *
+    * Rule: one shuffle partition per ~256 KB of (compressed, Catalyst-
+    * estimated) input corpus bytes, floored at the session width and
+    * capped at 4096. The 256 KB figure prices the stage's ~1000×
+    * internal amplification (decompress + token/shingle explode + banded
+    * self-join) against a ~256 MB in-memory sort budget per task:
+    * sf0.1's 0.6 MB corpus stays at the session width (measured optimal
+    * there), sf10's 58 MB corpus lands at 256 (the probe's measured
+    * optimum), and growth beyond the cap rides AQE/deployment sizing.
+    * Width never changes values — the fixpoint is a deterministic
+    * min-label propagation — so the oracle gate is width-blind.
+    * SPARK_GRAFT_FIXPOINT_PARTS overrides for probing (CurateProbe
+    * prices candidate widths through it).
+    */
+  private[graft] def fixpointWidth(input: DataFrame): Int =
+    sys.env.get("SPARK_GRAFT_FIXPOINT_PARTS").map(_.trim.toInt).getOrElse {
+      val session = input.sparkSession.sessionState.conf.numShufflePartitions
+      val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byWork = ((bytes + 262143) / 262144).min(BigInt(4096)).toInt
+      math.max(session, byWork)
+    }
+
   def duplicateComponentsUnordered(documents: DataFrame,
                                    maxHamming: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    // widen the whole components stage (fingerprints + banded self-join +
+    // label-propagation rounds): every job in this method launches while
+    // the conf is set, and the returned frame is already materialized
+    // (localCheckpoint) by loop exit, so downstream consumers shuffle at
+    // the restored session width
+    val width = fixpointWidth(documents)
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try duplicateComponentsAtWidth(documents, maxHamming)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
+  private def duplicateComponentsAtWidth(documents: DataFrame,
+                                         maxHamming: Int): DataFrame = {
     val edges = simhashPairs(documents, maxHamming).select("a_id", "b_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)

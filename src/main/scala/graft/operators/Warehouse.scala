@@ -974,20 +974,33 @@ object Warehouse {
     *    reduction;
     *  - the two large primes differ, so by CRT the PAIR factors through
     *    nothing below P1·P2 ≈ 4.6e18 — no bigint key range aliases.
-    * `fpp_est` = (fill)² is the independence-MODEL estimate (slightly
-    * conservative: bits in [p, m) never set).
+    * `fpp_est` = (bits_set/p1)·(bits_set/p2) is the independence-MODEL
+    * estimate: each probe hash is confined to [0, p_i) — bits in
+    * [p_i, m) are never set AND never probed — so the per-hash hit
+    * probability is bits_set/p_i, not bits_set/m (dividing by m would
+    * understate the model fpp by ~0.05% at the default width).
     */
+  private def isPrime(x: Int) =
+    x > 1 && !(2 to math.sqrt(x.toDouble).toInt).exists(x % _ == 0)
+
+  private def largestPrimeAtMost(n: Int): Int =
+    Iterator.from(n, -1).find(isPrime).get
+
+  /** The (p1, p2) bitmap-reduction prime pair [[bloomPruneJoin]] derives
+    * from its `mBits` — shared with the oracle-SQL generator so the twin
+    * can never drift from the Scala side's computed constants.
+    */
+  private[graft] def bloomPrimes(mBits: Int): (Int, Int) = {
+    val p1 = largestPrimeAtMost(mBits)      // 65521 at the default width
+    val p2 = largestPrimeAtMost(p1 - 1)     // 65519 at the default width
+    (p1, p2)
+  }
+
   def bloomPruneJoin(orders: DataFrame, customer: DataFrame,
                      segment: String = "BUILDING",
                      mBits: Int = 1 << 16): DataFrame = {
     val W = 62 // usable bits per packed word: stay clear of the sign bit
-    def largestPrimeAtMost(n: Int): Int = {
-      def isPrime(x: Int) =
-        x > 1 && !(2 to math.sqrt(x.toDouble).toInt).exists(x % _ == 0)
-      Iterator.from(n, -1).find(isPrime).get
-    }
-    val p1 = largestPrimeAtMost(mBits)      // 65521 at the default width
-    val p2 = largestPrimeAtMost(p1 - 1)     // 65519 at the default width
+    val (p1, p2) = bloomPrimes(mBits)
     // overflow-safe for ANY positive bigint key: r < 2^31 so r² < 2^62;
     // (r² mod P) < 2^31 and A < 2^16, so the mixed sum stays < 2^47
     // (keys are positive surrogate ids, so % == pmod on both engines)
@@ -1033,8 +1046,9 @@ object Warehouse {
             col("o_totalprice").cast("decimal(18,2)"))).cast("double"),
           lit(0.0)).as("matched_revenue"),
         min(col("bits_set")).as("bits_set"),
-        round((min(col("bits_set")).cast("double") / mBits) *
-              (min(col("bits_set")).cast("double") / mBits), 6)
+        // per-hash hit probability is bits_set/p_i (probe range), not /m
+        round((min(col("bits_set")).cast("double") / p1) *
+              (min(col("bits_set")).cast("double") / p2), 6)
           .as("fpp_est"))
       .orderBy("o_orderpriority")
   }

@@ -30,7 +30,10 @@ object CurateProbe {
     // the spill-pressure knob under test: at sf10 the components
     // fixpoint's pair joins sort ~10^8-row partitions; more, smaller
     // shuffle partitions shrink each task's sort buffer below the
-    // spill threshold (the knob a deployment sizes per stage)
+    // spill threshold. Since round 17 the comps stage sizes its own
+    // width from input stats (NearDup.fixpointWidth) — this SESSION
+    // knob now prices the surrounding stages; to force the fixpoint
+    // itself to a candidate width, set SPARK_GRAFT_FIXPOINT_PARTS.
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", parts)

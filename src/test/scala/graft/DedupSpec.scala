@@ -37,6 +37,42 @@ class DedupSpec extends SparkSpec {
     assert(sketch === exact)
   }
 
+  test("fixpointWidth: session floor on small inputs, stats-proportional " +
+       "growth, 4096 cap") {
+    val session = spark.sessionState.conf.numShufflePartitions
+    // the sf0.001 documents table is tiny — width must stay the session's
+    val docs = Tables.documents(spark, sf0001)
+    assert(NearDup.fixpointWidth(docs) === session)
+    // an input whose Catalyst-estimated size crosses the 256 KB/partition
+    // rule widens proportionally: range stats are 8 bytes/row, so 2^20
+    // rows = 8 MiB -> ceil(8 MiB / 256 KiB) = 32 partitions
+    val mid = spark.range(1L << 20).toDF()
+    assert(NearDup.fixpointWidth(mid) === math.max(session, 32))
+    // and a third-decade-sized input hits the 4096 cap, never beyond
+    val big = spark.range(1L << 31).toDF()
+    assert(NearDup.fixpointWidth(big) === 4096)
+  }
+
+  test("duplicateComponents: fixpoint result is width-invariant (same " +
+       "clusters at the adaptive and a forced-wide width)") {
+    // the adaptive width must never change VALUES — run the components
+    // fixpoint at the session width and at an artificially wide width and
+    // require identical (doc_id, cluster_id) sets
+    val docs = Tables.documents(spark, sf0001)
+    val base = NearDup.duplicateComponents(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sess = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    try {
+      CacheRegistry.release()
+      spark.catalog.clearCache()
+      val wide = NearDup.duplicateComponents(docs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(wide === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sess)
+    assert(base.nonEmpty, "testdata should contain planted near-dups")
+  }
+
   test("identical documents share a min-shingle fingerprint; distinct ones don't") {
     val sp = spark
     import sp.implicits._

@@ -411,6 +411,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_cluster_sample: per-cell bottom-k rides the grouped-prefix device " +
+       "(no cell-keyed window), codebook broadcast, no cartesian") {
+    // the cluster-balanced sample's per-cell rank must NEVER be a window
+    // partitioned by the handful-of-cells `assigned` key (a cell's whole
+    // corpus share would funnel through one task at 100 TB) — it rides
+    // withGroupedPrefix, so every window spec in the plan is _pid-led;
+    // the codebook argmin and the per-cell size census both broadcast
+    val p = planText(SparkEntry.queries("q_cluster_sample")(spark, sf0001))
+    val specs = "windowspecdefinition\\([^,)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("_pid")),
+      s"q_cluster_sample: expected only _pid-led windows, got $specs")
+    assert(!p.contains("CartesianProduct"), "q_cluster_sample grew a cartesian")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "q_cluster_sample: expected broadcast joins for codebook/census sides")
+    CacheRegistry.release()
+  }
+
   test("q7 dual-role geography joins broadcast both sides, no cartesian product") {
     val p = planText(SparkEntry.queries("q7_volume_shipping")(spark, sf0001))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
