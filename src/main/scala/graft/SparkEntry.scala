@@ -246,6 +246,7 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(embeddings(s, d))),
     "q_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(embeddings(s, d))),
+    "q_coreset_fps" -> ((s, d) => Similarity.coresetFps(embeddings(s, d), 8)),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
@@ -3749,6 +3750,11 @@ object SparkEntry {
     // argmin/tie-break — the census is bit-identical to the batch one
     "q_stream_ivf_assign" -> ivfAssignOracleSql,
     "q_cluster_sample" -> clusterSampleOracleSql,
+    // greedy k-center: k−1 unrolled argmax/update steps (the
+    // pca/bradley-terry iteration-unroll device); d² terms through
+    // list_dot_product = vec_dot's strict fold in the same association
+    // order, so the per-round argmax compares identical doubles
+    "q_coreset_fps" -> coresetFpsOracleSql(8),
     "q_ivf_search" ->
       """WITH ex AS (
         |  SELECT label,
@@ -5407,6 +5413,41 @@ object SparkEntry {
       |        * (CAST(min(m.bits_set) AS DOUBLE) / $p2), 6) AS fpp_est
       |FROM bpc CROSS JOIN bpm m
       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q_coreset_fps twin: seed = lowest vec_id, then k−1 unrolled rounds
+    * of (argmax of min-d², ties to lowest id) + min-d² update against
+    * the new pick — cfm_i is the candidate frame after round i's
+    * removal, cfs_i the round-i selection. d² = e·e − 2·e·s + s·s in
+    * the exact association order the Spark side uses.
+    */
+  private def coresetFpsOracleSql(k: Int): String = {
+    def d2(v: String, s: String): String =
+      s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $s) " +
+        s"+ list_dot_product($s, $s)"
+    val steps = (1 until k).map { i =>
+      val src = if (i == 1) "cfe" else s"cfm${i - 1}"
+      val sel = s"cfs${i - 1}"
+      val mind =
+        if (i == 1) s"${d2("f.e", "s.e")} AS mind"
+        else s"least(f.mind, ${d2("f.e", "s.e")}) AS mind"
+      s"""cfm$i AS (SELECT f.vec_id, f.e, $mind
+         |  FROM $src f CROSS JOIN $sel s WHERE f.vec_id <> s.vec_id),
+         |cfs$i AS (SELECT vec_id, e, mind FROM cfm$i
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 until k).map { i =>
+      s"""UNION ALL SELECT $i, vec_id,
+         |  floor(mind * 1000000.0 + 0.5) / 1000000.0 FROM cfs$i""".stripMargin
+    }.mkString("\n")
+    s"""WITH cfe AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cfs0 AS (SELECT vec_id, e FROM cfe ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(round AS INTEGER) AS round, vec_id, radius FROM (
+       |SELECT 0 AS round, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM cfs0
+       |$emits
+       |) ORDER BY round""".stripMargin
   }
 
   private def pcaOracleSql(iters: Int): String = {

@@ -309,6 +309,77 @@ object Similarity {
       .orderBy("assigned", "rk")
   }
 
+  /** FARTHEST-POINT (greedy k-center) CORESET selection (q_coreset_fps):
+    * pick `k` vectors that 2-approximate the k-center cover of the
+    * corpus — the diversity-maximizing data-pruning selector (active
+    * learning / dataset-distillation "FPS" recipe, the complement of
+    * [[clusterBalancedSample]]'s density clipping): start from a
+    * deterministic seed (lowest vec_id), then k−1 times select the
+    * vector FARTHEST from everything already selected (max of min
+    * squared L2, ties to the lowest vec_id). Emits (round, vec_id,
+    * radius) where radius is the selected point's distance-to-set at
+    * selection time — the non-increasing FPS profile, whose last value
+    * bounds the cover radius the coreset achieves.
+    *
+    * Scale shape: each of the k rounds is ONE narrow map over the
+    * candidates (min-dist update against the new pick, inlined as a
+    * broadcast-literal vector — zero joins, zero shuffle) plus a
+    * TakeOrdered(1) argmax (per-partition top-1, driver merges
+    * |partitions| rows); rounds chain through eager localCheckpoints so
+    * round i's plan never re-derives rounds 1..i−1 (the components-
+    * fixpoint device), with each superseded generation's storage
+    * released immediately. Driver state is k rows + one d-dim vector
+    * per round — bounded by construction. Total work O(k·N), the
+    * honest FPS cost, embarrassingly parallel at any corpus size.
+    *
+    * Cross-engine determinism: d²(x,y) = x·x − 2·x·y + y·y with every
+    * dot through vec_dot's strict fold (= DuckDB's list_dot_product)
+    * in the same association order, so the argmax compares IDENTICAL
+    * doubles on both engines; the emitted radius goes through the
+    * [[quant6]] floor law.
+    */
+  def coresetFps(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    def d2(e: Column, s: Column): Column =
+      dot(e, e) - lit(2.0) * dot(e, s) + dot(s, s)
+    val base = embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .localCheckpoint(true)
+    val seed = base.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty, "coresetFps: empty corpus")
+    var picks = Vector((0, seed(0).getLong(0), 0.0))
+    var pe: Seq[Double] = seed(0).getSeq[Double](1)
+    var cand = base.filter(col("vec_id") =!= picks.head._2)
+      .select(col("vec_id"), col("emb"),
+        d2(col("emb"), typedlit(pe)).as("mind"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistBacking(base)
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      // TakeOrdered(1): per-partition top-1, never a global sort
+      val top = cand.orderBy(col("mind").desc, col("vec_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top(0)
+        picks = picks :+ ((r, row.getLong(0), row.getDouble(2)))
+        pe = row.getSeq[Double](1)
+        val next = cand.filter(col("vec_id") =!= row.getLong(0))
+          .select(col("vec_id"), col("emb"),
+            least(col("mind"), d2(col("emb"), typedlit(pe))).as("mind"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistBacking(cand)
+        cand = next
+        r += 1
+      }
+    }
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistBacking(cand)
+    import spark.implicits._
+    picks.toDF("round", "vec_id", "radius")
+      .select(col("round"), col("vec_id"), quant6(col("radius")).as("radius"))
+      .orderBy("round")
+  }
+
   /** The coarse codebook rows (clabel, cvec, cnorm2) for callers outside
     * this object — StreamOps' streaming ingest collects it (codebook-sized
     * driver state) and inlines it as a literal scoring expression.

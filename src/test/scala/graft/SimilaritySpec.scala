@@ -48,6 +48,40 @@ class SimilaritySpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("coresetFps: seed is lowest id, picks are distinct, the radius " +
+       "profile is non-increasing, and a planted far outlier is picked second") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // handcrafted geometry: a tight cluster near the origin plus one far
+    // outlier — FPS must seed at the lowest id, grab the outlier second
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f)), (4L, Array(0.1f, 0.1f)),
+      (10L, Array(100.0f, 100.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.coresetFps(rows, 3).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(got(0).getLong(1) === 1L, "seed must be the lowest vec_id")
+    assert(got(0).getDouble(2) === 0.0)
+    assert(got(1).getLong(1) === 10L, "round 1 must pick the far outlier")
+    // radii non-increasing after round 0's sentinel
+    assert(got(1).getDouble(2) >= got(2).getDouble(2))
+    // corpus-scale laws on the real table: k distinct picks, radius
+    // profile non-increasing from round 1 on, layout-invariant
+    val emb = Tables.embeddings(spark, sf0001)
+    val fps = Similarity.coresetFps(emb, 6).collect()
+    assert(fps.length === 6)
+    assert(fps.map(_.getLong(1)).distinct.length === 6, "duplicate pick")
+    val radii = fps.drop(1).map(_.getDouble(2)).toSeq
+    assert(radii === radii.sorted.reverse, s"radius profile increased: $radii")
+    val re = Similarity.coresetFps(emb.repartition(7, col("label")), 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(re === fps.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq,
+      "selection changed under repartitioning")
+    CacheRegistry.release()
+  }
+
   test("LSH ANN recall vs exact top-10 is above the design floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val nQ = 20
