@@ -208,14 +208,25 @@ object NearDup {
     * applied globally regressed the sf0.1 suite 62%, so the widening
     * must live INSIDE the operator that needs it.
     *
-    * Rule: one shuffle partition per ~256 KB of (compressed, Catalyst-
-    * estimated) input corpus bytes, floored at the session width and
-    * capped at 4096. The 256 KB figure prices the stage's ~1000×
-    * internal amplification (decompress + token/shingle explode + banded
-    * self-join) against a ~256 MB in-memory sort budget per task:
-    * sf0.1's 0.6 MB corpus stays at the session width (measured optimal
-    * there), sf10's 58 MB corpus lands at 256 (the probe's measured
-    * optimum), and growth beyond the cap rides AQE/deployment sizing.
+    * Rule: one shuffle partition per ~256 KB of IN-MEMORY input corpus
+    * bytes, floored at the session width and capped at 4096. When the
+    * input is a materialized cache its stats ARE in-memory bytes; a
+    * file-backed plan's stats understate the in-memory corpus ~2.4×
+    * (the fileCompressionFactor class of error — measured r17 at sf10:
+    * 59.6 MB estimated through the semi-join plan vs 142 MB
+    * materialized), so those get a 2× correction. The 256 KB figure
+    * prices the stage's ~1000× internal amplification (decompress +
+    * token/shingle explode + banded self-join) against the per-task
+    * sort budget. Measured at the sf10 decade (48g driver, the r16
+    * regime): fixed core-count width = 798 s comps / 803 GiB spill;
+    * width 228 still spilled 447 GiB; width 455 (this rule,
+    * file-backed path) ran the FULL curate query in 256.6 s with ZERO
+    * spill; width 544 (this rule, cached path) ran comps in 197.3 s
+    * with ZERO spill; width 1088 was spill-free but 1.5× slower than
+    * 544 on task overhead + GC — the rule sits both paths in the
+    * measured sweet band. sf0.1's 0.6 MB corpus stays at the session
+    * width (measured optimal there, keeps the anchor protocol
+    * untouched); growth beyond the cap rides AQE/deployment sizing.
     * Width never changes values — the fixpoint is a deterministic
     * min-label propagation — so the oracle gate is width-blind.
     * SPARK_GRAFT_FIXPOINT_PARTS overrides for probing (CurateProbe
@@ -224,7 +235,11 @@ object NearDup {
   private[graft] def fixpointWidth(input: DataFrame): Int =
     sys.env.get("SPARK_GRAFT_FIXPOINT_PARTS").map(_.trim.toInt).getOrElse {
       val session = input.sparkSession.sessionState.conf.numShufflePartitions
-      val bytes = input.queryExecution.optimizedPlan.stats.sizeInBytes
+      val plan = input.queryExecution.optimizedPlan
+      val cached = plan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      val est = plan.stats.sizeInBytes
+      val bytes = if (cached) est else est * 2
       val byWork = ((bytes + 262143) / 262144).min(BigInt(4096)).toInt
       math.max(session, byWork)
     }
@@ -238,6 +253,10 @@ object NearDup {
     // (localCheckpoint) by loop exit, so downstream consumers shuffle at
     // the restored session width
     val width = fixpointWidth(documents)
+    // announced on stderr (the benchForms precedent) so probes and bench
+    // logs record which width a run actually used
+    System.err.println(s"[neardup] components fixpoint width=$width " +
+      s"(input stats bytes=${documents.queryExecution.optimizedPlan.stats.sizeInBytes})")
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try duplicateComponentsAtWidth(documents, maxHamming)

@@ -43,11 +43,11 @@ class DedupSpec extends SparkSpec {
     // the sf0.001 documents table is tiny — width must stay the session's
     val docs = Tables.documents(spark, sf0001)
     assert(NearDup.fixpointWidth(docs) === session)
-    // an input whose Catalyst-estimated size crosses the 256 KB/partition
+    // an input whose Catalyst-estimated size crosses the 128 KB/partition
     // rule widens proportionally: range stats are 8 bytes/row, so 2^20
-    // rows = 8 MiB -> ceil(8 MiB / 256 KiB) = 32 partitions
+    // rows = 8 MiB -> ceil(8 MiB / 128 KiB) = 64 partitions
     val mid = spark.range(1L << 20).toDF()
-    assert(NearDup.fixpointWidth(mid) === math.max(session, 32))
+    assert(NearDup.fixpointWidth(mid) === math.max(session, 64))
     // and a third-decade-sized input hits the 4096 cap, never beyond
     val big = spark.range(1L << 31).toDF()
     assert(NearDup.fixpointWidth(big) === 4096)
