@@ -236,10 +236,16 @@ object NearDup {
     sys.env.get("SPARK_GRAFT_FIXPOINT_PARTS").map(_.trim.toInt).getOrElse {
       val session = input.sparkSession.sessionState.conf.numShufflePartitions
       val plan = input.queryExecution.optimizedPlan
-      val cached = plan.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      // a MATERIALIZED cache reports actual in-memory bytes; a merely
+      // persist()-marked (buffers not yet loaded) or file-backed plan
+      // reports the file-side estimate, which gets the 2x correction
+      val loaded = plan.exists {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cacheBuilder.isCachedColumnBuffersLoaded
+        case _ => false
+      }
       val est = plan.stats.sizeInBytes
-      val bytes = if (cached) est else est * 2
+      val bytes = if (loaded) est else est * 2
       val byWork = ((bytes + 262143) / 262144).min(BigInt(4096)).toInt
       math.max(session, byWork)
     }
