@@ -247,6 +247,7 @@ object SparkEntry {
     "q_cluster_sample" -> ((s, d) =>
       Similarity.clusterBalancedSample(embeddings(s, d))),
     "q_coreset_fps" -> ((s, d) => Similarity.coresetFps(embeddings(s, d), 8)),
+    "q_coreset_cover" -> ((s, d) => Similarity.coresetCover(embeddings(s, d), 8)),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
@@ -3755,6 +3756,9 @@ object SparkEntry {
     // list_dot_product = vec_dot's strict fold in the same association
     // order, so the per-round argmax compares identical doubles
     "q_coreset_fps" -> coresetFpsOracleSql(8),
+    // same selection chain + quant6-before-argmin assignment census;
+    // DECIMAL-exact mean through the quant6 floor law
+    "q_coreset_cover" -> coresetCoverOracleSql(8),
     "q_ivf_search" ->
       """WITH ex AS (
         |  SELECT label,
@@ -5415,6 +5419,32 @@ object SparkEntry {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  private def coresetD2Sql(v: String, s: String): String =
+    s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $s) " +
+      s"+ list_dot_product($s, $s)"
+
+  /** The FPS selection WITH-chain (cfe base + cfs0 seed + k−1 unrolled
+    * argmax/update steps) — shared by the q_coreset_fps twin and the
+    * q_coreset_cover census built on the same selection.
+    */
+  private def coresetFpsChainFrag(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      val src = if (i == 1) "cfe" else s"cfm${i - 1}"
+      val sel = s"cfs${i - 1}"
+      val mind =
+        if (i == 1) s"${coresetD2Sql("f.e", "s.e")} AS mind"
+        else s"least(f.mind, ${coresetD2Sql("f.e", "s.e")}) AS mind"
+      s"""cfm$i AS (SELECT f.vec_id, f.e, $mind
+         |  FROM $src f CROSS JOIN $sel s WHERE f.vec_id <> s.vec_id),
+         |cfs$i AS (SELECT vec_id, e, mind FROM cfm$i
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""cfe AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cfs0 AS (SELECT vec_id, e FROM cfe ORDER BY vec_id LIMIT 1),
+       |$steps""".stripMargin
+  }
+
   /** q_coreset_fps twin: seed = lowest vec_id, then k−1 unrolled rounds
     * of (argmax of min-d², ties to lowest id) + min-d² update against
     * the new pick — cfm_i is the candidate frame after round i's
@@ -5422,32 +5452,44 @@ object SparkEntry {
     * the exact association order the Spark side uses.
     */
   private def coresetFpsOracleSql(k: Int): String = {
-    def d2(v: String, s: String): String =
-      s"list_dot_product($v, $v) - 2.0 * list_dot_product($v, $s) " +
-        s"+ list_dot_product($s, $s)"
-    val steps = (1 until k).map { i =>
-      val src = if (i == 1) "cfe" else s"cfm${i - 1}"
-      val sel = s"cfs${i - 1}"
-      val mind =
-        if (i == 1) s"${d2("f.e", "s.e")} AS mind"
-        else s"least(f.mind, ${d2("f.e", "s.e")}) AS mind"
-      s"""cfm$i AS (SELECT f.vec_id, f.e, $mind
-         |  FROM $src f CROSS JOIN $sel s WHERE f.vec_id <> s.vec_id),
-         |cfs$i AS (SELECT vec_id, e, mind FROM cfm$i
-         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
-    }.mkString(",\n")
     val emits = (1 until k).map { i =>
       s"""UNION ALL SELECT $i, vec_id,
          |  floor(mind * 1000000.0 + 0.5) / 1000000.0 FROM cfs$i""".stripMargin
     }.mkString("\n")
-    s"""WITH cfe AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |cfs0 AS (SELECT vec_id, e FROM cfe ORDER BY vec_id LIMIT 1),
-       |$steps
+    s"""WITH ${coresetFpsChainFrag(k)}
        |SELECT CAST(round AS INTEGER) AS round, vec_id, radius FROM (
        |SELECT 0 AS round, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM cfs0
        |$emits
        |) ORDER BY round""".stripMargin
+  }
+
+  /** q_coreset_cover twin: the SAME selection chain, then every corpus
+    * vector scored against all k centers (quant6 d² — quantized BEFORE
+    * the argmin so both engines tie-break on identical values, ties to
+    * the lowest center id), per-center census with the DECIMAL-exact
+    * mean law.
+    */
+  private def coresetCoverOracleSql(k: Int): String = {
+    val centers = (0 until k).map(i =>
+      s"SELECT vec_id, e FROM cfs$i").mkString("\nUNION ALL ")
+    s"""WITH ${coresetFpsChainFrag(k)},
+       |cctr AS ($centers),
+       |cscore AS (
+       |  SELECT f.vec_id,
+       |    floor((${coresetD2Sql("f.e", "c.e")}) * 1000000.0 + 0.5)
+       |      / 1000000.0 AS d,
+       |    c.vec_id AS cid
+       |  FROM cfe f CROSS JOIN cctr c),
+       |cbest AS (
+       |  SELECT vec_id, d, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM cscore)
+       |SELECT cid AS center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+       |  floor(CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+       |    * 1000000.0 + 0.5) / 1000000.0 AS mean_d2,
+       |  max(d) AS max_d2
+       |FROM cbest WHERE rn = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private def pcaOracleSql(iters: Int): String = {

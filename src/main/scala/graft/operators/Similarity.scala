@@ -380,6 +380,59 @@ object Similarity {
       .orderBy("round")
   }
 
+  /** COVERAGE CENSUS of the FPS coreset (q_coreset_cover): assign every
+    * corpus vector to its nearest [[coresetFps]] pick and emit the
+    * per-center census — members, DECIMAL-exact mean d², and the
+    * center's true cover radius (max d²). This is the audit that makes
+    * a coreset TRUSTABLE before it prunes data: the cell populations
+    * say whether k under-covers a region, the max column is the
+    * realized k-center objective the FPS radius profile only bounds.
+    *
+    * Scale shape: after the bounded FPS loop, ONE corpus scan — the k
+    * centers ride in as a broadcast-literal array, per-row argmin via
+    * array_min over a transform (zero joins, zero shuffle before the
+    * k-row census agg), the [[assignByLiteralCodebook]] device. d² is
+    * quantized (quant6) BEFORE the argmin so both engines tie-break on
+    * identical values; ties go to the lowest center id via the
+    * (d, cid) struct ordering.
+    */
+  def coresetCover(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val pickIds = coresetFps(embeddings, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // k rows of (center id, embedding): bounded driver state by
+    // construction, same contract as the streaming codebook collect
+    val centers = embeddings.filter(col("vec_id").isin(pickIds: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    // cnorm2 computed with the same strict left-to-right fold as
+    // vec_dot / list_dot_product, so all three agree bit-for-bit
+    def dotScala(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cbLit = array(centers.map { case (cid, cvec) =>
+      struct(typedlit(cvec).as("cvec"),
+        lit(dotScala(cvec, cvec)).as("cnorm2"), lit(cid).as("cid"))
+    }: _*)
+    val e = col("emb")
+    val scores = transform(cbLit, c => struct(
+      quant6(dot(e, e) - lit(2.0) * dot(e, c.getField("cvec"))
+        + c.getField("cnorm2")).as("d"),
+      c.getField("cid").as("cid")))
+    embeddings.repartition(col("vec_id"))
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"), array_min(scores).as("m"))
+      .groupBy(col("m.cid").as("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        quant6(sum(col("m.d").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("mean_d2"),
+        max(col("m.d")).as("max_d2"))
+      .orderBy("center_id")
+  }
+
   /** The coarse codebook rows (clabel, cvec, cnorm2) for callers outside
     * this object — StreamOps' streaming ingest collects it (codebook-sized
     * driver state) and inlines it as a literal scoring expression.

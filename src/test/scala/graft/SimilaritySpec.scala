@@ -82,6 +82,55 @@ class SimilaritySpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("coresetCover: census partitions the corpus, every max_d2 is " +
+       "bounded by the final FPS radius, and the planted outlier owns itself") {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    // same planted geometry as the FPS test: with k=2 the centers are
+    // {1, 10}; the tight cluster must land on 1, the outlier on itself
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(0.0f, 0.1f)), (4L, Array(0.1f, 0.1f)),
+      (10L, Array(100.0f, 100.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.coresetCover(rows, 2).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 10L))
+    assert(got.map(_.getLong(1)).toSeq === Seq(4L, 1L),
+      "cluster must assign to center 1, outlier to itself")
+    assert(got(1).getDouble(2) === 0.0 && got(1).getDouble(3) === 0.0,
+      "a self-assigned center has zero mean and max d²")
+    // corpus-scale laws on the real table: populations partition the
+    // corpus, mean ≤ max per cell, and every realized cover radius is
+    // bounded by the FPS radius profile's final reading (the k-center
+    // guarantee: after k picks, no point is farther than round k−1's
+    // selection distance from its nearest center)
+    val emb = Tables.embeddings(spark, sf0001)
+    val k = 6
+    val census = Similarity.coresetCover(emb, k).collect()
+    assert(census.map(_.getLong(1)).sum === emb.count(),
+      "census populations do not partition the corpus")
+    census.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-6,
+        s"center ${r.getLong(0)}: mean_d2 exceeds max_d2")
+    }
+    val lastRadius = Similarity.coresetFps(emb, k).collect()
+      .maxBy(_.getInt(0)).getDouble(2)
+    census.foreach { r =>
+      assert(r.getDouble(3) <= lastRadius + 1e-6,
+        s"center ${r.getLong(0)}: cover radius ${r.getDouble(3)} exceeds " +
+          s"the final FPS radius $lastRadius")
+    }
+    // layout invariance: the census is a pure function of the set
+    val re = Similarity.coresetCover(emb.repartition(7, col("label")), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(re === census.map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))).toSeq,
+      "census changed under repartitioning")
+    CacheRegistry.release()
+  }
+
   test("LSH ANN recall vs exact top-10 is above the design floor") {
     val emb = Tables.embeddings(spark, sf0001)
     val nQ = 20
