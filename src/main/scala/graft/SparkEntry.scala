@@ -248,6 +248,8 @@ object SparkEntry {
       Similarity.clusterBalancedSample(embeddings(s, d))),
     "q_coreset_fps" -> ((s, d) => Similarity.coresetFps(embeddings(s, d), 8)),
     "q_coreset_cover" -> ((s, d) => Similarity.coresetCover(embeddings(s, d), 8)),
+    "q_entity_resolve" -> ((s, d) => EntityResolution.resolveParts(part(s, d))),
+    "q_entity_canonical" -> ((s, d) => EntityResolution.canonicalParts(part(s, d))),
     "q_ivf_search" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10)),
     "q_ivf_search_n2" -> ((s, d) => Similarity.ivfSearch(embeddings(s, d), 20, 10, nprobe = 2)),
     "q_kmeans_step" -> ((s, d) => Similarity.kmeansStep(embeddings(s, d))),
@@ -3759,6 +3761,12 @@ object SparkEntry {
     // same selection chain + quant6-before-argmin assignment census;
     // DECIMAL-exact mean through the quant6 floor law
     "q_coreset_cover" -> coresetCoverOracleSql(8),
+    // rarest-token blocking + fused-score match edges + recursive
+    // min-reach components; singletons coalesce to their own key
+    "q_entity_resolve" -> entityResolveOracleSql(0.8),
+    // same resolution chain + survivorship census (argmax by price
+    // desc, key asc via row_number)
+    "q_entity_canonical" -> entityCanonicalOracleSql(0.8),
     "q_ivf_search" ->
       """WITH ex AS (
         |  SELECT label,
@@ -5491,6 +5499,78 @@ object SparkEntry {
        |FROM cbest WHERE rn = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** The entity-resolution WITH-chain shared by both twins: tokenize →
+    * rarest-token blocking → fused-score candidate pairs → recursive
+    * min-reach components → per-record `resolved` frame. The score's
+    * association order ((0.6·|∩|)/|∪| + 0.2·brand + 0.2·type, left to
+    * right) matches EntityResolution term for term, quant6-floored
+    * before the threshold so both engines keep identical edges.
+    */
+  private def entityChainFrag(threshold: Double): String =
+    s"""base AS (
+       |  SELECT p_partkey, p_name, p_brand, p_type, p_retailprice,
+       |    list_distinct(list_filter(
+       |      string_split_regex(lower(p_name), '[^a-z0-9]+'),
+       |      t -> t <> '')) AS toks
+       |  FROM part),
+       |tok AS (SELECT p_partkey, unnest(toks) AS t FROM base),
+       |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+       |blk AS (
+       |  SELECT p_partkey, t AS bkey,
+       |    row_number() OVER (PARTITION BY p_partkey ORDER BY df, t) AS rn
+       |  FROM tok JOIN df USING (t)),
+       |rec AS (
+       |  SELECT b.p_partkey, b.p_name, k.bkey, b.toks, b.p_brand,
+       |    b.p_type, b.p_retailprice
+       |  FROM base b
+       |  JOIN (SELECT p_partkey, bkey FROM blk WHERE rn = 1) k
+       |    USING (p_partkey)),
+       |scored AS (
+       |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       |    floor((0.6 * len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |             (len(a.toks) + len(b.toks)
+       |              - len(list_intersect(a.toks, b.toks)))
+       |           + 0.2 * (CASE WHEN a.p_brand = b.p_brand
+       |                    THEN 1.0 ELSE 0.0 END)
+       |           + 0.2 * (CASE WHEN a.p_type = b.p_type
+       |                    THEN 1.0 ELSE 0.0 END))
+       |          * 1000000.0 + 0.5) / 1000000.0 AS score
+       |  FROM rec a JOIN rec b
+       |    ON a.bkey = b.bkey AND a.p_partkey < b.p_partkey),
+       |prs AS (SELECT a_id, b_id FROM scored WHERE score >= $threshold),
+       |edges AS (
+       |  SELECT a_id AS s, b_id AS d FROM prs
+       |  UNION ALL SELECT b_id, a_id FROM prs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |lbl AS (SELECT s AS p_partkey, least(s, min(d)) AS ent
+       |        FROM reach GROUP BY s),
+       |resolved AS (
+       |  SELECT r.p_partkey, r.p_name, r.bkey, r.p_brand, r.p_type,
+       |    r.p_retailprice, coalesce(l.ent, r.p_partkey) AS entity_id
+       |  FROM rec r LEFT JOIN lbl l USING (p_partkey))""".stripMargin
+
+  private def entityResolveOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${entityChainFrag(threshold)}
+       |SELECT p_partkey, bkey AS block_key, entity_id
+       |FROM resolved ORDER BY p_partkey""".stripMargin
+
+  private def entityCanonicalOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${entityChainFrag(threshold)},
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY entity_id
+       |    ORDER BY p_retailprice DESC, p_partkey) AS rk
+       |  FROM resolved)
+       |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+       |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+       |  min(p_retailprice) AS price_min, max(p_retailprice) AS price_max,
+       |  max(CASE WHEN rk = 1 THEN p_partkey END) AS canonical_key,
+       |  max(CASE WHEN rk = 1 THEN p_name END) AS canonical_name
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def pcaOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>

@@ -270,8 +270,23 @@ object NearDup {
   }
 
   private def duplicateComponentsAtWidth(documents: DataFrame,
-                                         maxHamming: Int): DataFrame = {
-    val edges = simhashPairs(documents, maxHamming).select("a_id", "b_id")
+                                         maxHamming: Int): DataFrame =
+    componentsFromEdges(simhashPairs(documents, maxHamming))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** Generic connected components by min-label propagation over an
+    * undirected edge list `(a_id, b_id)` — the fixpoint
+    * [[duplicateComponents]] always ran, extracted so other pair graphs
+    * (entity-resolution match edges, near-dup bands) share one audited
+    * loop. Returns `(id, lbl)` for every node that appears in an edge;
+    * isolated nodes are the CALLER's to coalesce (their label is their
+    * own id by definition, no reason to push them through the loop).
+    * Label = min node id in the component. Each round localCheckpoints
+    * (lineage truncation keeps round-i planning O(1)) and releases the
+    * superseded generation's blocks immediately.
+    */
+  private[graft] def componentsFromEdges(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.select("a_id", "b_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
     val sym = edges.union(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -304,7 +319,7 @@ object NearDup {
       org.apache.spark.sql.graftbridge.CheckpointBridge.unpersistBacking(labels)
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    labels.select(col("id"), col("lbl"))
   }
 
   def duplicateComponents(documents: DataFrame, maxHamming: Int = 3): DataFrame =
