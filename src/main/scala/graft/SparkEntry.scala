@@ -350,6 +350,7 @@ object SparkEntry {
     "q_chunk_overlap" -> ((s, d) => TextAnalysis.chunkDocuments(documents(s, d), 64, 48)),
     "q_chunk_dedup" -> ((s, d) => TextAnalysis.chunkDedup(documents(s, d), 64, 48)),
     "q_stratified_sample" -> ((s, d) => TextAnalysis.stratifiedSample(documents(s, d))),
+    "q_split_leakage" -> ((s, d) => NearDup.leakageSafeSplit(documents(s, d))),
     "q_decontam" -> ((s, d) => TextAnalysis.decontamination(documents(s, d), 5, 100)),
     "q_decontam_frac" -> ((s, d) =>
       TextAnalysis.decontaminationFraction(documents(s, d), 5, 100, 0.2)),
@@ -411,6 +412,7 @@ object SparkEntry {
     "q_stream_phrase_fresh" -> ((s, d) =>
       streaming.StreamOps.streamPhraseFresh(s, d)),
     "q_stream_neardedup" -> ((s, d) => streaming.StreamOps.streamNearDedup(s, d)),
+    "q_stream_entity" -> ((s, d) => streaming.StreamOps.streamEntityResolve(s, d)),
     "q_stream_ivf_assign" -> ((s, d) => streaming.StreamOps.streamIvfAssign(s, d)),
     "q_stream_tumbling" -> ((s, d) => streaming.StreamOps.streamTumblingCounts(s, d, 6)),
     "q_stream_sliding" -> ((s, d) => streaming.StreamOps.streamSlidingCounts(s, d, 12, 6)),
@@ -3352,6 +3354,10 @@ object SparkEntry {
     // streaming near-dup vs the accumulated simhash index: a doc is
     // dropped iff some EARLIER-batch doc is within hamming 3 (banding is
     // exact for <=3); batch = contiguous doc_id range, derivable in SQL
+    // drained incremental linkage ≡ batch resolution on the full catalog
+    // (verbatim-share of the q_entity_resolve chain, minus block_key —
+    // the q_stream_scd2 device): envelope ⋈ final-generation entity map
+    "q_stream_entity" -> streamEntityOracleSql(0.8),
     "q_stream_neardedup" ->
       """WITH sfp AS (
         |  SELECT doc_id,
@@ -3761,8 +3767,10 @@ object SparkEntry {
     // same selection chain + quant6-before-argmin assignment census;
     // DECIMAL-exact mean through the quant6 floor law
     "q_coreset_cover" -> coresetCoverOracleSql(8),
-    // rarest-token blocking + fused-score match edges + recursive
-    // min-reach components; singletons coalesce to their own key
+    // signature-level resolution: structured candidate equi-joins +
+    // prefix-pair blocking + recursive min-reach components; the chain
+    // fragment and its θ-derived constants come from ErParams, shared
+    // with the Spark side (EntityResolution.oracleChainFrag)
     "q_entity_resolve" -> entityResolveOracleSql(0.8),
     // same resolution chain + survivorship census (argmax by price
     // desc, key asc via row_number)
@@ -4422,6 +4430,78 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled,
         |       CAST(sum(CASE WHEN keep = 1 THEN length(text) ELSE 0 END) AS BIGINT) AS sampled_chars
         |FROM k GROUP BY 1 ORDER BY lang""".stripMargin,
+    // leakage-safe split audit: simhash pairs + components as in
+    // q_neardup_components, docs routed by md5-mod-100 of doc_id (naive)
+    // vs cluster_id (safe); per safe-split census + straddling-pair
+    // counts under both routings (each straddler counts toward both its
+    // splits; leak_safe derives to 0 independently in both engines)
+    "q_split_leakage" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(t),1,15))::UBIGINT AS BIGINT) for t in toks] AS hs
+        |  FROM base),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([((h >> j) & 1)*2 - 1 for h in hs]) > 0
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |         for j in range(0, 60)]) AS BIGINT) AS simhash
+        |  FROM hashed),
+        |banded AS (
+        |  SELECT doc_id, simhash, b AS band, (simhash >> (b*15)) % 32768 AS band_key
+        |  FROM fp, unnest(range(0, 4)) AS t(b)),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION ALL
+        |  SELECT b_id, a_id FROM prs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s),
+        |docs AS (
+        |  SELECT d.doc_id, length(d.text) AS n_chars_doc,
+        |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, cluster_id, n_chars_doc,
+        |    CASE WHEN nh < 80 THEN 'train' WHEN nh < 90 THEN 'valid'
+        |         ELSE 'test' END AS nsplit,
+        |    CASE WHEN ch < 80 THEN 'train' WHEN ch < 90 THEN 'valid'
+        |         ELSE 'test' END AS csplit
+        |  FROM (SELECT *,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS nh,
+        |    ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),1,15))::UBIGINT::BIGINT % 100 AS ch
+        |    FROM docs)),
+        |census AS (
+        |  SELECT csplit AS split, count(*) AS n_docs,
+        |    count(DISTINCT cluster_id) AS n_clusters,
+        |    CAST(sum(n_chars_doc) AS BIGINT) AS n_chars
+        |  FROM sp GROUP BY 1),
+        |pj AS (
+        |  SELECT a.nsplit AS a_ns, a.csplit AS a_cs, b.nsplit AS b_ns, b.csplit AS b_cs
+        |  FROM prs p JOIN sp a ON p.a_id = a.doc_id JOIN sp b ON p.b_id = b.doc_id),
+        |ln AS (SELECT split, count(*) AS leak_naive FROM (
+        |    SELECT a_ns AS split FROM pj WHERE a_ns <> b_ns
+        |    UNION ALL SELECT b_ns FROM pj WHERE a_ns <> b_ns) GROUP BY 1),
+        |ls AS (SELECT split, count(*) AS leak_safe FROM (
+        |    SELECT a_cs AS split FROM pj WHERE a_cs <> b_cs
+        |    UNION ALL SELECT b_cs FROM pj WHERE a_cs <> b_cs) GROUP BY 1)
+        |SELECT c.split, c.n_docs, c.n_clusters, c.n_chars,
+        |  coalesce(ln.leak_naive, CAST(0 AS BIGINT)) AS leak_naive,
+        |  coalesce(ls.leak_safe, CAST(0 AS BIGINT)) AS leak_safe
+        |FROM census c LEFT JOIN ln USING (split) LEFT JOIN ls USING (split)
+        |ORDER BY split""".stripMargin,
     // connected components over the simhash near-dup graph: pairs CTE as
     // in q_neardup_simhash, then a recursive transitive closure; cluster
     // id = min reachable doc_id — the same fixpoint the Spark label
@@ -5500,66 +5580,18 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** The entity-resolution WITH-chain shared by both twins: tokenize →
-    * rarest-token blocking → fused-score candidate pairs → recursive
-    * min-reach components → per-record `resolved` frame. The score's
-    * association order ((0.6·|∩|)/|∪| + 0.2·brand + 0.2·type, left to
-    * right) matches EntityResolution term for term, quant6-floored
-    * before the threshold so both engines keep identical edges.
-    */
-  private def entityChainFrag(threshold: Double): String =
-    s"""base AS (
-       |  SELECT p_partkey, p_name, p_brand, p_type, p_retailprice,
-       |    list_distinct(list_filter(
-       |      string_split_regex(lower(p_name), '[^a-z0-9]+'),
-       |      t -> t <> '')) AS toks
-       |  FROM part),
-       |tok AS (SELECT p_partkey, unnest(toks) AS t FROM base),
-       |df AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
-       |blk AS (
-       |  SELECT p_partkey, t AS bkey,
-       |    row_number() OVER (PARTITION BY p_partkey ORDER BY df, t) AS rn
-       |  FROM tok JOIN df USING (t)),
-       |rec AS (
-       |  SELECT b.p_partkey, b.p_name, k.bkey, b.toks, b.p_brand,
-       |    b.p_type, b.p_retailprice
-       |  FROM base b
-       |  JOIN (SELECT p_partkey, bkey FROM blk WHERE rn = 1) k
-       |    USING (p_partkey)),
-       |scored AS (
-       |  SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
-       |    floor((0.6 * len(list_intersect(a.toks, b.toks))::DOUBLE /
-       |             (len(a.toks) + len(b.toks)
-       |              - len(list_intersect(a.toks, b.toks)))
-       |           + 0.2 * (CASE WHEN a.p_brand = b.p_brand
-       |                    THEN 1.0 ELSE 0.0 END)
-       |           + 0.2 * (CASE WHEN a.p_type = b.p_type
-       |                    THEN 1.0 ELSE 0.0 END))
-       |          * 1000000.0 + 0.5) / 1000000.0 AS score
-       |  FROM rec a JOIN rec b
-       |    ON a.bkey = b.bkey AND a.p_partkey < b.p_partkey),
-       |prs AS (SELECT a_id, b_id FROM scored WHERE score >= $threshold),
-       |edges AS (
-       |  SELECT a_id AS s, b_id AS d FROM prs
-       |  UNION ALL SELECT b_id, a_id FROM prs),
-       |reach(s, d) AS (
-       |  SELECT s, d FROM edges
-       |  UNION
-       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-       |lbl AS (SELECT s AS p_partkey, least(s, min(d)) AS ent
-       |        FROM reach GROUP BY s),
-       |resolved AS (
-       |  SELECT r.p_partkey, r.p_name, r.bkey, r.p_brand, r.p_type,
-       |    r.p_retailprice, coalesce(l.ent, r.p_partkey) AS entity_id
-       |  FROM rec r LEFT JOIN lbl l USING (p_partkey))""".stripMargin
-
   private def entityResolveOracleSql(threshold: Double): String =
-    s"""WITH RECURSIVE ${entityChainFrag(threshold)}
-       |SELECT p_partkey, bkey AS block_key, entity_id
+    s"""WITH RECURSIVE ${operators.EntityResolution.oracleChainFrag(threshold)}
+       |SELECT p_partkey, block_key, entity_id
+       |FROM resolved ORDER BY p_partkey""".stripMargin
+
+  private def streamEntityOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE ${operators.EntityResolution.oracleChainFrag(threshold)}
+       |SELECT p_partkey, entity_id
        |FROM resolved ORDER BY p_partkey""".stripMargin
 
   private def entityCanonicalOracleSql(threshold: Double): String =
-    s"""WITH RECURSIVE ${entityChainFrag(threshold)},
+    s"""WITH RECURSIVE ${operators.EntityResolution.oracleChainFrag(threshold)},
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY entity_id
        |    ORDER BY p_retailprice DESC, p_partkey) AS rk

@@ -400,6 +400,67 @@ object NearDup {
       .orderBy("a_id", "b_id")
   }
 
+  /** LEAKAGE-SAFE train/valid/test split census (q_split_leakage): the
+    * split audit an eval-honest corpus build runs before shipping.
+    * Naive per-document hash splitting routes NEAR-DUPLICATE documents
+    * to different splits — the train/test contamination that inflates
+    * evals (the Lee et al. 2022 and GPT-3 appendix-C failure mode).
+    * The fix: route by the near-dup CLUSTER id, so a whole duplicate
+    * component lands in one split by construction.
+    *
+    * Output, one row per split of the CLUSTER-routed assignment:
+    * doc/cluster/char census, plus the audit pair — `leak_naive` =
+    * near-dup pairs with exactly one side in this split under the
+    * naive doc-id routing (each straddling pair counts toward both its
+    * splits), and `leak_safe` = the same census under cluster routing,
+    * provably 0 (both engines COMPUTE it rather than assert it: the
+    * oracle twin derives the zero independently).
+    *
+    * Scale shape: the banded [[simhashPairs]] candidates and the
+    * [[duplicateComponents]] fixpoint are the same audited devices the
+    * dedup family runs; routing is the engine-portable
+    * [[md5Hash60]]-mod-100 device of `q_hash_split` (reproducible
+    * across engines, runs, and repartitionings); the censuses are hash
+    * aggs over 3 split keys. No windows, no all-pairs, no new shuffle
+    * shapes.
+    */
+  def leakageSafeSplit(documents: DataFrame): DataFrame = {
+    val splitOf = (h: Column) =>
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    val comps = duplicateComponentsUnordered(documents, 3)
+    val docs = documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_doc"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("nsplit",
+        splitOf(pmod(md5Hash60(col("doc_id").cast("string")), lit(100))))
+      .withColumn("csplit",
+        splitOf(pmod(md5Hash60(col("cluster_id").cast("string")), lit(100))))
+    val census = docs.groupBy(col("csplit").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("cluster_id")).as("n_clusters"),
+           sum(col("n_chars_doc")).as("n_chars"))
+    val pairs = simhashPairs(documents, 3).select("a_id", "b_id")
+      .join(docs.select(col("doc_id").as("a_id"), col("nsplit").as("a_ns"),
+        col("csplit").as("a_cs")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("nsplit").as("b_ns"),
+        col("csplit").as("b_cs")), "b_id")
+    val leakNaive = pairs.filter(col("a_ns") =!= col("b_ns"))
+      .select(explode(array(col("a_ns"), col("b_ns"))).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("leak_naive"))
+    val leakSafe = pairs.filter(col("a_cs") =!= col("b_cs"))
+      .select(explode(array(col("a_cs"), col("b_cs"))).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("leak_safe"))
+    census
+      .join(leakNaive, Seq("split"), "left")
+      .join(leakSafe, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("n_chars"),
+        coalesce(col("leak_naive"), lit(0L)).as("leak_naive"),
+        coalesce(col("leak_safe"), lit(0L)).as("leak_safe"))
+      .orderBy("split")
+  }
+
   /** EXACT SUBSTRING-LEVEL dedup (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" operator, arXiv:
     * 2107.06499, in its token-k-gram form): find the spans of ≥k

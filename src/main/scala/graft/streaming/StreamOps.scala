@@ -1170,6 +1170,91 @@ object StreamOps {
       .orderBy("doc_id")
   }
 
+  /** STREAMING ENTITY RESOLUTION: catalog records arrive in micro-batches
+    * and are incrementally linked against everything seen so far — the
+    * crawl-time record-linkage form of
+    * [[graft.operators.EntityResolution]], including ENTITY MERGE: a new
+    * record that bridges two previously-separate entities collapses them
+    * (the case per-record incremental matchers cannot express).
+    *
+    * Per micro-batch, three idempotent writes (batch=N / gen=N overwrite
+    * discipline, crash-replay safe):
+    *
+    *  1. the record ENVELOPE (key, signature key, brand, type) appends —
+    *     records are touched exactly once, at ingest;
+    *  2. the SIGNATURE STORE merges: previous generation ∪ the batch's
+    *     signatures, re-grouped by (toks, brand, type) with min sig_id —
+    *     min is associative, so the merged store after batch N equals the
+    *     batch computation over all records so far;
+    *  3. the ENTITY MAP re-resolves the merged signature store through
+    *     the SAME [[graft.operators.EntityResolution.resolveSigs]] core
+    *     the batch operator runs. Re-resolving signatures (not records)
+    *     every batch is the honest scalable shape: the signature table is
+    *     the part of the data that SATURATES (bounded by the attribute
+    *     combination space — measured flat across a 10× record decade,
+    *     EXPLAINS r17) while records grow without bound, and it is
+    *     exactly what makes merges exact instead of approximated.
+    *
+    * The drained result (envelope ⋈ final entity map) is therefore
+    * bit-identical to the batch operator on the full catalog —
+    * q_stream_entity shares q_entity_resolve's resolution chain oracle
+    * (the q_stream_scd2 verbatim-share device), minus the block_key
+    * column (ingest envelopes don't carry blocking internals).
+    */
+  def streamEntityResolve(spark: SparkSession, sfDir: String,
+                          nBatches: Int = 3): DataFrame = {
+    import graft.operators.EntityResolution
+    val root = stageRanges(
+      graft.Tables.part(spark, sfDir)
+        .select("p_partkey", "p_name", "p_brand", "p_type"),
+      "p_partkey", nBatches)
+    val partSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType)))
+    val sigSchema = StructType(Seq(
+      StructField("toks", ArrayType(StringType)),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("sig_id", LongType)))
+    runStagedBatches(spark, partSchema, s"$root/src", s"$root/ck") {
+      (batch, batchId) =>
+        val based = EntityResolution.withSignature(batch)
+        based.select("p_partkey", "skey", "p_brand", "p_type")
+          .write.mode("overwrite").parquet(s"$root/rec/batch=$batchId")
+        val prev =
+          if (batchId == 0)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), sigSchema)
+          else spark.read.schema(sigSchema)
+            .parquet(s"$root/sig/gen=${batchId - 1}")
+        val merged = EntityResolution.sigsOf(
+          prev.unionByName(
+            EntityResolution.sigsOf(based)
+              .select("toks", "p_brand", "p_type", "sig_id")),
+          keyCol = "sig_id")
+        merged.select("toks", "p_brand", "p_type", "sig_id")
+          .write.mode("overwrite").parquet(s"$root/sig/gen=$batchId")
+        val sigStore = spark.read.schema(sigSchema)
+          .parquet(s"$root/sig/gen=$batchId")
+          .withColumn("skey", array_join(col("toks"), " "))
+          .withColumn("m", size(col("toks")))
+        EntityResolution.resolveSigs(sigStore, 0.8, sigStore)
+          .select("skey", "p_brand", "p_type", "entity_id")
+          .write.mode("overwrite").parquet(s"$root/ent/gen=$batchId")
+        ()
+    }
+    val recSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("skey", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType)))
+    val entSchema = StructType(Seq(
+      StructField("skey", StringType), StructField("p_brand", StringType),
+      StructField("p_type", StringType), StructField("entity_id", LongType)))
+    spark.read.schema(recSchema).parquet(s"$root/rec")
+      .join(spark.read.schema(entSchema).parquet(s"$root/ent/gen=${nBatches - 1}"),
+        Seq("skey", "p_brand", "p_type"))
+      .select("p_partkey", "entity_id")
+      .orderBy("p_partkey")
+  }
+
   /** STREAMING QUARANTINE (dead-letter queue): each micro-batch splits
     * into parseable and malformed payloads — good rows land, bad rows go
     * to a quarantine sink with the raw payload preserved for forensics —

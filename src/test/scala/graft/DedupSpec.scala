@@ -252,4 +252,21 @@ class DedupSpec extends SparkSpec {
       s"$sfp/512 congruent-mod-65536 probes passed the Bloom pair — " +
       "the hashes are still correlated through k mod 65536")
   }
+
+  test("leakageSafeSplit: cluster-atomic routing (leak_safe 0, totals " +
+       "conserved, every cluster in exactly one split)") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = NearDup.leakageSafeSplit(docs).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("test", "train", "valid"))
+    // the census is total: split doc counts sum to the corpus
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // cluster routing can never straddle — both engines DERIVE the zero,
+    // the spec pins it
+    assert(rows.forall(_.getLong(5) === 0L),
+      "leak_safe must be zero under cluster routing")
+    // the planted near-dups make the naive audit non-trivial on sf0.001
+    assert(rows.map(_.getLong(4)).sum > 0L,
+      "expected naive doc-hash routing to straddle at least one pair")
+    CacheRegistry.release()
+  }
 }

@@ -71,6 +71,22 @@ class EntityResolutionSpec extends SparkSpec {
     CacheRegistry.release()
   }
 
+  test("streaming incremental linkage drains to the batch result " +
+       "(entity merge across batches is exact)") {
+    // the streaming form re-resolves the merged SIGNATURE store each
+    // micro-batch, so a record bridging two earlier entities must merge
+    // them — drained assignment ≡ batch assignment, bit for bit
+    val sp = spark
+    import sp.implicits._
+    val drained = streaming.StreamOps.streamEntityResolve(sp, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = EntityResolution.resolveParts(part)
+      .select("p_partkey", "entity_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(drained === batch)
+    CacheRegistry.release()
+  }
+
   test("plan: df table broadcasts into blocking, no cartesian, no window " +
        "anywhere (survivorship is one hash agg)") {
     val out = new ByteArrayOutputStream()
