@@ -122,8 +122,14 @@ object EntityResolution {
     * `block_key`, plus the record-level `base` frame to expand against.
     */
   private def resolvedParts(part: DataFrame, threshold: Double): DataFrame = {
+    // the tokenized record frame feeds BOTH the signature derivation and
+    // the final record-expansion join — persisted so the tokenize pass
+    // runs once (the jaccardPairs cache contract; Bench's clearCache and
+    // CacheRegistry.release reclaim it)
     val base = withSignature(part.select(col("p_partkey"), col("p_name"),
       col("p_brand"), col("p_type"), col("p_retailprice")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val sig = sigsOf(base)
     val sres = resolveSigs(sig, threshold, part)
     base.join(sres, Seq("skey", "p_brand", "p_type"))
@@ -137,9 +143,20 @@ object EntityResolution {
     * supplies the fixpoint's input-stats shuffle width (the catalog for
     * the batch chain, the signature store for the streaming chain).
     */
-  private[graft] def resolveSigs(sig: DataFrame, threshold: Double,
+  private[graft] def resolveSigs(sigIn: DataFrame, threshold: Double,
                                  widthFrom: DataFrame): DataFrame = {
     val p = ErParams(threshold)
+    // the signature frame fans out to EVERY stage of the resolution (df
+    // table, prefixes, both sides of three candidate joins, both scoring
+    // broadcasts, the fixpoint's edge derivation, the final maps) — each
+    // broadcast build and the fixpoint's edge persist re-derived the
+    // whole tokenize/group subtree from the records without this persist
+    // (~8 rebuilds per call, measured r17). Signature-bounded (the table
+    // SATURATES by the attribute-combination space — EXPLAINS r17), so
+    // the cache is small at any corpus scale.
+    val sig = sigIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val stok = sig.select(col("sig_id"), col("m"), explode(col("toks")).as("t"))
     // document frequency over SIGNATURES — any consistent global token
     // order satisfies the prefix lemma; the df table is vocabulary-sized
@@ -149,10 +166,15 @@ object EntityResolution {
     // collected (df, t) structs, slice to r) — no sig-keyed window
     val r = least(col("m"),
       floor(col("m").cast("double") * lit(p.oneMinusJmin)).cast("int") + lit(2))
+    // consumed by the cross-candidate key explode AND the final
+    // block_key join — persisted so the explode/df-join/sort chain runs
+    // once (signature-sized rows)
     val prefArr = stok.join(broadcast(df), "t")
       .groupBy(col("sig_id"), col("m"))
       .agg(collect_list(struct(col("df"), col("t"))).as("o"))
       .select(col("sig_id"), col("m"), slice(array_sort(col("o")), lit(1), r).as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val pairKeys = flatten(transform(col("pref"), (x, i) =>
       transform(slice(col("pref"), i + lit(2), size(col("pref"))),
         y => concat(x.getField("t"), lit("|"), y.getField("t")))))

@@ -1320,9 +1320,21 @@ object Events {
       .groupBy("user_id", "slot")
       .agg(max(struct(col("us"), col("event_id"), col("value"))).as("o"))
       .select(col("user_id"), col("slot"), col("o.value").as("v"))
+    // PINNED spread after the sequence-explode (r17): the grid generate
+    // amplifies the |users|-row agg ~175× (one row per slot), but the
+    // stage's width is fixed by the TINY pre-explode exchange — AQE
+    // coalesced it to ONE task at sf0.1 (a few KB of agg output), and
+    // every downstream pass (fill window, feature windows, the ewma
+    // chain) ran serially on 29 idle cores (measured: two 4 s one-task
+    // stages). AQE can only merge partitions, never split a post-
+    // generate explosion, so the rebalance is pinned to the session
+    // shuffle width (conf-parameterised — the deployment's width, not a
+    // local constant) on the skinny (user, slot) rows.
+    val gridWidth = events.sparkSession.sessionState.conf.numShufflePartitions
     val grid = obs.groupBy("user_id")
       .agg(min("slot").as("lo"), max("slot").as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+      .repartition(gridWidth, col("user_id"))
     val w = Window.partitionBy("user_id").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("user_id", "slot"), "left")
@@ -1446,9 +1458,14 @@ object Events {
       .groupBy("user_id", "slot")
       .agg(max(struct(col("us"), col("event_id"), col("value"))).as("o"))
       .select(col("user_id"), col("slot"), col("o.value").as("v"))
+    // same pinned post-explode spread as [[resampledGrid]] (r17) — the
+    // two mirrored fill windows otherwise run on the one AQE-coalesced
+    // task of the pre-explode agg exchange
+    val gridWidth = events.sparkSession.sessionState.conf.numShufflePartitions
     val grid = obs.groupBy("user_id")
       .agg(min("slot").as("lo"), max("slot").as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+      .repartition(gridWidth, col("user_id"))
     val wPrev = Window.partitionBy("user_id").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // "next observation" as a RUNNING frame over the reversed sort:
@@ -1504,25 +1521,41 @@ object Events {
     * exact decimal literals on both sides — no pow() anywhere.
     */
   def ewmaSmooth(events: DataFrame, span: Int = 8): DataFrame = {
-    import Similarity.quant6
     val w = Window.partitionBy("user_id").orderBy("slot_us")
     val wts = ewmaWeights(span)
     val grid = resampledGrid(events)
       .withColumn("v_us",
         expr("CAST(floor(value_ffill * 1000000.0 + 0.5) AS BIGINT)"))
+    // INTEGER-MICRO accumulation (r17): the former form summed each
+    // quant6'd term through a DECIMAL(18,6) cast chain — 16 decimal
+    // casts + a precision-promoting decimal add tree per row, measured
+    // at ~38 µs/row (4 s for the sf0.1 grid on one task). The decimal
+    // cast of quant6(x) = floor(x·1e6 + 0.5)/1e6 recovers the integer
+    // numerator k EXACTLY (the double is within 2^-53 relative of
+    // k·1e-6, and Decimal(double) parses Double.toString's shortest
+    // round-trip form — k·1e-6 verbatim), so summing the k's as LONGS
+    // and dividing once by 1e6 is value-identical: Σk < 2^53 is exact
+    // in double, x/1e6 is one correctly-rounded IEEE op, and
+    // BigDecimal(Σk·1e-6).doubleValue is the same correctly-rounded
+    // value. The per-term double chain inside floor() is kept verbatim
+    // (wt · lag / 1e6 · 1e6 + 0.5), so every rounding decision is
+    // bit-identical to the decimal form — the oracle hash is unchanged
+    // (re-verified at sf0.01/sf0.1 this round).
     val terms = (0 until span).map { i =>
-      val lagv = lag(col("v_us"), i).over(w)
+      val lagv = if (i == 0) col("v_us") else lag(col("v_us"), i).over(w)
       val wt = lit(wts(i))
+      val denMu = math.floor(wts(i) * 1e6 + 0.5).toLong
       (when(lagv.isNotNull,
-          quant6(wt * lagv.cast("double") / lit(1e6)))
-         .otherwise(lit(0.0)).cast("decimal(18,6)"),
-       when(lagv.isNotNull, quant6(wt))
-         .otherwise(lit(0.0)).cast("decimal(18,6)"))
+          floor(wt * lagv.cast("double") / lit(1e6) * lit(1e6) + lit(0.5))
+            .cast("long"))
+         .otherwise(lit(0L)),
+       when(lagv.isNotNull, lit(denMu)).otherwise(lit(0L)))
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
     grid
-      .withColumn("ewma", round(num.cast("double") / den.cast("double"), 6))
+      .withColumn("ewma", round((num.cast("double") / lit(1e6)) /
+        (den.cast("double") / lit(1e6)), 6))
       .select(col("user_id"), col("slot_us"), col("value_ffill"), col("ewma"))
       .orderBy("user_id", "slot_us")
   }

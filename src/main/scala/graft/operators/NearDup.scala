@@ -305,11 +305,15 @@ object NearDup {
       // so round i's plan doesn't re-analyze rounds 1..i-1 — with plain
       // persist the per-round Catalyst planning cost grows with the
       // round number even though execution reads the cache.
+      // LAZY checkpoint (r17): the convergence count below is the first
+      // action, so one job per round both materializes the generation's
+      // blocks and reads off the changed-count — the eager form paid a
+      // second full job per round just to count.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
                 least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
                 col("lbl").as("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("lbl") < col("old")).count()
       // the superseded generation's storage goes immediately instead of
       // accumulating across rounds. Checkpoint blocks are NOT

@@ -595,7 +595,15 @@ object Pipeline {
 
   def profileTable(lineitem: DataFrame): DataFrame = {
     val aggs = profileMomentAggs ++ profileDistinctAggs
-    profileAssemble(lineitem.agg(aggs.head, aggs.tail: _*))
+    // repartition spread (the Warehouse.aggSuite device, r17): the
+    // 11-way count-distinct EXPAND multiplies every row 12× BEFORE any
+    // exchange, so its partial phase runs at input-split parallelism —
+    // and the warehouse ships lineitem as ONE parquet file (3 splits at
+    // sf0.1), measured as a 9 s 3-task stage with 29 idle cores. At
+    // 100 TB the scan arrives in thousands of splits and the spread is
+    // a no-op-cost hash exchange of the pre-expand (un-multiplied) rows.
+    profileAssemble(
+      lineitem.repartition(col("l_orderkey")).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Merge a frame of per-part moment rows into the one-pass moment row

@@ -2551,7 +2551,12 @@ object Similarity {
     */
   def docTopics(documents: DataFrame, trainIters: Int = 2,
                 perCluster: Int = 3): DataFrame = {
-    val dv = docVectors(documents)
+    // localCheckpoint (the docIvfPqRoundtrip device, r17): every Lloyd
+    // iteration and the final assignment otherwise re-derive the full
+    // chunk→embed→pool fan-out (measured: five ~2.2 s serial
+    // re-derivations at sf0.1) — the pooled frame is doc-count-sized,
+    // so materializing it once is corpus-linear and cheap
+    val dv = docVectors(documents).localCheckpoint()
     val cents = trainedCodebook(dv, trainIters)
     val assigned = assignedVectors(dv, cents)
       .select(col("vec_id").as("doc_id"), col("assigned").as("cluster"))

@@ -2326,13 +2326,21 @@ object StreamOps {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // repartition spread (the profileTable/aggSuite device, r17):
+          // each staged batch is ONE parquet file, so the 42-aggregate
+          // moment pass and the 11-column distinct/sketch state
+          // otherwise run their partial phase on a single split's task.
+          // Aggregation values are partitioning-blind (moments exact;
+          // HLL registers are per-value maxima, order- and
+          // partitioning-independent — the documented determinism law).
+          val b = batch.repartition(col("l_orderkey"))
           val m = Pipeline.profileMomentAggs
-          batch.agg(m.head, m.tail: _*)
+          b.agg(m.head, m.tail: _*)
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$store/moments/batch=$batchId")
           val dstate =
-            if (exactDistincts) Pipeline.profileDistinctValues(batch)
-            else Pipeline.profileDistinctSketches(batch)
+            if (exactDistincts) Pipeline.profileDistinctValues(b)
+            else Pipeline.profileDistinctSketches(b)
           dstate.coalesce(1)
             .write.mode("overwrite").parquet(s"$store/dvals/batch=$batchId")
           ()
