@@ -258,14 +258,55 @@ object Similarity {
     * scored rows before any shuffle.
     */
   private def assignedVectors(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignedFromPoints(
+      embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb")),
+      cents)
+
+  /** One repartitioned, double-projected copy of the corpus points,
+    * PERSISTED — the shared scan a whole training/build chain consumes
+    * (r17): every Lloyd iteration, the final cell assignment, and the PQ
+    * base each re-read AND re-shuffled the raw input without it (4 corpus
+    * shuffles per index build → 1 shuffle + cached reads). The projection
+    * is exactly [[assignedVectors]]' first two operators, so every
+    * From-variant below is value-identical to its embeddings-taking
+    * original.
+    */
+  private def pointsOf(embeddings: DataFrame): DataFrame =
     embeddings.repartition(col("vec_id"))
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
-      .crossJoin(broadcast(cents))
+      // LAZY localCheckpoint, not persist: the columnar cache encodes /
+      // decodes every array<double> cell per scan (measured r17: a
+      // cached 5 MB points frame cost ~200 s of task time across one
+      // build chain), while checkpoint blocks store the rows as-is —
+      // the same reason docVectors' consumers checkpoint. Lazy so the
+      // first consumer's job materializes the blocks (the NearDup
+      // fixpoint device).
+      .localCheckpoint(false)
+
+  /** [[assignedVectors]] over an already-projected points frame. */
+  private def assignedFromPoints(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents))
       .withColumn("score", cellScore(col("emb")))
       .groupBy("vec_id")
       .agg(first(col("label")).as("label"), first(col("emb")).as("emb"),
            min(struct(col("score"), col("clabel"))).as("m"))
       .select(col("vec_id"), col("label"), col("emb"), col("m.clabel").as("assigned"))
+
+  /** [[centroidsDF]] over the points frame: emb is already
+    * array<double>, and the per-element cast inside quant6 is then a
+    * no-op — same per-component doubles, same decimal-exact means.
+    */
+  private def centroidsFromPoints(pts: DataFrame): DataFrame =
+    pts.select(col("label"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("label").as("clabel"), col("dim"))
+      .agg((sum(quant6(col("x")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
+        .as("mean_val"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_val")))).as("cs"))
+      .select(col("clabel"),
+              transform(col("cs"), s => s.getField("mean_val")).as("cvec"))
+      .withColumn("cnorm2", dot(col("cvec"), col("cvec")))
 
   def ivfAssign(embeddings: DataFrame): DataFrame =
     assignedVectors(embeddings, centroidsDF(embeddings))
@@ -531,6 +572,29 @@ object Similarity {
     (means, cents)
   }
 
+  /** [[lloydChain]] over a shared [[pointsOf]] frame: each iteration's
+    * assignment reads the persisted points instead of re-scanning and
+    * re-shuffling the input (r17). Same seeding, same per-iteration
+    * arithmetic and persist discipline — the returned codebooks are
+    * bit-identical to the embeddings-taking chain.
+    */
+  private def lloydChainFrom(pts: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "k-means training needs at least one iteration")
+    var cents = centroidsFromPoints(pts)
+    var means: DataFrame = null
+    for (_ <- 1 to iters) {
+      means = assignedFromPoints(pts, cents)
+        .select(col("assigned"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy("assigned", "dim")
+        .agg((sum(quant6(col("x")).cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("mean_val"))
+      cents = codebookFromMeans(means)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheRegistry.track)
+    }
+    (means, cents)
+  }
+
   def kmeansTrain(embeddings: DataFrame, iters: Int): DataFrame =
     lloydChain(embeddings, iters)._1.orderBy("assigned", "dim")
 
@@ -673,6 +737,20 @@ object Similarity {
         asDouble(slice(col("embedding"), h + 1, d - h)).as("e2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
+  }
+
+  /** [[pqBase]] over the shared [[pointsOf]] frame with the
+    * dimensionality already known: slicing the double array equals
+    * casting the sliced raw array elementwise, so e1/e2 are the same
+    * doubles. No separate persist — every consumer streams the slice
+    * projection off the points cache instead of holding a second copy
+    * of the corpus (r17).
+    */
+  private def pqBaseFrom(pts: DataFrame, d: Int): DataFrame = {
+    val h = d / 2
+    pts.select(col("vec_id"), col("label"),
+      slice(col("emb"), 1, h).as("e1"),
+      slice(col("emb"), h + 1, d - h).as("e2"))
   }
 
   /** Sub-codebook of one half: per-label centroid of that half's
@@ -1190,11 +1268,21 @@ object Similarity {
             .as("min_recall"))
         .select(lit(np).as("nprobe"), lit(serve).as("serve"),
           col("n_queries"), col("mean_recall"), col("min_recall"))
-    nprobes.flatMap { np => Seq(
-      grade(ivfPqSearch(embeddings, nQueries, k, np, trainIters),
-        np, "adc"),
-      grade(ivfPqRerankSearch(embeddings, nQueries, k, m, np, trainIters),
-        np, "adc_rerank"))
+    // ONE shared index-side chain (r17): the codebook, assignments,
+    // codes and ADC tables are nprobe-independent, so they are derived
+    // once and every (nprobe, serve) setting scores from them — the
+    // composition each setting runs is otherwise verbatim
+    // ivfPqSearch / ivfPqRerankSearch (same rankedTopK + exactRerank).
+    val arts = ivfPqArtifacts(embeddings, nQueries, trainIters)
+    nprobes.flatMap { np =>
+      val scored = ivfPqScoredFrom(arts, nQueries, np)
+      Seq(
+        grade(rankedTopK(scored, k, "est_d2", sc => -sc), np, "adc"),
+        grade(exactRerank(
+            rankedTopK(scored, m, "est_d2", sc => -sc)
+              .select(col("query_id"), col("neighbor_id")),
+            embeddings, nQueries, k),
+          np, "adc_rerank"))
     }.reduce(_ unionByName _).orderBy("nprobe", "serve")
   }
 
@@ -1428,15 +1516,21 @@ object Similarity {
     // path must never infer the codebook half-split from whatever query
     // frame it is handed (an empty one has no head row; a differently-
     // sized one would silently mis-split the saved sub-codebooks)
-    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // ONE shared points frame for the whole build (r17): codebook
+    // training (one assignment scan per Lloyd iteration), the final cell
+    // assignment, and the PQ base each re-read and re-SHUFFLED the input
+    // without it — 4 corpus shuffles per build became 1 shuffle + cached
+    // reads, with identical arithmetic at every step.
+    val pts = pointsOf(embeddings)
+    val d = pts.select(size(col("emb"))).head().getInt(0)
     spark.range(1).select(lit(d).as("d"))
       .write.mode("overwrite").parquet(s"$dir/meta")
-    val cents = trainedCodebook(embeddings, trainIters)
+    val cents = lloydChainFrom(pts, trainIters)._2
     cents.write.mode("overwrite").parquet(s"$dir/cents")
-    assignedVectors(embeddings, cents).select("vec_id", "assigned", "label")
+    assignedFromPoints(pts, cents).select("vec_id", "assigned", "label")
       .withColumn("gen", lit(0L))
       .write.mode("overwrite").partitionBy("gen").parquet(s"$dir/cells")
-    val base = pqBase(embeddings)
+    val base = pqBaseFrom(pts, d)
     val cb1 = subCodebook(base, "e1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
@@ -1667,14 +1761,20 @@ object Similarity {
   def appendToIvfPqIndex(newVectors: DataFrame, dir: String,
                          gen: Long = 1L): Unit = {
     val spark = newVectors.sparkSession
+    // one shared points frame for both per-vector artifacts (r17), and
+    // the half-split comes from the META artifact — dimensionality is
+    // index metadata fixed at build time (the searchIvfPqIndex rule);
+    // reading it replaces a head() scan of the batch
+    val pts = pointsOf(newVectors)
+    val d = spark.read.parquet(s"$dir/meta").head().getInt(0)
     val cents = spark.read.parquet(s"$dir/cents")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    assignedVectors(newVectors, cents).select("vec_id", "assigned", "label")
+    assignedFromPoints(pts, cents).select("vec_id", "assigned", "label")
       .withColumn("gen", lit(gen))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("gen").parquet(s"$dir/cells")
-    val base = pqBase(newVectors)
+    val base = pqBaseFrom(pts, d)
     val cb1 = spark.read.parquet(s"$dir/cb1")
     val cb2 = spark.read.parquet(s"$dir/cb2")
     assignHalf(base, "e1", cb1, "code1")
@@ -2557,8 +2657,12 @@ object Similarity {
     // re-derivations at sf0.1) — the pooled frame is doc-count-sized,
     // so materializing it once is corpus-linear and cheap
     val dv = docVectors(documents).localCheckpoint()
-    val cents = trainedCodebook(dv, trainIters)
-    val assigned = assignedVectors(dv, cents)
+    // shared points frame across training and assignment (r17) — the
+    // buildIvfPqIndex consolidation: one shuffle of the pooled vectors
+    // instead of one per Lloyd iteration plus one for the assignment
+    val pts = pointsOf(dv)
+    val cents = lloydChainFrom(pts, trainIters)._2
+    val assigned = assignedFromPoints(pts, cents)
       .select(col("vec_id").as("doc_id"), col("assigned").as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
@@ -2752,26 +2856,37 @@ object Similarity {
     * [[ivfPqRerankSearch]]: (query_id, cand_id, s = −est_d2) rows for
     * every member of each query's probed cells.
     */
-  private def ivfPqScored(embeddings: DataFrame, nQueries: Int,
-                          nprobe: Int, trainIters: Int): DataFrame = {
+  /** The nprobe-INDEPENDENT artifacts of one inline IVF-PQ serve: trained
+    * coarse codebook, per-vector cell assignments, PQ codes, and the two
+    * per-query ADC lookup tables. Split out of [[ivfPqScored]] (r17) so
+    * the tune census derives this chain ONCE and shares it across every
+    * (nprobe, serve) setting — only the probe list depends on nprobe, yet
+    * the census used to re-run the whole training chain per setting (6×
+    * at the default grid: 131 jobs, ~105 s of job time at sf0.1).
+    * codes/d1/d2 are persisted because each census setting re-consumes
+    * them (codes is one skinny row per vector; d1/d2 are broadcast-sized).
+    */
+  private case class IvfPqArts(cents: DataFrame, assigned: DataFrame,
+                               codes: DataFrame, d1: DataFrame, d2: DataFrame)
+
+  private def ivfPqArtifacts(embeddings: DataFrame, nQueries: Int,
+                             trainIters: Int): IvfPqArts = {
+    // one shared points frame for training, assignment and the PQ base
+    // (r17) — the same 4-shuffles→1 consolidation as buildIvfPqIndex
+    val pts = pointsOf(embeddings)
     val cents =
-      if (trainIters > 0) trainedCodebook(embeddings, trainIters)
-      else centroidsDF(embeddings)
+      if (trainIters > 0) lloydChainFrom(pts, trainIters)._2
+      else centroidsFromPoints(pts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.CacheRegistry.track)
     // coarse cell per vector, shared by the candidate join and the probe
     // derivation (same persist discipline as ivfSearch)
-    val assigned = assignedVectors(embeddings, cents)
+    val assigned = assignedFromPoints(pts, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    val cells = assigned.select(col("vec_id"), col("assigned"))
-    val probes = nearestCells(
-        assigned.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
-        cents, nprobe)
-      .select(col("query_id"), col("clabel").as("assigned"))
     // fine quantizer: PQ codes + per-query ADC lookup tables
-    val base = pqBase(embeddings)
+    val d = pts.select(size(col("emb"))).head().getInt(0)
+    val base = pqBaseFrom(pts, d)
     val cb1 = subCodebook(base, "e1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
@@ -2780,23 +2895,45 @@ object Similarity {
       .transform(graft.CacheRegistry.track)
     val codes = assignHalf(base, "e1", cb1, "code1")
       .join(assignHalf(base, "e2", cb2, "code2"), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val d1 = adcLookup(base, "e1", cb1, nQueries, "q1", "c1", "d1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
     val d2 = adcLookup(base, "e2", cb2, nQueries, "q2", "c2", "d2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.track)
+    IvfPqArts(cents, assigned, codes, d1, d2)
+  }
+
+  /** One nprobe setting's candidate scoring over shared [[IvfPqArts]]. */
+  private def ivfPqScoredFrom(a: IvfPqArts, nQueries: Int,
+                              nprobe: Int): DataFrame = {
+    val cells = a.assigned.select(col("vec_id"), col("assigned"))
+    val probes = nearestCells(
+        a.assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb")),
+        a.cents, nprobe)
+      .select(col("query_id"), col("clabel").as("assigned"))
     // candidates: members of each query's probed cells (cells are
     // disjoint, so no candidate is scored twice per query); negated
     // estimate because TopKAgg keeps the HIGHEST scores
-    val scored = cells.join(broadcast(probes), Seq("assigned"))
+    cells.join(broadcast(probes), Seq("assigned"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("vec_id"), col("query_id"))
-      .join(codes, "vec_id")
-      .join(broadcast(d1),
+      .join(a.codes, "vec_id")
+      .join(broadcast(a.d1),
         col("code1") === col("c1") && col("query_id") === col("q1"))
-      .join(broadcast(d2),
+      .join(broadcast(a.d2),
         col("code2") === col("c2") && col("query_id") === col("q2"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (-(col("d1") + col("d2"))).as("s"))
-    scored
   }
+
+  private def ivfPqScored(embeddings: DataFrame, nQueries: Int,
+                          nprobe: Int, trainIters: Int): DataFrame =
+    ivfPqScoredFrom(ivfPqArtifacts(embeddings, nQueries, trainIters),
+      nQueries, nprobe)
 
   /** RESIDUAL IVF-PQ search (IVFADC proper): PQ encodes each vector's
     * RESIDUAL against its coarse centroid instead of the raw vector —

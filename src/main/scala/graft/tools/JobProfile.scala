@@ -31,6 +31,9 @@ object JobProfile {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, String)]()
+    // [input bytes, shuffle-read bytes, shuffle-write bytes,
+    //  executor run ms, spill bytes]
+    val bytes = new java.util.concurrent.atomic.AtomicLongArray(5)
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
@@ -46,7 +49,17 @@ object JobProfile {
         val si = e.stageInfo
         stages.add((si.stageId, si.numTasks,
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-          si.name)); ()
+          si.name))
+        // machine-independent work evidence: bytes and task-time sums
+        val m = si.taskMetrics
+        if (m != null) {
+          bytes.addAndGet(0, m.inputMetrics.bytesRead)
+          bytes.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
+          bytes.addAndGet(2, m.shuffleWriteMetrics.bytesWritten)
+          bytes.addAndGet(3, m.executorRunTime)
+          bytes.addAndGet(4, m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -59,6 +72,7 @@ object JobProfile {
       catch { case scala.util.control.NonFatal(_) => () }
     spark.catalog.clearCache()
     rows.clear()
+    (0 until 5).foreach(bytes.set(_, 0L))
 
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
@@ -69,6 +83,12 @@ object JobProfile {
       var last = -1
       while (rows.size != last) { last = rows.size; Thread.sleep(300) }
       println(f"== RUN $i: $dt%.2f s, ${rows.size} jobs ==")
+      println(f"   work: input=${bytes.get(0) / 1e6}%.1f MB  " +
+        f"shufRead=${bytes.get(1) / 1e6}%.1f MB  " +
+        f"shufWrite=${bytes.get(2) / 1e6}%.1f MB  " +
+        f"taskTime=${bytes.get(3) / 1e3}%.1f s  " +
+        f"spill=${bytes.get(4) / 1e6}%.1f MB")
+      (0 until 5).foreach(bytes.set(_, 0L))
       val all = {
         import scala.jdk.CollectionConverters._
         rows.iterator().asScala.toSeq.sortBy(_._1)
