@@ -1331,10 +1331,22 @@ object Events {
     // shuffle width (conf-parameterised — the deployment's width, not a
     // local constant) on the skinny (user, slot) rows.
     val gridWidth = events.sparkSession.sessionState.conf.numShufflePartitions
-    val grid = obs.groupBy("user_id")
+    // The pin sits UPSTREAM of the grid agg, ON the one exchange the
+    // whole downstream chain rides (r17 follow-up): a repartition placed
+    // after the agg or after the join is ELIMINATED as redundant —
+    // hashpartitioning(user_id) already flows from the agg's exchange
+    // through Generate and the broadcast join into both windows — and
+    // that ENSURE_REQUIREMENTS exchange is AQE-coalesced by its
+    // PRE-explode byte count (a few KB per user) while the stage's real
+    // work is post-explode (~175 slot rows per user row): AQE undersizes
+    // the stage by the amplification factor at ANY scale (measured: the
+    // full fill+ewma window chain on ONE task at sf0.1). Pinning the
+    // width on this exchange makes it user-specified — reused by the
+    // agg, never coalesced, and still the only shuffle in the chain.
+    val grid = obs.repartition(gridWidth, col("user_id"))
+      .groupBy("user_id")
       .agg(min("slot").as("lo"), max("slot").as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
-      .repartition(gridWidth, col("user_id"))
     val w = Window.partitionBy("user_id").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("user_id", "slot"), "left")
@@ -1462,10 +1474,11 @@ object Events {
     // two mirrored fill windows otherwise run on the one AQE-coalesced
     // task of the pre-explode agg exchange
     val gridWidth = events.sparkSession.sessionState.conf.numShufflePartitions
-    val grid = obs.groupBy("user_id")
+    // same upstream pin as [[resampledGrid]] (r17)
+    val grid = obs.repartition(gridWidth, col("user_id"))
+      .groupBy("user_id")
       .agg(min("slot").as("lo"), max("slot").as("hi"))
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("slot"))
-      .repartition(gridWidth, col("user_id"))
     val wPrev = Window.partitionBy("user_id").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // "next observation" as a RUNNING frame over the reversed sort:

@@ -907,9 +907,18 @@ object Similarity {
     * [[ivfPqRerankSearch]] so the refinement contract can never drift.
     */
   private def exactRerank(shortlist: DataFrame, embeddings: DataFrame,
-                          nQueries: Int, k: Int): DataFrame = {
-    val vecs = embeddings.repartition(col("vec_id"))
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+                          nQueries: Int, k: Int): DataFrame =
+    exactRerankFrom(shortlist,
+      embeddings.repartition(col("vec_id"))
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      nQueries, k)
+
+  /** [[exactRerank]] over an already-projected (vec_id, emb) frame — the
+    * tune census passes its shared points so the three rerank tiers stop
+    * re-shuffling the corpus (r17); same join shape and IEEE chain.
+    */
+  private def exactRerankFrom(shortlist: DataFrame, vecs: DataFrame,
+                              nQueries: Int, k: Int): DataFrame = {
     val queries = vecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("emb").as("q_emb"))
     val exact = shortlist
@@ -1278,10 +1287,10 @@ object Similarity {
       val scored = ivfPqScoredFrom(arts, nQueries, np)
       Seq(
         grade(rankedTopK(scored, k, "est_d2", sc => -sc), np, "adc"),
-        grade(exactRerank(
+        grade(exactRerankFrom(
             rankedTopK(scored, m, "est_d2", sc => -sc)
               .select(col("query_id"), col("neighbor_id")),
-            embeddings, nQueries, k),
+            arts.pts.select(col("vec_id"), col("emb")), nQueries, k),
           np, "adc_rerank"))
     }.reduce(_ unionByName _).orderBy("nprobe", "serve")
   }
@@ -2071,6 +2080,20 @@ object Similarity {
     */
   def docEmbeddings(documents: DataFrame, size: Int = 64, stride: Int = 48,
                     dims: Int = 8, nLabels: Int = 8): DataFrame =
+    docEmbeddingsUnordered(documents, size, stride, dims, nLabels)
+      .orderBy("doc_id", "dim")
+
+  /** Unordered form for composition (r17): the orderBy above is
+    * q_doc_embed's oracle-determinism contract ONLY, but every pooled-
+    * tier composition (docVectors, docSearch, the MMR pool, the vector
+    * store build) consumed it too — and a global sort's range-
+    * partitioner SAMPLES its input, re-executing the whole chunk→embed→
+    * pool chain a second time per consumer before the sort itself (the
+    * sq8QuantizeUnordered discipline, applied to the doc tier).
+    */
+  def docEmbeddingsUnordered(documents: DataFrame, size: Int = 64,
+                             stride: Int = 48, dims: Int = 8,
+                             nLabels: Int = 8): DataFrame =
     chunkEmbeddings(documents, size, stride, dims, nLabels)
       .select(expr("vec_id DIV 1000000").as("doc_id"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -2080,7 +2103,6 @@ object Similarity {
              / count(lit(1))).as("mean_v"))
       .select(col("doc_id"), col("dim").cast("int").as("dim"),
               col("n_chunks"), col("mean_v"))
-      .orderBy("doc_id", "dim")
 
   /** DOC-level cosine retrieval over the pooled embeddings
     * (q_doc_search): which documents are closest to each query document
@@ -2099,7 +2121,7 @@ object Similarity {
                 size: Int = 64, stride: Int = 48, dims: Int = 8,
                 nLabels: Int = 8): DataFrame =
     docSearchFrom(
-      docEmbeddings(documents, size, stride, dims, nLabels)
+      docEmbeddingsUnordered(documents, size, stride, dims, nLabels)
         .select(col("doc_id"), col("dim"),
           col("mean_v").cast("decimal(18,6)").as("v")),
       nQueries, k)
@@ -2152,7 +2174,7 @@ object Similarity {
     */
   def docVectors(documents: DataFrame, size: Int = 64, stride: Int = 48,
                  dims: Int = 8, nLabels: Int = 8): DataFrame =
-    docEmbeddings(documents, size, stride, dims, nLabels)
+    docEmbeddingsUnordered(documents, size, stride, dims, nLabels)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("dim"), col("mean_v")))).as("a"))
       .select(col("doc_id").as("vec_id"),
@@ -2327,7 +2349,7 @@ object Similarity {
   def buildDocVectorStore(documents: DataFrame, dir: String,
                           size: Int = 64, stride: Int = 48, dims: Int = 8,
                           nLabels: Int = 8): Unit =
-    docEmbeddings(documents, size, stride, dims, nLabels)
+    docEmbeddingsUnordered(documents, size, stride, dims, nLabels)
       .select(col("doc_id"), col("dim"),
         col("mean_v").cast("decimal(18,6)").as("v"))
       .write.mode("overwrite").parquet(dir)
@@ -2452,7 +2474,7 @@ object Similarity {
               m: Int = 8, lam: Double = 0.7, penal: Double = 0.3,
               size: Int = 64, stride: Int = 48, dims: Int = 8,
               nLabels: Int = 8): DataFrame = {
-    val dm = docEmbeddings(documents, size, stride, dims, nLabels)
+    val dm = docEmbeddingsUnordered(documents, size, stride, dims, nLabels)
       .select(col("doc_id"), col("dim"),
         col("mean_v").cast("decimal(18,6)").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2866,8 +2888,9 @@ object Similarity {
     * codes/d1/d2 are persisted because each census setting re-consumes
     * them (codes is one skinny row per vector; d1/d2 are broadcast-sized).
     */
-  private case class IvfPqArts(cents: DataFrame, assigned: DataFrame,
-                               codes: DataFrame, d1: DataFrame, d2: DataFrame)
+  private case class IvfPqArts(pts: DataFrame, cents: DataFrame,
+                               assigned: DataFrame, codes: DataFrame,
+                               d1: DataFrame, d2: DataFrame)
 
   private def ivfPqArtifacts(embeddings: DataFrame, nQueries: Int,
                              trainIters: Int): IvfPqArts = {
@@ -2903,7 +2926,7 @@ object Similarity {
     val d2 = adcLookup(base, "e2", cb2, nQueries, "q2", "c2", "d2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheRegistry.track)
-    IvfPqArts(cents, assigned, codes, d1, d2)
+    IvfPqArts(pts, cents, assigned, codes, d1, d2)
   }
 
   /** One nprobe setting's candidate scoring over shared [[IvfPqArts]]. */
